@@ -1,0 +1,168 @@
+"""Deterministic level3 / matches synthesis from the driver's ``events`` table.
+
+The reference engine's canonical input is the ``obanalytics.level3`` order-event
+log (reference: db/obanalytics_schema.sql:128-153) plus ``matches`` (trades,
+db/obanalytics_schema.sql:181-199).  The driver's testdata has no such table, so
+— per FIXTURES.md §8 — we derive one deterministically from ``events``.  The
+derivation itself exercises the reference's ingestion semantics:
+
+- per-episode per-order dedup keeping the latest message
+  (reference I1, db/bitfinex_schema.sql:374-384),
+- event chaining: event_no / next_microtimestamp / fill via windows
+  (reference I8, db/obanalytics_schema.sql:1760-1834 — a trigger there, a
+  window transform here),
+- era assignment (book resets at era start,
+  reference db/bitfinex_schema.sql:332-340).
+
+The SQL below is deliberately written in the common dialect of Spark SQL and
+DuckDB so the *same text* produces the same rows on both engines; every oracle
+in ``__spark_entry__.py`` builds on it.
+
+±infinity convention (reference uses 'infinity'/'-infinity' timestamps,
+db/obanalytics_schema.sql:149): ``next_microtimestamp IS NULL`` plus
+``chain_state`` ∈ {'alive' (= +inf: the order rests forever), 'deleted'
+(= -inf: the order is removed at this event, the event itself is never
+visible), 'chained'}.
+
+Generator layout (all pure integer arithmetic → bit-identical on both engines):
+- 240 order ids cycling over events; pair_id = 1 + order_id % 2 (two pairs);
+  side from order_id % 4 (both sides per pair); exchange_id = 1.
+- price constant per chain: bids 99.76..100.00, asks 100.05..100.29 in 1-cent
+  ticks (25 levels per side, never crossed).
+- amount = 0.25 * (1 + event_id % 40)  (exact quarters; fill = prev − cur).
+- episode = minute bucket of ts; era = ISO week (2024-01-01 is a Monday →
+  eras start Jan 1/8/15/22/29, matching the reference's "new era on month
+  boundary / gap" semantics with a deterministic grid).
+- orders with order_id % 3 == 0 end their chain with a delete event.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Runs verbatim on Spark SQL and DuckDB. Expects a relation/view `events`
+# with columns (event_id bigint, ts timestamp, ...).
+LEVEL3_BODY_SQL = """
+WITH l3_raw AS (
+    SELECT
+        event_id,
+        date_trunc('minute', ts)            AS microtimestamp,
+        ts                                  AS local_timestamp,
+        1 + (event_id % 240)                AS order_id
+    FROM events
+), l3_keyed AS (
+    SELECT
+        event_id, microtimestamp, local_timestamp, order_id,
+        CAST(1 + (order_id % 2) AS INT)     AS pair_id,
+        CAST(1 AS INT)                      AS exchange_id,
+        CASE WHEN (order_id % 4) < 2 THEN 'b' ELSE 's' END AS side,
+        date_trunc('week', microtimestamp)  AS era
+    FROM l3_raw
+), l3_dedup AS (
+    SELECT * FROM (
+        SELECT
+            k.*,
+            row_number() OVER (
+                PARTITION BY order_id, microtimestamp
+                ORDER BY local_timestamp DESC, event_id DESC) AS _rn
+        FROM l3_keyed k) d
+    WHERE _rn = 1
+), l3_chain AS (
+    SELECT
+        event_id, microtimestamp, local_timestamp, order_id,
+        pair_id, exchange_id, side, era,
+        CAST(row_number() OVER (
+            PARTITION BY order_id, era ORDER BY microtimestamp) AS INT) AS event_no,
+        lead(microtimestamp) OVER (
+            PARTITION BY order_id, era ORDER BY microtimestamp) AS next_microtimestamp,
+        min(microtimestamp) OVER (
+            PARTITION BY order_id, era)     AS price_microtimestamp,
+        -- integer cents, then one exact double division: bit-identical on
+        -- Spark and DuckDB (decimal-literal arithmetic is NOT — Spark parses
+        -- 100.00 as DECIMAL, DuckDB computes DOUBLE)
+        CAST(CASE WHEN (order_id % 4) < 2
+                  THEN 10000 - (CAST((order_id - (order_id % 4)) / 4 AS BIGINT) % 25)
+                  ELSE 10005 + (CAST((order_id - (order_id % 4)) / 4 AS BIGINT) % 25)
+             END AS DOUBLE) / CAST(100 AS DOUBLE) AS price,
+        CAST(1 + (event_id % 40) AS DOUBLE) / CAST(4 AS DOUBLE) AS amount
+    FROM l3_dedup
+)
+SELECT
+    microtimestamp,
+    order_id,
+    event_no,
+    side,
+    price,
+    amount,
+    lag(amount) OVER (PARTITION BY order_id, era ORDER BY event_no) - amount AS fill,
+    next_microtimestamp,
+    CASE WHEN next_microtimestamp IS NOT NULL THEN event_no + 1 END AS next_event_no,
+    pair_id,
+    exchange_id,
+    local_timestamp,
+    price_microtimestamp,
+    CAST(1 AS INT) AS price_event_no,
+    CASE WHEN next_microtimestamp IS NOT NULL THEN 'chained'
+         WHEN order_id % 3 = 0 THEN 'deleted'
+         ELSE 'alive'
+    END AS chain_state,
+    era,
+    event_id
+FROM l3_chain
+"""
+
+# Trades derived from fill events: any chained/alive event with a positive
+# fill is interpreted as a partial execution of the resting (maker) order;
+# the taker side is the opposite of the maker's. One-sided order links are
+# legal in the reference schema (nullable buy_/sell_ columns,
+# db/obanalytics_schema.sql:186-191).
+MATCHES_BODY_SQL = """
+SELECT
+    microtimestamp,
+    fill                                     AS amount,
+    price,
+    CASE WHEN side = 'b' THEN 's' ELSE 'b' END AS side,
+    CASE WHEN side = 'b' THEN order_id END   AS buy_order_id,
+    CASE WHEN side = 'b' THEN event_no END   AS buy_event_no,
+    CASE WHEN side = 's' THEN order_id END   AS sell_order_id,
+    CASE WHEN side = 's' THEN event_no END   AS sell_event_no,
+    CAST(0 AS INT)                           AS buy_match_rule,
+    CAST(0 AS INT)                           AS sell_match_rule,
+    event_id                                 AS exchange_trade_id,
+    local_timestamp,
+    pair_id,
+    exchange_id,
+    era
+FROM level3
+WHERE fill > 0 AND chain_state <> 'deleted'
+"""
+
+
+def level3_cte(body: str) -> str:
+    """Wrap an operator query so `level3` is available as a CTE (for DuckDB
+    oracles — the driver pre-registers only the raw testdata views)."""
+    return f"WITH level3 AS (\n{LEVEL3_BODY_SQL}\n)\n{body}"
+
+
+def level3_matches_cte(body: str) -> str:
+    return (
+        f"WITH level3 AS (\n{LEVEL3_BODY_SQL}\n), matches AS (\n{MATCHES_BODY_SQL}\n)\n{body}"
+    )
+
+
+def register_level3(spark, sf_dir: str | None = None):
+    """Create/refresh the `level3` and `matches` temp views on a Spark session.
+
+    If sf_dir is given, (re)loads the `events` view from it first.
+    Returns the level3 DataFrame.
+    """
+    if sf_dir is not None:
+        from obadiah_spark.session import read_table
+
+        events = read_table(spark, sf_dir, "events")
+        events.createOrReplaceTempView("events")
+    l3 = spark.sql(LEVEL3_BODY_SQL)
+    l3.createOrReplaceTempView("level3")
+    m = spark.sql(MATCHES_BODY_SQL)
+    m.createOrReplaceTempView("matches")
+    return l3

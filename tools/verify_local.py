@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every entry in __spark_entry__.queries() at a given sf dir, runs the
+matching oracle_sql() in DuckDB over the same parquet files, and compares
+row count, column names, and order-insensitive canonical values.
+
+Usage:  python tools/verify_local.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows — mirrors an
+    order-insensitive value hash."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64").where(~s.isna(), -1)
+        elif pd.api.types.is_float_dtype(s):
+            # exact float repr — our queries are designed to be bit-deterministic
+            df[c] = s.map(lambda v: "nan" if pd.isna(v) else repr(float(v)))
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: "\0NULL" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+        else:
+            df[c] = s.astype("object").map(lambda v: "\0NULL" if pd.isna(v) else str(v))
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"schema mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    if len(a) == len(b) and not a.equals(b):
+        neq = (a != b)
+        bad_cols = [c for c in a.columns if neq[c].any()]
+        n_bad = int(neq.any(axis=1).sum())
+        problems.append(f"value mismatch in cols {bad_cols} ({n_bad}/{len(a)} rows differ)")
+        mask = neq.any(axis=1)
+        problems.append("spark sample:\n" + a[mask].head(3).to_string())
+        problems.append("duck  sample:\n" + b[mask].head(3).to_string())
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from obadiah_spark.session import get_spark, load_tables
+
+    spark = get_spark("verify_local")
+    load_tables(spark, sf_dir)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for key, fn in qs.items():
+        if only and key not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {key}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"weak  {key}: rows={len(spark_pdf)} (no oracle, rows-only check)")
+            n_weak += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[key]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {key}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = compare(key, spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL  {key}:")
+            for p in problems:
+                print("      " + p.replace("\n", "\n      "))
+            n_fail += 1
+        else:
+            print(f"pass  {key}: rows={len(spark_pdf)}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
