@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Conventions (so Spark and DuckDB hashes agree):
+- every aggregate/computed column is aliased identically on both sides;
+- DuckDB sums are CAST(... AS BIGINT) (DuckDB sums BIGINT→HUGEINT, which
+  would otherwise surface as float64 in pandas);
+- money is aggregated as exact integer cents (see obadiah_spark.relational);
+- the ``level3``/``matches`` order-event log is synthesized deterministically
+  from the ``events`` table by shared SQL (obadiah_spark.synth) that runs
+  verbatim on both engines.
 """
 
 from __future__ import annotations
@@ -13,26 +21,100 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
+# order-book snapshot instant used by the gate queries (mid-month, sf-independent)
+OB_AT = "2024-01-17 12:00:00"
+
+
+def _load(spark: SparkSession, sf_dir: str) -> None:
+    from obadiah_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+
+
+def _l3(spark: SparkSession, sf_dir: str):
+    from obadiah_spark.synth import register_level3
+
+    _load(spark, sf_dir)
+    return register_level3(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from obadiah_spark import relational
+
+    _load(spark, SF0001)
+    return relational.q1_pricing_summary(spark)
+
+
+# ---------------------------------------------------------------- queries ---
+
+def _q_q1(spark, sf_dir):
+    from obadiah_spark import relational
+
+    _load(spark, sf_dir)
+    return relational.q1_pricing_summary(spark)
+
+
+def _q_q3(spark, sf_dir):
+    from obadiah_spark import relational
+
+    _load(spark, sf_dir)
+    return relational.q3_shipping_priority(spark)
+
+
+def _q_q5(spark, sf_dir):
+    from obadiah_spark import relational
+
+    _load(spark, sf_dir)
+    return relational.q5_revenue_by_nation(spark)
+
+
+def _q_topk(spark, sf_dir):
+    from obadiah_spark import relational
+
+    _load(spark, sf_dir)
+    return relational.topk_orders_per_customer(spark, k=3)
+
+
+def _q_sessionize(spark, sf_dir):
+    from obadiah_spark import relational
+
+    _load(spark, sf_dir)
+    return relational.sessionize_events(spark, gap_minutes=30)
+
+
+def _q_order_book(spark, sf_dir):
+    from obadiah_spark.operators.order_book import order_book
+
+    l3 = _l3(spark, sf_dir)
+    return order_book(l3, OB_AT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
+        "order_book": _q_order_book,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each queries() key."""
+    from obadiah_spark import relational
+    from obadiah_spark.operators.order_book import order_book_oracle_sql
+    from obadiah_spark.synth import level3_cte
+
+    return {
+        "q1_pricing_summary": relational.Q1_ORACLE,
+        "q3_shipping_priority": relational.Q3_ORACLE,
+        "q5_revenue_by_nation": relational.Q5_ORACLE,
+        "topk_orders_per_customer": relational.TOPK_ORACLE,
+        "sessionize_events": relational.sessionize_oracle(30),
+        "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
+    }

@@ -36,8 +36,19 @@ def live_at(l3: DataFrame, at_ts, before: bool = False) -> DataFrame:
         (F.col("chain_state") == "chained")
         & (F.col("next_microtimestamp") >= at if before else F.col("next_microtimestamp") > at)
     )
-    same_era = F.col("era") == F.date_trunc("week", at)
-    return l3.filter(started & same_era & not_ended)
+    # era is DATA-DRIVEN: the current era is the max era that started at or
+    # before at_ts, per (pair, exchange) — reference selects max(era) <= p_ts
+    # (db/obanalytics_schema.sql:2061-2065). With before=True an era starting
+    # exactly at at_ts is not yet current (strict <).
+    era_started = F.col("era") < at if before else F.col("era") <= at
+    w_pair = W.partitionBy("pair_id", "exchange_id")
+    cur = (
+        l3.filter(era_started)
+        .withColumn("_cur_era", F.max("era").over(w_pair))
+        .filter(F.col("era") == F.col("_cur_era"))
+        .drop("_cur_era")
+    )
+    return cur.filter(started & not_ended)
 
 
 def order_book(l3: DataFrame, at_ts, max_levels: int | None = None) -> DataFrame:
@@ -59,7 +70,7 @@ def order_book(l3: DataFrame, at_ts, max_levels: int | None = None) -> DataFrame
             F.sum("amount").over(w_walk.rowsBetween(W.unboundedPreceding, W.currentRow)),
         )
         .withColumn("bps", F.abs(F.col("price") - best) / best * F.lit(10000).cast("double"))
-        .withColumn("lvl", F.dense_rank().over(w_rank))
+        .withColumn("lvl", F.dense_rank().over(w_rank).cast("bigint"))
         .select(
             "pair_id", "exchange_id", "side", "price", "amount",
             "order_id", "event_no", "microtimestamp", "liquidity", "bps", "lvl",
@@ -94,9 +105,11 @@ SELECT * FROM (
         dense_rank() OVER (
             PARTITION BY pair_id, exchange_id, side
             ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS lvl
-    FROM level3
+    FROM level3 l
     WHERE microtimestamp <= TIMESTAMP '{at_ts}'
-      AND era = date_trunc('week', TIMESTAMP '{at_ts}')
+      AND era = (SELECT max(era) FROM level3 l2
+                 WHERE l2.pair_id = l.pair_id AND l2.exchange_id = l.exchange_id
+                   AND l2.era <= TIMESTAMP '{at_ts}')
       AND (chain_state = 'alive'
            OR (chain_state = 'chained' AND next_microtimestamp > TIMESTAMP '{at_ts}'))
 ) t {lvl_filter}

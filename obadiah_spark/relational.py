@@ -46,10 +46,10 @@ def q1_pricing_summary(spark: SparkSession) -> DataFrame:
 Q1_ORACLE = """
 SELECT
     l_returnflag, l_linestatus,
-    sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_cents,
-    sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS sum_charge_cents,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
     count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -79,7 +79,7 @@ def q3_shipping_priority(spark: SparkSession) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
@@ -113,7 +113,7 @@ def q5_revenue_by_nation(spark: SparkSession) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name, r_name,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -131,7 +131,7 @@ def topk_orders_per_customer(spark: SparkSession, k: int = 3) -> DataFrame:
     orders = spark.table("orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select(
             "o_custkey", "o_orderkey", "rk",
@@ -177,12 +177,14 @@ def sessionize_events(spark: SparkSession, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-SESSIONIZE_ORACLE = """
-SELECT user_id, session_no,
+def sessionize_oracle(gap_minutes: int = 30) -> str:
+    """DuckDB oracle mirroring ``sessionize_events(gap_minutes)``."""
+    return """
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM (
     SELECT user_id, ts, value,
            sum(CASE WHEN gap_us IS NULL OR gap_us > {gap_us} THEN 1 ELSE 0 END)
@@ -195,4 +197,7 @@ FROM (
 ) s
 GROUP BY user_id, session_no
 ORDER BY user_id, session_no
-""".format(gap_us=30 * 60 * 1_000_000)
+""".format(gap_us=gap_minutes * 60 * 1_000_000)
+
+
+SESSIONIZE_ORACLE = sessionize_oracle(30)

@@ -138,15 +138,25 @@ WHERE fill > 0 AND chain_state <> 'deleted'
 """
 
 
+def _splice_ctes(ctes: str, body: str) -> str:
+    """Prepend CTE definitions to ``body``, merging with the body's own WITH
+    clause if it has one (``WITH a AS (...) WITH b AS ...`` is invalid SQL —
+    the two CTE lists must be joined with a comma)."""
+    stripped = body.lstrip()
+    if stripped[:4].upper() == "WITH":
+        return f"WITH {ctes},\n{stripped[4:].lstrip()}"
+    return f"WITH {ctes}\n{stripped}"
+
+
 def level3_cte(body: str) -> str:
     """Wrap an operator query so `level3` is available as a CTE (for DuckDB
     oracles — the driver pre-registers only the raw testdata views)."""
-    return f"WITH level3 AS (\n{LEVEL3_BODY_SQL}\n)\n{body}"
+    return _splice_ctes(f"level3 AS (\n{LEVEL3_BODY_SQL}\n)", body)
 
 
 def level3_matches_cte(body: str) -> str:
-    return (
-        f"WITH level3 AS (\n{LEVEL3_BODY_SQL}\n), matches AS (\n{MATCHES_BODY_SQL}\n)\n{body}"
+    return _splice_ctes(
+        f"level3 AS (\n{LEVEL3_BODY_SQL}\n), matches AS (\n{MATCHES_BODY_SQL}\n)", body
     )
 
 

@@ -25,6 +25,18 @@ TABLES = (
 )
 
 
+def _num_repr(v) -> str:
+    """Canonical text for one numeric value: integral values print as ints
+    regardless of physical dtype (DuckDB HUGEINT→float64 `138014.0` must equal
+    Spark int64 `138014`); non-integral as exact float repr."""
+    if pd.isna(v):
+        return "\0NULL"
+    f = float(v)
+    if f == int(f) and abs(f) < 2**53:
+        return str(int(f))
+    return repr(f)
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize dtypes, sort rows — mirrors an
     order-insensitive value hash."""
@@ -33,11 +45,16 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype("int64").where(~s.isna(), -1)
-        elif pd.api.types.is_float_dtype(s):
-            # exact float repr — our queries are designed to be bit-deterministic
-            df[c] = s.map(lambda v: "nan" if pd.isna(v) else repr(float(v)))
+        elif pd.api.types.is_numeric_dtype(s):
+            df[c] = s.map(_num_repr)
         elif s.dtype == object:
-            df[c] = s.map(lambda v: "\0NULL" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+            import decimal
+
+            df[c] = s.map(
+                lambda v: "\0NULL"
+                if v is None or (isinstance(v, float) and np.isnan(v))
+                else (_num_repr(v) if isinstance(v, (int, float, decimal.Decimal)) else str(v))
+            )
         else:
             df[c] = s.astype("object").map(lambda v: "\0NULL" if pd.isna(v) else str(v))
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -109,6 +126,9 @@ def main():
             print(f"pass  {key}: rows={len(spark_pdf)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    if n_pass + n_weak == 0:
+        print("ERROR: zero queries verified — queries() empty or all keys filtered out")
+        sys.exit(2)
     sys.exit(1 if n_fail else 0)
 
 
