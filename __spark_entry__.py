@@ -33,11 +33,18 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
     load_tables(spark, sf_dir)
 
 
+_L3_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _l3(spark: SparkSession, sf_dir: str):
+    """Synthesize (and Spark-cache) the level3 log once per (session, sf)."""
     from obadiah_spark.synth import register_level3
 
-    _load(spark, sf_dir)
-    return register_level3(spark)
+    key = (id(spark), sf_dir)
+    if key not in _L3_CACHE:
+        _load(spark, sf_dir)
+        _L3_CACHE[key] = register_level3(spark).cache()
+    return _L3_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -92,6 +99,18 @@ def _q_order_book(spark, sf_dir):
     return order_book(l3, OB_AT)
 
 
+def _q_spread(spark, sf_dir):
+    from obadiah_spark.fold import spread_fold
+
+    return spread_fold(_l3(spark, sf_dir))
+
+
+def _q_depth_change(spark, sf_dir):
+    from obadiah_spark.fold import depth_change_fold
+
+    return depth_change_fold(_l3(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -101,12 +120,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _q_topk,
         "sessionize_events": _q_sessionize,
         "order_book": _q_order_book,
+        "spread": _q_spread,
+        "depth_change": _q_depth_change,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() key."""
     from obadiah_spark import relational
+    from obadiah_spark.operators.depth import (
+        DEPTH_CHANGE_ORACLE_BODY,
+        SPREAD_LINEAR_ORACLE_BODY,
+    )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
     from obadiah_spark.synth import level3_cte
 
@@ -117,4 +142,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": relational.TOPK_ORACLE,
         "sessionize_events": relational.sessionize_oracle(30),
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
+        "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
+        "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
     }

@@ -1,0 +1,37 @@
+"""Differential tests for the ordered fold (the reference's own fast-vs-slow
+strategy, inst/tests/integration/test_spread.R:43-48): the Arrow fold, the
+declarative Spark form, and the DuckDB oracle must agree exactly."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from obadiah_spark.fold import depth_change_fold, spread_fold  # noqa: E402
+from obadiah_spark.operators.depth import (  # noqa: E402
+    DEPTH_CHANGE_ORACLE_BODY,
+    SPREAD_LINEAR_ORACLE_BODY,
+    depth_change,
+)
+from obadiah_spark.operators.spread import spread_slow  # noqa: E402
+from obadiah_spark.synth import level3_cte  # noqa: E402
+from tools.verify_local import compare  # noqa: E402
+
+
+def test_depth_fold_vs_declarative_vs_duckdb(spark, duck, level3):
+    fold_pdf = depth_change_fold(level3).toPandas()
+    decl_pdf = depth_change(level3).toPandas()
+    duck_pdf = duck.sql(level3_cte(DEPTH_CHANGE_ORACLE_BODY)).df()
+    assert len(fold_pdf) > 0
+    assert not compare("depth fold-vs-decl", fold_pdf, decl_pdf)
+    assert not compare("depth fold-vs-duck", fold_pdf, duck_pdf)
+
+
+def test_spread_fold_vs_linear_vs_slow(spark, duck, level3):
+    fold_pdf = spread_fold(level3).toPandas()
+    duck_pdf = duck.sql(level3_cte(SPREAD_LINEAR_ORACLE_BODY)).df()
+    slow_pdf = spread_slow(level3).toPandas()
+    assert len(fold_pdf) > 0
+    assert not compare("spread fold-vs-linear", fold_pdf, duck_pdf)
+    assert not compare("spread fold-vs-slow", fold_pdf, slow_pdf)
