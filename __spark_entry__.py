@@ -25,6 +25,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 # order-book snapshot instant used by the gate queries (mid-month, sf-independent)
 OB_AT = "2024-01-17 12:00:00"
+# get_events window: spans an era interior incl. the book-at-start union path
+EV_START, EV_END = "2024-01-09 00:00:00", "2024-01-13 00:00:00"
+# trades/intervals bounds: the whole synthetic month
+TR_START, TR_END = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+HORIZON = "2024-02-01 00:00:00"
 
 
 def _load(spark: SparkSession, sf_dir: str) -> None:
@@ -102,13 +107,41 @@ def _q_order_book(spark, sf_dir):
 def _q_spread(spark, sf_dir):
     from obadiah_spark.fold import spread_fold
 
-    return spread_fold(_l3(spark, sf_dir))
+    return spread_fold(_l3(spark, sf_dir)).drop("era")
 
 
 def _q_depth_change(spark, sf_dir):
     from obadiah_spark.fold import depth_change_fold
 
     return depth_change_fold(_l3(spark, sf_dir))
+
+
+def _q_get_events(spark, sf_dir):
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.events import get_events
+
+    l3 = _l3(spark, sf_dir)
+    return get_events(l3, spread_fold(l3), spark.table("matches"), EV_START, EV_END)
+
+
+def _q_get_trades(spark, sf_dir):
+    from obadiah_spark.operators.events import get_trades
+
+    _l3(spark, sf_dir)
+    return get_trades(spark.table("matches"), TR_START, TR_END)
+
+
+def _q_intervals(spark, sf_dir):
+    from obadiah_spark.operators.events import events_intervals
+
+    return events_intervals(_l3(spark, sf_dir), HORIZON)
+
+
+def _q_summary(spark, sf_dir):
+    from obadiah_spark.operators.events import summary
+
+    l3 = _l3(spark, sf_dir)
+    return summary(l3, spark.table("matches"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -122,6 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_book": _q_order_book,
         "spread": _q_spread,
         "depth_change": _q_depth_change,
+        "get_events": _q_get_events,
+        "get_trades": _q_get_trades,
+        "events_intervals": _q_intervals,
+        "summary": _q_summary,
     }
 
 
@@ -132,8 +169,14 @@ def oracle_sql() -> dict[str, str]:
         DEPTH_CHANGE_ORACLE_BODY,
         SPREAD_LINEAR_ORACLE_BODY,
     )
+    from obadiah_spark.operators.events import (
+        SUMMARY_ORACLE_BODY,
+        events_oracle_sql,
+        intervals_oracle_sql,
+        trades_oracle_sql,
+    )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
-    from obadiah_spark.synth import level3_cte
+    from obadiah_spark.synth import level3_cte, level3_matches_cte
 
     return {
         "q1_pricing_summary": relational.Q1_ORACLE,
@@ -144,4 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
+        "get_events": level3_matches_cte(events_oracle_sql(EV_START, EV_END)),
+        "get_trades": level3_matches_cte(trades_oracle_sql(TR_START, TR_END)),
+        "events_intervals": level3_cte(intervals_oracle_sql(HORIZON)),
+        "summary": level3_matches_cte(SUMMARY_ORACLE_BODY),
     }

@@ -41,7 +41,7 @@ FOLD_KEYS = ("pair_id", "exchange_id", "era")
 EVENT_ORDER = ["microtimestamp", "order_id", "event_no"]
 
 SPREAD_SCHEMA = (
-    "pair_id int, microtimestamp timestamp, best_bid_price double, "
+    "pair_id int, era timestamp, microtimestamp timestamp, best_bid_price double, "
     "best_bid_qty double, best_ask_price double, best_ask_qty double"
 )
 
@@ -148,9 +148,10 @@ def _spread_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """D6: emit level1 (best bid/ask price+qty) only when it changes."""
     book = _Book()
     pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
+    era = pdf["era"].iloc[0] if len(pdf) else None
     ev = _Events(pdf)
     out: dict[str, list] = {c: [] for c in (
-        "pair_id", "microtimestamp", "best_bid_price", "best_bid_qty",
+        "pair_id", "era", "microtimestamp", "best_bid_price", "best_bid_qty",
         "best_ask_price", "best_ask_qty")}
     prev = None
     apply_, best = book.apply, book.best
@@ -166,6 +167,7 @@ def _spread_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             continue
         if cur != prev:
             out["pair_id"].append(pair_id)
+            out["era"].append(era)
             out["microtimestamp"].append(ts)
             out["best_bid_price"].append(bb)
             out["best_bid_qty"].append(bbq)

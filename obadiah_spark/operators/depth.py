@@ -88,12 +88,13 @@ SELECT pair_id, microtimestamp, side, price,
 FROM changes
 """
 
-# Linear level1 oracle: change timeline × per-era price grid (bounded: only
+# Linear level1 derivation ending in CTE l1_dedup(pair_id, era, ts, best_*)
+# so other oracles (get.events' as-of spread join) can build on it.
+# Shape: change timeline × per-era price grid (bounded: only
 # prices that ever change), running volume per level, best = extremal live
 # price per episode, dedup-on-change. Replaces the quadratic
 # episode×live-set join as the spread oracle at sf>=0.01 scale.
-SPREAD_LINEAR_ORACLE_BODY = f"""
-WITH {DEPTH_CHANGES_CTES}, grid AS (
+SPREAD_L1_CTES = f"""{DEPTH_CHANGES_CTES}, grid AS (
     SELECT e.pair_id, e.era, e.ts, p.side, p.price
     FROM (SELECT DISTINCT pair_id, era, microtimestamp AS ts FROM changes) e
     JOIN (SELECT DISTINCT pair_id, era, side, price FROM changes) p
@@ -118,7 +119,7 @@ WITH {DEPTH_CHANGES_CTES}, grid AS (
     FROM best b JOIN vol v
       ON v.pair_id = b.pair_id AND v.era = b.era AND v.ts = b.ts
     GROUP BY b.pair_id, b.era, b.ts, b.best_bid_price, b.best_ask_price
-), dedup AS (
+), l1_lag AS (
     SELECT *,
            lag(best_bid_price) OVER w AS p_bb,
            lag(best_bid_qty)  OVER w AS p_bq,
@@ -126,12 +127,18 @@ WITH {DEPTH_CHANGES_CTES}, grid AS (
            lag(best_ask_qty)  OVER w AS p_aq
     FROM l1
     WINDOW w AS (PARTITION BY pair_id, era ORDER BY ts)
-)
+), l1_dedup AS (
+    SELECT pair_id, era, ts, best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
+    FROM l1_lag
+    WHERE p_bb IS DISTINCT FROM best_bid_price
+       OR p_bq IS DISTINCT FROM best_bid_qty
+       OR p_ba IS DISTINCT FROM best_ask_price
+       OR p_aq IS DISTINCT FROM best_ask_qty
+)"""
+
+SPREAD_LINEAR_ORACLE_BODY = f"""
+WITH {SPREAD_L1_CTES}
 SELECT pair_id, ts AS microtimestamp,
        best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
-FROM dedup
-WHERE p_bb IS DISTINCT FROM best_bid_price
-   OR p_bq IS DISTINCT FROM best_bid_qty
-   OR p_ba IS DISTINCT FROM best_ask_price
-   OR p_aq IS DISTINCT FROM best_ask_qty
+FROM l1_dedup
 """

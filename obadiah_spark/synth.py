@@ -29,7 +29,9 @@ Generator layout (all pure integer arithmetic → bit-identical on both engines)
   side from order_id % 4 (both sides per pair); exchange_id = 1.
 - price constant per chain: bids 99.76..100.00, asks 100.05..100.29 in 1-cent
   ticks (25 levels per side, never crossed).
-- amount = 0.25 * (1 + event_id % 40)  (exact quarters; fill = prev − cur).
+- amount = 0.25 * (1 + (chain_step*7 + order_id) % 40) where chain_step =
+  event_id DIV 240 (exact quarters; fill = prev − cur, positive ~1/6 of the
+  time so the matches table is non-empty).
 - episode = minute bucket of ts; era = ISO week (2024-01-01 is a Monday →
   eras start Jan 1/8/15/22/29, matching the reference's "new era on month
   boundary / gap" semantics with a deterministic grid).
@@ -84,7 +86,13 @@ WITH l3_raw AS (
                   THEN 10000 - (CAST((order_id - (order_id % 4)) / 4 AS BIGINT) % 25)
                   ELSE 10005 + (CAST((order_id - (order_id % 4)) / 4 AS BIGINT) % 25)
              END AS DOUBLE) / CAST(100 AS DOUBLE) AS price,
-        CAST(1 + (event_id % 40) AS DOUBLE) / CAST(4 AS DOUBLE) AS amount
+        -- amount varies ALONG each chain: the chain-step index (event_id DIV
+        -- 240) advances by 1 per successive event of an order, so consecutive
+        -- amounts differ by +7 or -33 steps (mod 40) — ~1/6 of chained events
+        -- shrink the order, i.e. have positive fill → non-empty matches.
+        -- (A plain event_id % 40 is constant per chain: 240 ≡ 0 mod 40.)
+        CAST(1 + ((CAST((event_id - (event_id % 240)) / 240 AS BIGINT) * 7 + order_id) % 40) AS DOUBLE)
+            / CAST(4 AS DOUBLE) AS amount
     FROM l3_dedup
 )
 SELECT

@@ -29,7 +29,7 @@ def test_depth_fold_vs_declarative_vs_duckdb(spark, duck, level3):
 
 
 def test_spread_fold_vs_linear_vs_slow(spark, duck, level3):
-    fold_pdf = spread_fold(level3).toPandas()
+    fold_pdf = spread_fold(level3).drop("era").toPandas()
     duck_pdf = duck.sql(level3_cte(SPREAD_LINEAR_ORACLE_BODY)).df()
     slow_pdf = spread_slow(level3).toPandas()
     assert len(fold_pdf) > 0
