@@ -144,6 +144,61 @@ def _q_summary(spark, sf_dir):
     return summary(l3, spark.table("matches"))
 
 
+def _docs(spark, sf_dir):
+    _load(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from obadiah_spark.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from obadiah_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from obadiah_spark.pipelines.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), spark)
+
+
+def _q_simhash(spark, sf_dir):
+    from obadiah_spark.pipelines.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), spark)
+
+
+def _q_text_stats(spark, sf_dir):
+    from obadiah_spark.pipelines.text import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_ann_bruteforce(spark, sf_dir):
+    from obadiah_spark.pipelines.similarity import ann_bruteforce
+
+    _load(spark, sf_dir)
+    return ann_bruteforce(spark.table("embeddings"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from obadiah_spark.pipelines.similarity import ann_lsh_pairs
+
+    _load(spark, sf_dir)
+    return ann_lsh_pairs(spark.table("embeddings"))
+
+
+def _q_multimodal(spark, sf_dir):
+    from obadiah_spark.pipelines.multimodal import multimodal_features
+
+    return multimodal_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -159,6 +214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
         "summary": _q_summary,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only (recall test in tests/)
+        "multimodal_features": _q_multimodal,
     }
 
 
@@ -176,6 +239,10 @@ def oracle_sql() -> dict[str, str]:
         trades_oracle_sql,
     )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
+    from obadiah_spark.pipelines import dedup
+    from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
+    from obadiah_spark.pipelines.similarity import ann_bruteforce_oracle
+    from obadiah_spark.pipelines.text import TEXT_STATS_ORACLE
     from obadiah_spark.synth import level3_cte, level3_matches_cte
 
     return {
@@ -191,4 +258,12 @@ def oracle_sql() -> dict[str, str]:
         "get_trades": level3_matches_cte(trades_oracle_sql(TR_START, TR_END)),
         "events_intervals": level3_cte(intervals_oracle_sql(HORIZON)),
         "summary": level3_matches_cte(SUMMARY_ORACLE_BODY),
+        "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
+        "ngram_jaccard": dedup.ngram_jaccard_oracle(),
+        "minhash_lsh": dedup.MINHASH_LSH_ORACLE,
+        "simhash": dedup.SIMHASH_ORACLE,
+        "text_stats": TEXT_STATS_ORACLE,
+        "ann_bruteforce": ann_bruteforce_oracle(),
+        # ann_lsh_pairs: intentionally no oracle (approximate operator)
+        "multimodal_features": MULTIMODAL_ORACLE,
     }

@@ -1,0 +1,251 @@
+"""Deduplication operators over ``documents(doc_id, text, ...)``.
+
+Four dedup families, all deterministic and cross-engine (hashes are md5-hex
+arithmetic so Spark and DuckDB agree bit-for-bit):
+
+- ``exact_dedup`` — normalize → fingerprint → hash-groupBy. One shuffle on
+  the fingerprint; at 100 TB this is the classic map-side-combinable dedup.
+- ``ngram_jaccard_pairs`` — exact 3-word-shingle Jaccard for every pair
+  sharing a shingle. The shingle join is the scale risk (hot shingles →
+  skew); the LSH variant below is the 100 TB path, this is its oracle.
+- ``minhash_lsh_candidates`` — K=16 minhashes, 4 bands × 4 rows; candidate
+  pairs = docs sharing any band signature. Banded join touches only
+  bucket-mates — never all pairs.
+- ``simhash`` — 32-bit sign-of-weighted-sum fingerprint per doc.
+
+No counterpart exists in the reference repo (it is an order-book engine);
+these follow the standard MinHash/SimHash constructions (Broder 1997;
+Charikar 2002) as required by the driver's pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ exact dedup --
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on whitespace-normalized lowercase text."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    f = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    w = W.partitionBy("fingerprint")
+    return f.select(
+        "doc_id", "fingerprint",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+EXACT_DEDUP_ORACLE = r"""
+WITH f AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS group_size,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+FROM f
+"""
+
+# ------------------------------------------------------- shingles (shared) --
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (single-space tokenization)."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wn = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.withColumn("w1", F.lead("w", 1).over(wn))
+        .withColumn("w2", F.lead("w", 2).over(wn))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+               lead(w, 2) OVER win AS w2
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ) s WHERE w2 IS NOT NULL
+)"""
+
+# --------------------------------------------------------- n-gram Jaccard --
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Exact shingle-Jaccard for pairs sharing >=1 shingle, >= threshold.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) — a single integer division, so the
+    double is bit-identical across engines."""
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_oracle(threshold: float = 0.05) -> str:
+    return f"""
+WITH {_SHINGLES_CTE}, sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common,
+       common / (sa.n_shingles + sb.n_shingles - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.n_shingles + sb.n_shingles - common) >= {threshold}
+"""
+
+# ------------------------------------------------------------ MinHash LSH --
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # K = BANDS * ROWS
+
+
+def _minhash_sigs(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of a 60-bit md5-derived
+    hash. Identical in DuckDB via ('0x'||substr(md5(..),1,15))::BIGINT."""
+    sh = _shingles(docs)
+    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
+    h = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id", "seed",
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", F.col("seed"), F.col("shingle"))), 1, 15),
+                16, 10,
+            ).cast("bigint").alias("h"),
+        )
+    )
+    return h.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Near-duplicate candidate pairs: equal band signature in >=1 band."""
+    sigs = _minhash_sigs(docs, spark)
+    band = (F.col("seed") / LSH_ROWS).cast("int")
+    # deterministic band signature: pivot the ROWS hashes into fixed slots
+    slots = [
+        F.min(F.when(F.col("seed") % LSH_ROWS == r, F.col("minhash"))).alias(f"h{r}")
+        for r in range(LSH_ROWS)
+    ]
+    bands = (
+        sigs.withColumn("band", band)
+        .groupBy("doc_id", "band")
+        .agg(*slots)
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws("#", *[f"h{r}" for r in range(LSH_ROWS)])).alias("band_sig"),
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_SHINGLES_CTE}, seeds AS (
+    SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS seed
+), h AS (
+    SELECT doc_id, seed,
+           ('0x' || substr(md5(seed || '#' || shingle), 1, 15))::BIGINT AS h
+    FROM sh CROSS JOIN seeds
+), sigs AS (
+    SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY doc_id, seed
+), bands AS (
+    SELECT doc_id, CAST(seed // {LSH_ROWS} AS INT) AS band,
+           md5(concat_ws('#',
+               min(CASE WHEN seed % {LSH_ROWS} = 0 THEN minhash END),
+               min(CASE WHEN seed % {LSH_ROWS} = 1 THEN minhash END),
+               min(CASE WHEN seed % {LSH_ROWS} = 2 THEN minhash END),
+               min(CASE WHEN seed % {LSH_ROWS} = 3 THEN minhash END))) AS band_sig
+    FROM sigs GROUP BY doc_id, seed // {LSH_ROWS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------- SimHash --
+
+def simhash(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (with multiplicity): bit b is
+    the sign of the count-weighted sum of ±1 token-hash bits."""
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint"))
+    )
+    bits = spark.createDataFrame(
+        [(b, 1 << b) for b in range(32)], "bit int, mask bigint"
+    )
+    contrib = tok.crossJoin(F.broadcast(bits)).select(
+        "doc_id", "bit", "mask",
+        F.when((F.col("th") / F.col("mask")).cast("bigint") % 2 == 1, F.col("cnt"))
+         .otherwise(-F.col("cnt")).alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "bit", "mask")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0))).alias("simhash"))
+    )
+
+
+SIMHASH_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, w, count(*) AS cnt,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT AS th
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+    GROUP BY doc_id, w
+), bits AS (
+    SELECT unnest(generate_series(0, 31)) AS bit
+), contrib AS (
+    SELECT doc_id, bit, (1::BIGINT << bit) AS mask,
+           CASE WHEN (th // (1::BIGINT << bit)) % 2 = 1 THEN cnt ELSE -cnt END AS c
+    FROM tok CROSS JOIN bits
+), bitsum AS (
+    SELECT doc_id, bit, mask, sum(c) AS s FROM contrib GROUP BY doc_id, bit, mask
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id
+"""

@@ -1,0 +1,147 @@
+"""Similarity search over ``embeddings(vec_id, embedding float[], label)``.
+
+- ``ann_bruteforce`` — exact cosine top-k: broadcast the (small) query set
+  against a full scan. The correctness baseline; one pass, no shuffle of the
+  big side. Dot products fold left-to-right in double on both engines and
+  cosines are rounded to 9 dp so the cross-engine hash is stable.
+- ``lsh_signatures`` / ``ann_lsh_pairs`` — random-hyperplane (sign) LSH: T
+  tables × P hyperplanes with ±1 weights derived deterministically from md5,
+  signatures computed batch-vectorized in numpy via mapInPandas (the 100 TB
+  path: signature computation is embarrassingly parallel, candidate
+  generation is a bucket equi-join, never all-pairs). Verified by a recall
+  test against brute force (tests/test_pipelines.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cosine(a: str, b: str):
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return F.round(dot / (na * nb), 9)
+
+
+def ann_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cosine("embedding", "q_emb").alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_bruteforce_oracle(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {n_queries}
+), d AS (
+    SELECT q_id, vec_id,
+           round(list_dot_product(emb, q_emb)
+                 / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q_emb, q_emb))),
+                 9) AS cosine
+    FROM e CROSS JOIN q WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM d
+) t WHERE rank <= {k}
+"""
+
+
+# -------------------------------------------------------------- LSH ANN ----
+
+LSH_TABLES = 4
+LSH_PLANES = 12
+
+
+def _plane_weights(dim: int) -> np.ndarray:
+    """(tables, planes, dim) ±1 weights — deterministic from md5, no RNG."""
+    w = np.empty((LSH_TABLES, LSH_PLANES, dim), dtype=np.float64)
+    for t in range(LSH_TABLES):
+        for p in range(LSH_PLANES):
+            h = hashlib.md5(f"{t}#{p}".encode()).digest()
+            # expand 16 bytes deterministically to dim bits
+            bits = np.frombuffer(
+                b"".join(hashlib.md5(h + bytes([i])).digest() for i in range(dim // 128 + 1)),
+                dtype=np.uint8,
+            )
+            bits = np.unpackbits(bits)[:dim]
+            w[t, p] = bits.astype(np.float64) * 2 - 1
+    return w
+
+
+def lsh_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, table, sig): sign-pattern bucket id per hash table.
+    mapInPandas → one numpy matmul per Arrow batch; no shuffle."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights: np.ndarray | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if weights is None:
+                weights = _plane_weights(e.shape[1])
+            out = []
+            for t in range(LSH_TABLES):
+                proj = e @ weights[t].T  # (n, planes)
+                bits = (proj > 0).astype(np.uint8)
+                sigs = ["".join(map(str, row)) for row in bits]
+                out.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "table": t,
+                    "sig": sigs,
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        compute, "vec_id bigint, table int, sig string"
+    )
+
+
+def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0) -> DataFrame:
+    """Candidate neighbor pairs from LSH buckets, scored with exact cosine.
+    Candidate generation is a per-(table, sig) equi-join — at 100 TB the
+    bucket sizes bound the work, not n²."""
+    sigs = lsh_signatures(emb)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "sig")
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b", _cosine("emb_a", "emb_b").alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

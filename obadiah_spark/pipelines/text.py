@@ -1,0 +1,91 @@
+"""Text analysis over ``documents``: token stats, quality scoring, language
+heuristic, document fingerprinting.
+
+All expressions are rational arithmetic on integers (single final division),
+so Spark and DuckDB produce bit-identical doubles — no libm functions in the
+oracle-checked path. Scale: one narrow projection + per-doc aggregation of
+exploded tokens; shuffles once on doc_id, map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# intersects the synthetic vocabulary; order matters nowhere
+STOPWORDS = ("the", "a", "of", "in", "on", "is", "to", "and")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token/char statistics + quality score + language heuristic +
+    fingerprint. ``subword_count`` approximates a BPE token count as
+    sum(ceil(len(word)/4)) — deterministic arithmetic, no tokenizer dep."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    stop_set = F.array(*[F.lit(s) for s in STOPWORDS])
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("token_count"),
+        F.count_distinct(F.col("w")).alias("distinct_tokens"),
+        F.sum(F.length("w")).alias("char_sum"),
+        F.sum(F.when(F.array_contains(stop_set, F.col("w")), 1).otherwise(0)).alias("stop_count"),
+        F.sum(-F.floor(-F.length("w") / 4).cast("bigint")).alias("subword_count"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))).alias("fingerprint"),
+    )
+    out = base.join(agg, "doc_id")
+    avg_len = F.col("char_sum") / F.col("token_count")
+    stop_ratio = F.col("stop_count") / F.col("token_count")
+    ttr = F.col("distinct_tokens") / F.col("token_count")  # type-token ratio
+    quality = (
+        F.least(F.col("token_count"), F.lit(100)) / 100 * 0.4
+        + stop_ratio * 0.3
+        + F.when((avg_len >= 3) & (avg_len <= 8), 0.3).otherwise(0.0)
+    )
+    lang_pred = (
+        F.when(stop_ratio >= 0.05, "en").otherwise("unknown")
+    )
+    return out.select(
+        "doc_id", "token_count", "distinct_tokens", "subword_count",
+        "n_chars_measured",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        quality.alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+        "fingerprint",
+    )
+
+
+TEXT_STATS_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), agg AS (
+    SELECT doc_id,
+           count(*) AS token_count,
+           count(DISTINCT w) AS distinct_tokens,
+           sum(length(w)) AS char_sum,
+           sum(CASE WHEN w IN ('the','a','of','in','on','is','to','and') THEN 1 ELSE 0 END) AS stop_count,
+           CAST(sum(-floor(-length(w) / 4)) AS BIGINT) AS subword_count
+    FROM tok GROUP BY doc_id
+), base AS (
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+)
+SELECT b.doc_id, token_count, distinct_tokens, subword_count, n_chars_measured,
+       char_sum / token_count AS avg_token_len,
+       stop_count / token_count AS stopword_ratio,
+       distinct_tokens / token_count AS type_token_ratio,
+       least(token_count, 100) / 100 * 0.4
+         + stop_count / token_count * 0.3
+         + CASE WHEN char_sum / token_count >= 3 AND char_sum / token_count <= 8
+                THEN 0.3 ELSE 0.0 END AS quality_score,
+       CASE WHEN stop_count / token_count >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred,
+       fingerprint
+FROM base b JOIN agg a ON a.doc_id = b.doc_id
+"""

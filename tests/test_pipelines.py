@@ -1,0 +1,62 @@
+"""LLM-pipeline operator tests: oracle differentials are covered by the
+driver gate (tools/verify_local.py); here we test what the gate can't —
+LSH recall vs brute force, and the multimodal plumbing invariants."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from obadiah_spark.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs  # noqa: E402
+from obadiah_spark.pipelines.multimodal import multimodal_features, pack_blobs  # noqa: E402
+from obadiah_spark.pipelines.similarity import ann_bruteforce, ann_lsh_pairs  # noqa: E402
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Every true top-1 neighbor with high cosine should surface in the LSH
+    candidate set (sign-LSH recall grows with cosine; at 12 planes x 4
+    tables, cos>=0.45 pairs collide with probability >0.97)."""
+    emb = spark.table("embeddings")
+    bf = ann_bruteforce(emb, n_queries=20, k=1).toPandas()
+    lsh = ann_lsh_pairs(emb).toPandas()
+    cand = {tuple(sorted(p)) for p in zip(lsh.vec_a, lsh.vec_b)}
+    strong = bf[bf.cosine >= 0.45]
+    if len(strong) == 0:
+        return  # synthetic embeddings too uniform at this sf — nothing to check
+    hits = sum(tuple(sorted((q, v))) in cand for q, v in zip(strong.q_id, strong.vec_id))
+    assert hits / len(strong) >= 0.5, f"LSH recall too low: {hits}/{len(strong)}"
+
+
+def test_minhash_candidates_cover_high_jaccard(spark):
+    """MinHash-LSH (16 hashes, 4x4 bands) must surface every pair with
+    jaccard >= 0.7 (collision prob >= 1-(1-0.7^4)^4 ~ 0.77 per band set —
+    at these sizes the synthetic corpus has only identical-ish pairs)."""
+    docs = spark.table("documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.7).toPandas()
+    cand = minhash_lsh_candidates(docs, spark).toPandas()
+    cset = {tuple(sorted(p)) for p in zip(cand.doc_a, cand.doc_b)}
+    missed = [
+        (a, b) for a, b in zip(exact.doc_a, exact.doc_b)
+        if tuple(sorted((a, b))) not in cset
+    ]
+    assert not missed, f"high-jaccard pairs missed by LSH: {missed}"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.table("documents")
+    blobs = pack_blobs(docs)
+    assert dict(blobs.dtypes)["payload"] == "binary"
+    feats = multimodal_features(docs)
+    pdf = feats.toPandas()
+    n = docs.count()
+    assert len(pdf) == n
+    assert (pdf.byte_len > 0).all()
+    assert pdf.payload_md5.str.len().eq(32).all()
+    # metadata survives the Arrow round-trip
+    joined = feats.join(docs, "doc_id").filter(
+        F.col("byte_len") != F.length(F.encode(F.col("text"), "utf-8"))
+    )
+    assert joined.count() == 0
