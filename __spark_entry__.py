@@ -199,6 +199,35 @@ def _q_multimodal(spark, sf_dir):
     return multimodal_features(_docs(spark, sf_dir))
 
 
+def _q_trading_period(spark, sf_dir):
+    from obadiah_spark.operators.trading import trading_period_fold
+
+    return trading_period_fold(_l3(spark, sf_dir), volume=0.0)
+
+
+def _q_trading_strategy(spark, sf_dir):
+    """Mid-price mode (the R client's default for strategy discovery,
+    reference R/obanalytics.R:800-803): the synthetic book never crosses its
+    own spread, so bid/ask-mode profits are structurally impossible."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.trading import trading_strategy
+
+    mid = spread_fold(_l3(spark, sf_dir)).select(
+        "pair_id", "era", "microtimestamp",
+        ((F.col("best_bid_price") + F.col("best_ask_price")) / 2).alias("bid_price"),
+    ).withColumn("ask_price", F.col("bid_price"))
+    return trading_strategy(mid, phi=0.01, rho=0.0)
+
+
+def _q_epsilon_draws(spark, sf_dir):
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.trading import epsilon_drawupdowns, mid_price
+
+    return epsilon_drawupdowns(mid_price(spread_fold(_l3(spark, sf_dir))), epsilon=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -222,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only (recall test in tests/)
         "multimodal_features": _q_multimodal,
+        "trading_period": _q_trading_period,
+        "trading_strategy": _q_trading_strategy,  # sequential: rows-only + fixture tests
+        "epsilon_draws": _q_epsilon_draws,  # sequential: rows-only + fixture tests
     }
 
 
@@ -239,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         trades_oracle_sql,
     )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
+    from obadiah_spark.operators.trading import trading_period_v0_oracle
     from obadiah_spark.pipelines import dedup
     from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
     from obadiah_spark.pipelines.similarity import ann_bruteforce_oracle
@@ -266,4 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ann_bruteforce_oracle(),
         # ann_lsh_pairs: intentionally no oracle (approximate operator)
         "multimodal_features": MULTIMODAL_ORACLE,
+        "trading_period": level3_cte(trading_period_v0_oracle()),
+        # trading_strategy / epsilon_draws: sequential state machines, not
+        # SQL-expressible — fixture-tested in tests/test_trading.py
     }

@@ -1,0 +1,317 @@
+"""Trading analytics (SURVEY §2.6) — sequential algorithms per (pair, era).
+
+Reference parity:
+- T1 ``trading_period`` — effective bid/ask for executing volume v: walk book
+  levels accumulating until v is filled, volume-weighted price; v=0 → best
+  prices; v=∞ → whole-book VWAP; NaN when depth is insufficient; emit only on
+  change (reference src/base.h:288-349 ``GetBidAskSpread``, episode loop
+  :351-407; C SRF db/c/obadiah_db/obadiah_db.cpp:495-594).
+- T2 ``trading_strategy`` — greedy discovery of alternating long/short
+  positions maximizing profit net of commission 2φ and per-second interest ρ
+  (reference src/position_discovery.cpp:28-241; returns/rate computed as in
+  db/c/obadiah_db/obadiah_db.cpp:818-832).
+- T3 ``epsilon_drawupdowns`` — ε-draw decomposition: extend a draw while
+  monotone, close when the reversal from the turning point exceeds ε
+  (reference src/epsilon_drawupdowns.cpp:32-89).
+
+Spark-first: each is O(n) per (pair, exchange, era) — the reference's own
+parallelization axis — run as one ``applyInPandas`` fold (same shuffle as the
+book fold; chains of these operators stay within one shuffle). The state
+machines are faithful ports of the C++ (cited above), operating on int64-µs
+timestamps (exact) with seconds only inside interest terms.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from obadiah_spark.fold import _Book, _Events, ordered_fold
+
+_NAN = float("nan")
+
+TRADING_PERIOD_SCHEMA = (
+    "pair_id int, era timestamp, microtimestamp timestamp, "
+    "bid_price double, ask_price double"
+)
+
+POSITIONS_SCHEMA = (
+    "pair_id int, era timestamp, opened_at timestamp, open_price double, "
+    "closed_at timestamp, close_price double, bps_return double, "
+    "rate double, log_return double"
+)
+
+DRAWS_SCHEMA = (
+    "pair_id int, era timestamp, draw_start timestamp, start_price double, "
+    "draw_end timestamp, end_price double, draw_type string, "
+    "bps_return double, log_return double"
+)
+
+
+def _effective_price(levels: dict, side: str, volume: float) -> float:
+    """GetBidAskSpread for one side (reference src/base.h:288-349): bids walk
+    from the highest price down, asks from the lowest up."""
+    items = sorted(
+        ((p, q) for (s, p), q in levels.items() if s == side),
+        reverse=(side == "b"),
+    )
+    if not items:
+        return _NAN
+    if volume == 0:
+        return items[0][0]
+    v = 0.0
+    acc = 0.0
+    for p, q in items:
+        if v + q >= volume:
+            acc += (volume - v) * p
+            v = volume
+            break
+        acc += p * q
+        v += q
+    if v >= volume or math.isinf(volume):
+        return acc / v
+    return _NAN
+
+
+def _pair_eq(a: float, b: float) -> bool:
+    return (math.isnan(a) and math.isnan(b)) or a == b
+
+
+def trading_period_fold(l3: DataFrame, volume: float = 0.0) -> DataFrame:
+    """T1: effective bid/ask stream for executing ``volume``, emit-on-change.
+
+    At volume=0 this equals the best-price projection of the spread fold —
+    that identity is the operator's differential oracle."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        book = _Book()
+        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
+        era = pdf["era"].iloc[0] if len(pdf) else None
+        ev = _Events(pdf)
+        out: dict[str, list] = {c: [] for c in (
+            "pair_id", "era", "microtimestamp", "bid_price", "ask_price")}
+        prev_b = prev_a = None
+        for ts, s, e in ev.episodes():
+            for i in range(s, e):
+                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
+                           ev.amount[i], ev.deleted[i])
+            b = _effective_price(book.levels, "b", volume)
+            a = _effective_price(book.levels, "s", volume)
+            if prev_b is None and math.isnan(b) and math.isnan(a):
+                continue  # leading empty book emits nothing
+            if prev_b is None or not (_pair_eq(b, prev_b) and _pair_eq(a, prev_a)):
+                out["pair_id"].append(pair_id)
+                out["era"].append(era)
+                out["microtimestamp"].append(ts)
+                out["bid_price"].append(None if math.isnan(b) else b)
+                out["ask_price"].append(None if math.isnan(a) else a)
+                prev_b, prev_a = b, a
+        return pd.DataFrame(out)
+
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state"]
+    return ordered_fold(l3.select(*cols), fn, TRADING_PERIOD_SCHEMA)
+
+
+# faithful port of src/position_discovery.cpp:28-241 (InstantPrice = (price,
+# t_us); Interest = rho * |Δt| seconds; Commission = 2*phi)
+def _discover_positions(ts_us: np.ndarray, bids: np.ndarray, asks: np.ndarray,
+                        phi: float, rho: float) -> list[tuple]:
+    rho = max(rho, 0.0)
+    phi = max(phi, 0.0)
+    comm = 2.0 * phi
+
+    def interest(t1: int, t2: int) -> float:
+        return rho * abs(t2 - t1) / 1e6
+
+    n = len(ts_us)
+    start = None
+    for i in range(n):
+        b, a = bids[i], asks[i]
+        if not (math.isnan(a) or math.isnan(b)) and not (b > a):
+            sl = (a, ts_us[i])  # start-long candidate opens at ask
+            ss = (b, ts_us[i])  # start-short candidate opens at bid
+            start = i
+            break
+    if start is None:
+        return []
+    el = es = None
+    out: list[tuple] = []
+    for i in range(start + 1, n):
+        b, a = bids[i], asks[i]
+        if math.isnan(a) or math.isnan(b) or b > a:
+            continue
+        t = ts_us[i]
+        if el is None and es is None:  # no position discovered yet
+            if b - sl[0] > interest(sl[1], t) + comm:
+                el = (b, t)
+                ss = (b, t)
+                continue
+            if ss[0] - a > interest(ss[1], t) + comm:
+                es = (a, t)
+                sl = (a, t)
+                continue
+            if a - sl[0] < interest(sl[1], t):
+                sl = (a, t)
+            if ss[0] - b < interest(ss[1], t):
+                ss = (b, t)
+        elif el is not None:  # long position open
+            if ss[0] - b < interest(ss[1], t):
+                ss = (b, t)
+            if b - el[0] > interest(el[1], t):
+                el = (b, t)  # extend long; short can start only at long's end
+                ss = (b, t)
+            else:
+                if ss[0] - a > interest(ss[1], t) + comm:
+                    out.append((sl, el))
+                    es = (a, t)
+                    sl = (a, t)
+                    el = None
+                elif interest(el[1], t) > comm - (el[0] - a):
+                    # close long; a new long may start profitably from here
+                    out.append((sl, el))
+                    sl = (a, t)
+                    el = None
+        else:  # short position open
+            if a - sl[0] < interest(sl[1], t):
+                sl = (a, t)
+            if es[0] - a > interest(es[1], t):
+                es = (a, t)
+                sl = (a, t)
+            else:
+                if b - sl[0] > interest(sl[1], t) + comm:
+                    out.append((ss, es))
+                    el = (b, t)
+                    ss = (b, t)
+                    es = None
+                elif interest(es[1], t) > comm - (b - es[0]):
+                    out.append((ss, es))
+                    ss = (b, t)
+                    es = None
+    if el is not None:
+        out.append((sl, el))
+    elif es is not None:
+        out.append((ss, es))
+    return out
+
+
+def _position_row(s: tuple, e: tuple) -> tuple:
+    """Return columns as the reference C SRF computes them
+    (db/c/obadiah_db/obadiah_db.cpp:818-832)."""
+    sp, st = s
+    ep, et = e
+    bps = (sp - ep) / sp * 10000 if sp > ep else (ep - sp) / sp * 10000
+    log_ret = abs(math.log(sp) - math.log(ep))
+    dur_s = (et - st) / 1e6
+    rate = math.exp(log_ret / dur_s) - 1 if dur_s > 0 else float("inf")
+    return st, sp, et, ep, bps, rate, log_ret
+
+
+def trading_strategy(tp: DataFrame, phi: float = 0.0, rho: float = 0.0) -> DataFrame:
+    """T2: positions discovered from a trading-period stream
+    (pair_id, era, microtimestamp, bid_price, ask_price)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("microtimestamp", kind="mergesort")
+        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
+        era = pdf["era"].iloc[0] if len(pdf) else None
+        ts_us = pdf["microtimestamp"].astype("datetime64[us]").astype("int64").to_numpy()
+        bids = pdf["bid_price"].astype("float64").to_numpy()
+        asks = pdf["ask_price"].astype("float64").to_numpy()
+        rows = []
+        for s, e in _discover_positions(ts_us, bids, asks, phi, rho):
+            st, sp, et, ep, bps, rate, log_ret = _position_row(s, e)
+            rows.append((pair_id, era, pd.Timestamp(st, unit="us"), sp,
+                         pd.Timestamp(et, unit="us"), ep, bps, rate, log_ret))
+        return pd.DataFrame(rows, columns=[
+            "pair_id", "era", "opened_at", "open_price", "closed_at",
+            "close_price", "bps_return", "rate", "log_return"])
+
+    return ordered_fold(tp, fn, POSITIONS_SCHEMA, keys=("pair_id", "era"),
+                        order=["microtimestamp"])
+
+
+# faithful port of src/epsilon_drawupdowns.cpp:32-89
+def _discover_draws(ts_us: np.ndarray, prices: np.ndarray, epsilon: float) -> list[tuple]:
+    n = len(ts_us)
+    if n == 0:
+        return []
+    st = tp = en = (prices[0], ts_us[0])
+    out: list[tuple] = []
+    for i in range(1, n):
+        en = (prices[i], ts_us[i])
+        if en[0] == tp[0]:
+            continue
+        if (tp[0] >= st[0] and en[0] > tp[0]) or (tp[0] <= st[0] and en[0] < tp[0]):
+            tp = en  # extend the draw; new turning point
+            continue
+        if abs(en[0] - tp[0]) > epsilon:
+            out.append((st, tp))
+            st = tp
+    if en[1] > st[1]:
+        out.append((st, en))
+    return out
+
+
+def epsilon_drawupdowns(prices: DataFrame, epsilon: float) -> DataFrame:
+    """T3: ε-draw decomposition of a (pair_id, era, microtimestamp, price)
+    stream (use mid-price from the spread fold)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("microtimestamp", kind="mergesort")
+        pdf = pdf[pdf["price"].notna()]
+        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
+        era = pdf["era"].iloc[0] if len(pdf) else None
+        ts_us = pdf["microtimestamp"].astype("datetime64[us]").astype("int64").to_numpy()
+        ps = pdf["price"].astype("float64").to_numpy()
+        rows = []
+        for s, e in _discover_draws(ts_us, ps, epsilon):
+            sp, st = s
+            ep, et = e
+            bps = (sp - ep) / sp * 10000 if sp > ep else (ep - sp) / sp * 10000
+            log_ret = abs(math.log(sp) - math.log(ep))
+            rows.append((pair_id, era, pd.Timestamp(st, unit="us"), sp,
+                         pd.Timestamp(et, unit="us"), ep,
+                         "up" if ep >= sp else "down", bps, log_ret))
+        return pd.DataFrame(rows, columns=[
+            "pair_id", "era", "draw_start", "start_price", "draw_end",
+            "end_price", "draw_type", "bps_return", "log_return"])
+
+    return ordered_fold(prices, fn, DRAWS_SCHEMA, keys=("pair_id", "era"),
+                        order=["microtimestamp"])
+
+
+# v=0 oracle: best prices, deduped on price change only (qty-only changes in
+# the level1 stream do not re-emit a trading-period row)
+TRADING_PERIOD_V0_ORACLE_BODY_SUFFIX = """, tp AS (
+    SELECT pair_id, era, ts,
+           best_bid_price AS bid_price, best_ask_price AS ask_price,
+           lag(best_bid_price) OVER w AS pb,
+           lag(best_ask_price) OVER w AS pa
+    FROM l1_dedup
+    WINDOW w AS (PARTITION BY pair_id, era ORDER BY ts)
+)
+SELECT pair_id, era, ts AS microtimestamp, bid_price, ask_price
+FROM tp
+WHERE pb IS DISTINCT FROM bid_price OR pa IS DISTINCT FROM ask_price
+"""
+
+
+def trading_period_v0_oracle() -> str:
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    return f"WITH {SPREAD_L1_CTES}{TRADING_PERIOD_V0_ORACLE_BODY_SUFFIX}"
+
+
+def mid_price(l1: DataFrame) -> DataFrame:
+    """Mid-price stream from the spread fold output."""
+    from pyspark.sql import functions as F
+
+    return l1.select(
+        "pair_id", "era", "microtimestamp",
+        ((F.col("best_bid_price") + F.col("best_ask_price")) / 2).alias("price"),
+    )
