@@ -228,6 +228,31 @@ def _q_epsilon_draws(spark, sf_dir):
     return epsilon_drawupdowns(mid_price(spread_fold(_l3(spark, sf_dir))), epsilon=0.05)
 
 
+def _q_get_depth(spark, sf_dir):
+    from obadiah_spark.operators.depth import get_depth
+
+    return get_depth(_l3(spark, sf_dir), EV_START, EV_END)
+
+
+def _q_depth_summary(spark, sf_dir):
+    from obadiah_spark.operators.depth import depth_summary_fold
+
+    return depth_summary_fold(_l3(spark, sf_dir))
+
+
+def _q_crossed_books(spark, sf_dir):
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.quality import crossed_books
+
+    return crossed_books(spread_fold(_l3(spark, sf_dir)))
+
+
+def _q_chain_audit(spark, sf_dir):
+    from obadiah_spark.operators.quality import chain_audit
+
+    return chain_audit(_l3(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -254,6 +279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,  # sequential: rows-only + fixture tests
         "epsilon_draws": _q_epsilon_draws,  # sequential: rows-only + fixture tests
+        "get_depth": _q_get_depth,
+        "depth_summary": _q_depth_summary,
+        "crossed_books": _q_crossed_books,
+        "chain_audit": _q_chain_audit,
     }
 
 
@@ -263,6 +292,12 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.operators.depth import (
         DEPTH_CHANGE_ORACLE_BODY,
         SPREAD_LINEAR_ORACLE_BODY,
+        depth_summary_oracle_sql,
+        get_depth_oracle_sql,
+    )
+    from obadiah_spark.operators.quality import (
+        CHAIN_AUDIT_ORACLE_BODY,
+        crossed_books_oracle,
     )
     from obadiah_spark.operators.events import (
         SUMMARY_ORACLE_BODY,
@@ -302,4 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "trading_period": level3_cte(trading_period_v0_oracle()),
         # trading_strategy / epsilon_draws: sequential state machines, not
         # SQL-expressible — fixture-tested in tests/test_trading.py
+        "get_depth": level3_cte(get_depth_oracle_sql(EV_START, EV_END)),
+        "depth_summary": level3_cte(depth_summary_oracle_sql()),
+        "crossed_books": level3_cte(crossed_books_oracle()),
+        "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
     }

@@ -142,3 +142,171 @@ SELECT pair_id, ts AS microtimestamp,
        best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
 FROM l1_dedup
 """
+
+
+# ------------------------------------------------------------- D4 get.depth --
+
+def get_depth(l3, start: str, end: str):
+    """D4 ``get.depth``: starting full depth (point-in-time, before=start) ∪
+    depth changes in [start, end) (right boundary open — the reference's
+    no-frequency convention, db/get_schema.sql:263-267); side as bid/ask
+    (reference db/get_schema.sql:239-269, get._starting_depth :115-130)."""
+    from obadiah_spark.operators.order_book import live_at
+
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    starting = (
+        live_at(l3, start, before=True)
+        .groupBy("pair_id", "side", "price")
+        .agg(F.sum("amount").alias("volume"))
+        .select("pair_id", start_c.alias("microtimestamp"), "side", "price", "volume")
+    )
+    changes = depth_change(l3).filter(
+        (F.col("microtimestamp") >= start_c) & (F.col("microtimestamp") < end_c)
+    ).select("pair_id", "microtimestamp", "side", "price", "volume")
+    return (
+        starting.unionByName(changes)
+        .select(
+            "pair_id", "microtimestamp", "price", "volume",
+            F.when(F.col("side") == "b", "bid").otherwise("ask").alias("side"),
+        )
+    )
+
+
+def get_depth_oracle_sql(start: str, end: str) -> str:
+    return f"""
+WITH {DEPTH_CHANGES_CTES}, changes2 AS (
+    SELECT pair_id, era, microtimestamp, side, price,
+           sum(volume_change) OVER (
+               PARTITION BY pair_id, era, side, price ORDER BY microtimestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume
+    FROM changes
+), starting AS (
+    SELECT l.pair_id, TIMESTAMP '{start}' AS microtimestamp, l.side, l.price,
+           sum(l.amount) AS volume
+    FROM level3 l
+    WHERE microtimestamp < TIMESTAMP '{start}'
+      AND era = (SELECT max(era) FROM level3 x
+                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{start}')
+      AND (chain_state = 'alive'
+           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{start}'))
+    GROUP BY l.pair_id, l.side, l.price
+)
+SELECT pair_id, microtimestamp, price, volume,
+       CASE side WHEN 'b' THEN 'bid' ELSE 'ask' END AS side
+FROM (
+    SELECT pair_id, microtimestamp, side, price, volume FROM starting
+    UNION ALL
+    SELECT pair_id, microtimestamp, side, price, volume FROM changes2
+    WHERE microtimestamp >= TIMESTAMP '{start}' AND microtimestamp < TIMESTAMP '{end}'
+) d
+"""
+
+
+# -------------------------------------------------------- D5 depth_summary --
+
+def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int = 2):
+    """D5 ``get.depth_summary``: per change-episode, the FULL depth bucketed
+    by bps distance from the best price (reference db/get_schema.sql:278-298;
+    bucketing db/obanalytics_schema.sql:662-712): bps_level =
+    ceil(((price−best)/best)/step*10⁴)*step, price re-projected to the bucket
+    boundary rounded to the pair tick (R0), volumes summed per bucket.
+
+    Runs in the book fold (depth state is O(levels)); the oracle re-derives
+    the same from the episode×level grid. Rounding is floor(x*100+0.5)/100 on
+    BOTH engines (python and SQL share the op sequence bit-for-bit)."""
+    import math
+
+    import pandas as pd
+
+    from obadiah_spark.fold import _Book, _Events, ordered_fold
+
+    scale = 10 ** r0
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        book = _Book()
+        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
+        ev = _Events(pdf)
+        emitted: dict = {}
+        out: dict[str, list] = {c: [] for c in (
+            "pair_id", "microtimestamp", "side", "price", "volume", "bps_level")}
+        for ts, s, e in ev.episodes():
+            for i in range(s, e):
+                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
+                           ev.amount[i], ev.deleted[i])
+            changed = False
+            for key in book.take_touched():
+                vol = book.levels.get(key, 0.0)
+                if vol != emitted.get(key, 0.0):
+                    changed = True
+                    if vol == 0.0:
+                        emitted.pop(key, None)
+                    else:
+                        emitted[key] = vol
+            if not changed:
+                continue
+            best_bid = book.best("b")[0]
+            best_ask = book.best("s")[0]
+            buckets: dict = {}
+            for (side, price), q in book.levels.items():
+                if side == "s":
+                    if best_ask is None:
+                        continue
+                    lvl = math.ceil((price - best_ask) / best_ask / bps_step * 10000) * bps_step
+                    adj = math.floor(best_ask * (1 + lvl / 10000) * scale + 0.5) / scale
+                else:
+                    if best_bid is None:
+                        continue
+                    lvl = math.ceil((best_bid - price) / best_bid / bps_step * 10000) * bps_step
+                    adj = math.floor(best_bid * (1 - lvl / 10000) * scale + 0.5) / scale
+                if lvl > max_bps_level:
+                    continue
+                k = (side, adj, lvl)
+                buckets[k] = buckets.get(k, 0.0) + q
+            for (side, adj, lvl), vol in sorted(buckets.items()):
+                out["pair_id"].append(pair_id)
+                out["microtimestamp"].append(ts)
+                out["side"].append("ask" if side == "s" else "bid")
+                out["price"].append(adj)
+                out["volume"].append(vol)
+                out["bps_level"].append(lvl)
+        return pd.DataFrame(out)
+
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state"]
+    schema = ("pair_id int, microtimestamp timestamp, side string, "
+              "price double, volume double, bps_level bigint")
+    return ordered_fold(l3.select(*cols), fn, schema)
+
+
+def depth_summary_oracle_sql(bps_step: int = 25, max_bps_level: int = 500) -> str:
+    """Grid-based oracle: per change-episode level volumes (vol CTE) + best
+    prices (best CTE) → same bucketing arithmetic, op for op."""
+    return f"""
+WITH {SPREAD_L1_CTES}, lvl AS (
+    SELECT v.pair_id, v.ts, v.side, v.price, v.volume,
+           CASE v.side
+             WHEN 's' THEN ceil((v.price - b.best_ask_price) / b.best_ask_price / {bps_step} * 10000) * {bps_step}
+             ELSE ceil((b.best_bid_price - v.price) / b.best_bid_price / {bps_step} * 10000) * {bps_step}
+           END AS bps_level,
+           b.best_bid_price, b.best_ask_price
+    FROM vol v JOIN best b
+      ON b.pair_id = v.pair_id AND b.era = v.era AND b.ts = v.ts
+    WHERE v.volume > 0
+      AND ((v.side = 's' AND b.best_ask_price IS NOT NULL)
+        OR (v.side = 'b' AND b.best_bid_price IS NOT NULL))
+), adj AS (
+    SELECT pair_id, ts, side,
+           CASE side
+             WHEN 's' THEN floor(best_ask_price * (1 + bps_level / 10000) * 100 + 0.5) / 100
+             ELSE floor(best_bid_price * (1 - bps_level / 10000) * 100 + 0.5) / 100
+           END AS price,
+           volume, bps_level
+    FROM lvl WHERE bps_level <= {max_bps_level}
+)
+SELECT pair_id, ts AS microtimestamp,
+       CASE side WHEN 's' THEN 'ask' ELSE 'bid' END AS side,
+       price, sum(volume) AS volume, CAST(bps_level AS BIGINT) AS bps_level
+FROM adj
+GROUP BY pair_id, ts, side, price, bps_level
+"""

@@ -1,18 +1,22 @@
 """Point-in-time order-book snapshot + user-facing book analytics.
 
 Reference parity:
-- B1 ``obanalytics.order_book(p_ts, ...)`` — as-of snapshot of live level3
-  events (reference db/obanalytics_schema.sql:2035-2075): rows of the current
-  era with ``microtimestamp <= ts < next_microtimestamp``.
+- B1 ``obanalytics.order_book(p_ts, p_only_makers, p_before, p_side)`` — as-of
+  snapshot of live level3 events (reference db/obanalytics_schema.sql:2035-2075):
+  rows of the current era (max era <= p_ts, data-driven) with
+  ``microtimestamp <= ts < next_microtimestamp`` (or strict < / >= when
+  before=True); ``is_maker`` = the order does not cross any *older* opposite
+  order (running extremum over price-time priority, :2041-2047); ``is_crossed``
+  = it crosses some *newer* opposite order (same windows descending,
+  :2048-2054).
 - B6 ``get.order_book`` — snapshot + analytics: best prices, cumulative
-  liquidity from the best price outward, bps distance from best, dense-rank
-  price level (reference db/get_schema.sql:561-603).
+  liquidity from the best price outward, bps distance (rounded to 2),
+  dense-rank level, filters max_levels / bps_range / min_bid / max_ask,
+  makers only (reference db/get_schema.sql:561-603).
 
-Spark-first design: the snapshot is a pure filter (predicate pushdown prunes
-partitions on era/pair at scale); the analytics are window functions over the
-small live set — no custom operator needed. At 100 TB the live set per
-(pair, era) is O(open orders) ≈ 10⁴-10⁵ rows, so the windows are cheap; the
-scan cost is bounded by partition pruning on (exchange, pair, era).
+Spark-first: the snapshot is a filter (partition pruning on era/pair at
+scale); maker/crossed flags and analytics are window functions over the live
+set (O(open orders) rows) — no custom operator, whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from pyspark.sql import functions as F
 
 
 def live_at(l3: DataFrame, at_ts, before: bool = False) -> DataFrame:
-    """Events alive at instant ``at_ts`` within its era.
+    """Events alive at instant ``at_ts`` within its (data-driven) era.
 
     ±infinity convention (see synth.py): chain_state 'alive' = next is
     +infinity (always live once created), 'deleted' = order removed at this
@@ -51,9 +55,52 @@ def live_at(l3: DataFrame, at_ts, before: bool = False) -> DataFrame:
     return cur.filter(started & not_ended)
 
 
-def order_book(l3: DataFrame, at_ts, max_levels: int | None = None) -> DataFrame:
-    """B6: snapshot with liquidity / bps / price level analytics."""
-    live = live_at(l3, at_ts)
+def snapshot(l3: DataFrame, at_ts, before: bool = False,
+             only_makers: bool = False, side: str | None = None) -> DataFrame:
+    """B1: live events + is_maker / is_crossed flags (price-time priority)."""
+    live = live_at(l3, at_ts, before)
+    w_pair = W.partitionBy("pair_id", "exchange_id")
+    w_fwd = w_pair.orderBy("price_microtimestamp", "microtimestamp")
+    w_bwd = w_pair.orderBy(F.desc("price_microtimestamp"), F.desc("microtimestamp"))
+    older_ask_min = F.min(
+        F.when((F.col("side") == "s") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_fwd)
+    older_bid_max = F.max(
+        F.when((F.col("side") == "b") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_fwd)
+    newer_ask_min = F.min(
+        F.when((F.col("side") == "s") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_bwd)
+    newer_bid_max = F.max(
+        F.when((F.col("side") == "b") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_bwd)
+    out = live.withColumn(
+        "is_maker",
+        F.coalesce(
+            F.when(F.col("side") == "b", F.col("price") <= older_ask_min)
+             .when(F.col("side") == "s", F.col("price") >= older_bid_max),
+            F.lit(True),
+        ),
+    ).withColumn(
+        "is_crossed",
+        F.coalesce(
+            F.when(F.col("side") == "b", F.col("price") > newer_ask_min)
+             .when(F.col("side") == "s", F.col("price") < newer_bid_max),
+            F.lit(False),
+        ),
+    )
+    if only_makers:
+        out = out.filter(F.col("is_maker"))
+    if side is not None:
+        out = out.filter(F.col("side") == side)
+    return out
+
+
+def order_book(l3: DataFrame, at_ts, max_levels: int | None = None,
+               bps_range: float | None = None, min_bid: float | None = None,
+               max_ask: float | None = None, only_makers: bool = True) -> DataFrame:
+    """B6: snapshot with liquidity / bps / price level analytics + filters."""
+    live = snapshot(l3, at_ts, only_makers=only_makers)
     # distance from the top of the book: bids descend, asks ascend
     dist = F.when(F.col("side") == "b", -F.col("price")).otherwise(F.col("price"))
     w_pair = W.partitionBy("pair_id", "exchange_id", "side")
@@ -63,48 +110,50 @@ def order_book(l3: DataFrame, at_ts, max_levels: int | None = None) -> DataFrame
     best = F.when(
         F.col("side") == "b", F.max("price").over(w_pair)
     ).otherwise(F.min("price").over(w_pair))
+    # bps to 2dp via floor(x*100+0.5)/100 — same op sequence as the oracle,
+    # no engine-specific round-half behavior
+    bps_raw = F.abs(F.col("price") - best) / best * F.lit(10000).cast("double")
+    bps = F.floor(bps_raw * 100 + F.lit(0.5)) / 100
 
     out = (
         live.withColumn(
             "liquidity",
             F.sum("amount").over(w_walk.rowsBetween(W.unboundedPreceding, W.currentRow)),
         )
-        .withColumn("bps", F.abs(F.col("price") - best) / best * F.lit(10000).cast("double"))
+        .withColumn("bps", bps)
         .withColumn("lvl", F.dense_rank().over(w_rank).cast("bigint"))
         .select(
             "pair_id", "exchange_id", "side", "price", "amount",
-            "order_id", "event_no", "microtimestamp", "liquidity", "bps", "lvl",
+            "order_id", "event_no", "microtimestamp", "price_microtimestamp",
+            "liquidity", "bps", "lvl", "is_maker", "is_crossed",
         )
     )
     if max_levels is not None:
         out = out.filter(F.col("lvl") <= max_levels)
+    if bps_range is not None:
+        out = out.filter(F.col("bps") <= bps_range)
+    if min_bid is not None or max_ask is not None:
+        cond = F.lit(False)
+        if min_bid is not None:
+            cond = cond | ((F.col("side") == "b") & (F.col("price") >= min_bid))
+        if max_ask is not None:
+            cond = cond | ((F.col("side") == "s") & (F.col("price") <= max_ask))
+        out = out.filter(cond)
     return out
 
 
-def order_book_oracle_sql(at_ts: str, max_levels: int | None = None) -> str:
+def order_book_oracle_sql(at_ts: str, max_levels: int | None = None,
+                          bps_range: float | None = None) -> str:
     """DuckDB oracle for order_book (independent formulation, same semantics)."""
-    lvl_filter = f"WHERE lvl <= {max_levels}" if max_levels is not None else ""
+    filters = []
+    if max_levels is not None:
+        filters.append(f"lvl <= {max_levels}")
+    if bps_range is not None:
+        filters.append(f"bps <= {bps_range}")
+    where = ("WHERE " + " AND ".join(filters)) if filters else ""
     return f"""
-SELECT * FROM (
-    SELECT
-        pair_id, exchange_id, side, price, amount,
-        order_id, event_no, microtimestamp,
-        sum(amount) OVER (
-            PARTITION BY pair_id, exchange_id, side
-            ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END,
-                     microtimestamp, order_id, event_no
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS liquidity,
-        abs(price - CASE WHEN side = 'b'
-                         THEN max(price) OVER (PARTITION BY pair_id, exchange_id, side)
-                         ELSE min(price) OVER (PARTITION BY pair_id, exchange_id, side)
-                    END)
-            / CASE WHEN side = 'b'
-                   THEN max(price) OVER (PARTITION BY pair_id, exchange_id, side)
-                   ELSE min(price) OVER (PARTITION BY pair_id, exchange_id, side)
-              END * CAST(10000 AS DOUBLE) AS bps,
-        dense_rank() OVER (
-            PARTITION BY pair_id, exchange_id, side
-            ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS lvl
+WITH live AS (
+    SELECT l.*
     FROM level3 l
     WHERE microtimestamp <= TIMESTAMP '{at_ts}'
       AND era = (SELECT max(era) FROM level3 l2
@@ -112,5 +161,51 @@ SELECT * FROM (
                    AND l2.era <= TIMESTAMP '{at_ts}')
       AND (chain_state = 'alive'
            OR (chain_state = 'chained' AND next_microtimestamp > TIMESTAMP '{at_ts}'))
-) t {lvl_filter}
+), flagged AS (
+    SELECT *,
+           coalesce(CASE side
+               WHEN 'b' THEN price <= min(price) FILTER (WHERE side = 's' AND amount > 0)
+                   OVER (PARTITION BY pair_id, exchange_id
+                         ORDER BY price_microtimestamp, microtimestamp)
+               WHEN 's' THEN price >= max(price) FILTER (WHERE side = 'b' AND amount > 0)
+                   OVER (PARTITION BY pair_id, exchange_id
+                         ORDER BY price_microtimestamp, microtimestamp)
+           END, true) AS is_maker,
+           coalesce(CASE side
+               WHEN 'b' THEN price > min(price) FILTER (WHERE side = 's' AND amount > 0)
+                   OVER (PARTITION BY pair_id, exchange_id
+                         ORDER BY price_microtimestamp DESC, microtimestamp DESC)
+               WHEN 's' THEN price < max(price) FILTER (WHERE side = 'b' AND amount > 0)
+                   OVER (PARTITION BY pair_id, exchange_id
+                         ORDER BY price_microtimestamp DESC, microtimestamp DESC)
+           END, false) AS is_crossed
+    FROM live
+), makers AS (
+    -- maker filter applies BEFORE the liquidity/level analytics (reference
+    -- passes p_only_makers := true into the snapshot, get_schema.sql:566-571)
+    SELECT * FROM flagged WHERE is_maker
+)
+SELECT * FROM (
+    SELECT
+        pair_id, exchange_id, side, price, amount,
+        order_id, event_no, microtimestamp, price_microtimestamp,
+        sum(amount) OVER (
+            PARTITION BY pair_id, exchange_id, side
+            ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END,
+                     microtimestamp, order_id, event_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS liquidity,
+        floor(abs(price - CASE WHEN side = 'b'
+                         THEN max(price) OVER (PARTITION BY pair_id, exchange_id, side)
+                         ELSE min(price) OVER (PARTITION BY pair_id, exchange_id, side)
+                    END)
+            / CASE WHEN side = 'b'
+                   THEN max(price) OVER (PARTITION BY pair_id, exchange_id, side)
+                   ELSE min(price) OVER (PARTITION BY pair_id, exchange_id, side)
+              END * CAST(10000 AS DOUBLE) * 100 + 0.5) / 100 AS bps,
+        dense_rank() OVER (
+            PARTITION BY pair_id, exchange_id, side
+            ORDER BY CASE WHEN side = 'b' THEN -price ELSE price END) AS lvl,
+        is_maker, is_crossed
+    FROM makers
+) t {where}
 """

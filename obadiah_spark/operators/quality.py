@@ -1,0 +1,152 @@
+"""Data-quality operators (SURVEY §2.7) as runnable DataFrame functions.
+
+Reference parity:
+- Q1 ``obanalytics.crossed_books`` — detect crossed-book periods from the
+  level1 stream: gaps-and-islands (state-change flag → running sum → group
+  parity) yielding (previous_uncrossed, first_crossed, next_uncrossed)
+  (reference db/obanalytics_schema.sql:1183-1216).
+- Q4 chain-integrity audits — ``qty_level3_show_duplicate_order_events`` /
+  ``show_invalid_chains`` family (reference db/obanalytics_schema.sql:2157-2426)
+  re-expressed as ONE violations DataFrame: duplicates, orphan chains,
+  broken next-pointers, terminal events carrying next-pointers.
+
+Both are pure window/aggregation SQL — native, codegen-friendly. On healthy
+data both return 0 rows; tests corrupt a fixture to prove detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def crossed_books(l1: DataFrame) -> DataFrame:
+    """Q1: crossed periods from a level1 stream
+    (pair_id, era, microtimestamp, best_bid_price, best_ask_price)."""
+    bid = F.coalesce(F.col("best_bid_price"), F.col("best_ask_price"))
+    ask = F.coalesce(F.col("best_ask_price"), F.col("best_bid_price"))
+    w = W.partitionBy("pair_id", "era").orderBy("microtimestamp")
+    x = l1.select(
+        "pair_id", "era", "microtimestamp", (bid > ask).alias("crossed")
+    )
+    flip = F.when(
+        F.lag("crossed").over(w).isNull(), F.col("crossed").cast("int")
+    ).otherwise((F.lag("crossed").over(w) != F.col("crossed")).cast("int"))
+    grouped = (
+        x.withColumn("_t", flip)
+        .withColumn("_g", F.sum("_t").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    )
+    periods = grouped.groupBy("pair_id", "era", "_g").agg(
+        F.min("microtimestamp").alias("period_start"),
+        F.max("microtimestamp").alias("period_end"),
+        F.first("crossed").alias("crossed"),
+    )
+    wp = W.partitionBy("pair_id", "era").orderBy("period_start")
+    chain = periods.withColumn("previous_uncrossed", F.lag("period_end").over(wp)) \
+                   .withColumn("next_uncrossed", F.lead("period_start").over(wp))
+    return chain.filter("crossed").select(
+        "pair_id", "era", "previous_uncrossed",
+        F.col("period_start").alias("first_crossed"), "next_uncrossed",
+    )
+
+
+CROSSED_BOOKS_ORACLE_SUFFIX = """, x AS (
+    SELECT pair_id, era, ts,
+           coalesce(best_bid_price, best_ask_price)
+             > coalesce(best_ask_price, best_bid_price) AS crossed
+    FROM l1_dedup
+), flips AS (
+    SELECT *,
+           CASE WHEN lag(crossed) OVER w IS NULL THEN CAST(crossed AS INT)
+                WHEN lag(crossed) OVER w <> crossed THEN 1 ELSE 0 END AS t
+    FROM x WINDOW w AS (PARTITION BY pair_id, era ORDER BY ts)
+), grouped AS (
+    SELECT *, sum(t) OVER (PARTITION BY pair_id, era ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+    FROM flips
+), periods AS (
+    SELECT pair_id, era, g,
+           min(ts) AS period_start, max(ts) AS period_end,
+           bool_or(crossed) AS crossed
+    FROM grouped GROUP BY pair_id, era, g
+), chained AS (
+    SELECT *,
+           lag(period_end) OVER wp AS previous_uncrossed,
+           lead(period_start) OVER wp AS next_uncrossed
+    FROM periods WINDOW wp AS (PARTITION BY pair_id, era ORDER BY period_start)
+)
+SELECT pair_id, era, previous_uncrossed,
+       period_start AS first_crossed, next_uncrossed
+FROM chained WHERE crossed
+"""
+
+
+def crossed_books_oracle() -> str:
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    return f"WITH {SPREAD_L1_CTES}{CROSSED_BOOKS_ORACLE_SUFFIX}"
+
+
+def chain_audit(l3: DataFrame) -> DataFrame:
+    """Q4: one row per chain-integrity violation (empty on healthy data)."""
+    keys = ["pair_id", "era", "order_id", "event_no"]
+
+    dup = (
+        l3.groupBy(*keys).count().filter("count > 1")
+        .select(*keys, F.lit("duplicate_event").alias("issue"))
+    )
+    a, b = l3.alias("a"), l3.alias("b")
+    orphan = (
+        a.filter("a.event_no > 1")
+        .join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.era") == F.col("b.era"))
+            & (F.col("a.event_no") == F.col("b.event_no") + 1),
+            "left_anti",
+        )
+        .select(*[f"a.{k}" for k in keys], F.lit("orphan_chain").alias("issue"))
+    )
+    bad_next = (
+        l3.filter(
+            (F.col("chain_state") == "chained")
+            & (
+                F.col("next_microtimestamp").isNull()
+                | (F.col("next_microtimestamp") <= F.col("microtimestamp"))
+                | (F.col("next_event_no") != F.col("event_no") + 1)
+            )
+        ).select(*keys, F.lit("bad_next_pointer").alias("issue"))
+    )
+    terminal = (
+        l3.filter(
+            F.col("chain_state").isin("alive", "deleted")
+            & F.col("next_microtimestamp").isNotNull()
+        ).select(*keys, F.lit("terminal_with_next").alias("issue"))
+    )
+    return dup.unionByName(orphan).unionByName(bad_next).unionByName(terminal)
+
+
+CHAIN_AUDIT_ORACLE_BODY = """
+SELECT pair_id, era, order_id, event_no, 'duplicate_event' AS issue
+FROM (SELECT pair_id, era, order_id, event_no, count(*) AS n
+      FROM level3 GROUP BY pair_id, era, order_id, event_no) d
+WHERE n > 1
+UNION ALL
+SELECT a.pair_id, a.era, a.order_id, a.event_no, 'orphan_chain'
+FROM level3 a
+WHERE a.event_no > 1
+  AND NOT EXISTS (SELECT 1 FROM level3 b
+                  WHERE b.order_id = a.order_id AND b.era = a.era
+                    AND b.event_no = a.event_no - 1)
+UNION ALL
+SELECT pair_id, era, order_id, event_no, 'bad_next_pointer'
+FROM level3
+WHERE chain_state = 'chained'
+  AND (next_microtimestamp IS NULL
+       OR next_microtimestamp <= microtimestamp
+       OR next_event_no <> event_no + 1)
+UNION ALL
+SELECT pair_id, era, order_id, event_no, 'terminal_with_next'
+FROM level3
+WHERE chain_state IN ('alive', 'deleted') AND next_microtimestamp IS NOT NULL
+"""

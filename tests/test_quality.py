@@ -1,0 +1,57 @@
+"""Quality operators must return 0 rows on healthy data AND detect planted
+violations — an audit that can't fail is no audit."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+
+sys.path.insert(0, "/root/repo")
+
+from obadiah_spark.operators.quality import chain_audit, crossed_books  # noqa: E402
+
+
+def test_chain_audit_clean_on_synth(level3):
+    assert chain_audit(level3).count() == 0
+
+
+def test_chain_audit_detects_planted_violations(spark, level3):
+    import pyspark.sql.functions as F
+
+    sample = level3.limit(1)
+    # duplicate an existing (order, era, event_no); break a next pointer
+    dup = sample
+    broken = sample.withColumn("chain_state", F.lit("chained")) \
+                   .withColumn("next_microtimestamp", F.col("microtimestamp") - F.expr("INTERVAL 1 MINUTE")) \
+                   .withColumn("order_id", F.col("order_id") + 1000000)
+    corrupted = level3.unionByName(dup).unionByName(broken)
+    issues = {r.issue for r in chain_audit(corrupted).select("issue").distinct().collect()}
+    assert "duplicate_event" in issues
+    assert "bad_next_pointer" in issues
+
+
+def test_crossed_books_detects_crossing(spark):
+    rows = [
+        # era 1: uncrossed -> crossed (2 ticks) -> uncrossed
+        (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 0), 99.0, 100.0),
+        (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 1), 101.0, 100.0),
+        (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 2), 102.0, 100.0),
+        (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 3), 99.0, 100.0),
+    ]
+    l1 = spark.createDataFrame(
+        rows,
+        "pair_id int, era timestamp, microtimestamp timestamp, "
+        "best_bid_price double, best_ask_price double",
+    )
+    out = crossed_books(l1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.previous_uncrossed == datetime(2024, 1, 1, 0, 0)
+    assert r.first_crossed == datetime(2024, 1, 1, 0, 1)
+    assert r.next_uncrossed == datetime(2024, 1, 1, 0, 3)
+
+
+def test_crossed_books_clean_on_synth(level3):
+    from obadiah_spark.fold import spread_fold
+
+    assert crossed_books(spread_fold(level3)).count() == 0
