@@ -253,6 +253,28 @@ def _q_chain_audit(spark, sf_dir):
     return chain_audit(_l3(spark, sf_dir))
 
 
+def _q_match_fill_exact(spark, sf_dir):
+    """Closed loop: strip event links from matches, re-match against level3."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.matching import match_price_and_fill_exact
+
+    l3 = _l3(spark, sf_dir)
+    trades = spark.table("matches").select(
+        "pair_id", "era",
+        F.col("microtimestamp").alias("trade_microtimestamp"),
+        "price", F.col("amount").alias("fill"),
+        F.col("side").alias("origination"), "exchange_trade_id",
+    )
+    return match_price_and_fill_exact(l3, trades)
+
+
+def _q_inferred_trades(spark, sf_dir):
+    from obadiah_spark.operators.matching import inferred_trades
+
+    return inferred_trades(_l3(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -283,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_summary": _q_depth_summary,
         "crossed_books": _q_crossed_books,
         "chain_audit": _q_chain_audit,
+        "match_fill_exact": _q_match_fill_exact,
+        "inferred_trades": _q_inferred_trades,
     }
 
 
@@ -304,6 +328,10 @@ def oracle_sql() -> dict[str, str]:
         events_oracle_sql,
         intervals_oracle_sql,
         trades_oracle_sql,
+    )
+    from obadiah_spark.operators.matching import (
+        inferred_trades_oracle_sql,
+        match_fill_exact_oracle_sql,
     )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
     from obadiah_spark.operators.trading import trading_period_v0_oracle
@@ -341,4 +369,6 @@ def oracle_sql() -> dict[str, str]:
         "depth_summary": level3_cte(depth_summary_oracle_sql()),
         "crossed_books": level3_cte(crossed_books_oracle()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
+        "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
+        "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
     }
