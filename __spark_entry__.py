@@ -275,6 +275,24 @@ def _q_inferred_trades(spark, sf_dir):
     return inferred_trades(_l3(spark, sf_dir))
 
 
+def _q_data_overview(spark, sf_dir):
+    from obadiah_spark.operators.catalog import data_overview
+
+    return data_overview(_l3(spark, sf_dir), spark)
+
+
+def _q_export(spark, sf_dir):
+    from obadiah_spark.operators.catalog import export
+
+    return export(_l3(spark, sf_dir), EV_START, EV_END)
+
+
+def _q_book_by_episode(spark, sf_dir):
+    from obadiah_spark.operators.book_ops import book_by_episode
+
+    return book_by_episode(_l3(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -307,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_audit": _q_chain_audit,
         "match_fill_exact": _q_match_fill_exact,
         "inferred_trades": _q_inferred_trades,
+        "data_overview": _q_data_overview,
+        "export_events": _q_export,
+        "book_by_episode": _q_book_by_episode,
     }
 
 
@@ -328,6 +349,11 @@ def oracle_sql() -> dict[str, str]:
         events_oracle_sql,
         intervals_oracle_sql,
         trades_oracle_sql,
+    )
+    from obadiah_spark.operators.book_ops import book_by_episode_oracle_sql
+    from obadiah_spark.operators.catalog import (
+        DATA_OVERVIEW_ORACLE_BODY,
+        export_oracle_sql,
     )
     from obadiah_spark.operators.matching import (
         inferred_trades_oracle_sql,
@@ -371,4 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
         "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
+        "data_overview": level3_cte(DATA_OVERVIEW_ORACLE_BODY),
+        "export_events": level3_cte(export_oracle_sql(EV_START, EV_END)),
+        "book_by_episode": level3_cte(book_by_episode_oracle_sql()),
     }

@@ -146,6 +146,20 @@ WHERE fill > 0 AND chain_state <> 'deleted'
 """
 
 
+# F8: static dimension tables (reference obanalytics.pairs / exchanges,
+# db/obanalytics_schema.sql:4772-4804) — broadcast-joined lookups. R0 = -log10
+# of the price tick, fmu = -log10 of the amount tick.
+PAIRS_SQL = """
+SELECT CAST(1 AS INT) AS pair_id, 'BTCUSD' AS pair, CAST(2 AS INT) AS r0, CAST(8 AS INT) AS fmu
+UNION ALL
+SELECT CAST(2 AS INT), 'ETHUSD', CAST(2 AS INT), CAST(8 AS INT)
+"""
+
+EXCHANGES_SQL = """
+SELECT CAST(1 AS INT) AS exchange_id, 'bitfinex' AS exchange
+"""
+
+
 def _splice_ctes(ctes: str, body: str) -> str:
     """Prepend CTE definitions to ``body``, merging with the body's own WITH
     clause if it has one (``WITH a AS (...) WITH b AS ...`` is invalid SQL —
@@ -157,14 +171,19 @@ def _splice_ctes(ctes: str, body: str) -> str:
 
 
 def level3_cte(body: str) -> str:
-    """Wrap an operator query so `level3` is available as a CTE (for DuckDB
-    oracles — the driver pre-registers only the raw testdata views)."""
-    return _splice_ctes(f"level3 AS (\n{LEVEL3_BODY_SQL}\n)", body)
+    """Wrap an operator query so `level3` (+ the pairs/exchanges dims) are
+    available as CTEs (for DuckDB oracles — the driver pre-registers only the
+    raw testdata views)."""
+    return _splice_ctes(
+        f"level3 AS (\n{LEVEL3_BODY_SQL}\n), pairs AS (\n{PAIRS_SQL}\n), "
+        f"exchanges AS (\n{EXCHANGES_SQL}\n)", body
+    )
 
 
 def level3_matches_cte(body: str) -> str:
     return _splice_ctes(
-        f"level3 AS (\n{LEVEL3_BODY_SQL}\n), matches AS (\n{MATCHES_BODY_SQL}\n)", body
+        f"level3 AS (\n{LEVEL3_BODY_SQL}\n), matches AS (\n{MATCHES_BODY_SQL}\n), "
+        f"pairs AS (\n{PAIRS_SQL}\n), exchanges AS (\n{EXCHANGES_SQL}\n)", body
     )
 
 
@@ -183,4 +202,6 @@ def register_level3(spark, sf_dir: str | None = None):
     l3.createOrReplaceTempView("level3")
     m = spark.sql(MATCHES_BODY_SQL)
     m.createOrReplaceTempView("matches")
+    spark.sql(PAIRS_SQL).createOrReplaceTempView("pairs")
+    spark.sql(EXCHANGES_SQL).createOrReplaceTempView("exchanges")
     return l3
