@@ -1,0 +1,70 @@
+"""Streaming ingestion differential: any batch split of the event stream
+must reproduce the one-shot batch level3 synthesis bit-for-bit (the
+reference's trigger-based chaining is order-insensitive the same way)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+from obadiah_spark.streaming.ingest import Level3Ingestor, run_streaming_ingest  # noqa: E402
+from tools.verify_local import canonicalize, compare  # noqa: E402
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
+                 "value double, props string")
+
+
+def _batch_l3(level3):
+    return level3.toPandas()
+
+
+def test_ingestor_state_machine_vs_batch(spark, level3):
+    """Unit: 4 ts-ordered pandas chunks through the state machine."""
+    events = spark.table("events").toPandas().sort_values("ts").reset_index(drop=True)
+    ing = Level3Ingestor()
+    for chunk in np.array_split(events, 4):
+        ing.process_batch(chunk)
+    got = ing.finalize()
+    want = _batch_l3(level3)
+    assert not compare("stream-vs-batch", got, want)
+
+
+def test_ingestor_single_batch_equals_many(spark):
+    events = spark.table("events").toPandas().sort_values("ts").reset_index(drop=True)
+    one = Level3Ingestor()
+    one.process_batch(events)
+    many = Level3Ingestor()
+    for chunk in np.array_split(events, 7):
+        many.process_batch(chunk)
+    a, b = one.finalize(), many.finalize()
+    assert canonicalize(a).equals(canonicalize(b))
+
+
+def test_streaming_end_to_end(spark, level3):
+    """Real Structured Streaming run: file source, one file per micro-batch,
+    availableNow trigger, watermark declared, foreachBatch chaining."""
+    events = spark.table("events").toPandas().sort_values("ts").reset_index(drop=True)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        os.makedirs(src)
+        for i, chunk in enumerate(np.array_split(events, 4)):
+            spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"chunk_{i:03d}"))
+        # flatten: file source wants files in one dir
+        flat = os.path.join(d, "flat")
+        os.makedirs(flat)
+        n = 0
+        for root, _, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(root, f), os.path.join(flat, f"{n:03d}.parquet"))
+                    n += 1
+        got = run_streaming_ingest(spark, flat, EVENTS_SCHEMA,
+                                   os.path.join(d, "ckpt"))
+    want = _batch_l3(level3)
+    assert not compare("streaming-vs-batch", got, want)
