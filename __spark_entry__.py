@@ -293,6 +293,26 @@ def _q_book_by_episode(spark, sf_dir):
     return book_by_episode(_l3(spark, sf_dir))
 
 
+def _q_get_spread(spark, sf_dir):
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.depth import get_spread
+
+    l3 = _l3(spark, sf_dir)
+    return get_spread(l3, spread_fold(l3), EV_START, EV_END)
+
+
+def _q_depth_resample(spark, sf_dir):
+    from obadiah_spark.operators.resample import depth_resample
+
+    return depth_resample(_l3(spark, sf_dir))
+
+
+def _q_queues(spark, sf_dir):
+    from obadiah_spark.operators.resample import queues
+
+    return queues(_l3(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -328,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_overview": _q_data_overview,
         "export_events": _q_export,
         "book_by_episode": _q_book_by_episode,
+        "get_spread": _q_get_spread,
+        "depth_resample": _q_depth_resample,
+        "queues": _q_queues,
     }
 
 
@@ -339,6 +362,11 @@ def oracle_sql() -> dict[str, str]:
         SPREAD_LINEAR_ORACLE_BODY,
         depth_summary_oracle_sql,
         get_depth_oracle_sql,
+        get_spread_oracle_sql,
+    )
+    from obadiah_spark.operators.resample import (
+        depth_resample_oracle_sql,
+        queues_oracle_sql,
     )
     from obadiah_spark.operators.quality import (
         CHAIN_AUDIT_ORACLE_BODY,
@@ -400,4 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "data_overview": level3_cte(DATA_OVERVIEW_ORACLE_BODY),
         "export_events": level3_cte(export_oracle_sql(EV_START, EV_END)),
         "book_by_episode": level3_cte(book_by_episode_oracle_sql()),
+        "get_spread": level3_cte(get_spread_oracle_sql(EV_START, EV_END)),
+        "depth_resample": level3_cte(depth_resample_oracle_sql()),
+        "queues": level3_cte(queues_oracle_sql()),
     }

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 DEPTH_COLS = ["pair_id", "microtimestamp", "side", "price", "volume", "volume_change"]
 
 
-def depth_change(l3: DataFrame) -> DataFrame:
-    """D2: per-episode changed (side, price) levels with running volume."""
+def depth_change(l3: DataFrame, keep_era: bool = False) -> DataFrame:
+    """D2: per-episode changed (side, price) levels with running volume.
+    ``keep_era=True`` retains the era column for era-scoped consumers."""
     w_chain = W.partitionBy("order_id", "era").orderBy("event_no")
     ev = l3.select(
         "pair_id", "era", "microtimestamp", "side", "price", "amount", "chain_state",
@@ -48,8 +49,9 @@ def depth_change(l3: DataFrame) -> DataFrame:
         .filter(F.col("volume_change") != 0)
     )
     w_level = W.partitionBy("pair_id", "era", "side", "price").orderBy("microtimestamp")
+    cols = ["pair_id"] + (["era"] if keep_era else []) + ["microtimestamp", "side", "price"]
     return changes.select(
-        "pair_id", "microtimestamp", "side", "price",
+        *cols,
         F.sum("volume_change").over(
             w_level.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("volume"),
@@ -141,6 +143,79 @@ WITH {SPREAD_L1_CTES}
 SELECT pair_id, ts AS microtimestamp,
        best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
 FROM l1_dedup
+"""
+
+
+# ------------------------------------------------------- D8 get.spread ------
+
+def get_spread(l3, l1, start: str, end: str):
+    """D8 ``get.spread`` / ``level1_continuous``: point-in-time starting
+    spread at ``start`` (from the book the instant before) ∪ the level1
+    stream over (start, end] (reference db/get_schema.sql:645-679,
+    db/obanalytics_schema.sql:1606-1618, _spread_from_depth :1064-1112)."""
+    from obadiah_spark.operators.order_book import live_at
+
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    live = live_at(l3, start, before=True)
+    lvl = live.groupBy("pair_id", "side", "price").agg(F.sum("amount").alias("qty"))
+    best = lvl.groupBy("pair_id").agg(
+        F.max(F.when(F.col("side") == "b", F.col("price"))).alias("best_bid_price"),
+        F.min(F.when(F.col("side") == "s", F.col("price"))).alias("best_ask_price"),
+    )
+    starting = (
+        best.join(lvl, "pair_id")
+        .groupBy("pair_id", "best_bid_price", "best_ask_price")
+        .agg(
+            F.max(F.when((F.col("side") == "b")
+                         & (F.col("price") == F.col("best_bid_price")),
+                         F.col("qty"))).alias("best_bid_qty"),
+            F.max(F.when((F.col("side") == "s")
+                         & (F.col("price") == F.col("best_ask_price")),
+                         F.col("qty"))).alias("best_ask_qty"),
+        )
+        .select("pair_id", start_c.alias("microtimestamp"),
+                "best_bid_price", "best_bid_qty", "best_ask_price", "best_ask_qty")
+    )
+    stream = l1.filter(
+        (F.col("microtimestamp") > start_c) & (F.col("microtimestamp") <= end_c)
+    ).select("pair_id", "microtimestamp",
+             "best_bid_price", "best_bid_qty", "best_ask_price", "best_ask_qty")
+    return starting.unionByName(stream)
+
+
+def get_spread_oracle_sql(start: str, end: str) -> str:
+    return f"""
+WITH {SPREAD_L1_CTES}, live0 AS (
+    SELECT l.pair_id, l.side, l.price, sum(l.amount) AS qty
+    FROM level3 l
+    WHERE microtimestamp < TIMESTAMP '{start}'
+      AND era = (SELECT max(era) FROM level3 x
+                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{start}')
+      AND (chain_state = 'alive'
+           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{start}'))
+    GROUP BY l.pair_id, l.side, l.price
+), best0 AS (
+    SELECT pair_id,
+           max(CASE WHEN side = 'b' THEN price END) AS best_bid_price,
+           min(CASE WHEN side = 's' THEN price END) AS best_ask_price
+    FROM live0 GROUP BY pair_id
+), starting AS (
+    SELECT b.pair_id, TIMESTAMP '{start}' AS microtimestamp,
+           b.best_bid_price,
+           max(CASE WHEN l.side = 'b' AND l.price = b.best_bid_price THEN l.qty END) AS best_bid_qty,
+           b.best_ask_price,
+           max(CASE WHEN l.side = 's' AND l.price = b.best_ask_price THEN l.qty END) AS best_ask_qty
+    FROM best0 b JOIN live0 l ON l.pair_id = b.pair_id
+    GROUP BY b.pair_id, b.best_bid_price, b.best_ask_price
+)
+SELECT pair_id, microtimestamp, best_bid_price, best_bid_qty,
+       best_ask_price, best_ask_qty
+FROM starting
+UNION ALL
+SELECT pair_id, ts, best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
+FROM l1_dedup
+WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
 """
 
 

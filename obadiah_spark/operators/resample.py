@@ -1,0 +1,202 @@
+"""Client-side resampling operators (SURVEY §2.4 D11/D12).
+
+Reference parity:
+- D11 ``depth.resample`` — re-grid depth to (frequency, tick): timestamps
+  align UP to the frequency grid (1 µs-open ceiling, F1), bid prices align
+  DOWN to the tick and asks UP (epsilon-guarded, F2); per-bucket volumes
+  emitted at each grid instant that saw a change (reference Rcpp
+  DepthResampler src/order_book_investigation.h:357-466; alignment helpers
+  src/base.h:56-90; R wrapper R/obanalytics.R:341-361).
+- D12 ``queues`` / ``get.queues`` — per-tick queue volumes: each level is
+  bucketed by its integer tick distance from the OPPOSITE best price
+  (bids: ceil((best_ask−price)/tick), asks: ceil((price−best_bid)/tick));
+  volumes sum per bucket, capped at max_ticks (reference
+  src/order_book_investigation.h:47-225 ``GetQueues``, C SRF
+  db/c/obadiah_db/obadiah_db.cpp:633-731 — absolute-tick mode).
+
+Spark-first: both derive from the level-change timeline (no snapshots, no
+quadratic join). The as-of state at each grid instant is a running sum over
+the unioned (changes, probes) timeline — the same trick as the linear spread
+oracle, one shuffle on (pair, era, side, price).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from obadiah_spark.operators.depth import DEPTH_CHANGES_CTES, SPREAD_L1_CTES, depth_change
+
+_EPS = 1e-9
+
+
+def depth_resample(l3: DataFrame, frequency_s: int = 3600, tick: float = 0.05) -> DataFrame:
+    """D11: bucketed book state at each frequency-grid instant with changes."""
+    freq_us = frequency_s * 1_000_000
+    ch = depth_change(l3, keep_era=True).withColumn(
+        "grid_ts",
+        F.timestamp_micros(
+            ((F.unix_micros("microtimestamp") - 1)
+             - (F.unix_micros("microtimestamp") - 1) % freq_us + freq_us).cast("long")),
+    )
+    # last state of each level within each grid bucket, then carry forward
+    # era-scoped throughout: level state must NOT carry across an era reset
+    w_level = W.partitionBy("pair_id", "era", "side", "price", "grid_ts").orderBy(
+        F.desc("microtimestamp"))
+    last_in_bucket = (
+        ch.withColumn("_rn", F.row_number().over(w_level))
+        .filter("_rn = 1").drop("_rn")
+    )
+    grid = ch.select("pair_id", "era", "grid_ts").distinct()
+    levels = ch.select("pair_id", "era", "side", "price").distinct()
+    probes = grid.join(levels, ["pair_id", "era"])
+    w_carry = (
+        W.partitionBy("pair_id", "era", "side", "price").orderBy("grid_ts", "_kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = (
+        last_in_bucket.select("pair_id", "era", "side", "price", "grid_ts",
+                              "volume", F.lit(0).alias("_kind"))
+        .unionByName(probes.select("pair_id", "era", "side", "price", "grid_ts",
+                                   F.lit(None).cast("double").alias("volume"),
+                                   F.lit(1).alias("_kind")))
+    )
+    state = (
+        timeline.withColumn("v", F.last("volume", ignorenulls=True).over(w_carry))
+        .filter((F.col("_kind") == 1) & F.col("v").isNotNull() & (F.col("v") > 0))
+    )
+    bucket_price = F.when(
+        F.col("side") == "b",
+        F.floor(F.col("price") / tick + _EPS) * tick,
+    ).otherwise(-F.floor(-F.col("price") / tick + _EPS) * tick)
+    return (
+        state.withColumn("tick_price", bucket_price)
+        .groupBy("pair_id", F.col("grid_ts").alias("microtimestamp"), "side", "tick_price")
+        .agg(F.sum("v").alias("volume"))
+    )
+
+
+def depth_resample_oracle_sql(frequency_s: int = 3600, tick: float = 0.05) -> str:
+    freq_us = frequency_s * 1_000_000
+    return f"""
+WITH {DEPTH_CHANGES_CTES}, ch AS (
+    SELECT pair_id, era, microtimestamp, side, price,
+           sum(volume_change) OVER (
+               PARTITION BY pair_id, era, side, price ORDER BY microtimestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume,
+           epoch_us(microtimestamp) AS us
+    FROM changes
+), aligned AS (
+    SELECT *, make_timestamp((us - 1) - (us - 1) % {freq_us} + {freq_us}) AS grid_ts
+    FROM ch
+), last_in_bucket AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY pair_id, era, side, price, grid_ts
+            ORDER BY microtimestamp DESC) AS rn
+        FROM aligned) t WHERE rn = 1
+), probes AS (
+    SELECT g.pair_id, g.era, g.grid_ts, l.side, l.price
+    FROM (SELECT DISTINCT pair_id, era, grid_ts FROM aligned) g
+    JOIN (SELECT DISTINCT pair_id, era, side, price FROM aligned) l
+      ON l.pair_id = g.pair_id AND l.era = g.era
+), timeline AS (
+    SELECT pair_id, era, side, price, grid_ts, volume, 0 AS kind FROM last_in_bucket
+    UNION ALL
+    SELECT pair_id, era, side, price, grid_ts, NULL, 1 FROM probes
+), state AS (
+    SELECT pair_id, era, side, price, grid_ts,
+           last_value(volume IGNORE NULLS) OVER (
+               PARTITION BY pair_id, era, side, price ORDER BY grid_ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           kind
+    FROM timeline
+)
+SELECT pair_id, grid_ts AS microtimestamp, side,
+       CASE WHEN side = 'b' THEN floor(price / {tick} + {_EPS}) * {tick}
+            ELSE -floor(-price / {tick} + {_EPS}) * {tick}
+       END AS tick_price,
+       sum(v) AS volume
+FROM state
+WHERE kind = 1 AND v IS NOT NULL AND v > 0
+GROUP BY pair_id, grid_ts, side, tick_price
+"""
+
+
+def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10) -> DataFrame:
+    """D12: per change-episode queue volumes bucketed by tick distance from
+    the opposite best (long format: one row per non-empty tick bucket)."""
+    from obadiah_spark.fold import spread_fold
+
+    ch = depth_change(l3, keep_era=True)
+    l1 = spread_fold(l3).select(
+        "pair_id", "era", F.col("microtimestamp").alias("ts"),
+        "best_bid_price", "best_ask_price", F.lit(1).alias("_kind"))
+    # per-episode full book state via the grid (levels × change episodes)
+    grid = ch.select("pair_id", "era", "microtimestamp").distinct()
+    levels = ch.select("pair_id", "era", "side", "price").distinct()
+    probes = grid.join(levels, ["pair_id", "era"])
+    w = (W.partitionBy("pair_id", "era", "side", "price").orderBy("microtimestamp")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    vol = (
+        probes.join(ch.select("pair_id", "era", "microtimestamp", "side", "price",
+                              "volume_change"),
+                    ["pair_id", "era", "microtimestamp", "side", "price"], "left")
+        .withColumn("v", F.sum(F.coalesce("volume_change", F.lit(0.0))).over(w))
+        .filter(F.col("v") > 0)
+    )
+    # opposite best prevailing AT each episode (the level1 row of that
+    # episode or the latest before it)
+    wb = (W.partitionBy("pair_id", "era").orderBy("ts", F.desc("_kind"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    timeline = (
+        l1.unionByName(
+            grid.select("pair_id", "era", F.col("microtimestamp").alias("ts"))
+            .withColumn("best_bid_price", F.lit(None).cast("double"))
+            .withColumn("best_ask_price", F.lit(None).cast("double"))
+            .withColumn("_kind", F.lit(0)))
+        .withColumn("bb", F.last("best_bid_price", ignorenulls=True).over(wb))
+        .withColumn("ba", F.last("best_ask_price", ignorenulls=True).over(wb))
+        .filter(F.col("_kind") == 0)
+        .select("pair_id", "era", F.col("ts").alias("microtimestamp"), "bb", "ba")
+    )
+    j = vol.join(timeline, ["pair_id", "era", "microtimestamp"])
+    tick_idx = F.when(
+        F.col("side") == "b",
+        F.ceil((F.col("ba") - F.col("price")) / tick - _EPS),
+    ).otherwise(F.ceil((F.col("price") - F.col("bb")) / tick - _EPS))
+    return (
+        j.withColumn("tick_idx", tick_idx.cast("bigint"))
+        .filter((F.col("tick_idx") >= 1) & (F.col("tick_idx") <= max_ticks))
+        .groupBy("pair_id", "microtimestamp", "side", "tick_idx")
+        .agg(F.sum("v").alias("volume"))
+    )
+
+
+def queues_oracle_sql(tick: float = 0.05, max_ticks: int = 10) -> str:
+    return f"""
+WITH {SPREAD_L1_CTES}, l1_asof AS (
+    SELECT g.pair_id, g.era, g.ts,
+           last_value(l.best_bid_price IGNORE NULLS) OVER w AS bb,
+           last_value(l.best_ask_price IGNORE NULLS) OVER w AS ba,
+           l.ts IS NULL AS is_probe
+    FROM (SELECT DISTINCT pair_id, era, ts FROM vol) g
+    LEFT JOIN l1_dedup l
+      ON l.pair_id = g.pair_id AND l.era = g.era AND l.ts = g.ts
+    WINDOW w AS (PARTITION BY g.pair_id, g.era ORDER BY g.ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), j AS (
+    SELECT v.pair_id, v.era, v.ts, v.side, v.price, v.volume, a.bb, a.ba
+    FROM vol v JOIN l1_asof a
+      ON a.pair_id = v.pair_id AND a.era = v.era AND a.ts = v.ts
+    WHERE v.volume > 0
+)
+SELECT pair_id, ts AS microtimestamp, side,
+       CAST(CASE WHEN side = 'b' THEN ceil((ba - price) / {tick} - {_EPS})
+                 ELSE ceil((price - bb) / {tick} - {_EPS}) END AS BIGINT) AS tick_idx,
+       sum(volume) AS volume
+FROM j
+WHERE CASE WHEN side = 'b' THEN ceil((ba - price) / {tick} - {_EPS})
+           ELSE ceil((price - bb) / {tick} - {_EPS}) END BETWEEN 1 AND {max_ticks}
+GROUP BY pair_id, ts, side, tick_idx
+"""
