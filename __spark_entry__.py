@@ -313,6 +313,18 @@ def _q_queues(spark, sf_dir):
     return queues(_l3(spark, sf_dir))
 
 
+def _q_merge_episodes(spark, sf_dir):
+    from obadiah_spark.operators.repair import merge_episodes
+
+    return merge_episodes(_l3(spark, sf_dir), EV_START, EV_END)
+
+
+def _q_depth_chains(spark, sf_dir):
+    from obadiah_spark.operators.depth_chains import depth_changes_with_chains
+
+    return depth_changes_with_chains(_l3(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -351,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_spread": _q_get_spread,
         "depth_resample": _q_depth_resample,
         "queues": _q_queues,
+        "merge_episodes": _q_merge_episodes,
+        "depth_chains": _q_depth_chains,  # sequential chain-id map: rows-only + fixture tests
     }
 
 
@@ -364,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         get_depth_oracle_sql,
         get_spread_oracle_sql,
     )
+    from obadiah_spark.operators.repair import merge_episodes_oracle_sql
     from obadiah_spark.operators.resample import (
         depth_resample_oracle_sql,
         queues_oracle_sql,
@@ -431,4 +446,6 @@ def oracle_sql() -> dict[str, str]:
         "get_spread": level3_cte(get_spread_oracle_sql(EV_START, EV_END)),
         "depth_resample": level3_cte(depth_resample_oracle_sql()),
         "queues": level3_cte(queues_oracle_sql()),
+        "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
+        # depth_chains: sequential chain-id allocation, not SQL-expressible
     }

@@ -68,6 +68,24 @@ def level3_uuid_sql(ts: str, order_id: str, event_no: str,
     )
 
 
+_MAX_RANGE_US = (31 * 24 * 3600 + 60) * 1_000_000  # one month + one minute
+
+
+def validate_parameters(start: str, end: str) -> None:
+    """F6 ``get._validate_parameters``: reject query ranges longer than one
+    month + one minute (reference db/get_schema.sql:150-159)."""
+    import datetime as _dt
+
+    s = _dt.datetime.fromisoformat(start)
+    e = _dt.datetime.fromisoformat(end)
+    if e < s:
+        raise ValueError(f"end {end!r} precedes start {start!r}")
+    if (e - s).total_seconds() * 1_000_000 > _MAX_RANGE_US:
+        raise ValueError(
+            f"requested range {start!r}..{end!r} exceeds one month + one minute"
+        )
+
+
 def bps_return(log_return: Column, sign: Column) -> Column:
     """F9: ``(exp(±log_return) − 1) * ±10⁴`` where sign = +1 long / −1 short."""
     return (F.exp(log_return * sign) - F.lit(1.0)) * sign * F.lit(10000.0)

@@ -121,6 +121,96 @@ FROM j WHERE r = 1 AND r_l3 = 1
 """
 
 
+def match_sum_of_fills(l3: DataFrame, trades: DataFrame,
+                       max_delay_s: int = 1, max_group_size: int = 3) -> DataFrame:
+    """I6 ``_matches_matchable_sets`` + ``match_price_and_sum_of_fill_exact``:
+    match a single book event to the SUM of fills of several adjacent
+    unmatched trades (reference db/bitfinex_schema.sql:177-234,577-646).
+
+    Sets = maximal runs of adjacent unmatched trades sharing (price, side)
+    (gaps-and-islands); candidate groups = 2..max_group_size consecutive
+    trades of a set (the reference enumerates arbitrary subsets via a
+    recursive CTE; consecutive runs are the deterministic, shuffle-friendly
+    subset — a documented simplification); a group matches an event with
+    fill == group sum, same price, opposite side, within
+    [first_trade_ts, first_trade_ts + max_delay]; one group per event and no
+    trade reuse via greedy row_number + anti-join.
+    """
+    w_seq = W.partitionBy("pair_id", "era").orderBy("trade_microtimestamp",
+                                                    "exchange_trade_id")
+    t = trades.withColumn(
+        "_new_set",
+        F.when(
+            (F.lag("price").over(w_seq) != F.col("price"))
+            | (F.lag("origination").over(w_seq) != F.col("origination"))
+            | F.lag("price").over(w_seq).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "set_id",
+        F.sum("_new_set").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn(
+        "pos", F.row_number().over(W.partitionBy("pair_id", "era", "set_id")
+                                   .orderBy("trade_microtimestamp", "exchange_trade_id")),
+    )
+    # consecutive runs of length 2..max_group_size via cumulative sums
+    w_set = W.partitionBy("pair_id", "era", "set_id").orderBy("pos")
+    t = t.withColumn(
+        "cum_fill",
+        F.sum("fill").over(w_set.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    a = t.select("pair_id", "era", "set_id", "price", "origination",
+                 F.col("pos").alias("pos_a"), F.col("cum_fill").alias("cum_a"),
+                 F.col("trade_microtimestamp").alias("ts_a"),
+                 F.col("exchange_trade_id").alias("trade_a"))
+    b = t.select("pair_id", "era", "set_id",
+                 F.col("pos").alias("pos_b"), F.col("cum_fill").alias("cum_b"),
+                 F.col("exchange_trade_id").alias("trade_b"))
+    groups = (
+        a.join(b, ["pair_id", "era", "set_id"])
+        .filter((F.col("pos_b") > F.col("pos_a"))
+                & (F.col("pos_b") - F.col("pos_a") < max_group_size))
+        .select(
+            "pair_id", "era", "price", "origination",
+            (F.col("cum_b") - F.col("cum_a") + F.lit(0.0)).alias("_pad"),
+            (F.col("cum_b") - F.col("cum_a")).alias("group_fill_wo_first"),
+            "set_id", "pos_a", "pos_b", "ts_a", "trade_a", "trade_b",
+        )
+        .drop("_pad")
+    )
+    # group = trades at positions pos_a..pos_b inclusive → sum = cum_b −
+    # cum_(a−1) = (cum_b − cum_a) + fill_a; re-join fill_a
+    fa = t.select("pair_id", "era", "set_id", F.col("pos").alias("pos_a"),
+                  F.col("fill").alias("fill_a"))
+    groups = groups.join(fa, ["pair_id", "era", "set_id", "pos_a"]).withColumn(
+        "group_fill", F.col("group_fill_wo_first") + F.col("fill_a"))
+
+    ev = l3.filter(F.col("fill") > 0).select(
+        "pair_id", "era", "microtimestamp", "order_id", "event_no",
+        "side", F.col("price").alias("ev_price"), F.col("fill").alias("ev_fill"),
+    )
+    j = groups.join(ev, ["pair_id", "era"]).filter(
+        (F.col("ev_price") == F.col("price"))
+        & (F.col("ev_fill") == F.col("group_fill"))
+        & (F.col("side") != F.col("origination"))
+        & (F.col("microtimestamp") >= F.col("ts_a"))
+        & (F.col("microtimestamp")
+           <= F.col("ts_a") + F.expr(f"INTERVAL {max_delay_s} SECOND"))
+    )
+    w_ev = W.partitionBy("pair_id", "order_id", "event_no").orderBy(
+        "ts_a", "pos_a", "pos_b")
+    picked = j.withColumn("r", F.row_number().over(w_ev)).filter("r = 1")
+    # no trade reuse: keep the earliest-selected group touching each trade
+    w_tr = W.partitionBy("pair_id", "era", "set_id").orderBy("ts_a", "pos_a", "pos_b")
+    picked = picked.withColumn("rg", F.row_number().over(w_tr)).filter("rg = 1")
+    return picked.select(
+        "pair_id", "microtimestamp", "order_id", "event_no", "side",
+        "price", F.col("group_fill").alias("fill"),
+        (F.col("pos_b") - F.col("pos_a") + 1).alias("group_size"),
+        "trade_a", "trade_b",
+    )
+
+
 def inferred_trades(l3: DataFrame, max_delay_us: int = 500_000,
                     tolerance: float = 1e-9) -> DataFrame:
     """I9: pair opposite-side fill events into inferred trades. The maker is

@@ -1,0 +1,106 @@
+"""Q3 merge_episodes invariants, D10 chain ids, I6 sum-of-fill matcher, F6."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+
+sys.path.insert(0, "/root/repo")
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from obadiah_spark.functions import validate_parameters  # noqa: E402
+from obadiah_spark.operators.depth_chains import depth_changes_with_chains  # noqa: E402
+from obadiah_spark.operators.matching import match_sum_of_fills  # noqa: E402
+from obadiah_spark.operators.repair import merge_episodes  # noqa: E402
+
+S, E = "2024-01-09 00:00:00", "2024-01-13 00:00:00"
+
+
+def test_merge_episodes_invariants(level3):
+    merged = merge_episodes(level3, S, E)
+    n_in = level3.filter(
+        (F.col("microtimestamp") >= S) & (F.col("microtimestamp") < E)).count()
+    assert merged.count() == n_in  # a rewrite, not a filter
+    # every surviving timestamp is either the window end or an in-window death
+    ends = merged.select("microtimestamp").distinct().collect()
+    deaths = {
+        r.microtimestamp
+        for r in level3.filter(
+            (F.col("chain_state") == "deleted")
+            & (F.col("microtimestamp") >= S) & (F.col("microtimestamp") < E)
+        ).select("microtimestamp").collect()
+    }
+    for r in ends:
+        assert r.microtimestamp == datetime.fromisoformat(E) or r.microtimestamp in deaths
+
+
+def test_depth_chains_reuse_ids(level3):
+    ch = depth_changes_with_chains(level3)
+    pdf = ch.toPandas()
+    assert len(pdf) > 0
+    # same |volume_change| on the same side within one (pair, era) shares an id
+    pdf["absch"] = pdf["volume_change"].abs()
+    one = pdf[(pdf.pair_id == 1)]
+    grp = one.groupby(["side", "absch"])["chain_id"].nunique()
+    # ids are allocated per (pair, era) group; within the first era they must
+    # be reused for equal magnitudes
+    era0 = one[one.microtimestamp < pdf.microtimestamp.min() + __import__("pandas").Timedelta(days=7)]
+    grp0 = era0.groupby(["side", "absch"])["chain_id"].nunique()
+    assert (grp0 == 1).all()
+    # spread columns: bid < ask whenever both present (book never crossed)
+    both = pdf.dropna(subset=["bid_price", "ask_price"])
+    assert (both.bid_price < both.ask_price).all()
+
+
+def test_match_sum_of_fills_fixture(spark):
+    # one sell event with fill 5.0; two adjacent unmatched buy-side trades
+    # (2.0 + 3.0) at the same price — the pair must match the event
+    l3 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 1), 77, 2, "s",
+          100.0, 5.0, 5.0)],
+        "pair_id int, era timestamp, microtimestamp timestamp, order_id long, "
+        "event_no int, side string, price double, amount double, fill double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 0, 59, 500000),
+             100.0, 2.0, "b", 901),
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 0, 59, 600000),
+             100.0, 3.0, "b", 902),
+        ],
+        "pair_id int, era timestamp, trade_microtimestamp timestamp, "
+        "price double, fill double, origination string, exchange_trade_id long",
+    )
+    out = match_sum_of_fills(l3, trades).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.order_id == 77 and r.fill == 5.0 and r.group_size == 2
+    assert r.trade_a == 901 and r.trade_b == 902
+
+
+def test_match_sum_of_fills_rejects_wrong_sum(spark):
+    l3 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 1), 77, 2, "s",
+          100.0, 6.0, 6.0)],
+        "pair_id int, era timestamp, microtimestamp timestamp, order_id long, "
+        "event_no int, side string, price double, amount double, fill double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 0, 59), 100.0, 2.0, "b", 901),
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 0, 59, 100000), 100.0, 3.0, "b", 902),
+        ],
+        "pair_id int, era timestamp, trade_microtimestamp timestamp, "
+        "price double, fill double, origination string, exchange_trade_id long",
+    )
+    assert match_sum_of_fills(l3, trades).count() == 0
+
+
+def test_validate_parameters():
+    validate_parameters("2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    with pytest.raises(ValueError):
+        validate_parameters("2024-01-01 00:00:00", "2024-03-15 00:00:00")
+    with pytest.raises(ValueError):
+        validate_parameters("2024-02-01 00:00:00", "2024-01-01 00:00:00")
