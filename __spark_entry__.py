@@ -218,14 +218,17 @@ def _q_trading_strategy(spark, sf_dir):
         "pair_id", "era", "microtimestamp",
         ((F.col("best_bid_price") + F.col("best_ask_price")) / 2).alias("bid_price"),
     ).withColumn("ask_price", F.col("bid_price"))
-    return trading_strategy(mid, phi=0.01, rho=0.0)
+    # phi is a LOG-RETURN (reference src/base.h:151): 1 bps commission per
+    # leg — proportionate to the synthetic book's ~50 bps price range
+    return trading_strategy(mid, phi=0.0001, rho=0.0)
 
 
 def _q_epsilon_draws(spark, sf_dir):
     from obadiah_spark.fold import spread_fold
     from obadiah_spark.operators.trading import epsilon_drawupdowns, mid_price
 
-    return epsilon_drawupdowns(mid_price(spread_fold(_l3(spark, sf_dir))), epsilon=0.05)
+    # epsilon is a LOG-RETURN (reference src/base.h:151): 5 bps
+    return epsilon_drawupdowns(mid_price(spread_fold(_l3(spark, sf_dir))), epsilon=0.0005)
 
 
 def _q_get_depth(spark, sf_dir):

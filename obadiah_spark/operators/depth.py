@@ -28,7 +28,9 @@ DEPTH_COLS = ["pair_id", "microtimestamp", "side", "price", "volume", "volume_ch
 def depth_change(l3: DataFrame, keep_era: bool = False) -> DataFrame:
     """D2: per-episode changed (side, price) levels with running volume.
     ``keep_era=True`` retains the era column for era-scoped consumers."""
-    w_chain = W.partitionBy("order_id", "era").orderBy("event_no")
+    # life_no: chains restart per reincarnation (event_no is only unique
+    # within a life) — the lag must never cross a delete/re-create boundary
+    w_chain = W.partitionBy("order_id", "era", "life_no").orderBy("event_no")
     ev = l3.select(
         "pair_id", "era", "microtimestamp", "side", "price", "amount", "chain_state",
         F.lag("amount").over(w_chain).alias("prev_amount"),
@@ -66,7 +68,7 @@ DEPTH_CHANGES_CTES = """ev AS (
            lag(amount) OVER w AS prev_amount,
            lag(price)  OVER w AS prev_price
     FROM level3
-    WINDOW w AS (PARTITION BY order_id, era ORDER BY event_no)
+    WINDOW w AS (PARTITION BY order_id, era, life_no ORDER BY event_no)
 ), deltas AS (
     SELECT pair_id, era, microtimestamp, side, price AS p, amount AS delta
     FROM ev WHERE chain_state <> 'deleted'

@@ -109,7 +109,10 @@ def get_events(l3: DataFrame, l1: DataFrame, matches: DataFrame,
     )
 
     # --- matching-event connection (both directions of each trade) ---------
-    tr = matches.filter((F.col("microtimestamp") > start_c) & (F.col("microtimestamp") <= end_c))
+    # inclusive lower bound: reference selects matches BETWEEN p_start_time
+    # AND p_end_time (get_schema.sql:371) — a trade exactly at start must
+    # still link the book-at-start event
+    tr = matches.filter((F.col("microtimestamp") >= start_c) & (F.col("microtimestamp") <= end_c))
     conn_buy = tr.filter(F.col("buy_order_id").isNotNull()).select(
         "pair_id", "microtimestamp",
         F.col("buy_event_no").alias("event_no"),
@@ -239,13 +242,13 @@ conn AS (
     SELECT pair_id, microtimestamp, buy_event_no AS event_no, buy_order_id AS order_id,
            CASE WHEN sell_order_id IS NOT NULL THEN {uuid_sell} END AS matching_event
     FROM matches
-    WHERE microtimestamp > TIMESTAMP '{start}' AND microtimestamp <= TIMESTAMP '{end}'
+    WHERE microtimestamp >= TIMESTAMP '{start}' AND microtimestamp <= TIMESTAMP '{end}'
       AND buy_order_id IS NOT NULL
     UNION ALL
     SELECT pair_id, microtimestamp, sell_event_no, sell_order_id,
            CASE WHEN buy_order_id IS NOT NULL THEN {uuid_buy} END
     FROM matches
-    WHERE microtimestamp > TIMESTAMP '{start}' AND microtimestamp <= TIMESTAMP '{end}'
+    WHERE microtimestamp >= TIMESTAMP '{start}' AND microtimestamp <= TIMESTAMP '{end}'
       AND sell_order_id IS NOT NULL
 )
 SELECT

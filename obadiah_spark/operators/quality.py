@@ -88,8 +88,13 @@ def crossed_books_oracle() -> str:
 
 
 def chain_audit(l3: DataFrame) -> DataFrame:
-    """Q4: one row per chain-integrity violation (empty on healthy data)."""
-    keys = ["pair_id", "era", "order_id", "event_no"]
+    """Q4: one row per chain-integrity violation (empty on healthy data).
+
+    Reincarnation-aware: a chain is identified by (order_id, era, life_no) —
+    event_no restarts at 1 per life (reference reincarnation_no,
+    db/bitfinex_schema.sql:408-417), so uniqueness and predecessor checks
+    must scope to the life, not the bare (order, era)."""
+    keys = ["pair_id", "era", "order_id", "life_no", "event_no"]
 
     dup = (
         l3.groupBy(*keys).count().filter("count > 1")
@@ -102,6 +107,7 @@ def chain_audit(l3: DataFrame) -> DataFrame:
             b,
             (F.col("a.order_id") == F.col("b.order_id"))
             & (F.col("a.era") == F.col("b.era"))
+            & (F.col("a.life_no") == F.col("b.life_no"))
             & (F.col("a.event_no") == F.col("b.event_no") + 1),
             "left_anti",
         )
@@ -117,36 +123,65 @@ def chain_audit(l3: DataFrame) -> DataFrame:
             )
         ).select(*keys, F.lit("bad_next_pointer").alias("issue"))
     )
+    # a resurrected life must be preceded by a delete of the previous life
+    l2 = l3.alias("l2")
+    bad_life = (
+        l3.alias("l1").filter("l1.life_no > 0")
+        .filter(F.col("l1.event_no") == 1)
+        .join(
+            l2,
+            (F.col("l1.order_id") == F.col("l2.order_id"))
+            & (F.col("l1.era") == F.col("l2.era"))
+            & (F.col("l1.life_no") == F.col("l2.life_no") + 1)
+            & (F.col("l2.chain_state") == "deleted")
+            & (F.col("l2.microtimestamp") < F.col("l1.microtimestamp")),
+            "left_anti",
+        )
+        .select(*[f"l1.{k}" for k in keys], F.lit("life_without_death").alias("issue"))
+    )
     terminal = (
         l3.filter(
             F.col("chain_state").isin("alive", "deleted")
             & F.col("next_microtimestamp").isNotNull()
         ).select(*keys, F.lit("terminal_with_next").alias("issue"))
     )
-    return dup.unionByName(orphan).unionByName(bad_next).unionByName(terminal)
+    return (
+        dup.unionByName(orphan).unionByName(bad_next)
+        .unionByName(bad_life).unionByName(terminal)
+    )
 
 
 CHAIN_AUDIT_ORACLE_BODY = """
-SELECT pair_id, era, order_id, event_no, 'duplicate_event' AS issue
-FROM (SELECT pair_id, era, order_id, event_no, count(*) AS n
-      FROM level3 GROUP BY pair_id, era, order_id, event_no) d
+SELECT pair_id, era, order_id, life_no, event_no, 'duplicate_event' AS issue
+FROM (SELECT pair_id, era, order_id, life_no, event_no, count(*) AS n
+      FROM level3 GROUP BY pair_id, era, order_id, life_no, event_no) d
 WHERE n > 1
 UNION ALL
-SELECT a.pair_id, a.era, a.order_id, a.event_no, 'orphan_chain'
+SELECT a.pair_id, a.era, a.order_id, a.life_no, a.event_no, 'orphan_chain'
 FROM level3 a
 WHERE a.event_no > 1
   AND NOT EXISTS (SELECT 1 FROM level3 b
                   WHERE b.order_id = a.order_id AND b.era = a.era
+                    AND b.life_no = a.life_no
                     AND b.event_no = a.event_no - 1)
 UNION ALL
-SELECT pair_id, era, order_id, event_no, 'bad_next_pointer'
+SELECT pair_id, era, order_id, life_no, event_no, 'bad_next_pointer'
 FROM level3
 WHERE chain_state = 'chained'
   AND (next_microtimestamp IS NULL
        OR next_microtimestamp <= microtimestamp
        OR next_event_no <> event_no + 1)
 UNION ALL
-SELECT pair_id, era, order_id, event_no, 'terminal_with_next'
+SELECT l1.pair_id, l1.era, l1.order_id, l1.life_no, l1.event_no, 'life_without_death'
+FROM level3 l1
+WHERE l1.life_no > 0 AND l1.event_no = 1
+  AND NOT EXISTS (SELECT 1 FROM level3 l2
+                  WHERE l2.order_id = l1.order_id AND l2.era = l1.era
+                    AND l2.life_no = l1.life_no - 1
+                    AND l2.chain_state = 'deleted'
+                    AND l2.microtimestamp < l1.microtimestamp)
+UNION ALL
+SELECT pair_id, era, order_id, life_no, event_no, 'terminal_with_next'
 FROM level3
 WHERE chain_state IN ('alive', 'deleted') AND next_microtimestamp IS NOT NULL
 """

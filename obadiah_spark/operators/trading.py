@@ -118,7 +118,15 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0) -> DataFrame:
 
 
 # faithful port of src/position_discovery.cpp:28-241 (InstantPrice = (price,
-# t_us); Interest = rho * |Δt| seconds; Commission = 2*phi)
+# t_us); Interest = rho * |Δt| seconds; Commission = 2*phi). Price DELTAS are
+# LOG-RETURNS: the reference's InstantPrice::operator- returns
+# log(p) − log(e.p) (src/base.h:151), so phi/rho/epsilon are log-return
+# units — phi=0.001 means 10 bps commission per leg, not $0.001.
+def _ld(p1: float, p2: float) -> float:
+    """InstantPrice difference: log(p1) − log(p2) (reference src/base.h:151)."""
+    return math.log(p1) - math.log(p2)
+
+
 def _discover_positions(ts_us: np.ndarray, bids: np.ndarray, asks: np.ndarray,
                         phi: float, rho: float) -> list[tuple]:
     rho = max(rho, 0.0)
@@ -147,48 +155,48 @@ def _discover_positions(ts_us: np.ndarray, bids: np.ndarray, asks: np.ndarray,
             continue
         t = ts_us[i]
         if el is None and es is None:  # no position discovered yet
-            if b - sl[0] > interest(sl[1], t) + comm:
+            if _ld(b, sl[0]) > interest(sl[1], t) + comm:
                 el = (b, t)
                 ss = (b, t)
                 continue
-            if ss[0] - a > interest(ss[1], t) + comm:
+            if _ld(ss[0], a) > interest(ss[1], t) + comm:
                 es = (a, t)
                 sl = (a, t)
                 continue
-            if a - sl[0] < interest(sl[1], t):
+            if _ld(a, sl[0]) < interest(sl[1], t):
                 sl = (a, t)
-            if ss[0] - b < interest(ss[1], t):
+            if _ld(ss[0], b) < interest(ss[1], t):
                 ss = (b, t)
         elif el is not None:  # long position open
-            if ss[0] - b < interest(ss[1], t):
+            if _ld(ss[0], b) < interest(ss[1], t):
                 ss = (b, t)
-            if b - el[0] > interest(el[1], t):
+            if _ld(b, el[0]) > interest(el[1], t):
                 el = (b, t)  # extend long; short can start only at long's end
                 ss = (b, t)
             else:
-                if ss[0] - a > interest(ss[1], t) + comm:
+                if _ld(ss[0], a) > interest(ss[1], t) + comm:
                     out.append((sl, el))
                     es = (a, t)
                     sl = (a, t)
                     el = None
-                elif interest(el[1], t) > comm - (el[0] - a):
+                elif interest(el[1], t) > comm - _ld(el[0], a):
                     # close long; a new long may start profitably from here
                     out.append((sl, el))
                     sl = (a, t)
                     el = None
         else:  # short position open
-            if a - sl[0] < interest(sl[1], t):
+            if _ld(a, sl[0]) < interest(sl[1], t):
                 sl = (a, t)
-            if es[0] - a > interest(es[1], t):
+            if _ld(es[0], a) > interest(es[1], t):
                 es = (a, t)
                 sl = (a, t)
             else:
-                if b - sl[0] > interest(sl[1], t) + comm:
+                if _ld(b, sl[0]) > interest(sl[1], t) + comm:
                     out.append((ss, es))
                     el = (b, t)
                     ss = (b, t)
                     es = None
-                elif interest(es[1], t) > comm - (b - es[0]):
+                elif interest(es[1], t) > comm - _ld(b, es[0]):
                     out.append((ss, es))
                     ss = (b, t)
                     es = None
@@ -235,7 +243,8 @@ def trading_strategy(tp: DataFrame, phi: float = 0.0, rho: float = 0.0) -> DataF
                         order=["microtimestamp"])
 
 
-# faithful port of src/epsilon_drawupdowns.cpp:32-89
+# faithful port of src/epsilon_drawupdowns.cpp:32-89; epsilon is a
+# LOG-RETURN (reference InstantPrice::operator-, src/base.h:151)
 def _discover_draws(ts_us: np.ndarray, prices: np.ndarray, epsilon: float) -> list[tuple]:
     n = len(ts_us)
     if n == 0:
@@ -249,7 +258,7 @@ def _discover_draws(ts_us: np.ndarray, prices: np.ndarray, epsilon: float) -> li
         if (tp[0] >= st[0] and en[0] > tp[0]) or (tp[0] <= st[0] and en[0] < tp[0]):
             tp = en  # extend the draw; new turning point
             continue
-        if abs(en[0] - tp[0]) > epsilon:
+        if abs(_ld(en[0], tp[0])) > epsilon:
             out.append((st, tp))
             st = tp
     if en[1] > st[1]:

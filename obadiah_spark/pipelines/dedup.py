@@ -53,8 +53,23 @@ FROM f
 
 # ------------------------------------------------------- shingles (shared) --
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Repartition the raw doc table by doc_id before token explosion.
+
+    At real scale the parquet reader yields many input splits and this is a
+    near-no-op; on the small test files everything lands in ONE split, which
+    would serialize the (expensive) explode+md5 map stage on a single core.
+    Hash-partitioning on doc_id also pre-aligns the downstream
+    groupBy(doc_id, ...) aggregations."""
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(nparts, "doc_id")
+
+
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc (single-space tokenization)."""
+    """Distinct 3-word shingles per doc (single-space tokenization).
+
+    No explicit repartition: the lead() window below hash-partitions on
+    doc_id anyway, so the only single-threaded work is the cheap split()."""
     tok = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
@@ -134,22 +149,42 @@ LSH_BANDS = 4
 LSH_ROWS = 4  # K = BANDS * ROWS
 
 
-def _minhash_sigs(docs: DataFrame, spark: SparkSession) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of a 60-bit md5-derived
-    hash. Identical in DuckDB via ('0x'||substr(md5(..),1,15))::BIGINT."""
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): all K=16 seed-hashes computed as COLUMNS of
+    one projection over the shingle table (no row multiplication), min-reduced
+    in one map-side-combinable groupBy, then the 4 band signatures unpivoted
+    with a single explode. Hash arithmetic is identical to the DuckDB oracle:
+    a 60-bit ('0x'||substr(md5(seed||'#'||shingle),1,15))::BIGINT per seed.
+
+    Scale note: the previous form crossJoined 16 seed rows onto the shingle
+    table — a 16× row blow-up through the shuffle. This form shuffles the
+    shingle table ONCE at its natural size with 16 narrow bigint columns.
+    """
     sh = _shingles(docs)
-    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
-    h = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id", "seed",
-            F.conv(
-                F.substring(F.md5(F.concat_ws("#", F.col("seed"), F.col("shingle"))), 1, 15),
-                16, 10,
-            ).cast("bigint").alias("h"),
-        )
+    hcols = [
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit(s), F.col("shingle"))), 1, 15),
+            16, 10,
+        ).cast("bigint").alias(f"h{s}")
+        for s in range(MINHASH_K)
+    ]
+    mins = (
+        sh.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(MINHASH_K)])
     )
-    return h.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("#", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+            ).alias("band_sig"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
 def minhash_lsh_candidates(docs: DataFrame, spark: SparkSession,
@@ -160,21 +195,8 @@ def minhash_lsh_candidates(docs: DataFrame, spark: SparkSession,
     hot-bucket guard: a signature shared by half the corpus carries no
     near-duplicate signal but costs O(bucket²) join pairs. The oracle applies
     the same cap, so the gate stays exact."""
-    sigs = _minhash_sigs(docs, spark)
-    band = (F.col("seed") / LSH_ROWS).cast("int")
-    # deterministic band signature: pivot the ROWS hashes into fixed slots
-    slots = [
-        F.min(F.when(F.col("seed") % LSH_ROWS == r, F.col("minhash"))).alias(f"h{r}")
-        for r in range(LSH_ROWS)
-    ]
     bands = (
-        sigs.withColumn("band", band)
-        .groupBy("doc_id", "band")
-        .agg(*slots)
-        .select(
-            "doc_id", "band",
-            F.md5(F.concat_ws("#", *[f"h{r}" for r in range(LSH_ROWS)])).alias("band_sig"),
-        )
+        _minhash_bands(docs)
         # materialize once: the self-join would otherwise recompute the whole
         # shingle -> 16-hash -> min lineage for BOTH sides
         .persist()
@@ -226,27 +248,32 @@ FROM capped a JOIN capped b
 
 def simhash(docs: DataFrame, spark: SparkSession) -> DataFrame:
     """32-bit SimHash over whitespace tokens (with multiplicity): bit b is
-    the sign of the count-weighted sum of ±1 token-hash bits."""
+    the sign of the count-weighted sum of ±1 token-hash bits.
+
+    All 32 bit-sums are conditional aggregates of ONE groupBy(doc_id) over
+    the (doc_id, token, cnt) table — no row multiplication (the previous form
+    crossJoined 32 bit rows onto the token table, a 32× blow-up). Bit
+    arithmetic ((th // 2^b) % 2) matches the DuckDB oracle exactly.
+    """
     tok = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        _spread_docs(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("th", F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint"))
     )
-    bits = spark.createDataFrame(
-        [(b, 1 << b) for b in range(32)], "bit int, mask bigint"
-    )
-    contrib = tok.crossJoin(F.broadcast(bits)).select(
-        "doc_id", "bit", "mask",
-        F.when((F.col("th") / F.col("mask")).cast("bigint") % 2 == 1, F.col("cnt"))
-         .otherwise(-F.col("cnt")).alias("c"),
-    )
-    return (
-        contrib.groupBy("doc_id", "bit", "mask")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0))).alias("simhash"))
-    )
+    bit_sums = [
+        F.sum(
+            F.when((F.col("th") / F.lit(1 << b)).cast("bigint") % 2 == 1, F.col("cnt"))
+             .otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    acc = F.lit(0).cast("bigint")
+    for b in range(32):
+        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sums.select("doc_id", acc.alias("simhash"))
 
 
 SIMHASH_ORACLE = """

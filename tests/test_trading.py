@@ -25,11 +25,15 @@ def _ts(*secs):
     return np.array([s * 1_000_000 for s in secs], dtype=np.int64)
 
 
+# phi/rho/epsilon are LOG-RETURN units (reference InstantPrice::operator-
+# is log(p1)-log(p2), src/base.h:151): phi=0.01 = 2% round-trip commission.
+
 def test_positions_known_sequence():
-    # zero-spread prices 100 -> 105 -> 95 -> 100, commission 2 (phi=1)
+    # zero-spread prices 100 -> 105 -> 95 -> 100; log-moves 4.9%/10%/5.1%
+    # all clear the 2% commission (phi=0.01)
     ts = _ts(0, 1, 2, 3)
     p = np.array([100.0, 105.0, 95.0, 100.0])
-    out = _discover_positions(ts, p, p, phi=1.0, rho=0.0)
+    out = _discover_positions(ts, p, p, phi=0.01, rho=0.0)
     got = [(s[0], e[0]) for s, e in out]
     assert got == [(100.0, 105.0), (105.0, 95.0), (95.0, 100.0)]
     # open/close timestamps: long t0->t1, short t1->t2, long t2->t3
@@ -38,23 +42,27 @@ def test_positions_known_sequence():
 
 
 def test_positions_commission_suppresses_small_moves():
+    # log-moves of ~0.5% / 0.7% / 0.4% never clear the 2% commission
     ts = _ts(0, 1, 2, 3)
     p = np.array([100.0, 100.5, 99.8, 100.2])
-    assert _discover_positions(ts, p, p, phi=1.0, rho=0.0) == []
+    assert _discover_positions(ts, p, p, phi=0.01, rho=0.0) == []
 
 
 def test_positions_interest_rho():
-    # 5-point profit over 10s; rho=1/s makes interest 10 > profit -> no trade
+    # log-profit log(105/100) = 0.0488 over 10s; rho=0.005/s -> interest
+    # 0.05 > profit -> no trade; rho=0.004 -> 0.04 < profit -> one trade
     ts = _ts(0, 10)
     p = np.array([100.0, 105.0])
-    assert _discover_positions(ts, p, p, phi=0.0, rho=1.0) == []
+    assert _discover_positions(ts, p, p, phi=0.0, rho=0.005) == []
+    assert len(_discover_positions(ts, p, p, phi=0.0, rho=0.004)) == 1
     assert len(_discover_positions(ts, p, p, phi=0.0, rho=0.0)) == 1
 
 
 def test_draws_known_sequence():
+    # reversal 105 -> 95 is |log(95/105)| = 10% > epsilon = 5%
     ts = _ts(0, 1, 2, 3)
     p = np.array([100.0, 105.0, 95.0, 100.0])
-    out = _discover_draws(ts, p, epsilon=2.0)
+    out = _discover_draws(ts, p, epsilon=0.05)
     got = [(s[0], e[0]) for s, e in out]
     # reference quirk: the reversal row (95) triggers the close of the up-draw
     # and is consumed; the final draw runs 105 -> last point
@@ -64,9 +72,9 @@ def test_draws_known_sequence():
 def test_draws_small_reversals_ignored():
     ts = _ts(0, 1, 2, 3, 4)
     p = np.array([100.0, 103.0, 102.5, 106.0, 105.8])
-    out = _discover_draws(ts, p, epsilon=2.0)
-    # dips of 0.5/0.2 < eps never close the up-draw; the final draw ends at
-    # the LAST point (reference emits en_, not the turning point, at EOS)
+    out = _discover_draws(ts, p, epsilon=0.05)
+    # dips of ~0.5%/0.2% < eps never close the up-draw; the final draw ends
+    # at the LAST point (reference emits en_, not the turning point, at EOS)
     assert [(s[0], e[0]) for s, e in out] == [(100.0, 105.8)]
 
 
