@@ -14,22 +14,30 @@ Reference parity:
 
 Spark-first design
 ------------------
-``groupBy(pair, exchange, era).applyInPandas(fold)``: Spark shuffles once on
-the fold keys, each group arrives as one Arrow batch, the fold is a linear
-scan. Parallelism axis = (exchange, pair, era) — the reference's own
-decomposition (``_periods_within_eras``, db/obanalytics_schema.sql:979-1005):
-book state never crosses an era boundary, so eras are embarrassingly parallel.
-At 100 TB the unit of serial work is one era of one pair (bounded by capture
-session length); a single giant era serializes its own fold only — callers can
-additionally split on period boundaries exactly as the reference does.
+``repartition(pair, exchange, era).sortWithinPartitions(keys + event order)``
+followed by ``mapInPandas``: Spark shuffles once on the fold keys, rows arrive
+as a stream of Arrow batches in event order, and a small state machine
+(:class:`EpisodeFolder`) carries book state across batches. Parallelism axis =
+(exchange, pair, era) — the reference's own decomposition
+(``_periods_within_eras``, db/obanalytics_schema.sql:979-1005): book state
+never crosses an era boundary, so eras are embarrassingly parallel.
 
-State is O(open orders) per book plus O(price levels) for depth — both small
-(≤1e5) regardless of event count, so executor memory is bounded even for
-billion-event eras; only the *scan* is linear.
+Memory is bounded by O(open orders + price levels) per in-flight group plus
+one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``) plus one
+output chunk (``EpisodeFolder.CHUNK`` rows) — NOT by group size: a
+billion-event era streams through without ever materializing. (Earlier
+revisions used ``groupBy().applyInPandas``, which loads each group as one
+pandas frame; that shape survives only in :func:`ordered_fold` for inputs that
+are already compressed, e.g. the emit-on-change level1 stream.)
+
+Best-price lookup is incremental: a lazy-deletion heap per side amortizes to
+O(log levels) per episode instead of a full level scan (the reference keeps
+ordered maps for the same reason, db/c/obadiah_db/order_book.cpp:22-60).
 """
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -58,10 +66,12 @@ def ordered_fold(
     keys: tuple[str, ...] = FOLD_KEYS,
     order: list[str] | None = None,
 ) -> DataFrame:
-    """Apply ``fn`` to each key group as one pandas frame sorted by ``order``.
+    """Apply ``fn`` to each key group as ONE pandas frame sorted by ``order``.
 
-    One shuffle on ``keys``; Arrow-batched transfer; ``fn`` must be a pure
-    function of the sorted group (no cross-group state).
+    One shuffle on ``keys``; the whole group is materialized — use only for
+    inputs already compressed upstream (e.g. the emit-on-change level1 stream
+    consumed by position/draw discovery). Event-scale inputs must go through
+    :func:`stream_fold` instead.
     """
     order_cols = EVENT_ORDER if order is None else order
 
@@ -71,8 +81,55 @@ def ordered_fold(
     return df.groupBy(*keys).applyInPandas(runner, schema)
 
 
+def stream_fold(
+    df: DataFrame,
+    make_folder: Callable[[pd.Series], "EpisodeFolder"],
+    schema: str,
+    keys: tuple[str, ...] = FOLD_KEYS,
+    order: list[str] | None = None,
+) -> DataFrame:
+    """The scale path: shuffle once on ``keys``, sort within partitions, then
+    stream Arrow batches through per-group folder state machines.
+
+    Group boundaries are detected inside the batch stream (a group may span
+    many batches; a batch may contain many groups); each folder sees its rows
+    in exact ``order`` and never more than one batch at a time.
+    """
+    key_cols = list(keys)
+    order_cols = key_cols + (EVENT_ORDER if order is None else list(order))
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        folder: EpisodeFolder | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            kf = pdf[key_cols]
+            change = (kf != kf.shift()).any(axis=1).to_numpy()
+            change[0] = True
+            starts = np.flatnonzero(change)
+            bounds = np.append(starts, len(pdf))
+            for k in range(len(starts)):
+                s, e = int(starts[k]), int(bounds[k + 1])
+                key = tuple(kf.iloc[s])
+                if key != cur_key:
+                    if folder is not None:
+                        yield from folder.finish()
+                    folder = make_folder(pdf.iloc[s])
+                    cur_key = key
+                yield from folder.feed(pdf.iloc[s:e])
+        if folder is not None:
+            yield from folder.finish()
+
+    return (
+        df.repartition(*key_cols)
+        .sortWithinPartitions(*order_cols)
+        .mapInPandas(runner, schema)
+    )
+
+
 class _Events:
-    """Columnar view of one sorted group: numpy arrays + episode slicing.
+    """Columnar view of one sorted slice: numpy arrays + episode slicing.
 
     Iterating episodes as pandas sub-frames costs ~1 ms *per episode* in
     frame construction; at one episode per book tick that dominates the whole
@@ -105,7 +162,13 @@ class _Book:
     (hash by order_id + price-keyed aggregation,
     db/c/obadiah_db/order_book.cpp:22-174). Exact-quarter/cent arithmetic on
     the synthetic data keeps level sums bit-exact; ``_ZERO_TOL`` guards float
-    residue on general data."""
+    residue on general data.
+
+    ``best()`` is amortized O(log levels) via a lazy-deletion heap per side:
+    prices are pushed when a level first appears; stale heads (level since
+    emptied) are popped on lookup. The heap is compacted whenever it exceeds
+    4× the live level count, so heap memory stays O(levels) even under
+    adversarial churn."""
 
     _ZERO_TOL = 1e-12
 
@@ -113,15 +176,32 @@ class _Book:
         self.orders: dict[int, tuple[str, float, float]] = {}
         self.levels: dict[tuple[str, float], float] = {}
         self.touched: set[tuple[str, float]] = set()
+        self._heaps: dict[str, list[float]] = {"b": [], "s": []}
+        self._nlev = {"b": 0, "s": 0}
 
     def _level_add(self, side: str, price: float, dq: float) -> None:
         key = (side, price)
-        q = self.levels.get(key, 0.0) + dq
+        cur = self.levels.get(key)
+        created = cur is None
+        q = (0.0 if created else cur) + dq
         if abs(q) <= self._ZERO_TOL:
-            self.levels.pop(key, None)
+            if not created:
+                del self.levels[key]
+                self._nlev[side] -= 1
         else:
             self.levels[key] = q
+            if created:
+                self._nlev[side] += 1
+                h = self._heaps[side]
+                heapq.heappush(h, -price if side == "b" else price)
+                if len(h) > 4 * self._nlev[side] + 64:
+                    self._compact(side)
         self.touched.add(key)
+
+    def _compact(self, side: str) -> None:
+        h = [(-p if side == "b" else p) for (s, p) in self.levels if s == side]
+        heapq.heapify(h)
+        self._heaps[side] = h
 
     def apply(self, order_id: int, side: str, price: float, amount: float, deleted: bool) -> None:
         prev = self.orders.pop(order_id, None)
@@ -132,11 +212,14 @@ class _Book:
             self._level_add(side, price, amount)
 
     def best(self, side: str) -> tuple[float | None, float | None]:
-        prices = [p for (s, p) in self.levels if s == side]
-        if not prices:
-            return None, None
-        best = max(prices) if side == "b" else min(prices)
-        return best, self.levels[(side, best)]
+        h = self._heaps[side]
+        while h:
+            p = -h[0] if side == "b" else h[0]
+            q = self.levels.get((side, p))
+            if q is not None:
+                return p, q
+            heapq.heappop(h)
+        return None, None
 
     def take_touched(self) -> list[tuple[str, float]]:
         t = sorted(self.touched)
@@ -144,67 +227,129 @@ class _Book:
         return t
 
 
-def _spread_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+class EpisodeFolder:
+    """Streaming per-group fold: events are applied to the book as they
+    arrive; :meth:`on_episode` fires once per completed microtimestamp
+    episode (deferred until the next episode begins or the group ends, so an
+    episode split across Arrow batches is still applied atomically).
+
+    Subclasses override ``OUT_COLS``, :meth:`on_episode`, and optionally
+    :meth:`on_episode_start` (book state BEFORE the episode's events — used
+    by folds that need the prevailing pre-episode spread).
+    """
+
+    OUT_COLS: tuple[str, ...] = ()
+    CHUNK = 1 << 16  # output rows buffered before an Arrow batch is emitted
+
+    def __init__(self, meta: pd.Series) -> None:
+        self.book = _Book()
+        self.pair_id = int(meta["pair_id"])
+        self.era = meta["era"]
+        self.emitted: dict = {}
+        self.out: dict[str, list] = {c: [] for c in self.OUT_COLS}
+        self._cur_ts = None
+
+    # hooks ---------------------------------------------------------------
+    def on_episode(self, ts) -> None:
+        raise NotImplementedError
+
+    def on_episode_start(self) -> None:
+        pass
+
+    # engine --------------------------------------------------------------
+    def feed(self, pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        ev = _Events(pdf)
+        apply_ = self.book.apply
+        first_col = self.OUT_COLS[0]
+        for ts, s, e in ev.episodes():
+            if ts != self._cur_ts:
+                if self._cur_ts is not None:
+                    self.on_episode(self._cur_ts)
+                    if len(self.out[first_col]) >= self.CHUNK:
+                        yield self._take()
+                self.on_episode_start()
+                self._cur_ts = ts
+            for i in range(s, e):
+                apply_(ev.order_id[i], ev.side[i], ev.price[i],
+                       ev.amount[i], ev.deleted[i])
+
+    def finish(self) -> Iterator[pd.DataFrame]:
+        if self._cur_ts is not None:
+            self.on_episode(self._cur_ts)
+            self._cur_ts = None
+        if len(self.out[self.OUT_COLS[0]]):
+            yield self._take()
+
+    def _take(self) -> pd.DataFrame:
+        pdf = pd.DataFrame(self.out)
+        self.out = {c: [] for c in self.OUT_COLS}
+        return pdf
+
+    # shared helper: sync self.emitted with touched levels ---------------
+    def changed_levels(self) -> list[tuple[tuple[str, float], float, float]]:
+        """(key, new_volume, old_volume) for levels whose emitted volume
+        actually changed this episode; updates the emitted map."""
+        res = []
+        lv = self.book.levels
+        em = self.emitted
+        for key in self.book.take_touched():
+            vol = lv.get(key, 0.0)
+            prev = em.get(key, 0.0)
+            if vol != prev:
+                res.append((key, vol, prev))
+                if vol == 0.0:
+                    em.pop(key, None)
+                else:
+                    em[key] = vol
+        return res
+
+
+class _SpreadFolder(EpisodeFolder):
     """D6: emit level1 (best bid/ask price+qty) only when it changes."""
-    book = _Book()
-    pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-    era = pdf["era"].iloc[0] if len(pdf) else None
-    ev = _Events(pdf)
-    out: dict[str, list] = {c: [] for c in (
-        "pair_id", "era", "microtimestamp", "best_bid_price", "best_bid_qty",
-        "best_ask_price", "best_ask_qty")}
-    prev = None
-    apply_, best = book.apply, book.best
-    for ts, s, e in ev.episodes():
-        for i in range(s, e):
-            apply_(ev.order_id[i], ev.side[i], ev.price[i], ev.amount[i], ev.deleted[i])
-        bb, bbq = best("b")
-        ba, baq = best("s")
+
+    OUT_COLS = ("pair_id", "era", "microtimestamp", "best_bid_price",
+                "best_bid_qty", "best_ask_price", "best_ask_qty")
+
+    def __init__(self, meta: pd.Series) -> None:
+        super().__init__(meta)
+        self._prev = None
+
+    def on_episode(self, ts) -> None:
+        bb, bbq = self.book.best("b")
+        ba, baq = self.book.best("s")
         cur = (bb, bbq, ba, baq)
         # a still-empty book emits nothing (a no-op leading episode is not a
         # level1 change; the declarative forms have no such timestamp either)
-        if prev is None and cur == (None, None, None, None):
-            continue
-        if cur != prev:
-            out["pair_id"].append(pair_id)
-            out["era"].append(era)
-            out["microtimestamp"].append(ts)
-            out["best_bid_price"].append(bb)
-            out["best_bid_qty"].append(bbq)
-            out["best_ask_price"].append(ba)
-            out["best_ask_qty"].append(baq)
-            prev = cur
-    return pd.DataFrame(out)
+        if self._prev is None and cur == (None, None, None, None):
+            return
+        if cur != self._prev:
+            o = self.out
+            o["pair_id"].append(self.pair_id)
+            o["era"].append(self.era)
+            o["microtimestamp"].append(ts)
+            o["best_bid_price"].append(bb)
+            o["best_bid_qty"].append(bbq)
+            o["best_ask_price"].append(ba)
+            o["best_ask_qty"].append(baq)
+            self._prev = cur
 
 
-def _depth_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+class _DepthFolder(EpisodeFolder):
     """D1: per-episode (price, side) volume + change, only for levels whose
     volume actually changed (skips no-change episodes entirely)."""
-    book = _Book()
-    pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-    ev = _Events(pdf)
-    emitted: dict[tuple[str, float], float] = {}
-    out: dict[str, list] = {c: [] for c in (
-        "pair_id", "microtimestamp", "side", "price", "volume", "volume_change")}
-    apply_ = book.apply
-    for ts, s, e in ev.episodes():
-        for i in range(s, e):
-            apply_(ev.order_id[i], ev.side[i], ev.price[i], ev.amount[i], ev.deleted[i])
-        for key in book.take_touched():
-            vol = book.levels.get(key, 0.0)
-            prev = emitted.get(key, 0.0)
-            if vol != prev:
-                out["pair_id"].append(pair_id)
-                out["microtimestamp"].append(ts)
-                out["side"].append(key[0])
-                out["price"].append(key[1])
-                out["volume"].append(vol)
-                out["volume_change"].append(vol - prev)
-                if vol == 0.0:
-                    emitted.pop(key, None)
-                else:
-                    emitted[key] = vol
-    return pd.DataFrame(out)
+
+    OUT_COLS = ("pair_id", "microtimestamp", "side", "price",
+                "volume", "volume_change")
+
+    def on_episode(self, ts) -> None:
+        o = self.out
+        for key, vol, prev in self.changed_levels():
+            o["pair_id"].append(self.pair_id)
+            o["microtimestamp"].append(ts)
+            o["side"].append(key[0])
+            o["price"].append(key[1])
+            o["volume"].append(vol)
+            o["volume_change"].append(vol - prev)
 
 
 _EVENT_COLS = [
@@ -215,10 +360,10 @@ _EVENT_COLS = [
 
 def spread_fold(l3: DataFrame) -> DataFrame:
     """The 100 TB level1 path: one shuffle on (pair, exchange, era), linear
-    scan per group, output compressed by emit-on-change (10-100× smaller)."""
-    return ordered_fold(l3.select(*_EVENT_COLS), _spread_fold_pdf, SPREAD_SCHEMA)
+    streaming scan, output compressed by emit-on-change (10-100× smaller)."""
+    return stream_fold(l3.select(*_EVENT_COLS), _SpreadFolder, SPREAD_SCHEMA)
 
 
 def depth_change_fold(l3: DataFrame) -> DataFrame:
     """The 100 TB level2 path (D1)."""
-    return ordered_fold(l3.select(*_EVENT_COLS), _depth_fold_pdf, DEPTH_SCHEMA)
+    return stream_fold(l3.select(*_EVENT_COLS), _DepthFolder, DEPTH_SCHEMA)

@@ -16,12 +16,10 @@ Reference parity:
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from obadiah_spark.fold import _Book, _Events, ordered_fold
+from obadiah_spark.fold import EpisodeFolder, stream_fold
 
 _BOOK_COLS = ["pair_id", "order_id", "side", "price", "amount"]
 
@@ -73,48 +71,33 @@ BOOK_EPISODE_SCHEMA = (
 )
 
 
+class _BookEpisodeFolder(EpisodeFolder):
+    OUT_COLS = ("pair_id", "microtimestamp", "side", "n_levels",
+                "volume", "best_price")
+
+    def on_episode(self, ts) -> None:
+        if not self.changed_levels():
+            return
+        out = self.out
+        for side in ("b", "s"):
+            lv = [(p, q) for (s_, p), q in self.book.levels.items() if s_ == side]
+            if not lv:
+                continue
+            out["pair_id"].append(self.pair_id)
+            out["microtimestamp"].append(ts)
+            out["side"].append(side)
+            out["n_levels"].append(len(lv))
+            # exact-quarter sums are order-independent
+            out["volume"].append(sum(q for _, q in lv))
+            out["best_price"].append(max(p for p, _ in lv) if side == "b"
+                                     else min(p for p, _ in lv))
+
+
 def book_by_episode(l3: DataFrame) -> DataFrame:
     """B2 surface: per change-episode per-side book summary from the fold."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        book = _Book()
-        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-        ev = _Events(pdf)
-        emitted: dict = {}
-        out: dict[str, list] = {c: [] for c in (
-            "pair_id", "microtimestamp", "side", "n_levels", "volume", "best_price")}
-        for ts, s, e in ev.episodes():
-            for i in range(s, e):
-                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
-                           ev.amount[i], ev.deleted[i])
-            changed = False
-            for key in book.take_touched():
-                vol = book.levels.get(key, 0.0)
-                if vol != emitted.get(key, 0.0):
-                    changed = True
-                    if vol == 0.0:
-                        emitted.pop(key, None)
-                    else:
-                        emitted[key] = vol
-            if not changed:
-                continue
-            for side in ("b", "s"):
-                lv = [(p, q) for (s_, p), q in book.levels.items() if s_ == side]
-                if not lv:
-                    continue
-                out["pair_id"].append(pair_id)
-                out["microtimestamp"].append(ts)
-                out["side"].append(side)
-                out["n_levels"].append(len(lv))
-                # exact-quarter sums are order-independent
-                out["volume"].append(sum(q for _, q in lv))
-                out["best_price"].append(max(p for p, _ in lv) if side == "b"
-                                         else min(p for p, _ in lv))
-        return pd.DataFrame(out)
-
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
-    return ordered_fold(l3.select(*cols), fn, BOOK_EPISODE_SCHEMA)
+    return stream_fold(l3.select(*cols), _BookEpisodeFolder, BOOK_EPISODE_SCHEMA)
 
 
 def book_by_episode_oracle_sql() -> str:

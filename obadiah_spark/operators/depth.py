@@ -294,38 +294,21 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
     BOTH engines (python and SQL share the op sequence bit-for-bit)."""
     import math
 
-    import pandas as pd
-
-    from obadiah_spark.fold import _Book, _Events, ordered_fold
+    from obadiah_spark.fold import EpisodeFolder, stream_fold
 
     scale = 10 ** r0
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        book = _Book()
-        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-        ev = _Events(pdf)
-        emitted: dict = {}
-        out: dict[str, list] = {c: [] for c in (
-            "pair_id", "microtimestamp", "side", "price", "volume", "bps_level")}
-        for ts, s, e in ev.episodes():
-            for i in range(s, e):
-                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
-                           ev.amount[i], ev.deleted[i])
-            changed = False
-            for key in book.take_touched():
-                vol = book.levels.get(key, 0.0)
-                if vol != emitted.get(key, 0.0):
-                    changed = True
-                    if vol == 0.0:
-                        emitted.pop(key, None)
-                    else:
-                        emitted[key] = vol
-            if not changed:
-                continue
-            best_bid = book.best("b")[0]
-            best_ask = book.best("s")[0]
+    class _DepthSummaryFolder(EpisodeFolder):
+        OUT_COLS = ("pair_id", "microtimestamp", "side", "price",
+                    "volume", "bps_level")
+
+        def on_episode(self, ts) -> None:
+            if not self.changed_levels():
+                return
+            best_bid = self.book.best("b")[0]
+            best_ask = self.book.best("s")[0]
             buckets: dict = {}
-            for (side, price), q in book.levels.items():
+            for (side, price), q in self.book.levels.items():
                 if side == "s":
                     if best_ask is None:
                         continue
@@ -340,20 +323,20 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
                     continue
                 k = (side, adj, lvl)
                 buckets[k] = buckets.get(k, 0.0) + q
+            out = self.out
             for (side, adj, lvl), vol in sorted(buckets.items()):
-                out["pair_id"].append(pair_id)
+                out["pair_id"].append(self.pair_id)
                 out["microtimestamp"].append(ts)
                 out["side"].append("ask" if side == "s" else "bid")
                 out["price"].append(adj)
                 out["volume"].append(vol)
                 out["bps_level"].append(lvl)
-        return pd.DataFrame(out)
 
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "price double, volume double, bps_level bigint")
-    return ordered_fold(l3.select(*cols), fn, schema)
+    return stream_fold(l3.select(*cols), _DepthSummaryFolder, schema)
 
 
 def depth_summary_oracle_sql(bps_step: int = 25, max_bps_level: int = 500) -> str:

@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from obadiah_spark.fold import _Book, _Events, ordered_fold
+from obadiah_spark.fold import EpisodeFolder, stream_fold
 
 DEPTH_CHAINS_SCHEMA = (
     "pair_id int, microtimestamp timestamp, side string, price double, "
@@ -29,49 +29,43 @@ DEPTH_CHAINS_SCHEMA = (
 )
 
 
-def depth_changes_with_chains(l3: DataFrame) -> DataFrame:
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        book = _Book()
-        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-        ev = _Events(pdf)
-        emitted: dict = {}
-        chains: dict[tuple[str, float], int] = {}  # (side, |change|) -> id
-        next_id = 1
-        out: dict[str, list] = {c: [] for c in (
-            "pair_id", "microtimestamp", "side", "price", "volume",
-            "volume_change", "chain_id", "bid_price", "ask_price")}
-        for ts, s, e in ev.episodes():
-            bb = book.best("b")[0]   # spread BEFORE this episode
-            ba = book.best("s")[0]
-            for i in range(s, e):
-                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
-                           ev.amount[i], ev.deleted[i])
-            for key in book.take_touched():
-                vol = book.levels.get(key, 0.0)
-                prev = emitted.get(key, 0.0)
-                if vol == prev:
-                    continue
-                change = vol - prev
-                ck = (key[0], abs(change))
-                cid = chains.get(ck)
-                if cid is None:
-                    chains[ck] = cid = next_id
-                    next_id += 1
-                out["pair_id"].append(pair_id)
-                out["microtimestamp"].append(ts)
-                out["side"].append(key[0])
-                out["price"].append(key[1])
-                out["volume"].append(vol)
-                out["volume_change"].append(change)
-                out["chain_id"].append(cid)
-                out["bid_price"].append(bb)
-                out["ask_price"].append(ba)
-                if vol == 0.0:
-                    emitted.pop(key, None)
-                else:
-                    emitted[key] = vol
-        return pd.DataFrame(out)
+class _DepthChainsFolder(EpisodeFolder):
+    OUT_COLS = ("pair_id", "microtimestamp", "side", "price", "volume",
+                "volume_change", "chain_id", "bid_price", "ask_price")
 
+    def __init__(self, meta: pd.Series) -> None:
+        super().__init__(meta)
+        self.chains: dict[tuple[str, float], int] = {}  # (side, |change|) -> id
+        self.next_id = 1
+        self._pre_bb = None
+        self._pre_ba = None
+
+    def on_episode_start(self) -> None:
+        # spread BEFORE this episode's updates are applied
+        self._pre_bb = self.book.best("b")[0]
+        self._pre_ba = self.book.best("s")[0]
+
+    def on_episode(self, ts) -> None:
+        out = self.out
+        for key, vol, prev in self.changed_levels():
+            change = vol - prev
+            ck = (key[0], abs(change))
+            cid = self.chains.get(ck)
+            if cid is None:
+                self.chains[ck] = cid = self.next_id
+                self.next_id += 1
+            out["pair_id"].append(self.pair_id)
+            out["microtimestamp"].append(ts)
+            out["side"].append(key[0])
+            out["price"].append(key[1])
+            out["volume"].append(vol)
+            out["volume_change"].append(change)
+            out["chain_id"].append(cid)
+            out["bid_price"].append(self._pre_bb)
+            out["ask_price"].append(self._pre_ba)
+
+
+def depth_changes_with_chains(l3: DataFrame) -> DataFrame:
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
-    return ordered_fold(l3.select(*cols), fn, DEPTH_CHAINS_SCHEMA)
+    return stream_fold(l3.select(*cols), _DepthChainsFolder, DEPTH_CHAINS_SCHEMA)

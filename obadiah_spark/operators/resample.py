@@ -133,36 +133,18 @@ def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10) -> DataFrame:
     (it shuffles the grid twice and was ~20× slower at sf0.1)."""
     import math
 
-    import pandas as pd
+    from obadiah_spark.fold import EpisodeFolder, stream_fold
 
-    from obadiah_spark.fold import _Book, _Events, ordered_fold
+    class _QueuesFolder(EpisodeFolder):
+        OUT_COLS = ("pair_id", "microtimestamp", "side", "tick_idx", "volume")
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        book = _Book()
-        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-        ev = _Events(pdf)
-        emitted: dict = {}
-        out: dict[str, list] = {c: [] for c in (
-            "pair_id", "microtimestamp", "side", "tick_idx", "volume")}
-        for ts, s, e in ev.episodes():
-            for i in range(s, e):
-                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
-                           ev.amount[i], ev.deleted[i])
-            changed = False
-            for key in book.take_touched():
-                vol = book.levels.get(key, 0.0)
-                if vol != emitted.get(key, 0.0):
-                    changed = True
-                    if vol == 0.0:
-                        emitted.pop(key, None)
-                    else:
-                        emitted[key] = vol
-            if not changed:
-                continue
-            bb = book.best("b")[0]
-            ba = book.best("s")[0]
+        def on_episode(self, ts) -> None:
+            if not self.changed_levels():
+                return
+            bb = self.book.best("b")[0]
+            ba = self.book.best("s")[0]
             buckets: dict = {}
-            for (side, price), q in book.levels.items():
+            for (side, price), q in self.book.levels.items():
                 if side == "b":
                     if ba is None:
                         continue
@@ -174,19 +156,19 @@ def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10) -> DataFrame:
                 if 1 <= idx <= max_ticks:
                     k = (side, idx)
                     buckets[k] = buckets.get(k, 0.0) + q
+            out = self.out
             for (side, idx), vol in sorted(buckets.items()):
-                out["pair_id"].append(pair_id)
+                out["pair_id"].append(self.pair_id)
                 out["microtimestamp"].append(ts)
                 out["side"].append(side)
                 out["tick_idx"].append(idx)
                 out["volume"].append(vol)
-        return pd.DataFrame(out)
 
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "tick_idx bigint, volume double")
-    return ordered_fold(l3.select(*cols), fn, schema)
+    return stream_fold(l3.select(*cols), _QueuesFolder, schema)
 
 
 def queues_oracle_sql(tick: float = 0.05, max_ticks: int = 10) -> str:

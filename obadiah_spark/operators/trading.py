@@ -30,7 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from obadiah_spark.fold import _Book, _Events, ordered_fold
+from obadiah_spark.fold import EpisodeFolder, ordered_fold, stream_fold
 
 _NAN = float("nan")
 
@@ -87,34 +87,39 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0) -> DataFrame:
     At volume=0 this equals the best-price projection of the spread fold —
     that identity is the operator's differential oracle."""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        book = _Book()
-        pair_id = int(pdf["pair_id"].iloc[0]) if len(pdf) else None
-        era = pdf["era"].iloc[0] if len(pdf) else None
-        ev = _Events(pdf)
-        out: dict[str, list] = {c: [] for c in (
-            "pair_id", "era", "microtimestamp", "bid_price", "ask_price")}
-        prev_b = prev_a = None
-        for ts, s, e in ev.episodes():
-            for i in range(s, e):
-                book.apply(ev.order_id[i], ev.side[i], ev.price[i],
-                           ev.amount[i], ev.deleted[i])
-            b = _effective_price(book.levels, "b", volume)
-            a = _effective_price(book.levels, "s", volume)
-            if prev_b is None and math.isnan(b) and math.isnan(a):
-                continue  # leading empty book emits nothing
-            if prev_b is None or not (_pair_eq(b, prev_b) and _pair_eq(a, prev_a)):
-                out["pair_id"].append(pair_id)
-                out["era"].append(era)
+    class _TradingPeriodFolder(EpisodeFolder):
+        OUT_COLS = ("pair_id", "era", "microtimestamp", "bid_price", "ask_price")
+
+        def __init__(self, meta: pd.Series) -> None:
+            super().__init__(meta)
+            self._prev_b = self._prev_a = None
+
+        def _price(self, side: str) -> float:
+            if volume == 0:
+                # incremental best lookup (O(log levels), no level scan)
+                p = self.book.best(side)[0]
+                return _NAN if p is None else p
+            return _effective_price(self.book.levels, side, volume)
+
+        def on_episode(self, ts) -> None:
+            b = self._price("b")
+            a = self._price("s")
+            if self._prev_b is None and math.isnan(b) and math.isnan(a):
+                return  # leading empty book emits nothing
+            if self._prev_b is None or not (
+                _pair_eq(b, self._prev_b) and _pair_eq(a, self._prev_a)
+            ):
+                out = self.out
+                out["pair_id"].append(self.pair_id)
+                out["era"].append(self.era)
                 out["microtimestamp"].append(ts)
                 out["bid_price"].append(None if math.isnan(b) else b)
                 out["ask_price"].append(None if math.isnan(a) else a)
-                prev_b, prev_a = b, a
-        return pd.DataFrame(out)
+                self._prev_b, self._prev_a = b, a
 
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
-    return ordered_fold(l3.select(*cols), fn, TRADING_PERIOD_SCHEMA)
+    return stream_fold(l3.select(*cols), _TradingPeriodFolder, TRADING_PERIOD_SCHEMA)
 
 
 # faithful port of src/position_discovery.cpp:28-241 (InstantPrice = (price,

@@ -35,3 +35,21 @@ def test_spread_fold_vs_linear_vs_slow(spark, duck, level3):
     assert len(fold_pdf) > 0
     assert not compare("spread fold-vs-linear", fold_pdf, duck_pdf)
     assert not compare("spread fold-vs-slow", fold_pdf, slow_pdf)
+
+
+def test_stream_fold_is_batch_size_invariant(spark, level3):
+    """The fold must NOT depend on whole-group materialization: forcing tiny
+    Arrow batches (so every group spans many batches and episodes split
+    across batch boundaries) must produce byte-identical output."""
+    default = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    base_spread = spread_fold(level3).toPandas()
+    base_depth = depth_change_fold(level3).toPandas()
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "113")
+        tiny_spread = spread_fold(level3).toPandas()
+        tiny_depth = depth_change_fold(level3).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", default)
+    assert len(base_spread) > 0 and len(base_depth) > 0
+    assert not compare("spread tiny-batches", base_spread, tiny_spread)
+    assert not compare("depth tiny-batches", base_depth, tiny_depth)
