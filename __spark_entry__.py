@@ -278,6 +278,64 @@ def _q_inferred_trades(spark, sf_dir):
     return inferred_trades(_l3(spark, sf_dir))
 
 
+def _q_match_sequential(spark, sf_dir):
+    """I10 closed loop: take the inferred trades (which know their buy/sell
+    ORDER ids), forget the event links, and recover them by scanning the
+    sequential event stream with F7 rule codes."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.matching import inferred_trades, match_sequential
+
+    l3 = _l3(spark, sf_dir)
+    t = inferred_trades(l3).select(
+        "pair_id",
+        F.date_trunc("week", "microtimestamp").alias("era"),
+        (F.col("buy_order_id").cast("bigint") * 1000000000000
+         + F.col("buy_event_no").cast("bigint") * 100000000
+         + F.col("sell_order_id").cast("bigint") * 10000
+         + F.col("sell_event_no").cast("bigint")).alias("exchange_trade_id"),
+        F.col("microtimestamp").alias("trade_microtimestamp"),
+        "amount", "price",
+        F.col("side").alias("trade_type"),
+        "buy_order_id", "sell_order_id",
+    )
+    return match_sequential(l3, t, offset=1)
+
+
+def _q_match_sum_of_fills(spark, sf_dir):
+    """I6 closed loop: split every trade into 2 (even ids) or 3 (odd ids)
+    adjacent same-price pieces placed just before the fill event, then
+    recover the event by subset-sum matching. Fractions 0.25/0.75/0.5 keep
+    every piece and every partial sum exact in binary, so fills re-add to
+    the event fill bit-for-bit on both engines."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.matching import match_sum_of_fills
+
+    l3 = _l3(spark, sf_dir)
+    m = spark.table("matches")
+    pieces = m.select(
+        "pair_id", "era", "microtimestamp", "price", "amount",
+        F.col("side").alias("origination"), "exchange_trade_id",
+        F.when(F.col("exchange_trade_id") % 2 == 0,
+               F.array(F.lit(0.25), F.lit(0.75)))
+         .otherwise(F.array(F.lit(0.25), F.lit(0.25), F.lit(0.5)))
+         .alias("fracs"),
+    ).select("pair_id", "era", "microtimestamp", "price", "amount",
+             "origination", "exchange_trade_id",
+             F.posexplode("fracs").alias("k", "frac"))
+    trades = pieces.select(
+        "pair_id", "era",
+        F.timestamp_micros(
+            F.unix_micros("microtimestamp") - 3 + F.col("k")).alias("trade_microtimestamp"),
+        "price",
+        (F.col("amount") * F.col("frac")).alias("fill"),
+        "origination",
+        (F.col("exchange_trade_id") * 10 + F.col("k")).alias("exchange_trade_id"),
+    )
+    return match_sum_of_fills(l3, trades)
+
+
 def _q_data_overview(spark, sf_dir):
     from obadiah_spark.operators.catalog import data_overview
 
@@ -328,6 +386,40 @@ def _q_depth_chains(spark, sf_dir):
     return depth_changes_with_chains(_l3(spark, sf_dir))
 
 
+def _match_sequential_oracle(inferred_sql: str, match_sql: str) -> str:
+    """Splice the inferred-trades oracle in as the ``seq_trades`` CTE of the
+    match_sequential oracle (the closed loop mirrored on DuckDB; era and the
+    synthetic trade id are computed identically on both engines)."""
+    seq_trades = f"""seq_trades AS (
+    WITH it AS ({inferred_sql})
+    SELECT pair_id, date_trunc('week', microtimestamp) AS era,
+           CAST(buy_order_id AS BIGINT) * 1000000000000
+           + CAST(buy_event_no AS BIGINT) * 100000000
+           + CAST(sell_order_id AS BIGINT) * 10000
+           + CAST(sell_event_no AS BIGINT) AS exchange_trade_id,
+           microtimestamp AS trade_microtimestamp, amount, price,
+           side AS trade_type, buy_order_id, sell_order_id
+    FROM it
+)"""
+    return match_sql.replace("WITH ev AS", f"WITH {seq_trades}, ev AS", 1)
+
+
+def _match_sum_of_fills_oracle(match_sql: str) -> str:
+    """Splice the trade-splitting CTE (mirror of _q_match_sum_of_fills) in as
+    ``sof_trades``."""
+    sof_trades = """sof_trades AS (
+    SELECT pair_id, era,
+           make_timestamp(epoch_us(microtimestamp) - 3 + p.k) AS trade_microtimestamp,
+           price, amount * p.f AS fill, side AS origination,
+           exchange_trade_id * 10 + p.k AS exchange_trade_id
+    FROM matches, (VALUES (0, CAST(0.25 AS DOUBLE), 0), (1, CAST(0.75 AS DOUBLE), 0),
+                          (0, CAST(0.25 AS DOUBLE), 1), (1, CAST(0.25 AS DOUBLE), 1),
+                          (2, CAST(0.5 AS DOUBLE), 1)) AS p(k, f, par)
+    WHERE exchange_trade_id % 2 = p.par
+)"""
+    return match_sql.replace("WITH tset AS", f"WITH {sof_trades}, tset AS", 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -360,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_audit": _q_chain_audit,
         "match_fill_exact": _q_match_fill_exact,
         "inferred_trades": _q_inferred_trades,
+        "match_sequential": _q_match_sequential,
+        "match_sum_of_fills": _q_match_sum_of_fills,
         "data_overview": _q_data_overview,
         "export_events": _q_export,
         "book_by_episode": _q_book_by_episode,
@@ -404,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.operators.matching import (
         inferred_trades_oracle_sql,
         match_fill_exact_oracle_sql,
+        match_sequential_oracle_sql,
+        match_sum_of_fills_oracle_sql,
     )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
     from obadiah_spark.operators.trading import trading_period_v0_oracle
@@ -443,6 +539,10 @@ def oracle_sql() -> dict[str, str]:
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
         "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
+        "match_sequential": level3_cte(_match_sequential_oracle(
+            inferred_trades_oracle_sql(), match_sequential_oracle_sql())),
+        "match_sum_of_fills": level3_matches_cte(
+            _match_sum_of_fills_oracle(match_sum_of_fills_oracle_sql())),
         "data_overview": level3_cte(DATA_OVERVIEW_ORACLE_BODY),
         "export_events": level3_cte(export_oracle_sql(EV_START, EV_END)),
         "book_by_episode": level3_cte(book_by_episode_oracle_sql()),

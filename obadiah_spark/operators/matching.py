@@ -122,20 +122,38 @@ FROM j WHERE r = 1 AND r_l3 = 1
 
 
 def match_sum_of_fills(l3: DataFrame, trades: DataFrame,
-                       max_delay_s: int = 1, max_group_size: int = 3) -> DataFrame:
+                       max_delay_s: int = 1, max_group_size: int = 3,
+                       max_set_size: int = 10) -> DataFrame:
     """I6 ``_matches_matchable_sets`` + ``match_price_and_sum_of_fill_exact``:
     match a single book event to the SUM of fills of several adjacent
     unmatched trades (reference db/bitfinex_schema.sql:177-234,577-646).
 
-    Sets = maximal runs of adjacent unmatched trades sharing (price, side)
-    (gaps-and-islands); candidate groups = 2..max_group_size consecutive
-    trades of a set (the reference enumerates arbitrary subsets via a
-    recursive CTE; consecutive runs are the deterministic, shuffle-friendly
-    subset — a documented simplification); a group matches an event with
-    fill == group sum, same price, opposite side, within
-    [first_trade_ts, first_trade_ts + max_delay]; one group per event and no
-    trade reuse via greedy row_number + anti-join.
+    Faithful shape:
+    - sets = maximal runs of adjacent unmatched trades sharing
+      (price, origination) (gaps-and-islands, reference ``matches_sets``);
+    - candidate groups = ARBITRARY increasing subsets of a set of size
+      2..max_group_size (the reference's recursive CTE enumerates them; here
+      bounded self-joins — sets are capped at ``max_set_size``, so the
+      enumeration is O(set_size^3) per set, never a global blow-up), plus the
+      WHOLE set when set_size > max_group_size (reference
+      ``matches_by_sets``). Group fill adds members in position order
+      ((f1+f2)+f3 — float-add order fixed so both engines agree); the
+      group's trade_microtimestamp is its LAST member's (the recursive CTE
+      carries the latest appended timestamp);
+    - a group matches an event with fill == group fill, same price, opposite
+      side, event within [group_ts, group_ts + max_delay];
+    - one group per event: earliest group_ts wins (reference
+      ``distinct on (event) order by trade_microtimestamp``; members-string
+      tie-break added so both engines pick the same winner);
+    - no trade reuse (reference ``for_update``): a surviving group must be
+      the MINIMUM — by (event ts, group ts, members, event id) — among all
+      groups sharing any member trade, computed per member and required for
+      every member.
+
+    Output: one row per matched member trade with its event link (the
+    reference UPDATEs each member; we return the links).
     """
+    delay = F.expr(f"INTERVAL {max_delay_s} SECOND")
     w_seq = W.partitionBy("pair_id", "era").orderBy("trade_microtimestamp",
                                                     "exchange_trade_id")
     t = trades.withColumn(
@@ -149,66 +167,433 @@ def match_sum_of_fills(l3: DataFrame, trades: DataFrame,
     ).withColumn(
         "set_id",
         F.sum("_new_set").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    ).withColumn(
-        "pos", F.row_number().over(W.partitionBy("pair_id", "era", "set_id")
-                                   .orderBy("trade_microtimestamp", "exchange_trade_id")),
     )
-    # consecutive runs of length 2..max_group_size via cumulative sums
-    w_set = W.partitionBy("pair_id", "era", "set_id").orderBy("pos")
-    t = t.withColumn(
-        "cum_fill",
-        F.sum("fill").over(w_set.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    w_set_u = W.partitionBy("pair_id", "era", "set_id")
+    w_set = w_set_u.orderBy("trade_microtimestamp", "exchange_trade_id")
+    t = (
+        t.withColumn("pos", F.row_number().over(w_set))
+        .withColumn("set_size", F.count("*").over(w_set_u))
+        .withColumn("cum_fill", F.sum("fill").over(
+            w_set.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .filter(F.col("set_size") <= max_set_size)
     )
-    a = t.select("pair_id", "era", "set_id", "price", "origination",
-                 F.col("pos").alias("pos_a"), F.col("cum_fill").alias("cum_a"),
-                 F.col("trade_microtimestamp").alias("ts_a"),
-                 F.col("exchange_trade_id").alias("trade_a"))
-    b = t.select("pair_id", "era", "set_id",
-                 F.col("pos").alias("pos_b"), F.col("cum_fill").alias("cum_b"),
-                 F.col("exchange_trade_id").alias("trade_b"))
-    groups = (
-        a.join(b, ["pair_id", "era", "set_id"])
-        .filter((F.col("pos_b") > F.col("pos_a"))
-                & (F.col("pos_b") - F.col("pos_a") < max_group_size))
-        .select(
-            "pair_id", "era", "price", "origination",
-            (F.col("cum_b") - F.col("cum_a") + F.lit(0.0)).alias("_pad"),
-            (F.col("cum_b") - F.col("cum_a")).alias("group_fill_wo_first"),
-            "set_id", "pos_a", "pos_b", "ts_a", "trade_a", "trade_b",
+    pk = ["pair_id", "era", "set_id"]
+    mem = t.select(*pk, "price", "origination", "set_size", "pos", "fill",
+                   F.col("trade_microtimestamp").alias("ts"),
+                   "exchange_trade_id", "cum_fill")
+
+    def _m(i: int):
+        return mem.select(
+            *pk, "price", "origination",
+            F.col("pos").alias(f"pos{i}"), F.col("fill").alias(f"fill{i}"),
+            F.col("ts").alias(f"ts{i}"),
+        ) if i == 1 else mem.select(
+            *pk, F.col("pos").alias(f"pos{i}"), F.col("fill").alias(f"fill{i}"),
+            F.col("ts").alias(f"ts{i}"),
         )
-        .drop("_pad")
+
+    lp = lambda c: F.lpad(F.col(c).cast("string"), 2, "0")  # noqa: E731
+    pairs = _m(1).join(_m(2), pk).filter(F.col("pos2") > F.col("pos1"))
+    groups2 = pairs.select(
+        *pk, "price", "origination", F.lit(2).alias("group_size"),
+        (F.col("fill1") + F.col("fill2")).alias("group_fill"),
+        F.col("ts2").alias("group_ts"),
+        F.concat(lp("pos1"), lp("pos2")).alias("members"),
+        F.array("pos1", "pos2").alias("member_pos"),
     )
-    # group = trades at positions pos_a..pos_b inclusive → sum = cum_b −
-    # cum_(a−1) = (cum_b − cum_a) + fill_a; re-join fill_a
-    fa = t.select("pair_id", "era", "set_id", F.col("pos").alias("pos_a"),
-                  F.col("fill").alias("fill_a"))
-    groups = groups.join(fa, ["pair_id", "era", "set_id", "pos_a"]).withColumn(
-        "group_fill", F.col("group_fill_wo_first") + F.col("fill_a"))
+    groups = groups2
+    if max_group_size >= 3:
+        triples = pairs.join(_m(3), pk).filter(F.col("pos3") > F.col("pos2"))
+        groups3 = triples.select(
+            *pk, "price", "origination", F.lit(3).alias("group_size"),
+            ((F.col("fill1") + F.col("fill2")) + F.col("fill3")).alias("group_fill"),
+            F.col("ts3").alias("group_ts"),
+            F.concat(lp("pos1"), lp("pos2"), lp("pos3")).alias("members"),
+            F.array("pos1", "pos2", "pos3").alias("member_pos"),
+        )
+        groups = groups.unionByName(groups3)
+    # whole set when it exceeds the group-size cap (reference matches_by_sets)
+    whole = (
+        mem.filter(F.col("set_size") > max_group_size)
+        .groupBy(*pk, "price", "origination", "set_size")
+        .agg(
+            F.max_by("cum_fill", "pos").alias("group_fill"),
+            F.max("ts").alias("group_ts"),
+            F.concat_ws("", F.array_sort(
+                F.collect_list(F.lpad(F.col("pos").cast("string"), 2, "0")))).alias("members"),
+            F.array_sort(F.collect_list("pos")).alias("member_pos"),
+        )
+        .select(*pk, "price", "origination",
+                F.col("set_size").alias("group_size"),
+                "group_fill", "group_ts", "members", "member_pos")
+    )
+    groups = groups.unionByName(whole)
 
     ev = l3.filter(F.col("fill") > 0).select(
-        "pair_id", "era", "microtimestamp", "order_id", "event_no",
-        "side", F.col("price").alias("ev_price"), F.col("fill").alias("ev_fill"),
+        "pair_id", "era", F.col("microtimestamp").alias("ev_ts"),
+        "order_id", "event_no", "side",
+        F.col("price").alias("ev_price"), F.col("fill").alias("ev_fill"),
     )
     j = groups.join(ev, ["pair_id", "era"]).filter(
         (F.col("ev_price") == F.col("price"))
         & (F.col("ev_fill") == F.col("group_fill"))
         & (F.col("side") != F.col("origination"))
-        & (F.col("microtimestamp") >= F.col("ts_a"))
-        & (F.col("microtimestamp")
-           <= F.col("ts_a") + F.expr(f"INTERVAL {max_delay_s} SECOND"))
+        & (F.col("ev_ts") >= F.col("group_ts"))
+        & (F.col("ev_ts") <= F.col("group_ts") + delay)
     )
-    w_ev = W.partitionBy("pair_id", "order_id", "event_no").orderBy(
-        "ts_a", "pos_a", "pos_b")
-    picked = j.withColumn("r", F.row_number().over(w_ev)).filter("r = 1")
-    # no trade reuse: keep the earliest-selected group touching each trade
-    w_tr = W.partitionBy("pair_id", "era", "set_id").orderBy("ts_a", "pos_a", "pos_b")
-    picked = picked.withColumn("rg", F.row_number().over(w_tr)).filter("rg = 1")
-    return picked.select(
-        "pair_id", "microtimestamp", "order_id", "event_no", "side",
-        "price", F.col("group_fill").alias("fill"),
-        (F.col("pos_b") - F.col("pos_a") + 1).alias("group_size"),
-        "trade_a", "trade_b",
+    w_ev = W.partitionBy("pair_id", "era", "order_id", "event_no", "ev_ts").orderBy(
+        "group_ts", "members")
+    picked = j.withColumn("r", F.row_number().over(w_ev)).filter("r = 1").drop("r")
+    # total order over picked groups for the overlap-minimality rule
+    rank = F.concat(
+        F.lpad(F.unix_micros("ev_ts").cast("string"), 20, "0"),
+        F.lpad(F.unix_micros("group_ts").cast("string"), 20, "0"),
+        F.col("members"),
+        F.lpad(F.col("order_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_no").cast("string"), 8, "0"),
     )
+    exploded = picked.withColumn("rank", rank).withColumn(
+        "mpos", F.explode("member_pos"))
+    w_m = W.partitionBy("pair_id", "era", "set_id", "mpos")
+    surv = (
+        exploded.withColumn("min_rank", F.min("rank").over(w_m))
+        .withColumn("is_min", (F.col("rank") == F.col("min_rank")).cast("int"))
+        .groupBy(*pk, "members", "rank", "group_size", "group_fill", "group_ts",
+                 "ev_ts", "order_id", "event_no", "side", "price")
+        .agg(F.min("is_min").alias("all_min"),
+             F.collect_list("mpos").alias("mposs"))
+        .filter("all_min = 1")
+    )
+    out = surv.select(*pk, "group_size", "ev_ts", "order_id", "event_no",
+                      "side", F.explode("mposs").alias("pos"))
+    return (
+        out.join(mem.select(*pk, "pos", "exchange_trade_id",
+                            F.col("ts").alias("trade_microtimestamp"),
+                            F.col("fill").alias("amount"), "price", "origination"),
+                 [*pk, "pos"])
+        .select(
+            "pair_id", "exchange_trade_id", "trade_microtimestamp", "amount",
+            "price", "origination", "group_size",
+            F.col("ev_ts").alias("event_microtimestamp"),
+            "order_id", "event_no", "side",
+        )
+    )
+
+
+def match_sum_of_fills_oracle_sql(max_delay_s: int = 1, max_group_size: int = 3,
+                                  max_set_size: int = 10,
+                                  trades_cte: str = "sof_trades") -> str:
+    """DuckDB mirror of :func:`match_sum_of_fills`; expects a CTE named
+    ``trades_cte`` providing (pair_id, era, exchange_trade_id,
+    trade_microtimestamp, price, fill, origination)."""
+    return f"""
+WITH tset AS (
+    SELECT *,
+           sum(_new_set) OVER (PARTITION BY pair_id, era
+                               ORDER BY trade_microtimestamp, exchange_trade_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS set_id
+    FROM (
+        SELECT *,
+               CASE WHEN lag(price) OVER w IS NULL
+                      OR lag(price) OVER w <> price
+                      OR lag(origination) OVER w <> origination
+                    THEN 1 ELSE 0 END AS _new_set
+        FROM {trades_cte}
+        WINDOW w AS (PARTITION BY pair_id, era
+                     ORDER BY trade_microtimestamp, exchange_trade_id)
+    ) x
+), mem AS (
+    SELECT * FROM (
+        SELECT pair_id, era, set_id, price, origination,
+               row_number() OVER ws AS pos,
+               count(*) OVER (PARTITION BY pair_id, era, set_id) AS set_size,
+               sum(fill) OVER (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_fill,
+               fill, trade_microtimestamp AS ts, exchange_trade_id
+        FROM tset
+        WINDOW ws AS (PARTITION BY pair_id, era, set_id
+                      ORDER BY trade_microtimestamp, exchange_trade_id)
+    ) y WHERE set_size <= {max_set_size}
+), g2 AS (
+    SELECT a.pair_id, a.era, a.set_id, a.price, a.origination,
+           2 AS group_size, a.fill + b.fill AS group_fill, b.ts AS group_ts,
+           lpad(CAST(a.pos AS VARCHAR), 2, '0') || lpad(CAST(b.pos AS VARCHAR), 2, '0') AS members,
+           [a.pos, b.pos] AS member_pos
+    FROM mem a JOIN mem b
+      ON a.pair_id = b.pair_id AND a.era = b.era AND a.set_id = b.set_id
+     AND b.pos > a.pos
+), g3 AS (
+    SELECT a.pair_id, a.era, a.set_id, a.price, a.origination,
+           3 AS group_size, (a.fill + b.fill) + c.fill AS group_fill, c.ts AS group_ts,
+           lpad(CAST(a.pos AS VARCHAR), 2, '0') || lpad(CAST(b.pos AS VARCHAR), 2, '0')
+               || lpad(CAST(c.pos AS VARCHAR), 2, '0') AS members,
+           [a.pos, b.pos, c.pos] AS member_pos
+    FROM mem a
+    JOIN mem b ON a.pair_id = b.pair_id AND a.era = b.era AND a.set_id = b.set_id
+              AND b.pos > a.pos
+    JOIN mem c ON a.pair_id = c.pair_id AND a.era = c.era AND a.set_id = c.set_id
+              AND c.pos > b.pos
+), gw AS (
+    SELECT pair_id, era, set_id, price, origination,
+           CAST(set_size AS INT) AS group_size,
+           max_by(cum_fill, pos) AS group_fill, max(ts) AS group_ts,
+           string_agg(lpad(CAST(pos AS VARCHAR), 2, '0'), '' ORDER BY pos) AS members,
+           list_sort(list(pos)) AS member_pos
+    FROM mem WHERE set_size > {max_group_size}
+    GROUP BY pair_id, era, set_id, price, origination, set_size
+), groups AS (
+    SELECT * FROM g2
+    {"UNION ALL SELECT * FROM g3" if max_group_size >= 3 else ""}
+    UNION ALL SELECT * FROM gw
+), j AS (
+    SELECT g.*, e.microtimestamp AS ev_ts, e.order_id, e.event_no, e.side
+    FROM groups g JOIN level3 e
+      ON e.pair_id = g.pair_id AND e.era = g.era
+     AND e.fill > 0 AND e.price = g.price AND e.fill = g.group_fill
+     AND e.side <> g.origination
+     AND e.microtimestamp >= g.group_ts
+     AND e.microtimestamp <= g.group_ts + INTERVAL {max_delay_s} SECOND
+), picked AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY pair_id, era, order_id, event_no, ev_ts
+            ORDER BY group_ts, members) AS r
+        FROM j) z WHERE r = 1
+), ranked AS (
+    SELECT *,
+           lpad(CAST(epoch_us(ev_ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(epoch_us(group_ts) AS VARCHAR), 20, '0')
+           || members
+           || lpad(CAST(order_id AS VARCHAR), 12, '0')
+           || lpad(CAST(event_no AS VARCHAR), 8, '0') AS rank
+    FROM picked
+), exploded AS (
+    SELECT r.*, u.mpos
+    FROM ranked r, unnest(r.member_pos) AS u(mpos)
+), surv AS (
+    SELECT pair_id, era, set_id, members, group_size, ev_ts,
+           order_id, event_no, side, list(mpos) AS mposs
+    FROM (
+        SELECT *, min(rank) OVER (PARTITION BY pair_id, era, set_id, mpos) AS min_rank
+        FROM exploded) z
+    GROUP BY pair_id, era, set_id, members, rank, group_size, ev_ts,
+             order_id, event_no, side
+    HAVING min(CASE WHEN rank = min_rank THEN 1 ELSE 0 END) = 1
+)
+SELECT s.pair_id, m.exchange_trade_id, m.ts AS trade_microtimestamp,
+       m.fill AS amount, m.price, m.origination, s.group_size,
+       s.ev_ts AS event_microtimestamp, s.order_id, s.event_no, s.side
+FROM (SELECT pair_id, era, set_id, group_size, ev_ts, order_id, event_no,
+             side, unnest(mposs) AS pos
+      FROM surv) s
+JOIN mem m ON m.pair_id = s.pair_id AND m.era = s.era
+          AND m.set_id = s.set_id AND m.pos = s.pos
+"""
+
+
+def match_sequential(l3: DataFrame, trades: DataFrame,
+                     tolerance_pct: float = 0.0001, offset: int = 1) -> DataFrame:
+    """I10 ``bitstamp.match_trades_to_sequential_events``: link a trade that
+    knows its buy/sell ORDER ids (but not the events) to a pair of adjacent
+    opposite-side events in the sequential event stream (reference
+    db/bitstamp_schema.sql:1288-1372).
+
+    ``trades`` columns: (pair_id, era, exchange_trade_id,
+    trade_microtimestamp, amount, price, trade_type ('b' = taker bought),
+    buy_order_id, sell_order_id).
+
+    Mechanics, mirroring the reference CTE for CTE:
+    - candidate event pairs = (event, lead(event, offset)) over the full
+      per-(pair, era) event stream ordered by (microtimestamp, order_id,
+      event_no) (the reference orders by microtimestamp alone — ties broken
+      arbitrarily; the tie-break makes both engines pick the same pair),
+      keeping only opposite-side pairs where neither event is an order
+      creation;
+    - join to trades on {event order ids} = {trade's buy/sell order ids}
+      (both orientations — two equi-joins, unioned);
+    - both events must carry a non-NULL F7 match rule
+      (:func:`match_rule`, tolerance = tolerance_pct × trade price);
+    - aggressor-direction check: the maker (opposite of the taker side) must
+      have the OLDER price_microtimestamp; ties go to the bid maker — the
+      same deterministic refinement as :func:`inferred_trades` (the
+      reference uses strict inequalities and drops ties);
+    - an event may not participate in two trades (anti-join on the pair's
+      second event, reference ``matches`` CTE), then one event pair per
+      trade via row_number.
+
+    Scale: the lead window and all joins are per (pair, era); no cross
+    product. The reference runs this repeatedly with increasing p_offset —
+    callers do the same, anti-joining already-matched trades between passes.
+    """
+    w = W.partitionBy("pair_id", "era").orderBy(
+        "microtimestamp", "order_id", "event_no")
+    is_del = F.col("chain_state") == "deleted"
+    ev = (
+        l3.select(
+            "pair_id", "era", "microtimestamp", "order_id", "event_no",
+            "side", "amount", "fill", "price_microtimestamp",
+            is_del.alias("is_del"),
+            (is_del | (F.col("event_no") > 1)).alias("is_fillish"),
+        )
+        .withColumn("n_microtimestamp", F.lead("microtimestamp", offset).over(w))
+        .withColumn("n_order_id", F.lead("order_id", offset).over(w))
+        .withColumn("n_event_no", F.lead("event_no", offset).over(w))
+        .withColumn("n_side", F.lead("side", offset).over(w))
+        .withColumn("n_amount", F.lead("amount", offset).over(w))
+        .withColumn("n_fill", F.lead("fill", offset).over(w))
+        .withColumn("n_pts", F.lead("price_microtimestamp", offset).over(w))
+        .withColumn("n_is_del", F.lead("is_del", offset).over(w))
+        .withColumn("n_is_fillish", F.lead("is_fillish", offset).over(w))
+        .filter(
+            (F.col("side") != F.col("n_side"))
+            & F.col("is_fillish") & F.col("n_is_fillish")
+        )
+    )
+    t = trades.select(
+        "pair_id", "era", "exchange_trade_id", "trade_microtimestamp",
+        F.col("amount").alias("t_amount"), F.col("price").alias("t_price"),
+        "trade_type", "buy_order_id", "sell_order_id",
+    )
+    a = ev.join(t, (ev.pair_id == t.pair_id) & (ev.era == t.era)
+                & (ev.order_id == t.buy_order_id)
+                & (ev.n_order_id == t.sell_order_id)).drop(t.pair_id).drop(t.era)
+    b = ev.join(t, (ev.pair_id == t.pair_id) & (ev.era == t.era)
+                & (ev.order_id == t.sell_order_id)
+                & (ev.n_order_id == t.buy_order_id)).drop(t.pair_id).drop(t.era)
+    cand = a.withColumn("ev_is_buy", F.lit(True)).unionByName(
+        b.withColumn("ev_is_buy", F.lit(False)))
+    tol = F.col("t_amount") * 0 + F.lit(tolerance_pct) * F.col("t_price")
+    mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
+                    F.col("fill"), F.col("is_del"), tol)
+    n_mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("n_amount"),
+                      F.col("n_fill"), F.col("n_is_del"), tol)
+    buy_pts = F.when(F.col("ev_is_buy"), F.col("price_microtimestamp")).otherwise(F.col("n_pts"))
+    sell_pts = F.when(F.col("ev_is_buy"), F.col("n_pts")).otherwise(F.col("price_microtimestamp"))
+    proposed = (
+        cand.withColumn("mr", mr).withColumn("n_mr", n_mr)
+        .filter(F.col("mr").isNotNull() & F.col("n_mr").isNotNull())
+        .filter(
+            ((F.col("trade_type") == "b") & (sell_pts < buy_pts))
+            | ((F.col("trade_type") == "s") & (buy_pts <= sell_pts))
+        )
+    )
+    # a single event may not participate in two trades (reference `matches`)
+    seconds = proposed.select(
+        "pair_id", "era",
+        F.col("n_order_id").alias("x_oid"), F.col("n_event_no").alias("x_eno"),
+    ).distinct()
+    dedup = proposed.join(
+        seconds,
+        (proposed.pair_id == seconds.pair_id) & (proposed.era == seconds.era)
+        & (proposed.order_id == seconds.x_oid)
+        & (proposed.event_no == seconds.x_eno),
+        "left_anti",
+    )
+    w_t = W.partitionBy("pair_id", "exchange_trade_id").orderBy(
+        "microtimestamp", "order_id", "event_no")
+    return (
+        dedup.withColumn("r", F.row_number().over(w_t)).filter("r = 1")
+        .select(
+            "pair_id", "exchange_trade_id", "trade_microtimestamp",
+            F.col("t_amount").alias("amount"), F.col("t_price").alias("price"),
+            "trade_type",
+            F.when(F.col("ev_is_buy"), F.col("microtimestamp"))
+             .otherwise(F.col("n_microtimestamp")).alias("buy_microtimestamp"),
+            F.when(F.col("ev_is_buy"), F.col("event_no"))
+             .otherwise(F.col("n_event_no")).alias("buy_event_no"),
+            F.when(F.col("ev_is_buy"), F.col("mr"))
+             .otherwise(F.col("n_mr")).alias("buy_match_rule"),
+            F.when(~F.col("ev_is_buy"), F.col("microtimestamp"))
+             .otherwise(F.col("n_microtimestamp")).alias("sell_microtimestamp"),
+            F.when(~F.col("ev_is_buy"), F.col("event_no"))
+             .otherwise(F.col("n_event_no")).alias("sell_event_no"),
+            F.when(~F.col("ev_is_buy"), F.col("mr"))
+             .otherwise(F.col("n_mr")).alias("sell_match_rule"),
+        )
+    )
+
+
+def match_sequential_oracle_sql(tolerance_pct: float = 0.0001,
+                                offset: int = 1,
+                                trades_cte: str = "seq_trades") -> str:
+    """DuckDB mirror of :func:`match_sequential`; expects a CTE named
+    ``trades_cte`` with the trades-input columns already defined."""
+    return f"""
+WITH ev AS (
+    SELECT pair_id, era, microtimestamp, order_id, event_no, side, amount,
+           fill, price_microtimestamp,
+           chain_state = 'deleted' AS is_del,
+           (chain_state = 'deleted' OR event_no > 1) AS is_fillish,
+           lead(microtimestamp, {offset}) OVER m AS n_microtimestamp,
+           lead(order_id, {offset}) OVER m AS n_order_id,
+           lead(event_no, {offset}) OVER m AS n_event_no,
+           lead(side, {offset}) OVER m AS n_side,
+           lead(amount, {offset}) OVER m AS n_amount,
+           lead(fill, {offset}) OVER m AS n_fill,
+           lead(price_microtimestamp, {offset}) OVER m AS n_pts,
+           lead(chain_state = 'deleted', {offset}) OVER m AS n_is_del,
+           lead(chain_state = 'deleted' OR event_no > 1, {offset}) OVER m AS n_is_fillish
+    FROM level3
+    WINDOW m AS (PARTITION BY pair_id, era
+                 ORDER BY microtimestamp, order_id, event_no)
+), pairs_ev AS (
+    SELECT * FROM ev
+    WHERE side <> n_side AND is_fillish AND n_is_fillish
+), cand AS (
+    SELECT e.*, t.exchange_trade_id, t.trade_microtimestamp,
+           t.amount AS t_amount, t.price AS t_price, t.trade_type,
+           e.order_id = t.buy_order_id AS ev_is_buy
+    FROM pairs_ev e JOIN {trades_cte} t
+      ON e.pair_id = t.pair_id AND e.era = t.era
+     AND ((e.order_id = t.buy_order_id AND e.n_order_id = t.sell_order_id)
+       OR (e.order_id = t.sell_order_id AND e.n_order_id = t.buy_order_id))
+), proposed AS (
+    SELECT *,
+           CASE WHEN t_amount = fill THEN 0
+                WHEN abs(t_amount * t_price - fill * t_price)
+                     < {tolerance_pct} * t_price THEN 1
+                WHEN fill IS NULL THEN 2
+                WHEN is_del AND fill = 0
+                 AND abs(t_amount * t_price - amount * t_price)
+                     < {tolerance_pct} * t_price THEN 3
+           END AS mr,
+           CASE WHEN t_amount = n_fill THEN 0
+                WHEN abs(t_amount * t_price - n_fill * t_price)
+                     < {tolerance_pct} * t_price THEN 1
+                WHEN n_fill IS NULL THEN 2
+                WHEN n_is_del AND n_fill = 0
+                 AND abs(t_amount * t_price - n_amount * t_price)
+                     < {tolerance_pct} * t_price THEN 3
+           END AS n_mr,
+           CASE WHEN ev_is_buy THEN price_microtimestamp ELSE n_pts END AS buy_pts,
+           CASE WHEN ev_is_buy THEN n_pts ELSE price_microtimestamp END AS sell_pts
+    FROM cand
+), filt AS (
+    SELECT * FROM proposed
+    WHERE mr IS NOT NULL AND n_mr IS NOT NULL
+      AND ((trade_type = 'b' AND sell_pts < buy_pts)
+        OR (trade_type = 's' AND buy_pts <= sell_pts))
+), no_reuse AS (
+    SELECT o.* FROM filt o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM filt i
+        WHERE i.pair_id = o.pair_id AND i.era = o.era
+          AND i.n_order_id = o.order_id AND i.n_event_no = o.event_no)
+)
+SELECT pair_id, exchange_trade_id, trade_microtimestamp,
+       t_amount AS amount, t_price AS price, trade_type,
+       CASE WHEN ev_is_buy THEN microtimestamp ELSE n_microtimestamp END AS buy_microtimestamp,
+       CASE WHEN ev_is_buy THEN event_no ELSE n_event_no END AS buy_event_no,
+       CASE WHEN ev_is_buy THEN mr ELSE n_mr END AS buy_match_rule,
+       CASE WHEN NOT ev_is_buy THEN microtimestamp ELSE n_microtimestamp END AS sell_microtimestamp,
+       CASE WHEN NOT ev_is_buy THEN event_no ELSE n_event_no END AS sell_event_no,
+       CASE WHEN NOT ev_is_buy THEN mr ELSE n_mr END AS sell_match_rule
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY pair_id, exchange_trade_id
+          ORDER BY microtimestamp, order_id, event_no) AS r
+      FROM no_reuse) z
+WHERE r = 1
+"""
 
 
 def inferred_trades(l3: DataFrame, max_delay_us: int = 500_000,

@@ -10,7 +10,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from obadiah_spark.operators.matching import match_price_and_fill_exact  # noqa: E402
+from obadiah_spark.operators.matching import (  # noqa: E402
+    match_price_and_fill_exact,
+    match_sum_of_fills,
+)
 
 
 def test_match_fill_exact_recovers_links(spark, level3):
@@ -51,3 +54,34 @@ def test_match_fill_exact_recovers_links(spark, level3):
     recovered = rec.count()
     assert rec.groupBy("pair_id", "exchange_trade_id").count().filter("count > 1").count() == 0
     assert recovered >= 0.7 * total, f"low recovery: {recovered}/{total}"
+
+
+def test_match_sum_of_fills_recovers_non_consecutive_subset(spark):
+    """An event whose fill equals the sum of a NON-consecutive subset of a
+    set ({1st, 3rd} of three adjacent same-price trades) must be matched —
+    the reference's recursive CTE enumerates arbitrary increasing subsets
+    (db/bitfinex_schema.sql:202-214), not just consecutive runs."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    era = dt.datetime(2024, 1, 8)
+    us = dt.timedelta(microseconds=1)
+    trades = spark.createDataFrame(
+        [
+            # set of three adjacent sells at 100.0: fills 1.0, 9.0, 2.0
+            (1, era, base + 0 * us, 100.0, 1.0, "s", 101),
+            (1, era, base + 1 * us, 100.0, 9.0, "s", 102),
+            (1, era, base + 2 * us, 100.0, 2.0, "s", 103),
+        ],
+        "pair_id int, era timestamp, trade_microtimestamp timestamp, "
+        "price double, fill double, origination string, exchange_trade_id bigint",
+    )
+    # one buy event with fill 3.0 = 1.0 + 2.0 (trades 101 + 103, skipping 102)
+    l3 = spark.createDataFrame(
+        [(1, era, base + 10 * us, 7, 1, "b", 100.0, 5.0, 3.0)],
+        "pair_id int, era timestamp, microtimestamp timestamp, order_id bigint, "
+        "event_no int, side string, price double, amount double, fill double",
+    )
+    out = match_sum_of_fills(l3, trades).orderBy("exchange_trade_id").collect()
+    assert [r.exchange_trade_id for r in out] == [101, 103]
+    assert all(r.order_id == 7 and r.group_size == 2 for r in out)
