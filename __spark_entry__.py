@@ -380,6 +380,15 @@ def _q_merge_episodes(spark, sf_dir):
     return merge_episodes(_l3(spark, sf_dir), EV_START, EV_END)
 
 
+def _q_merge_crossed_books(spark, sf_dir):
+    """Q2 merge path: the full level3 rewritten so every crossed period is
+    merged into its next uncrossed episode (non-vacuous: the synthetic book
+    crosses transiently — see crossed_books)."""
+    from obadiah_spark.operators.repair import merge_crossed_books
+
+    return merge_crossed_books(_l3(spark, sf_dir))
+
+
 def _q_depth_chains(spark, sf_dir):
     from obadiah_spark.operators.depth_chains import depth_changes_with_chains
 
@@ -461,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_resample": _q_depth_resample,
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
+        "merge_crossed_books": _q_merge_crossed_books,
         "depth_chains": _q_depth_chains,  # sequential chain-id map: rows-only + fixture tests
     }
 
@@ -475,7 +485,10 @@ def oracle_sql() -> dict[str, str]:
         get_depth_oracle_sql,
         get_spread_oracle_sql,
     )
-    from obadiah_spark.operators.repair import merge_episodes_oracle_sql
+    from obadiah_spark.operators.repair import (
+        merge_crossed_books_oracle_sql,
+        merge_episodes_oracle_sql,
+    )
     from obadiah_spark.operators.resample import (
         depth_resample_oracle_sql,
         queues_oracle_sql,
@@ -550,5 +563,6 @@ def oracle_sql() -> dict[str, str]:
         "depth_resample": level3_cte(depth_resample_oracle_sql()),
         "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
+        "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),
         # depth_chains: sequential chain-id allocation, not SQL-expressible
     }

@@ -253,8 +253,15 @@ class EpisodeFolder:
     def on_episode(self, ts) -> None:
         raise NotImplementedError
 
-    def on_episode_start(self) -> None:
-        pass
+    def on_episode_start(self, ts) -> None:
+        """Called before a new episode's events are applied (book state =
+        end of the previous episode); ``ts`` is the NEW episode's
+        timestamp — folds that bucket the timeline use it to close out the
+        previous bucket."""
+
+    def on_finish(self) -> None:
+        """Called after the final episode's on_episode, before the last
+        output chunk is taken."""
 
     # engine --------------------------------------------------------------
     def feed(self, pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
@@ -267,7 +274,7 @@ class EpisodeFolder:
                     self.on_episode(self._cur_ts)
                     if len(self.out[first_col]) >= self.CHUNK:
                         yield self._take()
-                self.on_episode_start()
+                self.on_episode_start(ts)
                 self._cur_ts = ts
             for i in range(s, e):
                 apply_(ev.order_id[i], ev.side[i], ev.price[i],
@@ -277,6 +284,7 @@ class EpisodeFolder:
         if self._cur_ts is not None:
             self.on_episode(self._cur_ts)
             self._cur_ts = None
+        self.on_finish()
         if len(self.out[self.OUT_COLS[0]]):
             yield self._take()
 

@@ -157,6 +157,9 @@ def get_spread(l3, l1, start: str, end: str):
     db/obanalytics_schema.sql:1606-1618, _spread_from_depth :1064-1112)."""
     from obadiah_spark.operators.order_book import live_at
 
+    from obadiah_spark.functions import validate_parameters
+
+    validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
     start_c = F.lit(start).cast("timestamp")
     end_c = F.lit(end).cast("timestamp")
     live = live_at(l3, start, before=True)
@@ -230,6 +233,9 @@ def get_depth(l3, start: str, end: str):
     (reference db/get_schema.sql:239-269, get._starting_depth :115-130)."""
     from obadiah_spark.operators.order_book import live_at
 
+    from obadiah_spark.functions import validate_parameters
+
+    validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
     start_c = F.lit(start).cast("timestamp")
     end_c = F.lit(end).cast("timestamp")
     starting = (

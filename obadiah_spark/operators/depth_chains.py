@@ -40,7 +40,7 @@ class _DepthChainsFolder(EpisodeFolder):
         self._pre_bb = None
         self._pre_ba = None
 
-    def on_episode_start(self) -> None:
+    def on_episode_start(self, ts) -> None:
         # spread BEFORE this episode's updates are applied
         self._pre_bb = self.book.best("b")[0]
         self._pre_ba = self.book.best("s")[0]

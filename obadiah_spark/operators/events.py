@@ -45,6 +45,9 @@ _ACTIVE_COLS = [
 def get_events(l3: DataFrame, l1: DataFrame, matches: DataFrame,
                start: str, end: str) -> DataFrame:
     """E1: classified order events over (start, end]."""
+    from obadiah_spark.functions import validate_parameters
+
+    validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
     start_c = F.lit(start).cast("timestamp")
     end_c = F.lit(end).cast("timestamp")
 
@@ -288,6 +291,9 @@ FROM flags f LEFT JOIN conn c
 
 def get_trades(matches: DataFrame, start: str, end: str) -> DataFrame:
     """E2: trades projection over [start, end] (reference get_schema.sql:688-720)."""
+    from obadiah_spark.functions import validate_parameters
+
+    validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
     start_c = F.lit(start).cast("timestamp")
     end_c = F.lit(end).cast("timestamp")
     m = matches.filter((F.col("microtimestamp") >= start_c) & (F.col("microtimestamp") <= end_c))

@@ -1,16 +1,25 @@
-"""Episode-merge repair (SURVEY §2.7 Q3).
+"""Episode-merge + crossed-book repair (SURVEY §2.7 Q2/Q3).
 
-Reference parity: ``obanalytics.merge_episodes(p_start, p_end, ...)`` — move
-every event in [start, end) to a single microtimestamp, respecting per-order
-death/resurrection: an order that dies inside the window and is later seen
-again keeps its death instant as the merge target; everything else moves to
-``end``; forward pointers inside the window move with them (reference
-db/obanalytics_schema.sql:1959-2029; used by merge_crossed_books :1921-1943
-and fix_crossed_books :1276-1420).
+Reference parity:
+- Q3 ``obanalytics.merge_episodes(p_start, p_end, ...)`` — move every event
+  in [start, end) to a single microtimestamp, respecting per-order
+  death/resurrection: an order that dies inside the window and is later seen
+  again keeps its death instant as the merge target; everything else moves
+  to ``end``; forward pointers inside the window move with them (reference
+  db/obanalytics_schema.sql:1959-2029).
+- Q2 ``merge_crossed_books`` (:1921-1943) — merge every crossed period's
+  episodes into its next uncrossed episode — and ``fix_crossed_books``
+  (:1276-1420), the iterative driver that also deletes "eternal" taker /
+  crossed orders the exchange failed to remove.
 
-The reference is an in-place UPDATE; here it is a pure transform returning
-the rewritten window rows (recompute-and-overwrite of the silver table at
-scale — one window over (pair, order) inside the affected slice only).
+The reference is an in-place UPDATE loop over one crossed instant at a
+time; ``merge_crossed_books`` here is ONE declarative pass that repairs ALL
+crossed periods simultaneously (the periods are disjoint by construction,
+so the per-period rewrites are independent — the batch form reaches the
+reference's fixpoint for merge-resolvable periods in one pass instead of N).
+``fix_crossed_books`` keeps the reference's outer loop (bounded driver-side
+iterations, each a distributed transform) for the rare eternal-order cases
+that re-detection must confirm.
 """
 
 from __future__ import annotations
@@ -57,6 +66,218 @@ def merge_episodes(l3: DataFrame, start: str, end: str) -> DataFrame:
         "next_event_no", "pair_id", "exchange_id", "local_timestamp",
         "price_microtimestamp", "price_event_no", "chain_state", "era",
     )
+
+
+_L3_COLS = [
+    "microtimestamp", "order_id", "event_no", "side", "price", "amount",
+    "fill", "next_microtimestamp", "next_event_no", "pair_id", "exchange_id",
+    "local_timestamp", "price_microtimestamp", "price_event_no",
+    "chain_state", "era", "life_no",
+]
+
+
+def merge_crossed_books(l3: DataFrame, l1: DataFrame | None = None,
+                        periods: DataFrame | None = None) -> DataFrame:
+    """Q2 (merge path): rewrite the FULL level3 so every crossed period's
+    events are merged into its next uncrossed episode.
+
+    For each crossed period [first_crossed, next_uncrossed) (from
+    :func:`~obadiah_spark.operators.quality.crossed_books` over the level1
+    stream), events inside the window move to ``next_uncrossed`` — except an
+    order that dies inside the window and resurrects later in it keeps its
+    death instant (merge_episodes semantics, applied per period). EVERY
+    next-pointer that targets a moved event (from inside or outside the
+    window) follows it to its new microtimestamp via one mapping join.
+
+    Scale: the periods table is tiny (crossed books are rare — the
+    reference's own stated assumption) → broadcast range join; the rewrite
+    windows partition on (pair, era, period, order) inside affected slices
+    only.
+    """
+    from obadiah_spark.operators.quality import crossed_books
+
+    if periods is None:
+        if l1 is None:
+            from obadiah_spark.fold import spread_fold
+
+            l1 = spread_fold(l3)
+        periods = crossed_books(l1)
+    p = periods.filter(F.col("next_uncrossed").isNotNull()).select(
+        F.col("pair_id").alias("p_pair"), F.col("era").alias("p_era"),
+        "first_crossed", "next_uncrossed",
+    )
+    tagged = l3.join(
+        F.broadcast(p),
+        (F.col("pair_id") == F.col("p_pair")) & (F.col("era") == F.col("p_era"))
+        & (F.col("microtimestamp") >= F.col("first_crossed"))
+        & (F.col("microtimestamp") < F.col("next_uncrossed")),
+        "left",
+    ).drop("p_pair", "p_era")
+    in_win = F.col("first_crossed").isNotNull()
+    w_ord = (
+        W.partitionBy("pair_id", "exchange_id", "era", "first_crossed", "order_id")
+        .orderBy("microtimestamp", "event_no")
+    )
+    next_death = F.min(
+        F.when(in_win & (F.col("chain_state") == "deleted"), F.col("microtimestamp"))
+    ).over(w_ord.rowsBetween(W.currentRow, W.unboundedFollowing))
+    last_seen = F.max(
+        F.when(in_win, F.col("microtimestamp"))
+    ).over(w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    resurrected = (next_death < F.col("next_uncrossed")) & (next_death < last_seen)
+    new_ts = F.when(
+        in_win,
+        F.when(resurrected, next_death).otherwise(F.col("next_uncrossed")),
+    ).otherwise(F.col("microtimestamp"))
+    ann = tagged.withColumn("_new_ts", new_ts)
+    # pointer mapping: old target ts -> new target ts, for moved events only
+    mapping = ann.filter(in_win & (F.col("_new_ts") != F.col("microtimestamp"))).select(
+        F.col("pair_id").alias("m_pair"), F.col("era").alias("m_era"),
+        F.col("order_id").alias("m_oid"),
+        F.col("microtimestamp").alias("m_old"), F.col("_new_ts").alias("m_new"),
+    ).distinct()
+    out = ann.join(
+        F.broadcast(mapping),
+        (F.col("pair_id") == F.col("m_pair")) & (F.col("era") == F.col("m_era"))
+        & (F.col("order_id") == F.col("m_oid"))
+        & (F.col("next_microtimestamp") == F.col("m_old")),
+        "left",
+    )
+    return out.select(
+        F.col("_new_ts").alias("microtimestamp"),
+        "order_id", "event_no", "side", "price", "amount", "fill",
+        F.coalesce(F.col("m_new"), F.col("next_microtimestamp")).alias("next_microtimestamp"),
+        "next_event_no", "pair_id", "exchange_id", "local_timestamp",
+        "price_microtimestamp", "price_event_no", "chain_state", "era", "life_no",
+    )
+
+
+def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
+    """Q2: iterate merge_crossed_books to the uncrossed fixpoint; a period
+    with NO next uncrossed episode (crossed through era end) is repaired by
+    deleting its still-alive crossed orders at the first crossed instant
+    (the reference's "eternal crossed orders" fix). Bounded driver-side
+    iterations — each pass is a full distributed transform, and crossed
+    periods are rare by assumption, so the loop converges in 1-2 passes."""
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.order_book import snapshot
+    from obadiah_spark.operators.quality import crossed_books
+
+    cur = l3
+    for _ in range(max_iter):
+        cb = crossed_books(spread_fold(cur)).cache()
+        rows = cb.limit(1).count()
+        if rows == 0:
+            return cur
+        # materialize + cut lineage each round: the repair is iterative and
+        # the plan would otherwise compound (fold → merge → fold → ...)
+        cur = merge_crossed_books(cur, periods=cb).localCheckpoint()
+        eternal = [r.first_crossed for r in
+                   cb.filter(F.col("next_uncrossed").isNull())
+                     .select("first_crossed").distinct().collect()]
+        if not eternal:
+            continue
+        # "eternal takers" (reference fix 1: not is_maker, alive forever) and
+        # "eternal crossed orders" (fix 3: is_crossed, alive forever) get a
+        # synthesized delete event at the first crossed instant. The set is
+        # tiny (bounded by crossed book width × rare instants) — collect it,
+        # build ONE literal deletes frame, apply one batched rewrite instead
+        # of per-instant plan chains.
+        delete_rows = []
+        for ts in eternal:
+            for r in (snapshot(cur, ts, only_makers=False)
+                      .filter((~F.col("is_maker") | F.col("is_crossed"))
+                              & (F.col("chain_state") == "alive"))
+                      .collect()):
+                delete_rows.append((
+                    ts, r.order_id, r.event_no + 1, r.side, r.price, r.amount,
+                    None, None, None, r.pair_id, r.exchange_id, None,
+                    r.price_microtimestamp, r.price_event_no, "deleted",
+                    r.era, r.life_no,
+                ))
+        if not delete_rows:
+            continue
+        spark = cur.sparkSession
+        deletes = spark.createDataFrame(delete_rows, cur.select(*_L3_COLS).schema)
+        d_keys = deletes.select(
+            "pair_id", "era", "order_id",
+            F.col("event_no").alias("d_eno"),
+            F.col("microtimestamp").alias("d_ts"),
+        )
+        prior = cur.alias("c").join(
+            F.broadcast(d_keys).alias("d"), ["pair_id", "era", "order_id"], "left")
+        chains_to_delete = (
+            (F.col("c.chain_state") == "alive")
+            & (F.col("c.event_no") + 1 == F.col("d_eno"))
+        )
+        cur = prior.select(
+            "c.microtimestamp", "c.order_id", "c.event_no", "c.side",
+            "c.price", "c.amount", "c.fill",
+            F.when(chains_to_delete, F.col("d_ts"))
+             .otherwise(F.col("c.next_microtimestamp")).alias("next_microtimestamp"),
+            F.when(chains_to_delete, F.col("d_eno"))
+             .otherwise(F.col("c.next_event_no")).alias("next_event_no"),
+            "c.pair_id", "c.exchange_id", "c.local_timestamp",
+            "c.price_microtimestamp", "c.price_event_no",
+            F.when(chains_to_delete, F.lit("chained"))
+             .otherwise(F.col("c.chain_state")).alias("chain_state"),
+            "c.era", "c.life_no",
+        ).unionByName(deletes.select(*_L3_COLS)).localCheckpoint()
+    return cur
+
+
+def merge_crossed_books_oracle_sql() -> str:
+    """DuckDB mirror of :func:`merge_crossed_books` — the crossed periods
+    come from the same linear level1 CTEs used by the crossed_books oracle."""
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+    from obadiah_spark.operators.quality import CROSSED_BOOKS_ORACLE_SUFFIX
+
+    # reuse the crossed-books CTE chain verbatim, then rewrite level3
+    cb_ctes = SPREAD_L1_CTES + CROSSED_BOOKS_ORACLE_SUFFIX[
+        : CROSSED_BOOKS_ORACLE_SUFFIX.rindex(")") + 1
+    ]
+    return f"""
+WITH {cb_ctes}, cb AS (
+    SELECT pair_id, era, period_start AS first_crossed, next_uncrossed
+    FROM chained WHERE crossed AND next_uncrossed IS NOT NULL
+), tagged AS (
+    SELECT l.*, cb.first_crossed, cb.next_uncrossed
+    FROM level3 l LEFT JOIN cb
+      ON l.pair_id = cb.pair_id AND l.era = cb.era
+     AND l.microtimestamp >= cb.first_crossed
+     AND l.microtimestamp < cb.next_uncrossed
+), ann AS (
+    SELECT *,
+        CASE WHEN first_crossed IS NOT NULL THEN
+            CASE WHEN next_death < next_uncrossed AND next_death < last_seen
+                 THEN next_death ELSE next_uncrossed END
+             ELSE microtimestamp END AS _new_ts
+    FROM (
+        SELECT *,
+            min(CASE WHEN first_crossed IS NOT NULL AND chain_state = 'deleted'
+                     THEN microtimestamp END) OVER (
+                PARTITION BY pair_id, exchange_id, era, first_crossed, order_id
+                ORDER BY microtimestamp, event_no
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_death,
+            max(CASE WHEN first_crossed IS NOT NULL THEN microtimestamp END) OVER (
+                PARTITION BY pair_id, exchange_id, era, first_crossed, order_id
+                ) AS last_seen
+        FROM tagged) t
+), mapping AS (
+    SELECT DISTINCT pair_id AS m_pair, era AS m_era, order_id AS m_oid,
+           microtimestamp AS m_old, _new_ts AS m_new
+    FROM ann
+    WHERE first_crossed IS NOT NULL AND _new_ts <> microtimestamp
+)
+SELECT a._new_ts AS microtimestamp,
+       a.order_id, a.event_no, a.side, a.price, a.amount, a.fill,
+       coalesce(m.m_new, a.next_microtimestamp) AS next_microtimestamp,
+       a.next_event_no, a.pair_id, a.exchange_id, a.local_timestamp,
+       a.price_microtimestamp, a.price_event_no, a.chain_state, a.era, a.life_no
+FROM ann a LEFT JOIN mapping m
+  ON a.pair_id = m.m_pair AND a.era = m.m_era AND a.order_id = m.m_oid
+ AND a.next_microtimestamp = m.m_old
+"""
 
 
 def merge_episodes_oracle_sql(start: str, end: str) -> str:

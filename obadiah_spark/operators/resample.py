@@ -22,58 +22,92 @@ oracle, one shuffle on (pair, era, side, price).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
-from obadiah_spark.operators.depth import DEPTH_CHANGES_CTES, SPREAD_L1_CTES, depth_change
+from obadiah_spark.operators.depth import DEPTH_CHANGES_CTES, SPREAD_L1_CTES
 
 _EPS = 1e-9
 
 
 def depth_resample(l3: DataFrame, frequency_s: int = 3600, tick: float = 0.05) -> DataFrame:
-    """D11: bucketed book state at each frequency-grid instant with changes."""
+    """D11: bucketed book state at each frequency-grid instant with changes.
+
+    Fold-based (the 100 TB path, same split as :func:`queues`): the book
+    fold tracks which grid bucket each episode falls in and, on crossing a
+    bucket boundary, emits the tick-bucketed book state AT the closing grid
+    instant — only for buckets that saw a level change. The declarative
+    episode×level grid survives as the oracle only
+    (:func:`depth_resample_oracle_sql`): it densifies distinct grid instants
+    × distinct (side, price) per era, which materializes a mostly-unchanged
+    matrix at fine frequencies on a deep book."""
+    import math
+
+    import numpy as np
+
+    from obadiah_spark.fold import EpisodeFolder, stream_fold
+
     freq_us = frequency_s * 1_000_000
-    ch = depth_change(l3, keep_era=True).withColumn(
-        "grid_ts",
-        F.timestamp_micros(
-            ((F.unix_micros("microtimestamp") - 1)
-             - (F.unix_micros("microtimestamp") - 1) % freq_us + freq_us).cast("long")),
-    )
-    # last state of each level within each grid bucket, then carry forward
-    # era-scoped throughout: level state must NOT carry across an era reset
-    w_level = W.partitionBy("pair_id", "era", "side", "price", "grid_ts").orderBy(
-        F.desc("microtimestamp"))
-    last_in_bucket = (
-        ch.withColumn("_rn", F.row_number().over(w_level))
-        .filter("_rn = 1").drop("_rn")
-    )
-    grid = ch.select("pair_id", "era", "grid_ts").distinct()
-    levels = ch.select("pair_id", "era", "side", "price").distinct()
-    probes = grid.join(levels, ["pair_id", "era"])
-    w_carry = (
-        W.partitionBy("pair_id", "era", "side", "price").orderBy("grid_ts", "_kind")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    timeline = (
-        last_in_bucket.select("pair_id", "era", "side", "price", "grid_ts",
-                              "volume", F.lit(0).alias("_kind"))
-        .unionByName(probes.select("pair_id", "era", "side", "price", "grid_ts",
-                                   F.lit(None).cast("double").alias("volume"),
-                                   F.lit(1).alias("_kind")))
-    )
-    state = (
-        timeline.withColumn("v", F.last("volume", ignorenulls=True).over(w_carry))
-        .filter((F.col("_kind") == 1) & F.col("v").isNotNull() & (F.col("v") > 0))
-    )
-    bucket_price = F.when(
-        F.col("side") == "b",
-        F.floor(F.col("price") / tick + _EPS) * tick,
-    ).otherwise(-F.floor(-F.col("price") / tick + _EPS) * tick)
-    return (
-        state.withColumn("tick_price", bucket_price)
-        .groupBy("pair_id", F.col("grid_ts").alias("microtimestamp"), "side", "tick_price")
-        .agg(F.sum("v").alias("volume"))
-    )
+
+    class _ResampleFolder(EpisodeFolder):
+        OUT_COLS = ("pair_id", "microtimestamp", "side", "tick_price", "volume")
+
+        def __init__(self, meta) -> None:
+            super().__init__(meta)
+            self._cur_g: int | None = None
+            self._bucket_changed = False
+
+        @staticmethod
+        def _grid(ts) -> int:
+            us = int(np.datetime64(ts, "us").astype("int64"))
+            return (us - 1) - (us - 1) % freq_us + freq_us
+
+        def _emit_bucket(self, g_us: int) -> None:
+            if not self._bucket_changed:
+                return
+            self._bucket_changed = False
+            g_ts = np.datetime64(g_us, "us")
+            buckets: dict = {}
+            for (side, price), q in self.book.levels.items():
+                if side == "b":
+                    tp = math.floor(price / tick + _EPS) * tick
+                else:
+                    tp = -math.floor(-price / tick + _EPS) * tick
+                k = (side, tp)
+                buckets[k] = buckets.get(k, 0.0) + q
+            out = self.out
+            for (side, tp), vol in sorted(buckets.items()):
+                out["pair_id"].append(self.pair_id)
+                out["microtimestamp"].append(g_ts)
+                out["side"].append(side)
+                out["tick_price"].append(tp)
+                out["volume"].append(vol)
+
+        def on_episode_start(self, ts) -> None:
+            g = self._grid(ts)
+            if self._cur_g is not None and g != self._cur_g:
+                self._emit_bucket(self._cur_g)
+            self._cur_g = g
+
+        def on_episode(self, ts) -> None:
+            if self.changed_levels():
+                self._bucket_changed = True
+
+        def on_finish(self) -> None:
+            if self._cur_g is not None:
+                self._emit_bucket(self._cur_g)
+
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state"]
+    schema = ("pair_id int, microtimestamp timestamp, side string, "
+              "tick_price double, volume double")
+    folded = stream_fold(l3.select(*cols), _ResampleFolder, schema)
+    # a grid instant at an era boundary can close buckets of BOTH eras —
+    # merge them (the reference grid form aggregates across eras too); tiny
+    # output, map-side combinable
+    from pyspark.sql import functions as F
+
+    return folded.groupBy("pair_id", "microtimestamp", "side", "tick_price").agg(
+        F.sum("volume").alias("volume"))
 
 
 def depth_resample_oracle_sql(frequency_s: int = 3600, tick: float = 0.05) -> str:

@@ -73,11 +73,9 @@ def test_match_sum_of_fills_fixture(spark):
         "pair_id int, era timestamp, trade_microtimestamp timestamp, "
         "price double, fill double, origination string, exchange_trade_id long",
     )
-    out = match_sum_of_fills(l3, trades).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert r.order_id == 77 and r.fill == 5.0 and r.group_size == 2
-    assert r.trade_a == 901 and r.trade_b == 902
+    out = match_sum_of_fills(l3, trades).orderBy("exchange_trade_id").collect()
+    assert [r.exchange_trade_id for r in out] == [901, 902]
+    assert all(r.order_id == 77 and r.group_size == 2 for r in out)
 
 
 def test_match_sum_of_fills_rejects_wrong_sum(spark):
@@ -96,6 +94,22 @@ def test_match_sum_of_fills_rejects_wrong_sum(spark):
         "price double, fill double, origination string, exchange_trade_id long",
     )
     assert match_sum_of_fills(l3, trades).count() == 0
+
+
+def test_fix_crossed_books_reaches_uncrossed_fixpoint(level3):
+    """Q2: the synthetic book crosses transiently (crossing bids above the
+    ask floor); after repair the level1 stream must have NO crossed periods,
+    and the repair must not lose events."""
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.quality import crossed_books
+    from obadiah_spark.operators.repair import fix_crossed_books
+
+    before = crossed_books(spread_fold(level3)).count()
+    if before == 0:
+        pytest.skip("no crossed periods at this scale (need sf>=0.01 density)")
+    fixed = fix_crossed_books(level3)
+    assert crossed_books(spread_fold(fixed)).count() == 0
+    assert fixed.count() == level3.count() or fixed.count() > level3.count()
 
 
 def test_validate_parameters():
