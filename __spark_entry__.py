@@ -116,6 +116,14 @@ def _q_depth_change(spark, sf_dir):
     return depth_change_fold(_l3(spark, sf_dir))
 
 
+def _q_spread_periods(spark, sf_dir):
+    """D3: period-decomposed level1 (6h periods, seeded books) — must equal
+    the unsplit spread fold, so it shares the spread oracle."""
+    from obadiah_spark.fold import spread_fold_periods
+
+    return spread_fold_periods(_l3(spark, sf_dir), frequency_s=6 * 3600).drop("era")
+
+
 def _q_get_events(spark, sf_dir):
     from obadiah_spark.fold import spread_fold
     from obadiah_spark.operators.events import get_events
@@ -440,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_book": _q_order_book,
         "spread": _q_spread,
         "depth_change": _q_depth_change,
+        "spread_periods": _q_spread_periods,
         "get_events": _q_get_events,
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
@@ -531,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
+        "spread_periods": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         "get_events": level3_matches_cte(events_oracle_sql(EV_START, EV_END)),
         "get_trades": level3_matches_cte(trades_oracle_sql(TR_START, TR_END)),
         "events_intervals": level3_cte(intervals_oracle_sql(HORIZON)),

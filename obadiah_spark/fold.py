@@ -143,6 +143,7 @@ class _Events:
         self.price = pdf["price"].to_numpy()
         self.amount = pdf["amount"].to_numpy()
         self.deleted = (pdf["chain_state"] == "deleted").to_numpy()
+        self.seed = (pdf["chain_state"] == "seed").to_numpy()
 
     def episodes(self) -> Iterator[tuple[object, int, int]]:
         """Yield (ts, start, end) per microtimestamp episode (B5 semantics:
@@ -248,6 +249,7 @@ class EpisodeFolder:
         self.emitted: dict = {}
         self.out: dict[str, list] = {c: [] for c in self.OUT_COLS}
         self._cur_ts = None
+        self._cur_is_seed = False
 
     # hooks ---------------------------------------------------------------
     def on_episode(self, ts) -> None:
@@ -259,11 +261,24 @@ class EpisodeFolder:
         timestamp — folds that bucket the timeline use it to close out the
         previous bucket."""
 
+    def on_seed(self) -> None:
+        """Called instead of :meth:`on_episode` when the closing episode was
+        a SEED episode (chain_state='seed' rows injected by the period
+        decomposition): the book now equals the end-of-previous-period
+        state; absorb it into change-tracking state without emitting."""
+        self.changed_levels()
+
     def on_finish(self) -> None:
         """Called after the final episode's on_episode, before the last
         output chunk is taken."""
 
     # engine --------------------------------------------------------------
+    def _close_episode(self) -> None:
+        if self._cur_is_seed:
+            self.on_seed()
+        else:
+            self.on_episode(self._cur_ts)
+
     def feed(self, pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         ev = _Events(pdf)
         apply_ = self.book.apply
@@ -271,18 +286,19 @@ class EpisodeFolder:
         for ts, s, e in ev.episodes():
             if ts != self._cur_ts:
                 if self._cur_ts is not None:
-                    self.on_episode(self._cur_ts)
+                    self._close_episode()
                     if len(self.out[first_col]) >= self.CHUNK:
                         yield self._take()
                 self.on_episode_start(ts)
                 self._cur_ts = ts
+                self._cur_is_seed = bool(ev.seed[s])
             for i in range(s, e):
                 apply_(ev.order_id[i], ev.side[i], ev.price[i],
                        ev.amount[i], ev.deleted[i])
 
     def finish(self) -> Iterator[pd.DataFrame]:
         if self._cur_ts is not None:
-            self.on_episode(self._cur_ts)
+            self._close_episode()
             self._cur_ts = None
         self.on_finish()
         if len(self.out[self.OUT_COLS[0]]):
@@ -321,6 +337,11 @@ class _SpreadFolder(EpisodeFolder):
     def __init__(self, meta: pd.Series) -> None:
         super().__init__(meta)
         self._prev = None
+
+    def on_seed(self) -> None:
+        bb, bbq = self.book.best("b")
+        ba, baq = self.book.best("s")
+        self._prev = (bb, bbq, ba, baq)
 
     def on_episode(self, ts) -> None:
         bb, bbq = self.book.best("b")
@@ -375,3 +396,111 @@ def spread_fold(l3: DataFrame) -> DataFrame:
 def depth_change_fold(l3: DataFrame) -> DataFrame:
     """The 100 TB level2 path (D1)."""
     return stream_fold(l3.select(*_EVENT_COLS), _DepthFolder, DEPTH_SCHEMA)
+
+
+# ----------------------------------------------- period decomposition (D3) --
+
+def _period_start(ts, freq_us: int):
+    """Grid point strictly below ts (open on exact boundaries, F1
+    date_floor(ts − 1µs) — an event exactly on the grid belongs to the
+    period ENDING there)."""
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(ts) - 1
+    return F.timestamp_micros((us - us % F.lit(freq_us)).cast("long"))
+
+
+def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
+                frequency_s: int = 86400) -> DataFrame:
+    """The reference's answer to "one giant era serializes the fold"
+    (``_periods_within_eras`` + seeded restart, db/obanalytics_schema.sql:
+    979-1005, level2_continuous :1627-1661): split each era into
+    frequency-aligned periods, seed each period's book with the
+    end-of-previous-period level state, and fold every (era, period)
+    INDEPENDENTLY — parallelism becomes #periods, not #eras.
+
+    Seeds must be PER-ORDER, not per-level: the book is order-granular, so an
+    amend/delete of a pre-boundary order must find that order's old amount in
+    the seeded book (a level-aggregate pseudo-order would double-count on the
+    first later amend — the reference seeds from ``order_book()`` snapshots,
+    which are per-order, for the same reason). Open-order state at each
+    boundary is carried declaratively (one window over events ∪ boundary
+    probes per order chain) and injected as ``chain_state='seed'`` events
+    with the REAL order_ids at the period-start instant; the folder absorbs
+    the seed episode into its book and change-tracking state without
+    emitting, so the output is IDENTICAL to the unsplit fold (the equality
+    is pytest-enforced).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    freq_us = frequency_s * 1_000_000
+    ev = l3.select(*_EVENT_COLS).withColumn(
+        "period_start", _period_start(F.col("microtimestamp"), freq_us))
+
+    okeys = ["pair_id", "exchange_id", "era", "order_id"]
+    st_type = "struct<side:string,price:double,amount:double,chain_state:string>"
+
+    # prune probes to chains alive at the boundary: first event at or before
+    # it, and not conclusively dead before it (reincarnated chains keep their
+    # probe; the carried state filters the dead interval out exactly)
+    life = ev.groupBy(*okeys).agg(
+        F.min("microtimestamp").alias("first_ts"),
+        F.max("microtimestamp").alias("last_ts"),
+        F.max_by(F.col("chain_state") == "deleted",
+                 F.struct("microtimestamp", "event_no")).alias("ends_deleted"),
+    )
+    periods = ev.select("pair_id", "exchange_id", "era", "period_start").distinct()
+    probes = (
+        periods.join(life, ["pair_id", "exchange_id", "era"])
+        .filter((F.col("first_ts") <= F.col("period_start"))
+                & (~F.col("ends_deleted")
+                   | (F.col("last_ts") > F.col("period_start"))))
+    )
+
+    # order-chain state carried onto each boundary probe: probes sort AFTER
+    # events at the exact boundary instant (an event at ts==P belongs to the
+    # period ENDING at P, so its state is what the next period seeds from)
+    w_carry = (
+        W.partitionBy(*okeys)
+        .orderBy("ts", "_kind", "event_no")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = ev.select(
+        *okeys, F.col("microtimestamp").alias("ts"), F.lit(0).alias("_kind"),
+        "event_no", F.struct("side", "price", "amount", "chain_state").alias("st"),
+        F.lit(None).cast("timestamp").alias("p_start"),
+    ).unionByName(probes.select(
+        *okeys, F.col("period_start").alias("ts"), F.lit(1).alias("_kind"),
+        F.lit(0).alias("event_no"), F.lit(None).cast(st_type).alias("st"),
+        F.col("period_start").alias("p_start"),
+    ))
+    seeds = (
+        timeline.withColumn("c", F.last("st", ignorenulls=True).over(w_carry))
+        .filter((F.col("_kind") == 1) & F.col("c").isNotNull()
+                & (F.col("c.chain_state") != "deleted"))
+    )
+    seed_events = seeds.select(
+        "pair_id", "exchange_id", "era",
+        F.col("p_start").alias("microtimestamp"),
+        "order_id", F.lit(0).alias("event_no"),
+        F.col("c.side").alias("side"), F.col("c.price").alias("price"),
+        F.col("c.amount").alias("amount"),
+        F.lit("seed").alias("chain_state"),
+        F.col("p_start").alias("period_start"),
+    )
+    unioned = ev.unionByName(seed_events.select(*_EVENT_COLS, "period_start"))
+    return stream_fold(
+        unioned, folder, schema,
+        keys=("pair_id", "exchange_id", "era", "period_start"),
+    )
+
+
+def spread_fold_periods(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
+    """D3/D8: period-parallel level1 — identical output to spread_fold."""
+    return period_fold(l3, _SpreadFolder, SPREAD_SCHEMA, frequency_s)
+
+
+def depth_change_fold_periods(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
+    """D3: period-parallel level2 — identical output to depth_change_fold."""
+    return period_fold(l3, _DepthFolder, DEPTH_SCHEMA, frequency_s)

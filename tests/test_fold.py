@@ -37,6 +37,26 @@ def test_spread_fold_vs_linear_vs_slow(spark, duck, level3):
     assert not compare("spread fold-vs-slow", fold_pdf, slow_pdf)
 
 
+def test_period_fold_equals_unsplit(spark, level3):
+    """D3 period decomposition: splitting eras into frequency periods with
+    seeded books must reproduce the unsplit fold byte-for-byte (the
+    reference's level2_continuous contract, obanalytics_schema.sql:1627-1661).
+    6-hour periods → many periods per weekly era, so seeding is exercised."""
+    from obadiah_spark.fold import (
+        depth_change_fold_periods,
+        spread_fold_periods,
+    )
+
+    base_spread = spread_fold(level3).toPandas()
+    per_spread = spread_fold_periods(level3, frequency_s=6 * 3600).toPandas()
+    assert len(base_spread) > 0
+    assert not compare("spread periods-vs-unsplit", base_spread, per_spread)
+
+    base_depth = depth_change_fold(level3).toPandas()
+    per_depth = depth_change_fold_periods(level3, frequency_s=6 * 3600).toPandas()
+    assert not compare("depth periods-vs-unsplit", base_depth, per_depth)
+
+
 def test_stream_fold_is_batch_size_invariant(spark, level3):
     """The fold must NOT depend on whole-group materialization: forcing tiny
     Arrow batches (so every group spans many batches and episodes split
