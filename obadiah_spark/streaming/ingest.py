@@ -21,10 +21,16 @@ trigger model's behavior.
 Differential contract (tested): feeding the same events through any batch
 split must reproduce the one-shot batch synthesis bit-for-bit.
 
-Scale note: the tail state is O(open chains) per (pair, era) — in production
-this state lives in ``transformWithStateInPandas`` keyed by (pair, era,
-order); the driver-side dict here mirrors that state machine 1:1 and keeps
-the test surface deterministic.
+Scale note: the tail state is O(open chains) per (pair, era). The
+EXECUTOR-SIDE implementation of the same machine — keyed state in the Spark
+state store via ``applyInPandasWithState`` — lives in
+:mod:`obadiah_spark.streaming.chain`; both share :func:`advance_chain`, so
+the two paths cannot drift. This driver-side dict remains as the
+deterministic single-process mirror used by the unit differentials.
+(``transformWithStateInPandas`` would be the Spark 4 surface, but its python
+worker requires ``google.protobuf``, absent in this container — the
+applyInPandasWithState path is the same architecture: state partitioned by
+key, checkpointed, never on the driver.)
 """
 
 from __future__ import annotations
@@ -70,6 +76,87 @@ class _ChainState:
         return c
 
 
+def keyed_events(ev: pd.DataFrame) -> pd.DataFrame:
+    """The same derivations as synth.LEVEL3_BODY_SQL's l3_keyed CTE,
+    vectorized pandas (the streaming chain does this projection in Spark SQL
+    — :func:`obadiah_spark.streaming.chain.keyed_stream`)."""
+    out = pd.DataFrame({
+        "event_id": ev["event_id"].astype("int64"),
+        "local_timestamp": ev["ts"],
+    })
+    out["microtimestamp"] = ev["ts"].dt.floor("min")
+    out["order_id"] = 1 + out["event_id"] % 240
+    out["pair_id"] = (1 + out["order_id"] % 2).astype("int32")
+    out["side"] = (out["order_id"] % 4 < 2).map({True: "b", False: "s"})
+    days = pd.to_timedelta(out["microtimestamp"].dt.weekday, unit="D")
+    out["era"] = (out["microtimestamp"] - days).dt.normalize()
+    return out
+
+
+def advance_chain(state: _ChainState, r, row: dict | None = None) -> dict:
+    """Advance one chain's fold state by event ``r`` (I8, the trigger body of
+    ``level3_incorporate_new_event``); return the level3 row fields.
+
+    Mutates ``state`` in place. ``row`` reuses an existing dict (tail
+    amendment) so linked-forward pointers survive. Shared by the driver-side
+    :class:`Level3Ingestor` mirror and the executor-side
+    :mod:`obadiah_spark.streaming.chain` stateful processor."""
+    oid = int(r.order_id)
+    step = (int(r.event_id) - int(r.event_id) % 240) // 240
+    raw_price, raw_amount = _raw_vals(oid, step)
+    pos = state.seq              # 0-based position in (order, era)
+    is_delete = oid % 12 == 7 and pos % 5 == 4
+    event_no = state.count + 1
+    if is_delete:
+        price = state.prev_price if state.prev_price is not None else raw_price
+        amount = state.prev_amount if state.prev_amount is not None else raw_amount
+        fill = None
+        pg_ts = state.pg_ts if state.pg_ts is not None else r.microtimestamp
+        pg_eno = state.pg_eno if state.pg_eno is not None else event_no
+        chain_state = "deleted"
+        life_no = state.life_no
+        state.life_no += 1
+        state.count = 0
+        state.prev_price = state.prev_amount = None
+        state.pg_ts = state.pg_eno = None
+    else:
+        price, amount = raw_price, raw_amount
+        fill = None if state.prev_amount is None else state.prev_amount - amount
+        changed = state.prev_price is None or price != state.prev_price
+        pg_ts = r.microtimestamp if changed else state.pg_ts
+        pg_eno = event_no if changed else state.pg_eno
+        chain_state = None       # finalized at close
+        life_no = state.life_no
+        state.count = event_no
+        state.prev_price, state.prev_amount = price, amount
+        state.pg_ts, state.pg_eno = pg_ts, pg_eno
+    state.seq = pos + 1
+    fields = {
+        "microtimestamp": r.microtimestamp,
+        "order_id": oid,
+        "event_no": event_no,
+        "side": r.side,
+        "price": price,
+        "amount": amount,
+        "fill": fill,
+        "next_microtimestamp": None,
+        "next_event_no": None,
+        "pair_id": int(r.pair_id),
+        "exchange_id": 1,
+        "local_timestamp": r.local_timestamp,
+        "price_microtimestamp": pg_ts,
+        "price_event_no": pg_eno,
+        "chain_state": chain_state,
+        "era": r.era,
+        "life_no": life_no,
+        "event_id": int(r.event_id),
+    }
+    if row is None:
+        return fields
+    row.update(fields)
+    return row
+
+
 class Level3Ingestor:
     """Accumulates level3 rows across micro-batches of raw events."""
 
@@ -79,80 +166,10 @@ class Level3Ingestor:
         #                         (state before the tail), after=_ChainState)
         self.tails: dict[tuple, dict] = {}
 
-    # -- the same derivations as synth.LEVEL3_BODY_SQL, row-at-a-time -------
-    @staticmethod
-    def _keyed(ev: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "event_id": ev["event_id"].astype("int64"),
-            "local_timestamp": ev["ts"],
-        })
-        out["microtimestamp"] = ev["ts"].dt.floor("min")
-        out["order_id"] = 1 + out["event_id"] % 240
-        out["pair_id"] = (1 + out["order_id"] % 2).astype("int32")
-        out["side"] = (out["order_id"] % 4 < 2).map({True: "b", False: "s"})
-        days = pd.to_timedelta(out["microtimestamp"].dt.weekday, unit="D")
-        out["era"] = (out["microtimestamp"] - days).dt.normalize()
-        return out
+    _keyed = staticmethod(keyed_events)
 
     def _apply(self, state: _ChainState, r, row: dict | None = None) -> dict:
-        """Advance ``state`` by event ``r``; return the level3 row fields.
-
-        Mutates ``state`` in place. ``row`` reuses an existing dict (tail
-        amendment) so linked-forward pointers survive."""
-        oid = int(r.order_id)
-        step = (int(r.event_id) - int(r.event_id) % 240) // 240
-        raw_price, raw_amount = _raw_vals(oid, step)
-        pos = state.seq              # 0-based position in (order, era)
-        is_delete = oid % 12 == 7 and pos % 5 == 4
-        event_no = state.count + 1
-        if is_delete:
-            price = state.prev_price if state.prev_price is not None else raw_price
-            amount = state.prev_amount if state.prev_amount is not None else raw_amount
-            fill = None
-            pg_ts = state.pg_ts if state.pg_ts is not None else r.microtimestamp
-            pg_eno = state.pg_eno if state.pg_eno is not None else event_no
-            chain_state = "deleted"
-            life_no = state.life_no
-            state.life_no += 1
-            state.count = 0
-            state.prev_price = state.prev_amount = None
-            state.pg_ts = state.pg_eno = None
-        else:
-            price, amount = raw_price, raw_amount
-            fill = None if state.prev_amount is None else state.prev_amount - amount
-            changed = state.prev_price is None or price != state.prev_price
-            pg_ts = r.microtimestamp if changed else state.pg_ts
-            pg_eno = event_no if changed else state.pg_eno
-            chain_state = None       # finalized at close
-            life_no = state.life_no
-            state.count = event_no
-            state.prev_price, state.prev_amount = price, amount
-            state.pg_ts, state.pg_eno = pg_ts, pg_eno
-        state.seq = pos + 1
-        fields = {
-            "microtimestamp": r.microtimestamp,
-            "order_id": oid,
-            "event_no": event_no,
-            "side": r.side,
-            "price": price,
-            "amount": amount,
-            "fill": fill,
-            "next_microtimestamp": None,
-            "next_event_no": None,
-            "pair_id": int(r.pair_id),
-            "exchange_id": 1,
-            "local_timestamp": r.local_timestamp,
-            "price_microtimestamp": pg_ts,
-            "price_event_no": pg_eno,
-            "chain_state": chain_state,
-            "era": r.era,
-            "life_no": life_no,
-            "event_id": int(r.event_id),
-        }
-        if row is None:
-            return fields
-        row.update(fields)
-        return row
+        return advance_chain(state, r, row)
 
     def process_batch(self, batch: pd.DataFrame) -> None:
         if len(batch) == 0:

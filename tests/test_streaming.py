@@ -45,6 +45,40 @@ def test_ingestor_single_batch_equals_many(spark):
     assert canonicalize(a).equals(canonicalize(b))
 
 
+def _write_event_chunks(spark, events, d, n_chunks=4):
+    src = os.path.join(d, "events")
+    os.makedirs(src)
+    for i, chunk in enumerate(np.array_split(events, n_chunks)):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk_{i:03d}"))
+    flat = os.path.join(d, "flat")
+    os.makedirs(flat)
+    n = 0
+    for root, _, files in sorted(os.walk(src)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(root, f), os.path.join(flat, f"{n:03d}.parquet"))
+                n += 1
+    return flat
+
+
+def test_chain_stream_executor_side(spark, level3):
+    """The production streaming path: applyInPandasWithState keyed by
+    (pair, exchange, era, order) — state in the Spark state store, update-mode
+    upsert emissions, latest-wins materialization, era-close finalization.
+    Must reproduce the one-shot batch synthesis bit-for-bit."""
+    from obadiah_spark.streaming.chain import finalize_open_chains, run_chain_stream
+
+    events = spark.table("events").toPandas().sort_values("ts").reset_index(drop=True)
+    with tempfile.TemporaryDirectory() as d:
+        flat = _write_event_chunks(spark, events, d)
+        latest = run_chain_stream(spark, flat, EVENTS_SCHEMA,
+                                  os.path.join(d, "ckpt"))
+    got = finalize_open_chains(latest)
+    want = _batch_l3(level3)
+    assert not compare("chain-stream-vs-batch", got, want)
+
+
 def test_streaming_end_to_end(spark, level3):
     """Real Structured Streaming run: file source, one file per micro-batch,
     availableNow trigger, watermark declared, foreachBatch chaining."""
