@@ -55,13 +55,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing nanosecond timestamps.
+    """Read one driver parquet table, normalizing the ``ts`` timestamp type.
 
-    The driver's ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which
-    the Spark parquet reader rejects. We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to µs with
-    integer DIV (a double division would lose precision at ~1.7e18) — the
-    same truncation DuckDB applies, so oracles agree.
+    The driver's ``events.parquet`` has stored ``ts`` as TIMESTAMP(NANOS)
+    (which the Spark parquet reader rejects — read nanos as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and floor-divide to µs with
+    integer DIV; a double division would lose precision at ~1.7e18) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    TIMESTAMP_NTZ — cast to the session-UTC TIMESTAMP so ``unix_micros`` and
+    LTZ literal comparisons resolve). Either way the values match what DuckDB
+    reads, so oracles agree.
     """
     from pyspark.sql import functions as F  # local import keeps module import cheap
     from pyspark.sql import types as T
@@ -70,7 +73,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if any(isinstance(f.dataType, T.LongType) and f.name == "ts" for f in df.schema.fields):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        for f in df.schema.fields:
+            if f.name == "ts":
+                if isinstance(f.dataType, T.LongType):
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                elif isinstance(f.dataType, T.TimestampNTZType):
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
