@@ -397,6 +397,48 @@ def _q_merge_crossed_books(spark, sf_dir):
     return merge_crossed_books(_l3(spark, sf_dir))
 
 
+def _q_csv_roundtrip(spark, sf_dir):
+    """SRC7: write the level3 log to CSV (±infinity text) and read it back
+    typed; must equal the original rows."""
+    import tempfile
+
+    from obadiah_spark.sources.csv_io import csv_roundtrip
+
+    return csv_roundtrip(_l3(spark, sf_dir), tempfile.mkdtemp(prefix="l3csv_"))
+
+
+def _staged_trades(spark, sf_dir):
+    from obadiah_spark.operators.promote import STAGED_TRADES_SQL
+
+    _l3(spark, sf_dir)  # registers the matches view
+    return spark.sql(STAGED_TRADES_SQL)
+
+
+def _q_move_events(spark, sf_dir):
+    from obadiah_spark.operators.promote import move_events
+
+    return move_events(_l3(spark, sf_dir), _staged_trades(spark, sf_dir),
+                       EV_START, EV_END)
+
+
+def _q_move_trades(spark, sf_dir):
+    from obadiah_spark.operators.promote import move_trades
+
+    return move_trades(_staged_trades(spark, sf_dir), EV_START, EV_END)
+
+
+def _q_staging_summary(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.fold import depth_change_fold, spread_fold
+    from obadiah_spark.operators.promote import staging_summary
+
+    l3 = _l3(spark, sf_dir)
+    d2 = depth_change_fold(l3).withColumn(
+        "era", F.date_trunc("week", "microtimestamp"))
+    return staging_summary(l3, _staged_trades(spark, sf_dir), spread_fold(l3), d2)
+
+
 def _q_depth_chains(spark, sf_dir):
     from obadiah_spark.operators.depth_chains import depth_changes_with_chains
 
@@ -480,6 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
         "depth_chains": _q_depth_chains,  # sequential chain-id map: rows-only + fixture tests
     }
 
@@ -524,6 +570,12 @@ def oracle_sql() -> dict[str, str]:
         match_sum_of_fills_oracle_sql,
     )
     from obadiah_spark.operators.order_book import order_book_oracle_sql
+    from obadiah_spark.operators.promote import (
+        move_events_oracle_sql,
+        move_trades_oracle_sql,
+        staging_summary_oracle_sql,
+    )
+    from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
     from obadiah_spark.operators.trading import trading_period_v0_oracle
     from obadiah_spark.pipelines import dedup
     from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
@@ -574,5 +626,9 @@ def oracle_sql() -> dict[str, str]:
         "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
         "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),
+        "csv_roundtrip": level3_cte(csv_roundtrip_oracle_sql()),
+        "move_events": level3_matches_cte(move_events_oracle_sql(EV_START, EV_END)),
+        "move_trades": level3_matches_cte(move_trades_oracle_sql(EV_START, EV_END)),
+        "staging_summary": level3_matches_cte(staging_summary_oracle_sql()),
         # depth_chains: sequential chain-id allocation, not SQL-expressible
     }
