@@ -397,6 +397,17 @@ def _q_merge_crossed_books(spark, sf_dir):
     return merge_crossed_books(_l3(spark, sf_dir))
 
 
+ERA_SPLIT_AT = "2024-01-10 00:00:00"  # mid-era instant (era of Jan 8 week)
+
+
+def _q_insert_era(spark, sf_dir):
+    """Q6: split the era containing ERA_SPLIT_AT; returns the full rewritten
+    log (clones at the new era head, renumbered chains, clipped tails)."""
+    from obadiah_spark.operators.repair import insert_level3_era
+
+    return insert_level3_era(_l3(spark, sf_dir), ERA_SPLIT_AT)
+
+
 def _q_csv_roundtrip(spark, sf_dir):
     """SRC7: write the level3 log to CSV (±infinity text) and read it back
     typed; must equal the original rows."""
@@ -522,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
+        "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
@@ -541,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         get_spread_oracle_sql,
     )
     from obadiah_spark.operators.repair import (
+        insert_level3_era_oracle_sql,
         merge_crossed_books_oracle_sql,
         merge_episodes_oracle_sql,
     )
@@ -626,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
         "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),
+        "insert_era": level3_cte(insert_level3_era_oracle_sql(ERA_SPLIT_AT)),
         "csv_roundtrip": level3_cte(csv_roundtrip_oracle_sql()),
         "move_events": level3_matches_cte(move_events_oracle_sql(EV_START, EV_END)),
         "move_trades": level3_matches_cte(move_trades_oracle_sql(EV_START, EV_END)),

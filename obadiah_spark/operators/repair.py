@@ -226,6 +226,200 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
     return cur
 
 
+def insert_level3_era(l3: DataFrame, new_era: str) -> DataFrame:
+    """Q6 ``obanalytics.insert_level3_era`` (reference
+    db/obanalytics_schema.sql:1440-1597): split the era containing
+    ``new_era`` in two.
+
+    Semantics (per pair/exchange whose current era spans ``new_era``):
+
+    - every event at/after the boundary moves to the new era;
+    - a chain OPEN across the boundary (its last pre-boundary event has a
+      finite forward pointer ≥ boundary) is CLONED into the new era head:
+      one synthetic event at the boundary with event_no=1 carrying the
+      chain's current (side, price, amount, fill), price pointer =
+      (boundary, 1), forward pointer = the first post-boundary event;
+    - the pre-boundary side of such a chain is clipped: its last event's
+      forward pointer becomes 'infinity' (here: NULL + chain_state 'alive');
+    - post-boundary events of a crossing chain are renumbered 2, 3, … (the
+      reference walks the ``next_*`` pointers with a recursive CTE; given
+      audit-consistent pointers — chain_audit — that walk visits exactly the
+      chain's post-boundary events in (microtimestamp, event_no) order, so a
+      per-chain window rank computes the same numbers in one pass, with no
+      iteration: the Spark-first translation of SURVEY §6.5);
+    - price pointers of renumbered events follow the renumbering: a pointer
+      before the boundary is redirected to the clone (boundary, 1), one at or
+      after it keeps its microtimestamp and takes the target's new event_no
+      (deviation noted: the reference's recursive branch propagates the OLD
+      price_event_no even when redirecting to the clone whose event_no is
+      always 1 — we keep the self-consistent form, as does the clone's
+      next_event_no = 2 where the reference copies the stale pre-split
+      number);
+    - ``life_no`` (this engine's reincarnation counter) is recomputed within
+      the new era, so downstream folds see a coherent per-era numbering.
+
+    Scale: no recursion and no driver loop — one broadcast of the tiny
+    (pair, exchange) → era row, chain windows on the usual fold keys, and one
+    self-join of the (small) renumbered slice for price-pointer remapping.
+    """
+    ts = F.lit(new_era).cast("timestamp")
+    prev = l3.groupBy("pair_id", "exchange_id").agg(
+        F.max(F.when(F.col("era") <= ts, F.col("era"))).alias("prev_era")
+    )
+    j = l3.join(F.broadcast(prev), ["pair_id", "exchange_id"], "left")
+    in_prev = F.col("era") == F.col("prev_era")
+    pre = in_prev & (F.col("microtimestamp") < ts)
+    post = in_prev & (F.col("microtimestamp") >= ts)
+    crossing_evt = pre & (F.col("next_microtimestamp") >= ts)
+
+    w_chain = W.partitionBy("pair_id", "exchange_id", "order_id", "era", "life_no")
+    w_seq = w_chain.orderBy("microtimestamp", "event_no")
+    chain_crosses = F.max(crossing_evt.cast("int")).over(w_chain) == 1
+    tail_rank = F.sum(post.cast("int")).over(
+        w_seq.rowsBetween(W.unboundedPreceding, W.currentRow))
+
+    renum = post & chain_crosses
+    ann = j.select(
+        "*", crossing_evt.alias("_cross"), renum.alias("_renum"),
+        pre.alias("_pre"), post.alias("_post"),
+        F.when(renum, tail_rank + 1).otherwise(F.col("event_no")).alias("_new_eno"),
+    )
+
+    # clones: one per crossing chain, at the boundary, event_no 1 → 2
+    clones = ann.filter("_cross").select(
+        ts.alias("microtimestamp"), "order_id",
+        F.lit(1).alias("event_no"), "side", "price", "amount", "fill",
+        "next_microtimestamp", F.lit(2).alias("next_event_no"),
+        "pair_id", "exchange_id",
+        F.lit(None).cast("timestamp").alias("local_timestamp"),
+        ts.alias("price_microtimestamp"), F.lit(1).alias("price_event_no"),
+        F.lit("chained").alias("chain_state"), ts.alias("era"),
+        "life_no",  # placeholder; recomputed below
+    )
+
+    # price-pointer remap for renumbered events (same chain, post side)
+    pmap = ann.filter("_renum").select(
+        F.col("pair_id").alias("m_pair"), F.col("exchange_id").alias("m_exch"),
+        F.col("order_id").alias("m_oid"), F.col("era").alias("m_era"),
+        F.col("life_no").alias("m_life"),
+        F.col("microtimestamp").alias("m_ts"), F.col("event_no").alias("m_eno"),
+        F.col("_new_eno").alias("m_new_eno"),
+    )
+    rewritten = ann.join(
+        pmap,
+        (F.col("pair_id") == F.col("m_pair")) & (F.col("exchange_id") == F.col("m_exch"))
+        & (F.col("order_id") == F.col("m_oid")) & (F.col("era") == F.col("m_era"))
+        & (F.col("life_no") == F.col("m_life"))
+        & (F.col("price_microtimestamp") == F.col("m_ts"))
+        & (F.col("price_event_no") == F.col("m_eno"))
+        & F.col("_renum"),
+        "left",
+    ).select(
+        "microtimestamp", "order_id",
+        F.col("_new_eno").alias("event_no"),
+        "side", "price", "amount", "fill",
+        F.when(F.col("_cross"), F.lit(None).cast("timestamp"))
+        .otherwise(F.col("next_microtimestamp")).alias("next_microtimestamp"),
+        F.when(F.col("_cross"), F.lit(None).cast("int"))
+        .when(F.col("_renum") & (F.col("chain_state") == "chained"),
+              F.col("_new_eno") + 1)
+        .otherwise(F.col("next_event_no")).alias("next_event_no"),
+        "pair_id", "exchange_id", "local_timestamp",
+        F.when(F.col("_renum") & (F.col("price_microtimestamp") < ts), ts)
+        .otherwise(F.col("price_microtimestamp")).alias("price_microtimestamp"),
+        F.when(F.col("_renum") & (F.col("price_microtimestamp") < ts), F.lit(1))
+        .when(F.col("m_new_eno").isNotNull(), F.col("m_new_eno"))
+        .otherwise(F.col("price_event_no")).alias("price_event_no"),
+        F.when(F.col("_cross"), F.lit("alive"))
+        .otherwise(F.col("chain_state")).alias("chain_state"),
+        F.when(F.col("_post"), ts).otherwise(F.col("era")).alias("era"),
+        "life_no",
+    )
+    out = rewritten.unionByName(clones)
+    # recompute life_no inside the NEW era (clones + moved events)
+    w_order = (
+        W.partitionBy("pair_id", "exchange_id", "order_id", "era")
+        .orderBy("microtimestamp", "event_no")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_life = F.coalesce(
+        F.sum((F.col("chain_state") == "deleted").cast("int")).over(w_order),
+        F.lit(0),
+    ).cast("int")
+    return out.withColumn(
+        "life_no", F.when(F.col("era") == ts, new_life).otherwise(F.col("life_no"))
+    )
+
+
+def insert_level3_era_oracle_sql(new_era: str) -> str:
+    """DuckDB mirror of :func:`insert_level3_era` (linear window form of the
+    reference's recursive walk — see the operator docstring)."""
+    return f"""
+WITH prev AS (
+    SELECT pair_id, exchange_id,
+           max(CASE WHEN era <= TIMESTAMP '{new_era}' THEN era END) AS prev_era
+    FROM level3 GROUP BY pair_id, exchange_id
+), ann AS (
+    SELECT l.*,
+        l.era = p.prev_era AND l.microtimestamp < TIMESTAMP '{new_era}'
+            AND l.next_microtimestamp >= TIMESTAMP '{new_era}' AS _cross,
+        l.era = p.prev_era AND l.microtimestamp < TIMESTAMP '{new_era}' AS _pre,
+        l.era = p.prev_era AND l.microtimestamp >= TIMESTAMP '{new_era}' AS _post
+    FROM level3 l JOIN prev p USING (pair_id, exchange_id)
+), flagged AS (
+    SELECT *,
+        max(CASE WHEN _cross THEN 1 ELSE 0 END) OVER w_chain = 1 AS chain_crosses,
+        sum(CASE WHEN _post THEN 1 ELSE 0 END) OVER (
+            PARTITION BY pair_id, exchange_id, order_id, era, life_no
+            ORDER BY microtimestamp, event_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail_rank
+    FROM ann
+    WINDOW w_chain AS (PARTITION BY pair_id, exchange_id, order_id, era, life_no)
+), renum AS (
+    SELECT *, _post AND chain_crosses AS _renum,
+        CASE WHEN _post AND chain_crosses THEN tail_rank + 1 ELSE event_no END AS _new_eno
+    FROM flagged
+), rewritten AS (
+    SELECT r.microtimestamp, r.order_id, r._new_eno AS event_no,
+        r.side, r.price, r.amount, r.fill,
+        CASE WHEN r._cross THEN NULL ELSE r.next_microtimestamp END AS next_microtimestamp,
+        CASE WHEN r._cross THEN NULL
+             WHEN r._renum AND r.chain_state = 'chained' THEN r._new_eno + 1
+             ELSE r.next_event_no END AS next_event_no,
+        r.pair_id, r.exchange_id, r.local_timestamp,
+        CASE WHEN r._renum AND r.price_microtimestamp < TIMESTAMP '{new_era}'
+             THEN TIMESTAMP '{new_era}' ELSE r.price_microtimestamp
+             END AS price_microtimestamp,
+        CASE WHEN r._renum AND r.price_microtimestamp < TIMESTAMP '{new_era}' THEN 1
+             WHEN m._new_eno IS NOT NULL THEN m._new_eno
+             ELSE r.price_event_no END AS price_event_no,
+        CASE WHEN r._cross THEN 'alive' ELSE r.chain_state END AS chain_state,
+        CASE WHEN r._post THEN TIMESTAMP '{new_era}' ELSE r.era END AS era,
+        r.life_no
+    FROM renum r LEFT JOIN (SELECT * FROM renum WHERE _renum) m
+      ON r._renum AND r.pair_id = m.pair_id AND r.exchange_id = m.exchange_id
+     AND r.order_id = m.order_id AND r.era = m.era AND r.life_no = m.life_no
+     AND r.price_microtimestamp = m.microtimestamp
+     AND r.price_event_no = m.event_no
+    UNION ALL
+    SELECT TIMESTAMP '{new_era}', order_id, 1, side, price, amount, fill,
+        next_microtimestamp, 2, pair_id, exchange_id, NULL,
+        TIMESTAMP '{new_era}', 1, 'chained', TIMESTAMP '{new_era}', life_no
+    FROM renum WHERE _cross
+)
+SELECT microtimestamp, order_id, event_no, side, price, amount, fill,
+    next_microtimestamp, next_event_no, pair_id, exchange_id,
+    local_timestamp, price_microtimestamp, price_event_no, chain_state, era,
+    CASE WHEN era = TIMESTAMP '{new_era}' THEN
+        CAST(coalesce(sum(CASE WHEN chain_state = 'deleted' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY pair_id, exchange_id, order_id, era
+                  ORDER BY microtimestamp, event_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+        ELSE life_no END AS life_no
+FROM rewritten
+"""
+
+
 def merge_crossed_books_oracle_sql() -> str:
     """DuckDB mirror of :func:`merge_crossed_books` — the crossed periods
     come from the same linear level1 CTEs used by the crossed_books oracle."""
