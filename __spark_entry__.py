@@ -394,7 +394,18 @@ def _q_merge_crossed_books(spark, sf_dir):
     crosses transiently — see crossed_books)."""
     from obadiah_spark.operators.repair import merge_crossed_books
 
-    return merge_crossed_books(_l3(spark, sf_dir))
+    return merge_crossed_books(_l3(spark, sf_dir)).drop("_old_ts")
+
+
+def _q_move_audit(spark, sf_dir):
+    """I13/I14 over the crossed-book merge: every moved row with its
+    preserved exchange microtimestamp and violation class (moves longer than
+    120 s are 'too_far' — non-vacuous on the synthetic crossed periods)."""
+    from obadiah_spark.operators.quality import audit_microtimestamp_moves
+    from obadiah_spark.operators.repair import merge_crossed_books
+
+    return audit_microtimestamp_moves(
+        merge_crossed_books(_l3(spark, sf_dir)), max_change_s=120)
 
 
 ERA_SPLIT_AT = "2024-01-10 00:00:00"  # mid-era instant (era of Jan 8 week)
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
+        "move_audit": _q_move_audit,
         "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
         "move_events": _q_move_events,
@@ -553,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         get_spread_oracle_sql,
     )
     from obadiah_spark.operators.repair import (
+        audit_microtimestamp_moves_oracle_sql,
         insert_level3_era_oracle_sql,
         merge_crossed_books_oracle_sql,
         merge_episodes_oracle_sql,
@@ -639,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
         "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),
+        "move_audit": level3_cte(audit_microtimestamp_moves_oracle_sql(120)),
         "insert_era": level3_cte(insert_level3_era_oracle_sql(ERA_SPLIT_AT)),
         "csv_roundtrip": level3_cte(csv_roundtrip_oracle_sql()),
         "move_events": level3_matches_cte(move_events_oracle_sql(EV_START, EV_END)),

@@ -185,3 +185,37 @@ SELECT pair_id, era, order_id, life_no, event_no, 'terminal_with_next'
 FROM level3
 WHERE chain_state IN ('alive', 'deleted') AND next_microtimestamp IS NOT NULL
 """
+
+
+def audit_microtimestamp_moves(rewritten: DataFrame, max_change_s: int = 15) -> DataFrame:
+    """I13 ``save_exchange_microtimestamp`` + I14 ``check_microtimestamp_change``
+    as one batch audit over a rewrite's moved rows.
+
+    The reference implements both as row triggers: the first reassignment of
+    ``microtimestamp`` stashes the original exchange-assigned instant in
+    ``exchange_microtimestamp`` (db/obanalytics_schema.sql:2432-2447), and a
+    move is blocked when it goes backward or farther forward than
+    ``parameters.max_microtimestamp_change`` seconds (:1162-1174; per-pair
+    values db/parameters_schema.sql:47-97, default 15 s). A declarative
+    engine has no row triggers — the rewrite operators carry the pre-rewrite
+    instant (``_old_ts``, see merge_crossed_books) and this audit derives,
+    per moved row, the preserved exchange microtimestamp and the violation
+    class ('backward' / 'too_far' / NULL-ok) in one narrow projection.
+    Callers enforce by filtering ``violation IS NOT NULL`` (raise or quarantine).
+
+    Scale: no shuffle at all — a filter + projection over the rewrite's own
+    partitioning.
+    """
+    moved = rewritten.filter(F.col("microtimestamp") != F.col("_old_ts"))
+    delta_us = F.unix_micros("microtimestamp") - F.unix_micros("_old_ts")
+    return moved.select(
+        "pair_id", "era", "order_id", "event_no", "life_no",
+        F.col("_old_ts").alias("old_microtimestamp"),
+        F.col("microtimestamp").alias("new_microtimestamp"),
+        # I13: first-ever move ⇒ the original IS the exchange instant (the
+        # level3 log carries no prior exchange_microtimestamp column here)
+        F.col("_old_ts").alias("exchange_microtimestamp"),
+        F.when(delta_us < 0, "backward")
+        .when(delta_us > max_change_s * 1_000_000, "too_far")
+        .alias("violation"),
+    )

@@ -145,6 +145,9 @@ def merge_crossed_books(l3: DataFrame, l1: DataFrame | None = None,
     )
     return out.select(
         F.col("_new_ts").alias("microtimestamp"),
+        # pre-rewrite instant: lets audit_microtimestamp_moves (I13/I14)
+        # compare before/after without re-joining on chain identity
+        F.col("microtimestamp").alias("_old_ts"),
         "order_id", "event_no", "side", "price", "amount", "fill",
         F.coalesce(F.col("m_new"), F.col("next_microtimestamp")).alias("next_microtimestamp"),
         "next_event_no", "pair_id", "exchange_id", "local_timestamp",
@@ -420,9 +423,8 @@ FROM rewritten
 """
 
 
-def merge_crossed_books_oracle_sql() -> str:
-    """DuckDB mirror of :func:`merge_crossed_books` — the crossed periods
-    come from the same linear level1 CTEs used by the crossed_books oracle."""
+def _merge_crossed_ctes() -> str:
+    """CTE chain shared by the merge oracle and the move-audit oracle."""
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
     from obadiah_spark.operators.quality import CROSSED_BOOKS_ORACLE_SUFFIX
 
@@ -430,8 +432,7 @@ def merge_crossed_books_oracle_sql() -> str:
     cb_ctes = SPREAD_L1_CTES + CROSSED_BOOKS_ORACLE_SUFFIX[
         : CROSSED_BOOKS_ORACLE_SUFFIX.rindex(")") + 1
     ]
-    return f"""
-WITH {cb_ctes}, cb AS (
+    return f"""{cb_ctes}, cb AS (
     SELECT pair_id, era, period_start AS first_crossed, next_uncrossed
     FROM chained WHERE crossed AND next_uncrossed IS NOT NULL
 ), tagged AS (
@@ -462,8 +463,13 @@ WITH {cb_ctes}, cb AS (
            microtimestamp AS m_old, _new_ts AS m_new
     FROM ann
     WHERE first_crossed IS NOT NULL AND _new_ts <> microtimestamp
-)
-SELECT a._new_ts AS microtimestamp,
+)"""
+
+
+# final projection of the merge rewrite; `_old_ts` rides along so the move
+# audit can compare before/after without re-joining on chain identity
+_MERGE_CROSSED_SELECT = """
+SELECT a._new_ts AS microtimestamp, a.microtimestamp AS _old_ts,
        a.order_id, a.event_no, a.side, a.price, a.amount, a.fill,
        coalesce(m.m_new, a.next_microtimestamp) AS next_microtimestamp,
        a.next_event_no, a.pair_id, a.exchange_id, a.local_timestamp,
@@ -471,6 +477,34 @@ SELECT a._new_ts AS microtimestamp,
 FROM ann a LEFT JOIN mapping m
   ON a.pair_id = m.m_pair AND a.era = m.m_era AND a.order_id = m.m_oid
  AND a.next_microtimestamp = m.m_old
+"""
+
+
+def merge_crossed_books_oracle_sql() -> str:
+    """DuckDB mirror of :func:`merge_crossed_books` — the crossed periods
+    come from the same linear level1 CTEs used by the crossed_books oracle."""
+    cols = ("microtimestamp, order_id, event_no, side, price, amount, fill, "
+            "next_microtimestamp, next_event_no, pair_id, exchange_id, "
+            "local_timestamp, price_microtimestamp, price_event_no, "
+            "chain_state, era, life_no")
+    return (f"\nWITH {_merge_crossed_ctes()}, merged AS ({_MERGE_CROSSED_SELECT})\n"
+            f"SELECT {cols} FROM merged\n")
+
+
+def audit_microtimestamp_moves_oracle_sql(max_change_s: int) -> str:
+    """I13+I14 oracle over the merge_crossed_books rewrite (moved rows only)."""
+    return f"""
+WITH {_merge_crossed_ctes()}, merged AS ({_MERGE_CROSSED_SELECT})
+SELECT pair_id, era, order_id, event_no, life_no,
+       _old_ts AS old_microtimestamp,
+       microtimestamp AS new_microtimestamp,
+       _old_ts AS exchange_microtimestamp,
+       CASE WHEN microtimestamp < _old_ts THEN 'backward'
+            WHEN epoch_us(microtimestamp) - epoch_us(_old_ts)
+                 > {max_change_s} * 1000000 THEN 'too_far'
+       END AS violation
+FROM merged
+WHERE microtimestamp <> _old_ts
 """
 
 
