@@ -55,6 +55,68 @@ def live_at(l3: DataFrame, at_ts, before: bool = False) -> DataFrame:
     return cur.filter(started & not_ended)
 
 
+def snapshot_multi(l3: DataFrame, instants: DataFrame) -> DataFrame:
+    """B1 at MANY instants in ONE distributed pass.
+
+    ``instants`` is a tiny one-column (``at_ts``) frame — broadcast twice:
+    once to resolve the data-driven current era per (at_ts, pair, exchange),
+    once to join the live set. Output = :func:`snapshot` columns + ``at_ts``.
+    Semantics per instant are identical to ``snapshot(l3, at_ts)`` (inclusive
+    bound, no maker filter); used by fix_crossed_books to repair all eternal
+    crossed instants without per-instant driver loops.
+    """
+    at = F.col("at_ts")
+    # current era per probe instant: max era <= at_ts over ALL rows of the
+    # (pair, exchange) — resolved on the tiny distinct-era set first so the
+    # live join below never sees a stale era as "current"
+    eras = l3.select("pair_id", "exchange_id", "era").distinct()
+    cur_era = (
+        eras.join(F.broadcast(instants), F.col("era") <= at)
+        .groupBy("at_ts", "pair_id", "exchange_id")
+        .agg(F.max("era").alias("_cur_era"))
+    )
+    live = l3.alias("l").join(
+        F.broadcast(cur_era).alias("e"),
+        (F.col("l.pair_id") == F.col("e.pair_id"))
+        & (F.col("l.exchange_id") == F.col("e.exchange_id"))
+        & (F.col("l.era") == F.col("e._cur_era"))
+        & (F.col("l.microtimestamp") <= at)
+        & ((F.col("l.chain_state") == "alive")
+           | ((F.col("l.chain_state") == "chained")
+              & (F.col("l.next_microtimestamp") > at))),
+    ).select("l.*", "e.at_ts")
+    w_pair = W.partitionBy("at_ts", "pair_id", "exchange_id")
+    w_fwd = w_pair.orderBy("price_microtimestamp", "microtimestamp")
+    w_bwd = w_pair.orderBy(F.desc("price_microtimestamp"), F.desc("microtimestamp"))
+    older_ask_min = F.min(
+        F.when((F.col("side") == "s") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_fwd)
+    older_bid_max = F.max(
+        F.when((F.col("side") == "b") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_fwd)
+    newer_ask_min = F.min(
+        F.when((F.col("side") == "s") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_bwd)
+    newer_bid_max = F.max(
+        F.when((F.col("side") == "b") & (F.col("amount") > 0), F.col("price"))
+    ).over(w_bwd)
+    return live.withColumn(
+        "is_maker",
+        F.coalesce(
+            F.when(F.col("side") == "b", F.col("price") <= older_ask_min)
+             .when(F.col("side") == "s", F.col("price") >= older_bid_max),
+            F.lit(True),
+        ),
+    ).withColumn(
+        "is_crossed",
+        F.coalesce(
+            F.when(F.col("side") == "b", F.col("price") > newer_ask_min)
+             .when(F.col("side") == "s", F.col("price") < newer_bid_max),
+            F.lit(False),
+        ),
+    )
+
+
 def snapshot(l3: DataFrame, at_ts, before: bool = False,
              only_makers: bool = False, side: str | None = None) -> DataFrame:
     """B1: live events + is_maker / is_crossed flags (price-time priority)."""

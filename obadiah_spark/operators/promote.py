@@ -56,18 +56,25 @@ def move_events(l3: DataFrame, trades: DataFrame, start: str, end: str) -> DataF
     win = l3.filter(
         (F.col("microtimestamp") >= start_c) & (F.col("microtimestamp") <= end_c)
     )
-    t = trades.select(
+    # dedup the link projection: if two staged trades link the same maker
+    # event, a bare join would duplicate promoted level3 rows; a chain is
+    # half-matched if ANY of its linked trades is (bool_and mirrors
+    # staging_summary's distinct-link guard)
+    t = trades.groupBy(
         F.col("pair_id").alias("t_pair"), F.col("microtimestamp").alias("t_ts"),
         F.col("order_id").alias("t_oid"), F.col("event_no").alias("t_eno"),
-        "fully_matched",
-    )
+    ).agg(F.bool_and("fully_matched").alias("fully_matched"))
     j = win.join(
         t,
         (F.col("pair_id") == F.col("t_pair")) & (F.col("microtimestamp") == F.col("t_ts"))
         & (F.col("order_id") == F.col("t_oid")) & (F.col("event_no") == F.col("t_eno")),
         "left",
     )
-    w_chain = W.partitionBy("pair_id", "exchange_id", "order_id")
+    # chain identity includes era + life_no (consistent with
+    # insert_level3_era's chain windows): a reused order_id across eras, or a
+    # reincarnated life within one, must not let a later closed chain mark an
+    # earlier still-open one completed
+    w_chain = W.partitionBy("pair_id", "exchange_id", "order_id", "era", "life_no")
     w_last = w_chain.orderBy(F.desc("microtimestamp"), F.desc("event_no"))
     last_closed = F.first(
         (F.col("chain_state") == "deleted")
@@ -128,9 +135,14 @@ FROM matches
 def move_events_oracle_sql(start: str, end: str) -> str:
     return f"""
 WITH staged AS ({STAGED_TRADES_SQL}),
+links AS (
+    SELECT pair_id, microtimestamp, order_id, event_no,
+           bool_and(fully_matched) AS fully_matched
+    FROM staged GROUP BY 1, 2, 3, 4
+),
 win AS (
     SELECT l.*, s.fully_matched
-    FROM level3 l LEFT JOIN staged s
+    FROM level3 l LEFT JOIN links s
       ON l.pair_id = s.pair_id AND l.microtimestamp = s.microtimestamp
      AND l.order_id = s.order_id AND l.event_no = s.event_no
     WHERE l.microtimestamp >= TIMESTAMP '{start}'
@@ -139,10 +151,11 @@ win AS (
     SELECT *,
         first_value(chain_state = 'deleted' OR
                     (chain_state = 'chained' AND next_microtimestamp < TIMESTAMP '{end}'))
-            OVER (PARTITION BY pair_id, exchange_id, order_id
+            OVER (PARTITION BY pair_id, exchange_id, order_id, era, life_no
                   ORDER BY microtimestamp DESC, event_no DESC) AS last_closed,
         max(CASE WHEN NOT coalesce(fully_matched, true) THEN 1 ELSE 0 END)
-            OVER (PARTITION BY pair_id, exchange_id, order_id) = 1 AS half_matched
+            OVER (PARTITION BY pair_id, exchange_id, order_id, era, life_no)
+            = 1 AS half_matched
     FROM win
 )
 SELECT microtimestamp, order_id, event_no, side, price, amount, fill,

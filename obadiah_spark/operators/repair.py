@@ -163,7 +163,7 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
     iterations — each pass is a full distributed transform, and crossed
     periods are rare by assumption, so the loop converges in 1-2 passes."""
     from obadiah_spark.fold import spread_fold
-    from obadiah_spark.operators.order_book import snapshot
+    from obadiah_spark.operators.order_book import snapshot_multi
     from obadiah_spark.operators.quality import crossed_books
 
     cur = l3
@@ -174,34 +174,39 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
             return cur
         # materialize + cut lineage each round: the repair is iterative and
         # the plan would otherwise compound (fold → merge → fold → ...)
-        cur = merge_crossed_books(cur, periods=cb).localCheckpoint()
-        eternal = [r.first_crossed for r in
-                   cb.filter(F.col("next_uncrossed").isNull())
-                     .select("first_crossed").distinct().collect()]
-        if not eternal:
+        # drop the audit-only _old_ts so the function's output keeps the
+        # canonical 17-column level3 shape on every exit path
+        cur = merge_crossed_books(cur, periods=cb).drop("_old_ts").localCheckpoint()
+        eternal = (cb.filter(F.col("next_uncrossed").isNull())
+                     .select(F.col("first_crossed").alias("at_ts")).distinct())
+        if eternal.limit(1).count() == 0:
             continue
         # "eternal takers" (reference fix 1: not is_maker, alive forever) and
         # "eternal crossed orders" (fix 3: is_crossed, alive forever) get a
-        # synthesized delete event at the first crossed instant. The set is
-        # tiny (bounded by crossed book width × rare instants) — collect it,
-        # build ONE literal deletes frame, apply one batched rewrite instead
-        # of per-instant plan chains.
-        delete_rows = []
-        for ts in eternal:
-            for r in (snapshot(cur, ts, only_makers=False)
-                      .filter((~F.col("is_maker") | F.col("is_crossed"))
-                              & (F.col("chain_state") == "alive"))
-                      .collect()):
-                delete_rows.append((
-                    ts, r.order_id, r.event_no + 1, r.side, r.price, r.amount,
-                    None, None, None, r.pair_id, r.exchange_id, None,
-                    r.price_microtimestamp, r.price_event_no, "deleted",
-                    r.era, r.life_no,
-                ))
-        if not delete_rows:
+        # synthesized delete event at the first crossed instant. ONE
+        # distributed snapshot pass over all eternal instants (snapshot_multi
+        # broadcasts the tiny instants frame) — no per-instant scans, no
+        # driver-side collect of snapshot rows.
+        tgt = {f.name: f.dataType for f in cur.select(*_L3_COLS).schema.fields}
+        deletes = (
+            snapshot_multi(cur, eternal)
+            .filter((~F.col("is_maker") | F.col("is_crossed"))
+                    & (F.col("chain_state") == "alive"))
+            .select(
+                F.col("at_ts").alias("microtimestamp"), "order_id",
+                (F.col("event_no") + 1).alias("event_no"), "side", "price",
+                "amount", F.lit(None).alias("fill"),
+                F.lit(None).alias("next_microtimestamp"),
+                F.lit(None).alias("next_event_no"), "pair_id", "exchange_id",
+                F.lit(None).alias("local_timestamp"),
+                "price_microtimestamp", "price_event_no",
+                F.lit("deleted").alias("chain_state"), "era", "life_no",
+            )
+            .select([F.col(c).cast(tgt[c]).alias(c) for c in _L3_COLS])
+            .localCheckpoint()
+        )
+        if deletes.isEmpty():
             continue
-        spark = cur.sparkSession
-        deletes = spark.createDataFrame(delete_rows, cur.select(*_L3_COLS).schema)
         d_keys = deletes.select(
             "pair_id", "era", "order_id",
             F.col("event_no").alias("d_eno"),
@@ -285,7 +290,11 @@ def insert_level3_era(l3: DataFrame, new_era: str) -> DataFrame:
     ann = j.select(
         "*", crossing_evt.alias("_cross"), renum.alias("_renum"),
         pre.alias("_pre"), post.alias("_post"),
-        F.when(renum, tail_rank + 1).otherwise(F.col("event_no")).alias("_new_eno"),
+        # cast back to INT: the window sum is LongType, and the renumbered ids
+        # must keep level3's canonical event_no type (the DuckDB mirror casts
+        # the same expression — HUGEINT there — for the same reason)
+        F.when(renum, (tail_rank + 1).cast("int"))
+        .otherwise(F.col("event_no")).alias("_new_eno"),
     )
 
     # clones: one per crossing chain, at the boundary, event_no 1 → 2
@@ -380,14 +389,19 @@ WITH prev AS (
     WINDOW w_chain AS (PARTITION BY pair_id, exchange_id, order_id, era, life_no)
 ), renum AS (
     SELECT *, _post AND chain_crosses AS _renum,
-        CASE WHEN _post AND chain_crosses THEN tail_rank + 1 ELSE event_no END AS _new_eno
+        -- CAST back to INT: DuckDB's window sum is HUGEINT and would
+        -- otherwise widen the whole event_no family (Spark casts its
+        -- LongType sum identically)
+        CASE WHEN _post AND chain_crosses THEN CAST(tail_rank + 1 AS INT)
+             ELSE event_no END AS _new_eno
     FROM flagged
 ), rewritten AS (
     SELECT r.microtimestamp, r.order_id, r._new_eno AS event_no,
         r.side, r.price, r.amount, r.fill,
         CASE WHEN r._cross THEN NULL ELSE r.next_microtimestamp END AS next_microtimestamp,
         CASE WHEN r._cross THEN NULL
-             WHEN r._renum AND r.chain_state = 'chained' THEN r._new_eno + 1
+             WHEN r._renum AND r.chain_state = 'chained'
+                 THEN CAST(r._new_eno + 1 AS INT)
              ELSE r.next_event_no END AS next_event_no,
         r.pair_id, r.exchange_id, r.local_timestamp,
         CASE WHEN r._renum AND r.price_microtimestamp < TIMESTAMP '{new_era}'

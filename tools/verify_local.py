@@ -60,15 +60,48 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Physical-dtype normalization table. The driver's value hash is
+    representation-sensitive (int64 `138014` != float64 `138014.0`), so the
+    local replica must flag any cross-engine dtype divergence the pandas
+    materialization preserves. Normalizations applied (and ONLY these):
+
+    - all integer widths/signedness -> 'int' (hash prints ints identically)
+    - float32/float64 -> 'float'
+    - any datetime64 resolution/tz -> 'datetime' (hash uses epoch micros)
+    - everything else (bool, object/str, decimal) -> its pandas kind
+
+    NOT normalized: int vs float — a nullable int column becomes float64 on
+    BOTH engines (NaN forces it), so a kind mismatch always means one engine
+    widened (e.g. DuckDB HUGEINT window-sum -> float64 vs Spark BIGINT)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return str(s.dtype)
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"schema mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
+    for c in sorted(spark_pdf.columns):
+        ks, kd = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
+        if ks != kd:
+            problems.append(
+                f"dtype mismatch in '{c}': spark={spark_pdf[c].dtype}({ks}) "
+                f"duck={duck_pdf[c].dtype}({kd}) — driver hash WILL differ")
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
-    if len(a) == len(b) and not a.equals(b):
+    # len 0: nothing to value-compare (pd.equals is dtype-sensitive even on
+    # empty frames; the kind check above already covers dtype drift)
+    if len(a) == len(b) and len(a) > 0 and not a.equals(b):
         neq = (a != b)
         bad_cols = [c for c in a.columns if neq[c].any()]
         n_bad = int(neq.any(axis=1).sum())
@@ -126,7 +159,7 @@ def main():
             print(f"pass  {key}: rows={len(spark_pdf)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
-    if n_pass + n_weak == 0:
+    if n_pass + n_weak + n_fail == 0:
         print("ERROR: zero queries verified — queries() empty or all keys filtered out")
         sys.exit(2)
     sys.exit(1 if n_fail else 0)
