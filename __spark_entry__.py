@@ -239,6 +239,29 @@ def _q_epsilon_draws(spark, sf_dir):
     return epsilon_drawupdowns(mid_price(spread_fold(_l3(spark, sf_dir))), epsilon=0.0005)
 
 
+def _q_trading_strategy_zigzag(spark, sf_dir):
+    """T2 full-oracle fabric: on a piecewise-monotone series with phi=rho=0
+    the greedy discovery provably emits consecutive extrema pairs — a
+    window-SQL-expressible closed form that hash-checks the ported state
+    machine (see trading.zigzag_level1)."""
+    from obadiah_spark.operators.trading import trading_strategy, zigzag_level1
+
+    _load(spark, sf_dir)
+    return trading_strategy(zigzag_level1(spark), phi=0.0, rho=0.0)
+
+
+def _q_epsilon_draws_zigzag(spark, sf_dir):
+    """T3 full-oracle fabric: epsilon below the smallest move closes a draw
+    at every reversal — draws are exactly the consecutive extrema pairs."""
+    from obadiah_spark.operators.trading import epsilon_drawupdowns, zigzag_level1
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir)
+    prices = zigzag_level1(spark).select(
+        "pair_id", "era", "microtimestamp", F.col("bid_price").alias("price"))
+    return epsilon_drawupdowns(prices, epsilon=0.001)
+
+
 def _q_get_depth(spark, sf_dir):
     from obadiah_spark.operators.depth import get_depth
 
@@ -526,8 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only (recall test in tests/)
         "multimodal_features": _q_multimodal,
         "trading_period": _q_trading_period,
-        "trading_strategy": _q_trading_strategy,  # sequential: rows-only + fixture tests
-        "epsilon_draws": _q_epsilon_draws,  # sequential: rows-only + fixture tests
+        "trading_strategy": _q_trading_strategy,  # real-book path: rows-only + fixture tests
+        "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
+        "epsilon_draws": _q_epsilon_draws,  # real-book path: rows-only + fixture tests
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
         "get_depth": _q_get_depth,
         "depth_summary": _q_depth_summary,
         "crossed_books": _q_crossed_books,
@@ -550,7 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
         "staging_summary": _q_staging_summary,
-        "depth_chains": _q_depth_chains,  # sequential chain-id map: rows-only + fixture tests
+        "depth_chains": _q_depth_chains,
     }
 
 
@@ -601,8 +626,13 @@ def oracle_sql() -> dict[str, str]:
         move_trades_oracle_sql,
         staging_summary_oracle_sql,
     )
+    from obadiah_spark.operators.depth_chains import depth_chains_oracle_sql
     from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
-    from obadiah_spark.operators.trading import trading_period_v0_oracle
+    from obadiah_spark.operators.trading import (
+        epsilon_draws_zigzag_oracle_sql,
+        trading_period_v0_oracle,
+        trading_strategy_zigzag_oracle_sql,
+    )
     from obadiah_spark.pipelines import dedup
     from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
     from obadiah_spark.pipelines.similarity import ann_bruteforce_oracle
@@ -632,8 +662,12 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_pairs: intentionally no oracle (approximate operator)
         "multimodal_features": MULTIMODAL_ORACLE,
         "trading_period": level3_cte(trading_period_v0_oracle()),
-        # trading_strategy / epsilon_draws: sequential state machines, not
-        # SQL-expressible — fixture-tested in tests/test_trading.py
+        # trading_strategy / epsilon_draws (real-book path): sequential state
+        # machines over the synthetic book — fixture-tested in
+        # tests/test_trading.py; the *_zigzag entries below hash-check the
+        # same state machines against a closed-form oracle
+        "trading_strategy_zigzag": trading_strategy_zigzag_oracle_sql(),
+        "epsilon_draws_zigzag": epsilon_draws_zigzag_oracle_sql(),
         "get_depth": level3_cte(get_depth_oracle_sql(EV_START, EV_END)),
         "depth_summary": level3_cte(depth_summary_oracle_sql()),
         "crossed_books": level3_cte(crossed_books_oracle()),
@@ -658,5 +692,5 @@ def oracle_sql() -> dict[str, str]:
         "move_events": level3_matches_cte(move_events_oracle_sql(EV_START, EV_END)),
         "move_trades": level3_matches_cte(move_trades_oracle_sql(EV_START, EV_END)),
         "staging_summary": level3_matches_cte(staging_summary_oracle_sql()),
-        # depth_chains: sequential chain-id allocation, not SQL-expressible
+        "depth_chains": level3_cte(depth_chains_oracle_sql()),
     }

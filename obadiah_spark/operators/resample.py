@@ -29,7 +29,8 @@ from obadiah_spark.operators.depth import DEPTH_CHANGES_CTES, SPREAD_L1_CTES
 _EPS = 1e-9
 
 
-def depth_resample(l3: DataFrame, frequency_s: int = 3600, tick: float = 0.05) -> DataFrame:
+def depth_resample(l3: DataFrame, frequency_s: int = 3600, tick: float = 0.05,
+                   period_s: int | None = 86400) -> DataFrame:
     """D11: bucketed book state at each frequency-grid instant with changes.
 
     Fold-based (the 100 TB path, same split as :func:`queues`): the book
@@ -39,12 +40,22 @@ def depth_resample(l3: DataFrame, frequency_s: int = 3600, tick: float = 0.05) -
     episode×level grid survives as the oracle only
     (:func:`depth_resample_oracle_sql`): it densifies distinct grid instants
     × distinct (side, price) per era, which materializes a mostly-unchanged
-    matrix at fine frequencies on a deep book."""
+    matrix at fine frequencies on a deep book.
+
+    ``period_s`` splits each era into seeded periods (fold.period_fold) so
+    parallelism is #periods, not #eras; it must be a multiple of
+    ``frequency_s`` so no grid bucket spans a period boundary (then each
+    bucket is emitted by exactly one period — the end-of-period flush takes
+    the place of the unsplit fold's boundary-crossing emit, and the output
+    is identical). ``None`` falls back to the per-era fold."""
     import math
 
     import numpy as np
 
-    from obadiah_spark.fold import EpisodeFolder, stream_fold
+    from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
+
+    if period_s is not None and period_s % frequency_s != 0:
+        raise ValueError("period_s must be a multiple of frequency_s")
 
     freq_us = frequency_s * 1_000_000
 
@@ -100,7 +111,10 @@ def depth_resample(l3: DataFrame, frequency_s: int = 3600, tick: float = 0.05) -
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "tick_price double, volume double")
-    folded = stream_fold(l3.select(*cols), _ResampleFolder, schema)
+    if period_s is not None:
+        folded = period_fold(l3, _ResampleFolder, schema, frequency_s=period_s)
+    else:
+        folded = stream_fold(l3.select(*cols), _ResampleFolder, schema)
     # a grid instant at an era boundary can close buckets of BOTH eras —
     # merge them (the reference grid form aggregates across eras too); tiny
     # output, map-side combinable
@@ -157,17 +171,23 @@ GROUP BY pair_id, grid_ts, side, tick_price
 """
 
 
-def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10) -> DataFrame:
+def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10,
+           period_s: int | None = 86400) -> DataFrame:
     """D12: per change-episode queue volumes bucketed by tick distance from
     the opposite best (long format: one row per non-empty tick bucket).
 
-    Fold-based (the 100 TB path): one shuffle on (pair, exchange, era), the
-    book state supplies per-episode levels AND the opposite best in a linear
+    Fold-based (the 100 TB path): one shuffle on the fold keys, the book
+    state supplies per-episode levels AND the opposite best in a linear
     scan — the declarative episode×level grid survives as the oracle only
-    (it shuffles the grid twice and was ~20× slower at sf0.1)."""
+    (it shuffles the grid twice and was ~20× slower at sf0.1).
+
+    ``period_s`` splits each era into seeded periods (fold.period_fold):
+    parallelism = #periods, not #eras — every output row belongs to exactly
+    one episode, so the split output is identical row-for-row (the folder's
+    only cross-episode state is the book + emitted map, both seeded)."""
     import math
 
-    from obadiah_spark.fold import EpisodeFolder, stream_fold
+    from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
 
     class _QueuesFolder(EpisodeFolder):
         OUT_COLS = ("pair_id", "microtimestamp", "side", "tick_idx", "volume")
@@ -202,6 +222,8 @@ def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10) -> DataFrame:
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "tick_idx bigint, volume double")
+    if period_s is not None:
+        return period_fold(l3, _QueuesFolder, schema, frequency_s=period_s)
     return stream_fold(l3.select(*cols), _QueuesFolder, schema)
 
 

@@ -81,11 +81,18 @@ def _pair_eq(a: float, b: float) -> bool:
     return (math.isnan(a) and math.isnan(b)) or a == b
 
 
-def trading_period_fold(l3: DataFrame, volume: float = 0.0) -> DataFrame:
+def trading_period_fold(l3: DataFrame, volume: float = 0.0,
+                        period_s: int | None = 86400) -> DataFrame:
     """T1: effective bid/ask stream for executing ``volume``, emit-on-change.
 
     At volume=0 this equals the best-price projection of the spread fold —
-    that identity is the operator's differential oracle."""
+    that identity is the operator's differential oracle.
+
+    ``period_s`` splits each era into seeded periods (fold.period_fold):
+    parallelism = #periods, not #eras. The emit-on-change state is restored
+    from the seeded book (after any emission the prevailing pair always
+    equals the book-derived effective prices, so recomputing them from the
+    seed reproduces the unsplit dedup exactly)."""
 
     class _TradingPeriodFolder(EpisodeFolder):
         OUT_COLS = ("pair_id", "era", "microtimestamp", "bid_price", "ask_price")
@@ -100,6 +107,11 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0) -> DataFrame:
                 p = self.book.best(side)[0]
                 return _NAN if p is None else p
             return _effective_price(self.book.levels, side, volume)
+
+        def on_seed(self) -> None:
+            self.changed_levels()
+            self._prev_b = self._price("b")
+            self._prev_a = self._price("s")
 
         def on_episode(self, ts) -> None:
             b = self._price("b")
@@ -119,6 +131,11 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0) -> DataFrame:
 
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
+    if period_s is not None:
+        from obadiah_spark.fold import period_fold
+
+        return period_fold(l3, _TradingPeriodFolder, TRADING_PERIOD_SCHEMA,
+                           frequency_s=period_s)
     return stream_fold(l3.select(*cols), _TradingPeriodFolder, TRADING_PERIOD_SCHEMA)
 
 
@@ -319,6 +336,89 @@ def trading_period_v0_oracle() -> str:
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
 
     return f"WITH {SPREAD_L1_CTES}{TRADING_PERIOD_V0_ORACLE_BODY_SUFFIX}"
+
+
+# ---------------------------------------------------------- zigzag oracles --
+# Closed-form gate oracles for the sequential T2/T3 state machines: on a
+# piecewise-monotone price series with phi=rho=0 (T2) / epsilon below the
+# smallest move (T3), both algorithms provably emit exactly the consecutive
+# extrema pairs of the series (greedy position flips at every local extremum
+# when costs are zero; a draw closes at every reversal exceeding epsilon).
+# That IS window-expressible, so the full driver hash check applies to the
+# ported state machines — on this fabric, any deviation from the C++
+# semantics (reference src/position_discovery.cpp:73-241,
+# src/epsilon_drawupdowns.cpp:32-89) breaks the hash.
+
+def zigzag_level1(spark) -> DataFrame:
+    """Deterministic triangle-wave level1 fabric: one point per `orders` row
+    (ordered by o_orderkey), 1 s apart, price = 100 + triangle(rn % 12) —
+    consecutive prices always differ by exactly 1, so the series is strictly
+    piecewise-monotone with extrema at m=0 and m=6."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rn = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("o_orderkey"))
+    base = spark.table("orders").select(rn.alias("rn"))
+    m = F.col("rn") % 12
+    price = (F.lit(100.0) + F.when(m <= 6, m).otherwise(12 - m)).cast("double")
+    t0 = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    return base.select(
+        F.lit(1).alias("pair_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("era"),
+        F.timestamp_micros(t0 + F.col("rn").cast("bigint") * 1_000_000)
+        .alias("microtimestamp"),
+        price.alias("bid_price"), price.alias("ask_price"),
+    )
+
+
+ZIGZAG_PTS_CTES = """base AS (
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders
+), pts AS (
+    SELECT 1 AS pair_id, TIMESTAMP '2024-01-01 00:00:00' AS era,
+           make_timestamp(epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                          + rn * 1000000) AS ts,
+           CAST(100 + CASE WHEN rn % 12 <= 6 THEN rn % 12
+                           ELSE 12 - rn % 12 END AS DOUBLE) AS p
+    FROM base
+), ext AS (
+    SELECT * FROM (
+        SELECT pair_id, era, ts, p,
+               lag(p)  OVER w AS pp,
+               lead(p) OVER w AS np
+        FROM pts WINDOW w AS (PARTITION BY pair_id ORDER BY ts)) d
+    WHERE pp IS NULL OR np IS NULL OR sign(p - pp) <> sign(np - p)
+), pairs AS (
+    SELECT pair_id, era, ts AS t1, p AS p1,
+           lead(ts) OVER w2 AS t2, lead(p) OVER w2 AS p2
+    FROM ext WINDOW w2 AS (PARTITION BY pair_id ORDER BY ts)
+)"""
+
+
+def trading_strategy_zigzag_oracle_sql() -> str:
+    return f"""
+WITH {ZIGZAG_PTS_CTES}
+SELECT pair_id, era, t1 AS opened_at, p1 AS open_price,
+       t2 AS closed_at, p2 AS close_price,
+       CASE WHEN p1 > p2 THEN (p1 - p2) / p1 * 10000
+            ELSE (p2 - p1) / p1 * 10000 END AS bps_return,
+       exp(abs(ln(p1) - ln(p2))
+           / ((epoch_us(t2) - epoch_us(t1)) / 1e6)) - 1 AS rate,
+       abs(ln(p1) - ln(p2)) AS log_return
+FROM pairs WHERE t2 IS NOT NULL
+"""
+
+
+def epsilon_draws_zigzag_oracle_sql() -> str:
+    return f"""
+WITH {ZIGZAG_PTS_CTES}
+SELECT pair_id, era, t1 AS draw_start, p1 AS start_price,
+       t2 AS draw_end, p2 AS end_price,
+       CASE WHEN p2 >= p1 THEN 'up' ELSE 'down' END AS draw_type,
+       CASE WHEN p1 > p2 THEN (p1 - p2) / p1 * 10000
+            ELSE (p2 - p1) / p1 * 10000 END AS bps_return,
+       abs(ln(p1) - ln(p2)) AS log_return
+FROM pairs WHERE t2 IS NOT NULL
+"""
 
 
 def mid_price(l1: DataFrame) -> DataFrame:

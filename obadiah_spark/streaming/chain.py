@@ -39,15 +39,17 @@ import pandas as pd
 
 from obadiah_spark.streaming.ingest import _ChainState, advance_chain
 
-# fold state before the tail (7) + after the tail (7) + tail row (11) + rev
+# fold state before the tail (7) + after the tail (7) + tail row (12) + rev
+# (side is DATA carried in state, never re-derived from order_id — a real
+# feed's side assignment has no formula)
 STATE_SCHEMA = (
     "b_seq int, b_life int, b_count int, b_prev_price double, "
     "b_prev_amount double, b_pg_us long, b_pg_eno int, "
     "a_seq int, a_life int, a_count int, a_prev_price double, "
     "a_prev_amount double, a_pg_us long, a_pg_eno int, "
-    "t_us long, t_eno int, t_price double, t_amount double, t_fill double, "
-    "t_pms_us long, t_pe_no int, t_state string, t_life int, t_event_id long, "
-    "t_lts_us long, rev long"
+    "t_us long, t_eno int, t_side string, t_price double, t_amount double, "
+    "t_fill double, t_pms_us long, t_pe_no int, t_state string, t_life int, "
+    "t_event_id long, t_lts_us long, rev long"
 )
 
 OUTPUT_SCHEMA = (
@@ -100,11 +102,11 @@ def chain_events(key: tuple, pdfs: Iterator[pd.DataFrame], state
     if state.exists:
         st = state.get
         before, after = _unpack_chain(st[0:7]), _unpack_chain(st[7:14])
-        (t_us, t_eno, t_price, t_amount, t_fill, t_pms_us, t_pe_no, t_state,
-         t_life, t_event_id, t_lts_us, rev) = st[14:26]
+        (t_us, t_eno, t_side, t_price, t_amount, t_fill, t_pms_us, t_pe_no,
+         t_state, t_life, t_event_id, t_lts_us, rev) = st[14:27]
         tail = {
             "microtimestamp": _us_ts(t_us), "order_id": int(order_id),
-            "event_no": int(t_eno), "side": None, "price": t_price,
+            "event_no": int(t_eno), "side": t_side, "price": t_price,
             "amount": t_amount, "fill": t_fill,
             "next_microtimestamp": None, "next_event_no": None,
             "pair_id": int(pair_id), "exchange_id": int(exchange_id),
@@ -151,8 +153,8 @@ def chain_events(key: tuple, pdfs: Iterator[pd.DataFrame], state
 
     state.update(
         _pack_chain(before) + _pack_chain(after) + (
-            _ts_us(tail["microtimestamp"]), tail["event_no"], tail["price"],
-            tail["amount"], tail["fill"],
+            _ts_us(tail["microtimestamp"]), tail["event_no"], tail["side"],
+            tail["price"], tail["amount"], tail["fill"],
             _ts_us(tail["price_microtimestamp"]), tail["price_event_no"],
             tail["chain_state"], tail["life_no"], tail["event_id"],
             _ts_us(tail["local_timestamp"]), rev,
@@ -161,15 +163,18 @@ def chain_events(key: tuple, pdfs: Iterator[pd.DataFrame], state
     if not emitted:          # every message was a stale replay — no change
         yield pd.DataFrame({c: [] for c in _OUT_COLS})
         return
-    out = pd.DataFrame(emitted)
-    # side is a pure function of order_id — recompute instead of storing
-    out["side"] = "b" if int(order_id) % 4 < 2 else "s"
-    yield out[_OUT_COLS]
+    yield pd.DataFrame(emitted)[_OUT_COLS]
 
 
 def keyed_stream(events_stream):
-    """Declarative l3_keyed projection on the raw event stream (the same
-    expressions as synth.LEVEL3_BODY_SQL's l3_keyed CTE, but streaming)."""
+    """SYNTH ADAPTER: the gate fabric's raw events carry only (event_id, ts),
+    so order_id/pair/side/era are derived here with the same expressions as
+    synth.LEVEL3_BODY_SQL's l3_keyed CTE. A real feed replaces ONLY this
+    projection — its messages already carry order_id/pair/side (and
+    price/amount/delete markers, consumed by advance_chain when present);
+    everything downstream of this function treats them as opaque data (side
+    rides in the keyed state, see STATE_SCHEMA — pytest feeds an adversarial
+    side assignment to prove no formula is re-applied)."""
     from pyspark.sql import functions as F
 
     oid = 1 + F.col("event_id") % 240

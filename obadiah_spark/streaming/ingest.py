@@ -102,10 +102,23 @@ def advance_chain(state: _ChainState, r, row: dict | None = None) -> dict:
     :class:`Level3Ingestor` mirror and the executor-side
     :mod:`obadiah_spark.streaming.chain` stateful processor."""
     oid = int(r.order_id)
-    step = (int(r.event_id) - int(r.event_id) % 240) // 240
-    raw_price, raw_amount = _raw_vals(oid, step)
     pos = state.seq              # 0-based position in (order, era)
-    is_delete = oid % 12 == 7 and pos % 5 == 4
+    # payload resolution: a REAL feed carries price/amount and its delete
+    # marker in the message (bitfinex: price==0 ends the chain,
+    # db/bitfinex_schema.sql:397-399; bitstamp: live_orders_event enum) —
+    # when the keyed row has those columns they are authoritative. The gate
+    # fabric's raw events carry only (event_id, ts), so the synth formulas
+    # below act as the payload ADAPTER when the columns are absent; the
+    # state machine itself never re-derives payload from ids.
+    payload_price = getattr(r, "price", None)
+    if payload_price is not None and not pd.isna(payload_price):
+        raw_price = float(payload_price)
+        raw_amount = float(r.amount)
+        is_delete = bool(r.is_delete)
+    else:
+        step = (int(r.event_id) - int(r.event_id) % 240) // 240
+        raw_price, raw_amount = _raw_vals(oid, step)
+        is_delete = oid % 12 == 7 and pos % 5 == 4
     event_no = state.count + 1
     if is_delete:
         price = state.prev_price if state.prev_price is not None else raw_price

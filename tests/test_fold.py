@@ -57,6 +57,26 @@ def test_period_fold_equals_unsplit(spark, level3):
     assert not compare("depth periods-vs-unsplit", base_depth, per_depth)
 
 
+def test_period_split_equals_unsplit_for_derived_folds(spark, level3):
+    """Round-4 period wiring: queues, depth_resample, trading_period and the
+    depth_chains fold must produce identical output split vs unsplit (6-hour
+    periods exercise seeding; resample grid 3600 divides the period)."""
+    from obadiah_spark.operators.depth_chains import depth_changes_with_chains
+    from obadiah_spark.operators.resample import depth_resample, queues
+    from obadiah_spark.operators.trading import trading_period_fold
+
+    for name, fn in [
+        ("queues", lambda p: queues(level3, period_s=p)),
+        ("depth_resample", lambda p: depth_resample(level3, period_s=p)),
+        ("trading_period", lambda p: trading_period_fold(level3, period_s=p)),
+        ("depth_chains", lambda p: depth_changes_with_chains(level3, period_s=p)),
+    ]:
+        base = fn(None).toPandas()
+        split = fn(6 * 3600).toPandas()
+        assert len(base) > 0, name
+        assert not compare(f"{name} split-vs-unsplit", base, split), name
+
+
 def test_stream_fold_is_batch_size_invariant(spark, level3):
     """The fold must NOT depend on whole-group materialization: forcing tiny
     Arrow batches (so every group spans many batches and episodes split

@@ -79,6 +79,74 @@ def test_chain_stream_executor_side(spark, level3):
     assert not compare("chain-stream-vs-batch", got, want)
 
 
+def test_side_is_data_not_formula(spark):
+    """Round-4 decoupling: feed a side assignment that BREAKS the synth
+    modular formula (all sides flipped); the driver-side mirror must carry
+    the data through unchanged."""
+    from obadiah_spark.streaming.ingest import Level3Ingestor, keyed_events
+
+    flip = {"b": "s", "s": "b"}
+
+    class FlippedIngestor(Level3Ingestor):
+        @staticmethod
+        def _keyed(ev):
+            out = keyed_events(ev)
+            out["side"] = out["side"].map(flip)
+            return out
+
+    events = spark.table("events").toPandas().sort_values("ts").reset_index(drop=True)
+    ing = FlippedIngestor()
+    ing.process_batch(events)
+    got = ing.finalize()
+    formula = (got["order_id"] % 4 < 2).map({True: "b", False: "s"})
+    assert (got["side"] == formula.map(flip)).all()
+    assert not (got["side"] == formula).any()
+
+
+def test_chain_events_carries_side_and_payload_in_state():
+    """Executor-side: the stateful processor must emit the side/price given
+    as DATA — including the tail re-emission restored from the state store,
+    which previously had no side and was recomputed from order_id % 4."""
+    import pandas as pd
+
+    from obadiah_spark.streaming.chain import chain_events
+
+    class FakeState:
+        def __init__(self):
+            self._t = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    era = pd.Timestamp("2024-01-01")
+    key = (1, 1, era, 5)  # order_id 5: the synth formula would say 'b'
+
+    def batch(eid, ts_min):
+        return pd.DataFrame([{
+            "event_id": eid, "order_id": 5, "pair_id": 1, "exchange_id": 1,
+            "era": era, "side": "s",              # contradicts the formula
+            "price": 123.0, "amount": 1.5, "is_delete": False,
+            "microtimestamp": era + pd.Timedelta(minutes=ts_min),
+            "local_timestamp": era + pd.Timedelta(minutes=ts_min, seconds=1),
+        }])
+
+    st = FakeState()
+    out1 = pd.concat(list(chain_events(key, iter([batch(5, 0)]), st)))
+    out2 = pd.concat(list(chain_events(key, iter([batch(245, 1)]), st)))
+    rows = pd.concat([out1, out2])
+    assert len(rows) == 3  # new, chained re-emit of the tail, new
+    assert (rows["side"] == "s").all()
+    assert (rows["price"] == 123.0).all()
+
+
 def test_streaming_end_to_end(spark, level3):
     """Real Structured Streaming run: file source, one file per micro-batch,
     availableNow trigger, watermark declared, foreachBatch chaining."""
