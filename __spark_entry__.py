@@ -442,6 +442,25 @@ def _q_insert_era(spark, sf_dir):
     return insert_level3_era(_l3(spark, sf_dir), ERA_SPLIT_AT)
 
 
+def _q_bs_capture_orders(spark, sf_dir):
+    """I7: bitstamp-shaped transient stream (second-exchange fabric from
+    `events`, incl. duplicate retransmissions and ex-nihilo chains) chained
+    into the live_orders shape."""
+    from obadiah_spark.sources.bitstamp import BS_TRANSIENT_SQL, capture_transient_orders
+
+    _load(spark, sf_dir)
+    return capture_transient_orders(spark.sql(BS_TRANSIENT_SQL))
+
+
+def _q_episode_framing(spark, sf_dir):
+    """SRC2: price==0 episode framing of a raw bitfinex book stream as one
+    window expression (the capture client's accumulate/close state machine)."""
+    from obadiah_spark.sources.bitstamp import BFX_RAW_SQL, frame_episodes
+
+    _load(spark, sf_dir)
+    return frame_episodes(spark.sql(BFX_RAW_SQL))
+
+
 def _q_csv_roundtrip(spark, sf_dir):
     """SRC7: write the level3 log to CSV (±infinity text) and read it back
     typed; must equal the original rows."""
@@ -488,6 +507,51 @@ def _q_depth_chains(spark, sf_dir):
     from obadiah_spark.operators.depth_chains import depth_changes_with_chains
 
     return depth_changes_with_chains(_l3(spark, sf_dir))
+
+
+def _q_repair_missing_fill(spark, sf_dir):
+    """Q5 closed loop: NULL the fill of every 5th matched maker event and
+    understate the chain's earlier amounts by the lost fill (the corruption
+    the reference repairs), then recover both from the trade links.
+    Round-trip equality with the uncorrupted level3 is pytest-enforced."""
+    from obadiah_spark.operators.staging_repair import (
+        corrupt_fills,
+        find_and_repair_missing_fill,
+    )
+
+    l3 = _l3(spark, sf_dir)
+    corrupted, links = corrupt_fills(l3, spark.table("matches"))
+    return find_and_repair_missing_fill(corrupted, links)
+
+
+def _q_reveal_episodes(spark, sf_dir):
+    """Q5: move both events of every inferred trade to the aggressor's
+    price-chain start (the revealed episode instant)."""
+    from obadiah_spark.operators.matching import inferred_trades
+    from obadiah_spark.operators.staging_repair import reveal_episodes
+
+    l3 = _l3(spark, sf_dir)
+    return reveal_episodes(l3, inferred_trades(l3))
+
+
+def _q_fix_aggressor(spark, sf_dir):
+    """Q5 fix_aggressor_creation_order on a disordered fabric: flipping the
+    taker side of every 3rd inferred trade makes the 'aggressor' the side
+    with the OLDER price chain — exactly the processed-in-wrong-order state
+    the reference repairs (phase B fires; phase A handles inversions)."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.matching import inferred_trades
+    from obadiah_spark.operators.staging_repair import fix_aggressor_creation_order
+
+    l3 = _l3(spark, sf_dir)
+    t = inferred_trades(l3)
+    flip = (F.col("buy_order_id") + F.col("sell_order_id")) % 3 == 0
+    flipped = t.withColumn(
+        "side",
+        F.when(flip, F.when(F.col("side") == "b", "s").otherwise("b"))
+        .otherwise(F.col("side")))
+    return fix_aggressor_creation_order(l3, flipped)
 
 
 def _match_sequential_oracle(inferred_sql: str, match_sql: str) -> str:
@@ -576,6 +640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_trades": _q_move_trades,
         "staging_summary": _q_staging_summary,
         "depth_chains": _q_depth_chains,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "reveal_episodes": _q_reveal_episodes,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "episode_framing": _q_episode_framing,
     }
 
 
@@ -627,6 +696,16 @@ def oracle_sql() -> dict[str, str]:
         staging_summary_oracle_sql,
     )
     from obadiah_spark.operators.depth_chains import depth_chains_oracle_sql
+    from obadiah_spark.operators.staging_repair import (
+        CORRUPT_FABRIC_CTES,
+        find_and_repair_missing_fill_oracle_sql,
+        fix_aggressor_creation_order_oracle_sql,
+        reveal_episodes_oracle_sql,
+    )
+    from obadiah_spark.sources.bitstamp import (
+        capture_transient_orders_oracle_sql,
+        frame_episodes_oracle_sql,
+    )
     from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
     from obadiah_spark.operators.trading import (
         epsilon_draws_zigzag_oracle_sql,
@@ -693,4 +772,20 @@ def oracle_sql() -> dict[str, str]:
         "move_trades": level3_matches_cte(move_trades_oracle_sql(EV_START, EV_END)),
         "staging_summary": level3_matches_cte(staging_summary_oracle_sql()),
         "depth_chains": level3_cte(depth_chains_oracle_sql()),
+        "repair_missing_fill": level3_matches_cte(
+            find_and_repair_missing_fill_oracle_sql(CORRUPT_FABRIC_CTES)),
+        "reveal_episodes": level3_cte(reveal_episodes_oracle_sql(
+            f"rev_trades AS ({inferred_trades_oracle_sql()})")),
+        "bs_capture_orders": capture_transient_orders_oracle_sql(),
+        "episode_framing": frame_episodes_oracle_sql(),
+        "fix_aggressor_order": level3_cte(fix_aggressor_creation_order_oracle_sql(
+            f"""agg_trades AS (
+    SELECT pair_id, microtimestamp, price, amount,
+        CASE WHEN (buy_order_id + sell_order_id) % 3 = 0
+             THEN CASE side WHEN 'b' THEN 's' ELSE 'b' END
+             ELSE side END AS side,
+        buy_microtimestamp, buy_order_id, buy_event_no,
+        sell_microtimestamp, sell_order_id, sell_event_no
+    FROM ({inferred_trades_oracle_sql()}) it
+)""")),
     }

@@ -647,7 +647,12 @@ def inferred_trades(l3: DataFrame, max_delay_us: int = 500_000,
         F.col("b_fill").alias("amount"),
         # direction = the taker's side
         F.when(maker_is_bid, "s").otherwise("b").alias("side"),
+        # both sides' event links INCLUDING their microtimestamps (the
+        # bitstamp live_trades shape, db/bitstamp_schema.sql:2390-2408 —
+        # consumed by the Q5 staging repairs)
+        F.col("b_ts").alias("buy_microtimestamp"),
         F.col("b_oid").alias("buy_order_id"), F.col("b_eno").alias("buy_event_no"),
+        F.col("s_ts").alias("sell_microtimestamp"),
         F.col("s_oid").alias("sell_order_id"), F.col("s_eno").alias("sell_event_no"),
     )
 
@@ -685,7 +690,9 @@ SELECT pair_id,
        CASE WHEN b_pts <= s_pts THEN b_price ELSE s_price END AS price,
        b_fill AS amount,
        CASE WHEN b_pts <= s_pts THEN 's' ELSE 'b' END AS side,
+       b_ts AS buy_microtimestamp,
        b_oid AS buy_order_id, b_eno AS buy_event_no,
+       s_ts AS sell_microtimestamp,
        s_oid AS sell_order_id, s_eno AS sell_event_no
 FROM picked WHERE rb = 1 AND rs = 1
 """

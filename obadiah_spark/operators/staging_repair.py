@@ -1,0 +1,494 @@
+"""Q5 bitstamp staging repairs (SURVEY §2.7 Q5).
+
+Reference parity:
+- ``bitstamp.find_and_repair_missing_fill`` (db/bitstamp_schema.sql:634-690):
+  an event whose fill is missing but which has a matched trade gets the
+  trade's amount as its fill, and every earlier event of the same chain has
+  its amount raised by that fill (the feed under-reported the pre-fill
+  amounts). The reference walks the chain backwards with a RECURSIVE CTE,
+  adding ``amount + fill`` one predecessor at a time; because each step adds
+  the SAME recovered fill, the whole walk collapses to one window sum —
+  amount(k) += Σ recovered_fill(m) over missing events m AFTER k in the
+  chain. No recursion, one shuffle on the chain keys (the Spark-first
+  translation of SURVEY §4.2.5).
+- ``bitstamp.reveal_episodes`` (db/bitstamp_schema.sql:2098-2161): both
+  events of a matched trade move to the trade's *episode* instant = the
+  AGGRESSOR event's price-chain start (``price_microtimestamp``) — the
+  aggressor's arrival reveals that the whole trade belongs to that episode.
+
+Deviations (documented):
+- the engine's level3 keeps NULL fill on a life's first event (creation) and
+  on deletes, so the repair targets ``fill IS NULL AND event_no > 1 AND
+  chain_state <> 'deleted'`` linked events; the reference additionally
+  rewrites the creation event's fill to −amount (bitstamp staging keeps
+  negative creation fills — our canonical shape does not carry them);
+- ``reveal_episodes`` here also follows forward pointers onto moved events
+  (one mapping join, same pattern as merge_crossed_books) — the reference
+  leaves pointer maintenance to staging triggers; a batch rewrite must keep
+  the frame self-consistent in the same pass;
+- when several trades move one event to different episodes the earliest
+  episode wins (min — the reference's UPDATE order is nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_L3_COLS = [
+    "microtimestamp", "order_id", "event_no", "side", "price", "amount",
+    "fill", "next_microtimestamp", "next_event_no", "pair_id", "exchange_id",
+    "local_timestamp", "price_microtimestamp", "price_event_no",
+    "chain_state", "era", "life_no",
+]
+
+
+def find_and_repair_missing_fill(l3: DataFrame, trade_links: DataFrame) -> DataFrame:
+    """Q5: repair NULL fills from matched trades; returns the full rewritten
+    level3 frame.
+
+    ``trade_links`` needs (pair_id, microtimestamp, order_id, event_no,
+    trade_amount) — the event link of each matched trade and the traded
+    amount (summed if several trades link one event).
+    """
+    links = trade_links.groupBy(
+        F.col("pair_id").alias("t_pair"), F.col("microtimestamp").alias("t_ts"),
+        F.col("order_id").alias("t_oid"), F.col("event_no").alias("t_eno"),
+    ).agg(F.sum("trade_amount").alias("_trade_amount"))
+    j = l3.join(
+        links,
+        (F.col("pair_id") == F.col("t_pair"))
+        & (F.col("microtimestamp") == F.col("t_ts"))
+        & (F.col("order_id") == F.col("t_oid"))
+        & (F.col("event_no") == F.col("t_eno")),
+        "left",
+    )
+    recovered = F.when(
+        F.col("fill").isNull() & (F.col("chain_state") != "deleted")
+        & (F.col("event_no") > 1) & F.col("_trade_amount").isNotNull(),
+        F.col("_trade_amount"),
+    )
+    # events AFTER the current one in chain order = rows before it when the
+    # chain is scanned backwards
+    w_later = (
+        W.partitionBy("pair_id", "exchange_id", "era", "order_id", "life_no")
+        .orderBy(F.desc("microtimestamp"), F.desc("event_no"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ann = j.withColumn("_rec", recovered)
+    return ann.select(
+        "microtimestamp", "order_id", "event_no", "side", "price",
+        (F.col("amount")
+         + F.coalesce(F.sum("_rec").over(w_later), F.lit(0.0))).alias("amount"),
+        F.coalesce(F.col("_rec"), F.col("fill")).alias("fill"),
+        *_L3_COLS[7:],
+    )
+
+
+def find_and_repair_missing_fill_oracle_sql(links_cte: str) -> str:
+    """DuckDB mirror; ``links_cte`` must define ``fill_links(pair_id,
+    microtimestamp, order_id, event_no, trade_amount)``."""
+    return f"""
+WITH {links_cte}, agg_links AS (
+    SELECT pair_id, microtimestamp, order_id, event_no,
+           sum(trade_amount) AS trade_amount
+    FROM fill_links GROUP BY 1, 2, 3, 4
+), ann AS (
+    SELECT l.*,
+        CASE WHEN l.fill IS NULL AND l.chain_state <> 'deleted'
+                  AND l.event_no > 1 AND a.trade_amount IS NOT NULL
+             THEN a.trade_amount END AS _rec
+    FROM corrupted l LEFT JOIN agg_links a
+      ON l.pair_id = a.pair_id AND l.microtimestamp = a.microtimestamp
+     AND l.order_id = a.order_id AND l.event_no = a.event_no
+)
+SELECT microtimestamp, order_id, event_no, side, price,
+    amount + coalesce(sum(_rec) OVER (
+        PARTITION BY pair_id, exchange_id, era, order_id, life_no
+        ORDER BY microtimestamp DESC, event_no DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS amount,
+    coalesce(_rec, fill) AS fill,
+    next_microtimestamp, next_event_no, pair_id, exchange_id,
+    local_timestamp, price_microtimestamp, price_event_no, chain_state, era,
+    life_no
+FROM ann
+"""
+
+
+# shared corruption fabric for the gate: NULL the fill of every 5th matched
+# maker event and subtract the lost fills from all earlier amounts of the
+# life — exactly the inconsistency find_and_repair_missing_fill undoes, so
+# repair(corrupt(level3)) must reproduce level3's amounts/fills bit-for-bit
+# (pytest-enforced; the gate hash-checks Spark vs DuckDB on the same pipeline)
+CORRUPT_FABRIC_CTES = """fill_links AS (
+    SELECT pair_id, microtimestamp,
+           coalesce(buy_order_id, sell_order_id) AS order_id,
+           coalesce(buy_event_no, sell_event_no) AS event_no,
+           amount AS trade_amount
+    FROM matches WHERE exchange_trade_id % 5 = 0
+), corrupted AS (
+    SELECT l.microtimestamp, l.order_id, l.event_no, l.side, l.price,
+        l.amount - coalesce(sum(CASE WHEN k.order_id IS NOT NULL
+                                     THEN l.fill END) OVER (
+            PARTITION BY l.pair_id, l.exchange_id, l.era, l.order_id, l.life_no
+            ORDER BY l.microtimestamp DESC, l.event_no DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS amount,
+        CASE WHEN k.order_id IS NOT NULL THEN NULL ELSE l.fill END AS fill,
+        l.next_microtimestamp, l.next_event_no, l.pair_id, l.exchange_id,
+        l.local_timestamp, l.price_microtimestamp, l.price_event_no,
+        l.chain_state, l.era, l.life_no
+    FROM level3 l
+    LEFT JOIN (SELECT DISTINCT pair_id, microtimestamp, order_id, event_no
+               FROM fill_links) k
+      ON l.pair_id = k.pair_id AND l.microtimestamp = k.microtimestamp
+     AND l.order_id = k.order_id AND l.event_no = k.event_no
+)"""
+
+
+def corrupt_fills(l3: DataFrame, matches: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of CORRUPT_FABRIC_CTES: returns (corrupted_l3, links)."""
+    links = matches.filter(F.col("exchange_trade_id") % 5 == 0).select(
+        "pair_id", "microtimestamp",
+        F.coalesce("buy_order_id", "sell_order_id").alias("order_id"),
+        F.coalesce("buy_event_no", "sell_event_no").alias("event_no"),
+        F.col("amount").alias("trade_amount"),
+    )
+    k = links.select(
+        F.col("pair_id").alias("k_pair"), F.col("microtimestamp").alias("k_ts"),
+        F.col("order_id").alias("k_oid"), F.col("event_no").alias("k_eno"),
+    ).distinct()
+    j = l3.join(
+        k,
+        (F.col("pair_id") == F.col("k_pair"))
+        & (F.col("microtimestamp") == F.col("k_ts"))
+        & (F.col("order_id") == F.col("k_oid"))
+        & (F.col("event_no") == F.col("k_eno")),
+        "left",
+    )
+    lost = F.when(F.col("k_oid").isNotNull(), F.col("fill"))
+    w_later = (
+        W.partitionBy("pair_id", "exchange_id", "era", "order_id", "life_no")
+        .orderBy(F.desc("microtimestamp"), F.desc("event_no"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    corrupted = j.select(
+        "microtimestamp", "order_id", "event_no", "side", "price",
+        (F.col("amount")
+         - F.coalesce(F.sum(lost).over(w_later), F.lit(0.0))).alias("amount"),
+        F.when(F.col("k_oid").isNotNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("fill")).alias("fill"),
+        *_L3_COLS[7:],
+    )
+    return corrupted, links
+
+
+# ------------------------------------------------------- reveal_episodes ----
+
+def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
+    """Q5 ``bitstamp.reveal_episodes``: move both events of each matched
+    trade to the trade's episode instant — the aggressor event's
+    price-chain start. Returns the full rewritten level3 frame.
+
+    ``trades`` needs (pair_id, side, buy_microtimestamp, buy_order_id,
+    buy_event_no, sell_microtimestamp, sell_order_id, sell_event_no) with
+    ``side`` = the taker direction ('b' = buyer is the aggressor) — the
+    inferred_trades output shape.
+    """
+    is_buy = F.col("side") == "b"
+    t = trades.select(
+        "pair_id",
+        F.when(is_buy, F.col("buy_microtimestamp"))
+        .otherwise(F.col("sell_microtimestamp")).alias("a_ts"),
+        F.when(is_buy, F.col("buy_order_id"))
+        .otherwise(F.col("sell_order_id")).alias("a_oid"),
+        F.when(is_buy, F.col("buy_event_no"))
+        .otherwise(F.col("sell_event_no")).alias("a_eno"),
+        F.when(is_buy, F.col("sell_microtimestamp"))
+        .otherwise(F.col("buy_microtimestamp")).alias("r_ts"),
+        F.when(is_buy, F.col("sell_order_id"))
+        .otherwise(F.col("buy_order_id")).alias("r_oid"),
+        F.when(is_buy, F.col("sell_event_no"))
+        .otherwise(F.col("buy_event_no")).alias("r_eno"),
+    )
+    # the aggressor event's price-chain start = the episode instant
+    ag = t.join(
+        l3.select(
+            F.col("pair_id").alias("l_pair"), F.col("microtimestamp").alias("l_ts"),
+            F.col("order_id").alias("l_oid"), F.col("event_no").alias("l_eno"),
+            F.col("price_microtimestamp").alias("episode_ts"),
+        ),
+        (F.col("pair_id") == F.col("l_pair")) & (F.col("a_ts") == F.col("l_ts"))
+        & (F.col("a_oid") == F.col("l_oid")) & (F.col("a_eno") == F.col("l_eno")),
+    )
+    moves = (
+        ag.select("pair_id", F.col("a_ts").alias("m_old"),
+                  F.col("a_oid").alias("m_oid"), F.col("a_eno").alias("m_eno"),
+                  "episode_ts")
+        .unionByName(ag.select(
+            "pair_id", F.col("r_ts").alias("m_old"),
+            F.col("r_oid").alias("m_oid"), F.col("r_eno").alias("m_eno"),
+            "episode_ts"))
+        .groupBy(F.col("pair_id").alias("m_pair"), "m_old", "m_oid", "m_eno")
+        .agg(F.min("episode_ts").alias("m_new"))
+        .filter(F.col("m_new") != F.col("m_old"))
+    )
+    tagged = l3.join(
+        moves,
+        (F.col("pair_id") == F.col("m_pair"))
+        & (F.col("microtimestamp") == F.col("m_old"))
+        & (F.col("order_id") == F.col("m_oid"))
+        & (F.col("event_no") == F.col("m_eno")),
+        "left",
+    )
+    # forward pointers follow moved events (one per-order mapping join)
+    ptr = moves.select(
+        F.col("m_pair").alias("p_pair"), F.col("m_oid").alias("p_oid"),
+        F.col("m_old").alias("p_old"), F.col("m_eno").alias("p_eno"),
+        F.col("m_new").alias("p_new"),
+    ).distinct()
+    out = tagged.join(
+        ptr,
+        (F.col("pair_id") == F.col("p_pair"))
+        & (F.col("order_id") == F.col("p_oid"))
+        & (F.col("next_microtimestamp") == F.col("p_old"))
+        & (F.col("next_event_no") == F.col("p_eno")),
+        "left",
+    )
+    return out.select(
+        F.coalesce(F.col("m_new"), F.col("microtimestamp")).alias("microtimestamp"),
+        "order_id", "event_no", "side", "price", "amount", "fill",
+        F.coalesce(F.col("p_new"), F.col("next_microtimestamp")).alias("next_microtimestamp"),
+        *_L3_COLS[8:],
+    )
+
+
+def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
+    """Q5 ``bitstamp.fix_aggressor_creation_order``
+    (db/bitstamp_schema.sql:693-832): merge episodes of aggressors Bitstamp
+    processed in the wrong order. Two repair rules, applied to the
+    price-chain START event of the implicated order (whose microtimestamp ==
+    its price_microtimestamp):
+
+    - phase A (episode-order inversion): each trade proposes the aggressor's
+      price-chain start as the episode of BOTH its events; if some order's
+      events would be assigned episodes that decrease as event_no increases,
+      the later episodes are merged down to the running minimum;
+    - phase B (aggressor-before-resting): a trade whose aggressor price
+      chain started BEFORE the resting order's price chain moves the
+      resting chain's start back to the aggressor's.
+
+    The reference loops UPDATEs because each merge is visible only row by
+    row; the batch form computes phase A's running minimum over ALL proposed
+    episodes per order in one window, which collapses an entire inversion
+    chain in a single pass (the Spark-first translation — the loop's
+    remaining job, re-linking updated trade rows, is the staging triggers'
+    concern, not the repair's). Output = the full rewritten level3 with
+    forward pointers following moved events; conflicting targets merge to
+    the earliest instant (min).
+    """
+    is_buy = F.col("side") == "b"
+    t = trades.select(
+        "pair_id",
+        F.when(is_buy, F.col("buy_microtimestamp"))
+        .otherwise(F.col("sell_microtimestamp")).alias("a_ts"),
+        F.when(is_buy, F.col("buy_order_id"))
+        .otherwise(F.col("sell_order_id")).alias("a_oid"),
+        F.when(is_buy, F.col("buy_event_no"))
+        .otherwise(F.col("sell_event_no")).alias("a_eno"),
+        F.when(is_buy, F.col("sell_microtimestamp"))
+        .otherwise(F.col("buy_microtimestamp")).alias("r_ts"),
+        F.when(is_buy, F.col("sell_order_id"))
+        .otherwise(F.col("buy_order_id")).alias("r_oid"),
+        F.when(is_buy, F.col("sell_event_no"))
+        .otherwise(F.col("buy_event_no")).alias("r_eno"),
+    )
+    lsel = l3.select(
+        F.col("pair_id").alias("l_pair"), F.col("microtimestamp").alias("l_ts"),
+        F.col("order_id").alias("l_oid"), F.col("event_no").alias("l_eno"),
+        F.col("price_microtimestamp").alias("l_pts"),
+        F.col("price_event_no").alias("l_peno"),
+    )
+    j = (
+        t.join(lsel, (F.col("pair_id") == F.col("l_pair"))
+               & (F.col("a_ts") == F.col("l_ts"))
+               & (F.col("a_oid") == F.col("l_oid"))
+               & (F.col("a_eno") == F.col("l_eno")))
+        .select("pair_id", "a_ts", "a_oid", "a_eno", "r_ts", "r_oid", "r_eno",
+                F.col("l_pts").alias("a_pts"), F.col("l_peno").alias("a_peno"))
+        .join(lsel, (F.col("pair_id") == F.col("l_pair"))
+              & (F.col("r_ts") == F.col("l_ts"))
+              & (F.col("r_oid") == F.col("l_oid"))
+              & (F.col("r_eno") == F.col("l_eno")))
+        .select("pair_id", "a_ts", "a_oid", "a_eno", "a_pts", "a_peno",
+                "r_ts", "r_oid", "r_eno",
+                F.col("l_pts").alias("r_pts"), F.col("l_peno").alias("r_peno"))
+    )
+    # phase A: proposed episode per trade event; running-min inversion merge
+    proposed = (
+        j.select("pair_id", F.col("a_oid").alias("order_id"),
+                 F.col("a_eno").alias("event_no"),
+                 F.col("a_pts").alias("episode_ts"),
+                 F.col("a_oid").alias("ep_oid"), F.col("a_peno").alias("ep_eno"))
+        .unionByName(j.select(
+            "pair_id", F.col("r_oid").alias("order_id"),
+            F.col("r_eno").alias("event_no"),
+            F.col("a_pts").alias("episode_ts"),
+            F.col("a_oid").alias("ep_oid"), F.col("a_peno").alias("ep_eno")))
+    )
+    w_inv = (
+        W.partitionBy("pair_id", "order_id").orderBy(F.desc("event_no"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    phase_a = (
+        proposed.withColumn("_new", F.min("episode_ts").over(w_inv))
+        .filter(F.col("_new") < F.col("episode_ts"))
+        .select("pair_id", F.col("episode_ts").alias("m_old"),
+                F.col("ep_oid").alias("m_oid"), F.col("ep_eno").alias("m_eno"),
+                F.col("_new").alias("m_new"))
+    )
+    # phase B: aggressor's price chain started before the resting order's
+    phase_b = j.filter(F.col("a_pts") < F.col("r_pts")).select(
+        "pair_id", F.col("r_pts").alias("m_old"),
+        F.col("r_oid").alias("m_oid"), F.col("r_peno").alias("m_eno"),
+        F.col("a_pts").alias("m_new"),
+    )
+    moves = (
+        phase_a.unionByName(phase_b)
+        .groupBy(F.col("pair_id").alias("m_pair"), "m_old", "m_oid", "m_eno")
+        .agg(F.min("m_new").alias("m_new"))
+        .filter(F.col("m_new") != F.col("m_old"))
+    )
+    tagged = l3.join(
+        moves,
+        (F.col("pair_id") == F.col("m_pair"))
+        & (F.col("microtimestamp") == F.col("m_old"))
+        & (F.col("order_id") == F.col("m_oid"))
+        & (F.col("event_no") == F.col("m_eno")),
+        "left",
+    )
+    ptr = moves.select(
+        F.col("m_pair").alias("p_pair"), F.col("m_oid").alias("p_oid"),
+        F.col("m_old").alias("p_old"), F.col("m_eno").alias("p_eno"),
+        F.col("m_new").alias("p_new"),
+    ).distinct()
+    out = tagged.join(
+        ptr,
+        (F.col("pair_id") == F.col("p_pair"))
+        & (F.col("order_id") == F.col("p_oid"))
+        & (F.col("next_microtimestamp") == F.col("p_old"))
+        & (F.col("next_event_no") == F.col("p_eno")),
+        "left",
+    )
+    return out.select(
+        F.coalesce(F.col("m_new"), F.col("microtimestamp")).alias("microtimestamp"),
+        "order_id", "event_no", "side", "price", "amount", "fill",
+        F.coalesce(F.col("p_new"), F.col("next_microtimestamp")).alias("next_microtimestamp"),
+        *_L3_COLS[8:],
+    )
+
+
+def fix_aggressor_creation_order_oracle_sql(trades_cte: str) -> str:
+    """DuckDB mirror of the single declarative pass; ``trades_cte`` must
+    define ``agg_trades`` with the inferred_trades output shape."""
+    return f"""
+WITH {trades_cte}, tsel AS (
+    SELECT pair_id,
+        CASE WHEN side = 'b' THEN buy_microtimestamp ELSE sell_microtimestamp END AS a_ts,
+        CASE WHEN side = 'b' THEN buy_order_id ELSE sell_order_id END AS a_oid,
+        CASE WHEN side = 'b' THEN buy_event_no ELSE sell_event_no END AS a_eno,
+        CASE WHEN side = 'b' THEN sell_microtimestamp ELSE buy_microtimestamp END AS r_ts,
+        CASE WHEN side = 'b' THEN sell_order_id ELSE buy_order_id END AS r_oid,
+        CASE WHEN side = 'b' THEN sell_event_no ELSE buy_event_no END AS r_eno
+    FROM agg_trades
+), jj AS (
+    SELECT t.*, a.price_microtimestamp AS a_pts, a.price_event_no AS a_peno,
+           r.price_microtimestamp AS r_pts, r.price_event_no AS r_peno
+    FROM tsel t
+    JOIN level3 a ON a.pair_id = t.pair_id AND a.microtimestamp = t.a_ts
+                 AND a.order_id = t.a_oid AND a.event_no = t.a_eno
+    JOIN level3 r ON r.pair_id = t.pair_id AND r.microtimestamp = t.r_ts
+                 AND r.order_id = t.r_oid AND r.event_no = t.r_eno
+), proposed AS (
+    SELECT pair_id, a_oid AS order_id, a_eno AS event_no,
+           a_pts AS episode_ts, a_oid AS ep_oid, a_peno AS ep_eno
+    FROM jj
+    UNION ALL
+    SELECT pair_id, r_oid, r_eno, a_pts, a_oid, a_peno FROM jj
+), phase_a AS (
+    SELECT pair_id, episode_ts AS m_old, ep_oid AS m_oid, ep_eno AS m_eno,
+           _new AS m_new
+    FROM (
+        SELECT *, min(episode_ts) OVER (
+            PARTITION BY pair_id, order_id ORDER BY event_no DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _new
+        FROM proposed) p
+    WHERE _new < episode_ts
+), phase_b AS (
+    SELECT pair_id, r_pts AS m_old, r_oid AS m_oid, r_peno AS m_eno,
+           a_pts AS m_new
+    FROM jj WHERE a_pts < r_pts
+), moves AS (
+    SELECT pair_id AS m_pair, m_old, m_oid, m_eno, min(m_new) AS m_new
+    FROM (SELECT * FROM phase_a UNION ALL SELECT * FROM phase_b) u
+    GROUP BY 1, 2, 3, 4
+    HAVING min(m_new) <> m_old
+)
+SELECT coalesce(m.m_new, l.microtimestamp) AS microtimestamp,
+       l.order_id, l.event_no, l.side, l.price, l.amount, l.fill,
+       coalesce(p.m_new, l.next_microtimestamp) AS next_microtimestamp,
+       l.next_event_no, l.pair_id, l.exchange_id, l.local_timestamp,
+       l.price_microtimestamp, l.price_event_no, l.chain_state, l.era,
+       l.life_no
+FROM level3 l
+LEFT JOIN moves m
+  ON m.m_pair = l.pair_id AND m.m_old = l.microtimestamp
+ AND m.m_oid = l.order_id AND m.m_eno = l.event_no
+LEFT JOIN moves p
+  ON p.m_pair = l.pair_id AND p.m_oid = l.order_id
+ AND p.m_old = l.next_microtimestamp AND p.m_eno = l.next_event_no
+"""
+
+
+def reveal_episodes_oracle_sql(trades_cte: str) -> str:
+    """DuckDB mirror; ``trades_cte`` must define ``rev_trades`` with the
+    inferred_trades output shape."""
+    return f"""
+WITH {trades_cte}, tsel AS (
+    SELECT pair_id,
+        CASE WHEN side = 'b' THEN buy_microtimestamp ELSE sell_microtimestamp END AS a_ts,
+        CASE WHEN side = 'b' THEN buy_order_id ELSE sell_order_id END AS a_oid,
+        CASE WHEN side = 'b' THEN buy_event_no ELSE sell_event_no END AS a_eno,
+        CASE WHEN side = 'b' THEN sell_microtimestamp ELSE buy_microtimestamp END AS r_ts,
+        CASE WHEN side = 'b' THEN sell_order_id ELSE buy_order_id END AS r_oid,
+        CASE WHEN side = 'b' THEN sell_event_no ELSE buy_event_no END AS r_eno
+    FROM rev_trades
+), ag AS (
+    SELECT t.*, l.price_microtimestamp AS episode_ts
+    FROM tsel t JOIN level3 l
+      ON l.pair_id = t.pair_id AND l.microtimestamp = t.a_ts
+     AND l.order_id = t.a_oid AND l.event_no = t.a_eno
+), moves AS (
+    SELECT pair_id AS m_pair, m_old, m_oid, m_eno, min(episode_ts) AS m_new
+    FROM (
+        SELECT pair_id, a_ts AS m_old, a_oid AS m_oid, a_eno AS m_eno, episode_ts
+        FROM ag
+        UNION ALL
+        SELECT pair_id, r_ts, r_oid, r_eno, episode_ts FROM ag
+    ) u
+    GROUP BY 1, 2, 3, 4
+    HAVING min(episode_ts) <> m_old
+)
+SELECT coalesce(m.m_new, l.microtimestamp) AS microtimestamp,
+       l.order_id, l.event_no, l.side, l.price, l.amount, l.fill,
+       coalesce(p.m_new, l.next_microtimestamp) AS next_microtimestamp,
+       l.next_event_no, l.pair_id, l.exchange_id, l.local_timestamp,
+       l.price_microtimestamp, l.price_event_no, l.chain_state, l.era,
+       l.life_no
+FROM level3 l
+LEFT JOIN moves m
+  ON m.m_pair = l.pair_id AND m.m_old = l.microtimestamp
+ AND m.m_oid = l.order_id AND m.m_eno = l.event_no
+LEFT JOIN moves p
+  ON p.m_pair = l.pair_id AND p.m_oid = l.order_id
+ AND p.m_old = l.next_microtimestamp AND p.m_eno = l.next_event_no
+"""

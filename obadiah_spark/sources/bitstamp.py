@@ -1,0 +1,246 @@
+"""Bitstamp staging capture (I7) + Bitfinex raw-episode framing (SRC2).
+
+Reference parity:
+- I7 ``bitstamp.capture_transient_orders`` (db/bitstamp_schema.sql:373-450):
+  transient order stream → chained ``live_orders``. (1) duplicate
+  ``order_created``/``order_deleted`` retransmissions are dropped, keeping
+  the FIRST per (order, event); (2) per-order chains get event_no / fill
+  (= lag(amount) − amount, so a creation's fill is −amount — the bitstamp
+  staging convention) / next pointers / price chains
+  (``first_value OVER (PARTITION BY order_id, price)``); (3) a chain whose
+  first event is not ``order_created`` (ex nihilo) gets NULL chaining — the
+  I8 incorporate step synthesizes the missing creation later.
+- SRC2 Bitfinex raw-book episode framing
+  (python/obadiah/bitfinex.py:28-118): messages accumulate; a price==0
+  message CLOSES the episode accumulated so far and itself starts the next
+  one; a zero closes only if a non-zero message arrived since the last
+  close. The capture client is an asyncio state machine; the batch/stream
+  form below is ONE window lag: a zero message closes iff its predecessor's
+  price is non-zero (equivalent by induction — after a closing zero the
+  next message either is a zero with zero predecessor, i.e. no
+  accumulation, or restarts accumulation with a non-zero), so
+  ``episode_id`` is a running sum of closing flags and the whole state
+  machine is a window expression (the Spark-first translation).
+
+Deviations (documented):
+- windows are scoped by (pair, era) in addition to order_id — the reference
+  processes one intra-era capture slice per call, the batch form processes
+  a whole table;
+- the dedup keeps the first duplicate via row_number (the reference deletes
+  rows matching the *lead* timestamp, which also kills both rows of an
+  exact-timestamp duplicate pair — a capture artifact we don't reproduce);
+- ±infinity forward pointers use this engine's NULL + chain_state
+  convention; the snapshot (full-book) episode branch of SRC2 is not
+  modeled (the raw fabric is incremental-only);
+- rows carry ``event_id`` (capture sequence number) purely as the
+  deterministic total-order tiebreak that the reference gets from
+  ``local_timestamp`` uniqueness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------ I7: gate fabric -----
+# Shared Spark/DuckDB SQL: a bitstamp-shaped transient order stream derived
+# from the driver's `events` table. Exercises every transform branch:
+# duplicate creations (order_id % 9 = 2 resends 'order_created' at seq 3),
+# duplicate deletions (every 6th event of an order), ex-nihilo chains
+# (order_id % 11 = 3 never sends its creation; chains in eras after an
+# order's first are ex nihilo too).
+BS_TRANSIENT_SQL = """
+SELECT CAST(order_id AS BIGINT) AS order_id,
+       CAST(1 + ((seq * 5 + order_id) % 37) AS DOUBLE) / 4 AS amount,
+       CASE WHEN seq = 0 AND (order_id % 11) <> 3 THEN 'order_created'
+            WHEN (order_id % 9) = 2 AND seq = 3 THEN 'order_created'
+            WHEN (seq % 6) = 5 THEN 'order_deleted'
+            ELSE 'order_changed' END AS event,
+       CASE WHEN (order_id % 2) = 0 THEN 'buy' ELSE 'sell' END AS order_type,
+       ts AS datetime, ts AS microtimestamp, ts AS local_timestamp,
+       CAST(1 AS INT) AS pair_id,
+       CAST(10000 + (order_id % 50) AS DOUBLE) / 100 AS price,
+       date_trunc('week', ts) AS era,
+       event_id
+FROM (
+    SELECT event_id, ts, 1 + (event_id % 120) AS order_id,
+           row_number() OVER (
+               PARTITION BY 1 + (event_id % 120)
+               ORDER BY ts, event_id) - 1 AS seq
+    FROM events
+) b
+"""
+
+_EVENT_RANK = ("CASE event WHEN 'order_created' THEN 0 "
+               "WHEN 'order_changed' THEN 1 ELSE 2 END")
+
+
+def capture_transient_orders(transient: DataFrame) -> DataFrame:
+    """I7: transient bitstamp order stream → chained live_orders shape."""
+    rank = (F.when(F.col("event") == "order_created", 0)
+            .when(F.col("event") == "order_changed", 1).otherwise(2))
+    # (1) drop duplicate created/deleted retransmissions (keep first)
+    w_dup = (W.partitionBy("pair_id", "era", "order_id", "event")
+             .orderBy("microtimestamp", "event_id"))
+    dedup = (
+        transient.withColumn("_rn", F.row_number().over(w_dup))
+        .filter((F.col("event") == "order_changed") | (F.col("_rn") == 1))
+        .drop("_rn")
+    )
+    # (2) chain windows — order by (ts, enum rank, capture seq): bitstamp
+    # sometimes sends order_created after order_changed at one instant
+    o = (W.partitionBy("pair_id", "era", "order_id")
+         .orderBy("microtimestamp", rank, "event_id"))
+    p = (W.partitionBy("pair_id", "era", "order_id", "price")
+         .orderBy("microtimestamp", rank, "event_id"))
+    lead_ts = F.lead("microtimestamp").over(o)
+    ann1 = dedup.select(
+        "*",
+        F.first("event").over(o).alias("_first_event"),
+        F.row_number().over(o).cast("int").alias("_eno"),
+        (F.coalesce(F.lag("amount").over(o), F.lit(0.0)) - F.col("amount"))
+        .alias("_fill"),
+        lead_ts.alias("_next_ts"),
+        F.when(lead_ts.isNotNull(), F.row_number().over(o) + 1)
+        .cast("int").alias("_next_eno"),
+    )
+    # second layer: price-chain firsts over the already-numbered rows
+    # (window functions cannot nest)
+    ann = ann1.select(
+        "*",
+        F.first("microtimestamp").over(p).alias("_pts"),
+        F.first("_eno").over(p).cast("int").alias("_peno"),
+    )
+    # (3) ex-nihilo chains (first event not a creation) stay unchained
+    created = F.col("_first_event") == "order_created"
+    chain_state = F.when(F.col("_next_ts").isNotNull(), "chained").otherwise(
+        F.when(F.col("event") == "order_deleted", "deleted").otherwise("alive"))
+    return ann.select(
+        "microtimestamp", "order_id",
+        F.when(created, F.col("_eno")).alias("event_no"),
+        "event", "order_type", "datetime", "local_timestamp", "pair_id",
+        "price", "amount",
+        F.when(created, F.col("_fill")).alias("fill"),
+        F.when(created, F.col("_next_ts")).alias("next_microtimestamp"),
+        F.when(created, F.col("_next_eno")).alias("next_event_no"),
+        F.when(created, F.col("_pts")).alias("price_microtimestamp"),
+        F.when(created, F.col("_peno")).alias("price_event_no"),
+        F.when(created, chain_state).alias("chain_state"),
+        "era",
+    )
+
+
+def capture_transient_orders_oracle_sql() -> str:
+    """DuckDB mirror over the same fabric (window-for-window)."""
+    return f"""
+WITH transient AS ({BS_TRANSIENT_SQL}), dedup AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY pair_id, era, order_id, event
+            ORDER BY microtimestamp, event_id) AS _rn
+        FROM transient) d
+    WHERE event = 'order_changed' OR _rn = 1
+), ann1 AS (
+    SELECT *,
+        first_value(event) OVER o AS _first_event,
+        CAST(row_number() OVER o AS INT) AS _eno,
+        coalesce(lag(amount) OVER o, 0.0) - amount AS _fill,
+        lead(microtimestamp) OVER o AS _next_ts,
+        CASE WHEN lead(microtimestamp) OVER o IS NOT NULL
+             THEN CAST(row_number() OVER o + 1 AS INT) END AS _next_eno
+    FROM dedup
+    WINDOW o AS (PARTITION BY pair_id, era, order_id
+                 ORDER BY microtimestamp, {_EVENT_RANK}, event_id)
+), ann AS (
+    SELECT *,
+        first_value(microtimestamp) OVER p AS _pts,
+        CAST(first_value(_eno) OVER p AS INT) AS _peno
+    FROM ann1
+    WINDOW p AS (PARTITION BY pair_id, era, order_id, price
+                 ORDER BY microtimestamp, {_EVENT_RANK}, event_id)
+)
+SELECT microtimestamp, order_id,
+       CASE WHEN _first_event = 'order_created' THEN _eno END AS event_no,
+       event, order_type, datetime, local_timestamp, pair_id, price, amount,
+       CASE WHEN _first_event = 'order_created' THEN _fill END AS fill,
+       CASE WHEN _first_event = 'order_created' THEN _next_ts END AS next_microtimestamp,
+       CASE WHEN _first_event = 'order_created' THEN _next_eno END AS next_event_no,
+       CASE WHEN _first_event = 'order_created' THEN _pts END AS price_microtimestamp,
+       CASE WHEN _first_event = 'order_created' THEN _peno END AS price_event_no,
+       CASE WHEN _first_event = 'order_created' THEN
+           CASE WHEN _next_ts IS NOT NULL THEN 'chained'
+                WHEN event = 'order_deleted' THEN 'deleted'
+                ELSE 'alive' END END AS chain_state,
+       era
+FROM ann
+"""
+
+
+# ------------------------------------------------- SRC2: episode framing ----
+# Raw-book fabric: price == 0 on every 13th message ends an episode.
+BFX_RAW_SQL = """
+SELECT event_id, ts AS exchange_ts, ts AS local_ts,
+       CAST(1 AS INT) AS pair_id, CAST(1 AS INT) AS channel_id,
+       CAST(1 + (event_id % 97) AS BIGINT) AS order_id,
+       CASE WHEN (event_id % 13) = 6 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(10000 + (event_id % 31) AS DOUBLE) / 100 END AS price,
+       CAST(1 + (event_id % 17) AS DOUBLE) / 4 AS amount
+FROM events
+"""
+
+
+def frame_episodes(raw: DataFrame) -> DataFrame:
+    """SRC2: assign (episode_id, episode_timestamp) to raw book messages.
+
+    A zero-price message closes the running episode iff its predecessor has
+    a non-zero price (see module docstring for the equivalence proof); the
+    closing message itself opens the next episode. The trailing incomplete
+    episode — everything after the last close — is dropped, as the capture
+    client refuses to save it.
+    """
+    w = W.partitionBy("pair_id", "channel_id").orderBy("local_ts", "event_id")
+    prev_price = F.lag("price").over(w)
+    closing = ((F.col("price") == 0)
+               & prev_price.isNotNull() & (prev_price != 0)).cast("int")
+    # two layers: the closing flag (a lag) cannot nest inside the running sum
+    ann = raw.withColumn("_closing", closing).withColumn(
+        "episode_id",
+        F.sum("_closing").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).drop("_closing")
+    w_ep = W.partitionBy("pair_id", "channel_id", "episode_id")
+    w_all = W.partitionBy("pair_id", "channel_id")
+    return (
+        ann.withColumn("episode_timestamp", F.max("exchange_ts").over(w_ep))
+        .withColumn("_max_ep", F.max("episode_id").over(w_all))
+        .filter(F.col("episode_id") < F.col("_max_ep"))
+        .drop("_max_ep")
+    )
+
+
+def frame_episodes_oracle_sql() -> str:
+    return f"""
+WITH raw AS ({BFX_RAW_SQL}), flags AS (
+    SELECT *,
+        CASE WHEN price = 0 AND lag(price) OVER w IS NOT NULL
+                  AND lag(price) OVER w <> 0
+             THEN 1 ELSE 0 END AS _closing
+    FROM raw
+    WINDOW w AS (PARTITION BY pair_id, channel_id ORDER BY local_ts, event_id)
+), ann AS (
+    SELECT *,
+        CAST(sum(_closing) OVER (
+            PARTITION BY pair_id, channel_id ORDER BY local_ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS episode_id
+    FROM flags
+), ep AS (
+    SELECT *,
+        max(exchange_ts) OVER (
+            PARTITION BY pair_id, channel_id, episode_id) AS episode_timestamp,
+        max(episode_id) OVER (PARTITION BY pair_id, channel_id) AS _max_ep
+    FROM ann
+)
+SELECT event_id, exchange_ts, local_ts, pair_id, channel_id, order_id,
+       price, amount, episode_id, episode_timestamp
+FROM ep WHERE episode_id < _max_ep
+"""

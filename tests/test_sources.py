@@ -107,3 +107,40 @@ def test_move_events_clips_pointers(level3, staged):
     assert out.filter(
         (F.col("chain_state") == "chained") & F.col("next_microtimestamp").isNull()
     ).count() == 0
+
+
+def test_episode_framing_equals_reference_state_machine(spark):
+    """SRC2: the one-lag window form must equal a literal replay of the
+    capture client's accumulate/close state machine
+    (reference python/obadiah/bitfinex.py:64-76): price==0 closes the
+    accumulated episode and itself starts the next; the trailing
+    incomplete episode is not saved."""
+    from obadiah_spark.sources.bitstamp import BFX_RAW_SQL, frame_episodes
+
+    raw = spark.sql(BFX_RAW_SQL).orderBy("local_ts", "event_id").collect()
+
+    # reference state machine (single pair/channel fabric)
+    started = False
+    acc: list = []
+    episode_rts = None
+    expect: dict[int, tuple[int, object]] = {}  # event_id -> (episode_id, ep_ts)
+    ep_no = 0
+    for r in raw:
+        if r.price == 0:
+            if started:
+                for m in acc:
+                    expect[m.event_id] = (ep_no, episode_rts)
+                ep_no += 1
+                started = False
+                acc = []
+        else:
+            started = True
+        acc.append(r)
+        if episode_rts is None or r.exchange_ts > episode_rts:
+            episode_rts = r.exchange_ts
+
+    got = {r.event_id: (r.episode_id, r.episode_timestamp)
+           for r in frame_episodes(spark.sql(BFX_RAW_SQL)).collect()}
+    assert got.keys() == expect.keys()  # incomplete tail dropped identically
+    assert all(got[k][0] == expect[k][0] for k in expect)
+    assert all(got[k][1] == expect[k][1] for k in expect)

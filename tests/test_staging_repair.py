@@ -1,0 +1,108 @@
+"""Q5 staging repairs: missing-fill round trip + reveal_episodes movement.
+
+Both are density-gated: the synthetic matches/inferred-trades streams are
+empty at sf0.001 (fills need >=2 chained events per order). Run with
+OBADIAH_TEST_SF_DIR=/root/testdata/sf0.01 for the non-vacuous paths; the
+driver's gate exercises them at sf0.01 regardless.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.verify_local import compare  # noqa: E402
+
+
+def test_missing_fill_repair_round_trip(spark, level3):
+    """repair(corrupt(level3)) must reproduce level3 exactly — the corruption
+    subtracts each lost fill from all earlier amounts of the life, the repair
+    adds it back from the trade links."""
+    from obadiah_spark.operators.staging_repair import (
+        corrupt_fills,
+        find_and_repair_missing_fill,
+    )
+
+    matches = spark.table("matches")
+    corrupted, links = corrupt_fills(level3, matches)
+    n_nulled = corrupted.filter(
+        F.col("fill").isNull() & (F.col("event_no") > 1)
+        & (F.col("chain_state") != "deleted")).count()
+    if n_nulled == 0:
+        pytest.skip("no matched fills at this scale (need sf>=0.01 density)")
+    repaired = find_and_repair_missing_fill(corrupted, links)
+    assert not compare("missing-fill round trip",
+                       repaired.toPandas(), level3.drop("event_id").toPandas())
+
+
+def test_reveal_episodes_moves_events(spark, level3):
+    from obadiah_spark.operators.matching import inferred_trades
+    from obadiah_spark.operators.staging_repair import reveal_episodes
+
+    trades = inferred_trades(level3)
+    if trades.limit(1).count() == 0:
+        pytest.skip("no inferred trades at this scale (need sf>=0.01 density)")
+    out = reveal_episodes(level3, trades)
+    assert out.count() == level3.count()  # a rewrite, not a filter
+    orig = level3.select(
+        "pair_id", "order_id", "event_no", "era", "life_no",
+        F.col("microtimestamp").alias("orig_ts"))
+    j = out.join(orig, ["pair_id", "order_id", "event_no", "era", "life_no"])
+    moved = j.filter(F.col("microtimestamp") != F.col("orig_ts")).count()
+    assert moved > 0
+
+
+def test_fix_aggressor_collapses_inversion_chain_in_one_pass(spark):
+    """Phase A: three trades propose episodes P1>P2>P3 for increasing
+    event_no of one resting order — a two-level inversion. The reference
+    needs one UPDATE loop iteration per level; the batch running-min window
+    must collapse both moves in a single pass."""
+    from datetime import datetime
+
+    from obadiah_spark.operators.staging_repair import fix_aggressor_creation_order
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    era = datetime(2024, 1, 1)
+    schema = (
+        "microtimestamp timestamp, order_id long, event_no int, side string, "
+        "price double, amount double, fill double, "
+        "next_microtimestamp timestamp, next_event_no int, pair_id int, "
+        "exchange_id int, local_timestamp timestamp, "
+        "price_microtimestamp timestamp, price_event_no int, "
+        "chain_state string, era timestamp, life_no int"
+    )
+    X = 7
+    rows = [
+        # resting order X: three events, price chain starts at its first
+        (ts(1), X, 1, "b", 100.0, 5.0, None, ts(2), 2, 1, 1, ts(1), ts(1), 1, "chained", era, 0),
+        (ts(2), X, 2, "b", 100.0, 4.0, 1.0, ts(3), 3, 1, 1, ts(2), ts(1), 1, "chained", era, 0),
+        (ts(3), X, 3, "b", 100.0, 3.0, 1.0, None, None, 1, 1, ts(3), ts(1), 1, "alive", era, 0),
+        # aggressors a1..a3 whose price chains start at 00:30 > 00:20 > 00:10
+        (ts(30), 101, 1, "s", 101.0, 1.0, None, None, None, 1, 1, ts(30), ts(30), 1, "alive", era, 0),
+        (ts(20), 102, 1, "s", 101.0, 1.0, None, None, None, 1, 1, ts(20), ts(20), 1, "alive", era, 0),
+        (ts(10), 103, 1, "s", 101.0, 1.0, None, None, None, 1, 1, ts(10), ts(10), 1, "alive", era, 0),
+    ]
+    l3 = spark.createDataFrame(rows, schema)
+    trades = spark.createDataFrame(
+        [
+            (1, "s", ts(1), X, 1, ts(30), 101, 1),
+            (1, "s", ts(2), X, 2, ts(20), 102, 1),
+            (1, "s", ts(3), X, 3, ts(10), 103, 1),
+        ],
+        "pair_id int, side string, buy_microtimestamp timestamp, "
+        "buy_order_id long, buy_event_no int, sell_microtimestamp timestamp, "
+        "sell_order_id long, sell_event_no int",
+    )
+    out = fix_aggressor_creation_order(l3, trades)
+    got = {r.order_id: r.microtimestamp for r in out.filter("order_id > 100").collect()}
+    assert got[101] == ts(10)   # collapsed two levels down in ONE pass
+    assert got[102] == ts(10)
+    assert got[103] == ts(10)
+    # the resting order's events did not move
+    assert {r.microtimestamp for r in out.filter(f"order_id = {X}").collect()} == {ts(1), ts(2), ts(3)}
