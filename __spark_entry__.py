@@ -442,6 +442,22 @@ def _q_insert_era(spark, sf_dir):
     return insert_level3_era(_l3(spark, sf_dir), ERA_SPLIT_AT)
 
 
+def _q_cleanse_order(spark, sf_dir):
+    """Q5 pga_cleanse normalization: a disorder fabric (2nd chained event of
+    every %7==2 order pushed 10 min forward) restored to per-chain
+    monotonicity — backward island suffix-min + forward running max, both
+    closed forms of the reference's UPDATE loops."""
+    from obadiah_spark.operators.staging_repair import (
+        CLEANSE_FABRIC_CTES,
+        normalize_event_order,
+    )
+
+    _l3(spark, sf_dir)  # registers level3 + matches views
+    disordered = spark.sql(
+        f"WITH {CLEANSE_FABRIC_CTES} SELECT * FROM disordered")
+    return normalize_event_order(disordered)
+
+
 def _q_bs_capture_orders(spark, sf_dir):
     """I7: bitstamp-shaped transient stream (second-exchange fabric from
     `events`, incl. duplicate retransmissions and ex-nihilo chains) chained
@@ -645,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_aggressor_order": _q_fix_aggressor,
         "bs_capture_orders": _q_bs_capture_orders,
         "episode_framing": _q_episode_framing,
+        "cleanse_order": _q_cleanse_order,
     }
 
 
@@ -700,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         CORRUPT_FABRIC_CTES,
         find_and_repair_missing_fill_oracle_sql,
         fix_aggressor_creation_order_oracle_sql,
+        normalize_event_order_oracle_sql,
         reveal_episodes_oracle_sql,
     )
     from obadiah_spark.sources.bitstamp import (
@@ -778,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
             f"rev_trades AS ({inferred_trades_oracle_sql()})")),
         "bs_capture_orders": capture_transient_orders_oracle_sql(),
         "episode_framing": frame_episodes_oracle_sql(),
+        "cleanse_order": level3_matches_cte(normalize_event_order_oracle_sql()),
         "fix_aggressor_order": level3_cte(fix_aggressor_creation_order_oracle_sql(
             f"""agg_trades AS (
     SELECT pair_id, microtimestamp, price, amount,

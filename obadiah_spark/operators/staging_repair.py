@@ -262,6 +262,178 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
     )
 
 
+def normalize_event_order(l3: DataFrame) -> DataFrame:
+    """Q5 ``pga_cleanse`` normalization loops (db/bitstamp_schema.sql:
+    1686-1747): restore per-chain microtimestamp monotonicity after repairs
+    moved events around.
+
+    - BACKWARD: an unmatched fill-bearing event (or a creation) whose
+      successor sits earlier moves back to it. The reference loops one
+      pointer-hop per iteration (triggers refresh next pointers between
+      passes); the fixpoint satisfies f(k) = min(ts(k), f(k+1)) for
+      eligible k, else ts(k) — propagation passes only through contiguous
+      ELIGIBLE runs, so the closed form is a suffix minimum within
+      eligibility islands plus the first ineligible row after the island
+      (one window pass, no loop).
+    - FORWARD: an unmatched event earlier than the running maximum of its
+      predecessors moves up to that maximum. Values only rise to existing
+      prefix maxima, so the qualification set shrinks monotonically and a
+      single window pass IS the fixpoint.
+
+    Expects a boolean ``is_matched`` column (the reference reads its
+    ``trade_id`` column); forward pointers of chained rows are rebuilt as
+    lead(new_ts) so the frame stays self-consistent (the triggers' job).
+    """
+    chain = ["pair_id", "exchange_id", "era", "order_id", "life_no"]
+    w_asc = W.partitionBy(*chain).orderBy("event_no")
+    elig_b = (
+        ((F.col("fill") > 0) | F.col("fill").isNull()) & ~F.col("is_matched")
+        | (F.col("event_no") == 1)
+    ) & (F.col("chain_state") == "chained")
+    s = l3.withColumn("_inelig", (~elig_b).cast("int")).withColumn(
+        "_isl", F.sum("_inelig").over(
+            w_asc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    w_isl_desc = (
+        W.partitionBy(*chain, "_isl").orderBy(F.desc("event_no"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nb = F.first(
+        F.when(F.col("_inelig") == 1, F.col("microtimestamp")), ignorenulls=True
+    ).over(w_asc.rowsBetween(1, W.unboundedFollowing))
+    back = s.withColumn("_susp", F.min("microtimestamp").over(w_isl_desc)).withColumn(
+        "_ts2",
+        F.when(F.col("_inelig") == 0,
+               F.least("_susp", F.coalesce(nb, F.col("_susp"))))
+        .otherwise(F.col("microtimestamp")),
+    )
+    run_max = F.max("_ts2").over(w_asc.rowsBetween(W.unboundedPreceding, W.currentRow))
+    fwd = back.withColumn(
+        "_ts3",
+        F.when(~F.col("is_matched") & (F.col("_ts2") < run_max), run_max)
+        .otherwise(F.col("_ts2")),
+    )
+    new_next = F.when(
+        F.col("chain_state") == "chained", F.lead("_ts3").over(w_asc)
+    ).otherwise(F.col("next_microtimestamp"))
+    return fwd.select(
+        F.col("_ts3").alias("microtimestamp"),
+        "order_id", "event_no", "side", "price", "amount", "fill",
+        new_next.alias("next_microtimestamp"),
+        *_L3_COLS[8:],
+    )
+
+
+def event_order_audit(l3: DataFrame) -> DataFrame:
+    """pga_cleanse's final consistency check as an audit frame: events whose
+    microtimestamp exceeds the minimum of their chain suffix (the reference
+    RAISEs on any hit; callers can assert emptiness)."""
+    chain = ["pair_id", "exchange_id", "era", "order_id", "life_no"]
+    w_desc = (
+        W.partitionBy(*chain).orderBy(F.desc("event_no"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l3.withColumn("_suffix_min", F.min("microtimestamp").over(w_desc))
+        .filter(F.col("microtimestamp") > F.col("_suffix_min"))
+        .select(*chain, "event_no", "microtimestamp",
+                F.col("_suffix_min").alias("suffix_min"))
+    )
+
+
+# disorder fabric shared by the cleanse gate entry: push every %7==2 order's
+# 2nd chained event 10 minutes forward (creating ts(2) > ts(3) inversions),
+# rebuild the chain pointers, and mark maker-matched events
+CLEANSE_FABRIC_CTES = """pert AS (
+    SELECT l.*,
+        CASE WHEN (l.order_id % 7) = 2 AND l.event_no = 2
+                  AND l.chain_state = 'chained'
+             THEN l.microtimestamp + INTERVAL '10' MINUTE
+             ELSE l.microtimestamp END AS new_ts,
+        m.order_id IS NOT NULL AS is_matched
+    FROM level3 l
+    LEFT JOIN (SELECT DISTINCT pair_id, microtimestamp,
+                      coalesce(buy_order_id, sell_order_id) AS order_id,
+                      coalesce(buy_event_no, sell_event_no) AS event_no
+               FROM matches) m
+      ON m.pair_id = l.pair_id AND m.microtimestamp = l.microtimestamp
+     AND m.order_id = l.order_id AND m.event_no = l.event_no
+), disordered AS (
+    SELECT new_ts AS microtimestamp, order_id, event_no, side, price, amount,
+        fill,
+        CASE WHEN chain_state = 'chained' THEN lead(new_ts) OVER w
+             ELSE next_microtimestamp END AS next_microtimestamp,
+        next_event_no, pair_id, exchange_id, local_timestamp,
+        price_microtimestamp, price_event_no, chain_state, era, life_no,
+        is_matched
+    FROM pert
+    WINDOW w AS (PARTITION BY pair_id, exchange_id, era, order_id, life_no
+                 ORDER BY event_no)
+)"""
+
+
+def normalize_event_order_oracle_sql() -> str:
+    """DuckDB mirror of :func:`normalize_event_order` over the disorder
+    fabric (island suffix-min + first-ineligible lookahead + running max)."""
+    return f"""
+WITH {CLEANSE_FABRIC_CTES}, flags AS (
+    SELECT *,
+        CASE WHEN (((fill > 0) OR fill IS NULL) AND NOT is_matched
+                   OR event_no = 1)
+                  AND chain_state = 'chained'
+             THEN 0 ELSE 1 END AS _inelig
+    FROM disordered
+), isl AS (
+    SELECT *,
+        sum(_inelig) OVER (
+            PARTITION BY pair_id, exchange_id, era, order_id, life_no
+            ORDER BY event_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _isl,
+        first_value(CASE WHEN _inelig = 1 THEN microtimestamp END IGNORE NULLS)
+            OVER (PARTITION BY pair_id, exchange_id, era, order_id, life_no
+                  ORDER BY event_no
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _nb
+    FROM flags
+), back AS (
+    SELECT *,
+        CASE WHEN _inelig = 0 THEN
+            least(min(microtimestamp) OVER (
+                      PARTITION BY pair_id, exchange_id, era, order_id,
+                                   life_no, _isl
+                      ORDER BY event_no DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  coalesce(_nb,
+                      min(microtimestamp) OVER (
+                          PARTITION BY pair_id, exchange_id, era, order_id,
+                                       life_no, _isl
+                          ORDER BY event_no DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             ELSE microtimestamp END AS _ts2
+    FROM isl
+), fwd AS (
+    SELECT *,
+        CASE WHEN NOT is_matched
+                  AND _ts2 < max(_ts2) OVER (
+                      PARTITION BY pair_id, exchange_id, era, order_id, life_no
+                      ORDER BY event_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             THEN max(_ts2) OVER (
+                      PARTITION BY pair_id, exchange_id, era, order_id, life_no
+                      ORDER BY event_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ELSE _ts2 END AS _ts3
+    FROM back
+)
+SELECT _ts3 AS microtimestamp, order_id, event_no, side, price, amount, fill,
+       CASE WHEN chain_state = 'chained' THEN lead(_ts3) OVER w
+            ELSE next_microtimestamp END AS next_microtimestamp,
+       next_event_no, pair_id, exchange_id, local_timestamp,
+       price_microtimestamp, price_event_no, chain_state, era, life_no
+FROM fwd
+WINDOW w AS (PARTITION BY pair_id, exchange_id, era, order_id, life_no
+             ORDER BY event_no)
+"""
+
+
 def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
     """Q5 ``bitstamp.fix_aggressor_creation_order``
     (db/bitstamp_schema.sql:693-832): merge episodes of aggressors Bitstamp

@@ -106,3 +106,66 @@ def test_fix_aggressor_collapses_inversion_chain_in_one_pass(spark):
     assert got[103] == ts(10)
     # the resting order's events did not move
     assert {r.microtimestamp for r in out.filter(f"order_id = {X}").collect()} == {ts(1), ts(2), ts(3)}
+
+
+def test_normalize_event_order_equals_reference_loops(spark):
+    """The closed-form normalization must equal a literal replay of the
+    reference's two UPDATE loops (db/bitstamp_schema.sql:1686-1747):
+    backward one-pointer-hop per iteration with trigger-maintained next
+    pointers, then forward running-max, each to fixpoint."""
+    from datetime import datetime
+
+    from obadiah_spark.operators.staging_repair import normalize_event_order
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    era = datetime(2024, 1, 1)
+    # one chain, deliberately scrambled; events 2 and 5 are matched
+    # (ineligible), everything else eligible (fill NULL)
+    tss = [10, 50, 20, 40, 5, 30]
+    matched = [False, True, False, False, True, False]
+    n = len(tss)
+    rows = []
+    for i in range(n):
+        last = i == n - 1
+        rows.append((
+            ts(tss[i]), 42, i + 1, "b", 100.0, 1.0, None,
+            None if last else ts(tss[i + 1]), None if last else i + 2,
+            1, 1, ts(tss[i]), ts(tss[0]), 1,
+            "alive" if last else "chained", era, 0, matched[i],
+        ))
+    schema = (
+        "microtimestamp timestamp, order_id long, event_no int, side string, "
+        "price double, amount double, fill double, "
+        "next_microtimestamp timestamp, next_event_no int, pair_id int, "
+        "exchange_id int, local_timestamp timestamp, "
+        "price_microtimestamp timestamp, price_event_no int, "
+        "chain_state string, era timestamp, life_no int, is_matched boolean"
+    )
+    l3 = spark.createDataFrame(rows, schema)
+
+    # literal reference replay
+    cur = [ts(t) for t in tss]
+    elig = [(not matched[i] or i == 0) and i < n - 1 for i in range(n)]
+    changed = True
+    while changed:  # backward loop: one pointer hop per iteration
+        changed = False
+        for i in range(n - 1):
+            if elig[i] and cur[i + 1] < cur[i]:
+                cur[i] = cur[i + 1]
+                changed = True
+    changed = True
+    while changed:  # forward loop: running max per iteration
+        changed = False
+        run = cur[0]
+        for i in range(1, n):
+            run = max(run, cur[i])
+            if not matched[i] and cur[i] < run:
+                cur[i] = run
+                changed = True
+
+    got = {r.event_no: r.microtimestamp
+           for r in normalize_event_order(l3).collect()}
+    assert got == {i + 1: cur[i] for i in range(n)}
+    assert [got[i + 1] for i in range(n)] != [ts(t) for t in tss]  # non-vacuous
