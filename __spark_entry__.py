@@ -477,6 +477,22 @@ def _q_episode_framing(spark, sf_dir):
     return frame_episodes(spark.sql(BFX_RAW_SQL))
 
 
+def _q_symbol_upsert(spark, sf_dir):
+    """SRC8: SCD-2-style symbol-details upsert — snapshot rows appended to
+    history when new or changed (every 3rd fabric pair bumps a margin, 30
+    pairs are brand new)."""
+    from obadiah_spark.sources.symbols import (
+        SYMBOLS_AS_OF,
+        SYMBOLS_FABRIC_CTES,
+        update_symbol_details,
+    )
+
+    _load(spark, sf_dir)
+    hist = spark.sql(f"WITH {SYMBOLS_FABRIC_CTES} SELECT * FROM hist")
+    snap = spark.sql(f"WITH {SYMBOLS_FABRIC_CTES} SELECT * FROM snap")
+    return update_symbol_details(hist, snap, SYMBOLS_AS_OF)
+
+
 def _q_csv_roundtrip(spark, sf_dir):
     """SRC7: write the level3 log to CSV (±infinity text) and read it back
     typed; must equal the original rows."""
@@ -662,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_capture_orders": _q_bs_capture_orders,
         "episode_framing": _q_episode_framing,
         "cleanse_order": _q_cleanse_order,
+        "symbol_upsert": _q_symbol_upsert,
     }
 
 
@@ -725,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         frame_episodes_oracle_sql,
     )
     from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
+    from obadiah_spark.sources.symbols import update_symbol_details_oracle_sql
     from obadiah_spark.operators.trading import (
         epsilon_draws_zigzag_oracle_sql,
         trading_period_v0_oracle,
@@ -797,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "bs_capture_orders": capture_transient_orders_oracle_sql(),
         "episode_framing": frame_episodes_oracle_sql(),
         "cleanse_order": level3_matches_cte(normalize_event_order_oracle_sql()),
+        "symbol_upsert": update_symbol_details_oracle_sql(),
         "fix_aggressor_order": level3_cte(fix_aggressor_creation_order_oracle_sql(
             f"""agg_trades AS (
     SELECT pair_id, microtimestamp, price, amount,
