@@ -288,7 +288,8 @@ FROM (
 
 # -------------------------------------------------------- D5 depth_summary --
 
-def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int = 2):
+def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int = 2,
+                       period_s: int | None = 86400):
     """D5 ``get.depth_summary``: per change-episode, the FULL depth bucketed
     by bps distance from the best price (reference db/get_schema.sql:278-298;
     bucketing db/obanalytics_schema.sql:662-712): bps_level =
@@ -297,10 +298,15 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
 
     Runs in the book fold (depth state is O(levels)); the oracle re-derives
     the same from the episode×level grid. Rounding is floor(x*100+0.5)/100 on
-    BOTH engines (python and SQL share the op sequence bit-for-bit)."""
+    BOTH engines (python and SQL share the op sequence bit-for-bit).
+
+    ``period_s`` splits eras into seeded periods (fold.period_fold) so
+    parallelism is #periods; every output row belongs to one episode and
+    the only cross-episode state is the book + emitted map (both seeded),
+    so the split output is identical (pytest-enforced)."""
     import math
 
-    from obadiah_spark.fold import EpisodeFolder, stream_fold
+    from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
 
     scale = 10 ** r0
 
@@ -342,6 +348,8 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "price double, volume double, bps_level bigint")
+    if period_s is not None:
+        return period_fold(l3, _DepthSummaryFolder, schema, frequency_s=period_s)
     return stream_fold(l3.select(*cols), _DepthSummaryFolder, schema)
 
 

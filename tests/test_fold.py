@@ -61,6 +61,7 @@ def test_period_split_equals_unsplit_for_derived_folds(spark, level3):
     """Round-4 period wiring: queues, depth_resample, trading_period and the
     depth_chains fold must produce identical output split vs unsplit (6-hour
     periods exercise seeding; resample grid 3600 divides the period)."""
+    from obadiah_spark.operators.depth import depth_summary_fold
     from obadiah_spark.operators.depth_chains import depth_changes_with_chains
     from obadiah_spark.operators.resample import depth_resample, queues
     from obadiah_spark.operators.trading import trading_period_fold
@@ -70,6 +71,7 @@ def test_period_split_equals_unsplit_for_derived_folds(spark, level3):
         ("depth_resample", lambda p: depth_resample(level3, period_s=p)),
         ("trading_period", lambda p: trading_period_fold(level3, period_s=p)),
         ("depth_chains", lambda p: depth_changes_with_chains(level3, period_s=p)),
+        ("depth_summary", lambda p: depth_summary_fold(level3, period_s=p)),
     ]:
         base = fn(None).toPandas()
         split = fn(6 * 3600).toPandas()
