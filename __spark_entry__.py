@@ -104,6 +104,19 @@ def _q_order_book(spark, sf_dir):
     return order_book(l3, OB_AT)
 
 
+def _q_order_book_ckpt(spark, sf_dir):
+    """B1 via the book-checkpoint silver table (SURVEY §4.2.3): the as-of
+    snapshot reads one boundary's open chains + the (boundary, ts] tail
+    instead of the era's whole history; must equal the full-scan order_book
+    (shares its oracle)."""
+    from obadiah_spark.fold import book_checkpoints
+    from obadiah_spark.operators.order_book import order_book, snapshot_checkpointed
+
+    l3 = _l3(spark, sf_dir)
+    live = snapshot_checkpointed(l3, book_checkpoints(l3), OB_AT, only_makers=True)
+    return order_book(l3, OB_AT, live=live)
+
+
 def _q_spread(spark, sf_dir):
     from obadiah_spark.fold import spread_fold
 
@@ -629,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _q_topk,
         "sessionize_events": _q_sessionize,
         "order_book": _q_order_book,
+        "order_book_ckpt": _q_order_book_ckpt,
         "spread": _q_spread,
         "depth_change": _q_depth_change,
         "spread_periods": _q_spread_periods,
@@ -761,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": relational.TOPK_ORACLE,
         "sessionize_events": relational.sessionize_oracle(30),
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
+        "order_book_ckpt": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
         "spread_periods": level3_cte(SPREAD_LINEAR_ORACLE_BODY),

@@ -410,36 +410,43 @@ def _period_start(ts, freq_us: int):
     return F.timestamp_micros((us - us % F.lit(freq_us)).cast("long"))
 
 
-def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
-                frequency_s: int = 86400) -> DataFrame:
-    """The reference's answer to "one giant era serializes the fold"
-    (``_periods_within_eras`` + seeded restart, db/obanalytics_schema.sql:
-    979-1005, level2_continuous :1627-1661): split each era into
-    frequency-aligned periods, seed each period's book with the
-    end-of-previous-period level state, and fold every (era, period)
-    INDEPENDENTLY — parallelism becomes #periods, not #eras.
+def book_checkpoints(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
+    """Open-order book state at every frequency-aligned boundary, one row
+    per (boundary, open chain), carrying the chain's last event WITH its
+    original identity (microtimestamp, event_no, price chain, pointers).
 
-    Seeds must be PER-ORDER, not per-level: the book is order-granular, so an
-    amend/delete of a pre-boundary order must find that order's old amount in
-    the seeded book (a level-aggregate pseudo-order would double-count on the
-    first later amend — the reference seeds from ``order_book()`` snapshots,
-    which are per-order, for the same reason). Open-order state at each
-    boundary is carried declaratively (one window over events ∪ boundary
-    probes per order chain) and injected as ``chain_state='seed'`` events
-    with the REAL order_ids at the period-start instant; the folder absorbs
-    the seed episode into its book and change-tracking state without
-    emitting, so the output is IDENTICAL to the unsplit fold (the equality
-    is pytest-enforced).
+    This is the engine's materializable "book state at era/month start"
+    silver table (SURVEY §4.2.3; the reference's Q6 boundary clones and
+    ``order_book()`` seeds play the same role): period_fold seeds its
+    periods from it, and ``snapshot_checkpointed`` answers point-in-time
+    queries by reading ONE boundary's rows plus the (boundary, ts] event
+    tail instead of the era's whole history — the difference between a
+    partition-pruned probe and a full-era scan at 100 TB.
+
+    Derivation is declarative: one window carries each chain's last event
+    onto boundary probes (probes sort AFTER events at the exact boundary, so
+    an event at ts == P belongs to the state AT P); chains conclusively dead
+    before the boundary are pruned first.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     freq_us = frequency_s * 1_000_000
-    ev = l3.select(*_EVENT_COLS).withColumn(
+    full_cols = _EVENT_COLS + ["next_microtimestamp", "next_event_no",
+                               "price_microtimestamp", "price_event_no",
+                               "life_no"]
+    ev = l3.select(*full_cols).withColumn(
         "period_start", _period_start(F.col("microtimestamp"), freq_us))
 
     okeys = ["pair_id", "exchange_id", "era", "order_id"]
-    st_type = "struct<side:string,price:double,amount:double,chain_state:string>"
+    carried = ["microtimestamp", "event_no", "side", "price", "amount",
+               "chain_state", "next_microtimestamp", "next_event_no",
+               "price_microtimestamp", "price_event_no", "life_no"]
+    st_type = ("struct<microtimestamp:timestamp,event_no:int,side:string,"
+               "price:double,amount:double,chain_state:string,"
+               "next_microtimestamp:timestamp,next_event_no:int,"
+               "price_microtimestamp:timestamp,price_event_no:int,"
+               "life_no:int>")
 
     # prune probes to chains alive at the boundary: first event at or before
     # it, and not conclusively dead before it (reincarnated chains keep their
@@ -457,10 +464,6 @@ def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
                 & (~F.col("ends_deleted")
                    | (F.col("last_ts") > F.col("period_start"))))
     )
-
-    # order-chain state carried onto each boundary probe: probes sort AFTER
-    # events at the exact boundary instant (an event at ts==P belongs to the
-    # period ENDING at P, so its state is what the next period seeds from)
     w_carry = (
         W.partitionBy(*okeys)
         .orderBy("ts", "_kind", "event_no")
@@ -468,26 +471,55 @@ def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
     )
     timeline = ev.select(
         *okeys, F.col("microtimestamp").alias("ts"), F.lit(0).alias("_kind"),
-        "event_no", F.struct("side", "price", "amount", "chain_state").alias("st"),
+        "event_no", F.struct(*carried).alias("st"),
         F.lit(None).cast("timestamp").alias("p_start"),
     ).unionByName(probes.select(
         *okeys, F.col("period_start").alias("ts"), F.lit(1).alias("_kind"),
         F.lit(0).alias("event_no"), F.lit(None).cast(st_type).alias("st"),
         F.col("period_start").alias("p_start"),
     ))
-    seeds = (
+    return (
         timeline.withColumn("c", F.last("st", ignorenulls=True).over(w_carry))
         .filter((F.col("_kind") == 1) & F.col("c").isNotNull()
                 & (F.col("c.chain_state") != "deleted"))
+        .select("pair_id", "exchange_id", "era", "order_id",
+                F.col("p_start").alias("period_start"),
+                *[F.col(f"c.{c}").alias(c) for c in carried])
     )
-    seed_events = seeds.select(
+
+
+def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
+                frequency_s: int = 86400) -> DataFrame:
+    """The reference's answer to "one giant era serializes the fold"
+    (``_periods_within_eras`` + seeded restart, db/obanalytics_schema.sql:
+    979-1005, level2_continuous :1627-1661): split each era into
+    frequency-aligned periods, seed each period's book with the
+    end-of-previous-period level state, and fold every (era, period)
+    INDEPENDENTLY — parallelism becomes #periods, not #eras.
+
+    Seeds must be PER-ORDER, not per-level: the book is order-granular, so an
+    amend/delete of a pre-boundary order must find that order's old amount in
+    the seeded book (a level-aggregate pseudo-order would double-count on the
+    first later amend — the reference seeds from ``order_book()`` snapshots,
+    which are per-order, for the same reason). Open-order state at each
+    boundary comes from :func:`book_checkpoints` and is injected as
+    ``chain_state='seed'`` events with the REAL order_ids at the
+    period-start instant; the folder absorbs the seed episode into its book
+    and change-tracking state without emitting, so the output is IDENTICAL
+    to the unsplit fold (the equality is pytest-enforced).
+    """
+    from pyspark.sql import functions as F
+
+    freq_us = frequency_s * 1_000_000
+    ev = l3.select(*_EVENT_COLS).withColumn(
+        "period_start", _period_start(F.col("microtimestamp"), freq_us))
+    seed_events = book_checkpoints(l3, frequency_s).select(
         "pair_id", "exchange_id", "era",
-        F.col("p_start").alias("microtimestamp"),
+        F.col("period_start").alias("microtimestamp"),
         "order_id", F.lit(0).alias("event_no"),
-        F.col("c.side").alias("side"), F.col("c.price").alias("price"),
-        F.col("c.amount").alias("amount"),
+        "side", "price", "amount",
         F.lit("seed").alias("chain_state"),
-        F.col("p_start").alias("period_start"),
+        "period_start",
     )
     unioned = ev.unionByName(seed_events.select(*_EVENT_COLS, "period_start"))
     return stream_fold(

@@ -117,10 +117,9 @@ def snapshot_multi(l3: DataFrame, instants: DataFrame) -> DataFrame:
     )
 
 
-def snapshot(l3: DataFrame, at_ts, before: bool = False,
-             only_makers: bool = False, side: str | None = None) -> DataFrame:
-    """B1: live events + is_maker / is_crossed flags (price-time priority)."""
-    live = live_at(l3, at_ts, before)
+def _maker_crossed_flags(live: DataFrame, only_makers: bool = False,
+                         side: str | None = None) -> DataFrame:
+    """Price-time-priority maker/crossed flags over a live set (B1)."""
     w_pair = W.partitionBy("pair_id", "exchange_id")
     w_fwd = w_pair.orderBy("price_microtimestamp", "microtimestamp")
     w_bwd = w_pair.orderBy(F.desc("price_microtimestamp"), F.desc("microtimestamp"))
@@ -158,11 +157,74 @@ def snapshot(l3: DataFrame, at_ts, before: bool = False,
     return out
 
 
+def snapshot(l3: DataFrame, at_ts, before: bool = False,
+             only_makers: bool = False, side: str | None = None) -> DataFrame:
+    """B1: live events + is_maker / is_crossed flags (price-time priority)."""
+    return _maker_crossed_flags(live_at(l3, at_ts, before), only_makers, side)
+
+
+def snapshot_checkpointed(l3: DataFrame, ckpts: DataFrame, at_ts,
+                          only_makers: bool = False,
+                          side: str | None = None) -> DataFrame:
+    """B1 answered from a :func:`obadiah_spark.fold.book_checkpoints` table:
+    the live set at ``at_ts`` = the latest boundary's open-chain rows
+    (carried with their ORIGINAL event identity) overlaid by the event tail
+    in (boundary, at_ts] — the latest row per order decides, alive iff it is
+    not a delete.
+
+    Scale: with ``ckpts`` materialized and partitioned by (era,
+    period_start), the probe reads ONE boundary partition plus one period's
+    events instead of the era's whole history — the point-in-time scan stops
+    being O(era). Output is identical to :func:`snapshot` at the same
+    instant (pytest-enforced, incl. at_ts exactly on a boundary)."""
+    at = F.lit(at_ts).cast("timestamp")
+    eras = l3.groupBy("pair_id", "exchange_id").agg(
+        F.max(F.when(F.col("era") <= at, F.col("era"))).alias("_cur_era"))
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state",
+            "next_microtimestamp", "next_event_no",
+            "price_microtimestamp", "price_event_no", "life_no"]
+    ck = (
+        ckpts.join(F.broadcast(eras), ["pair_id", "exchange_id"])
+        .filter((F.col("era") == F.col("_cur_era"))
+                & (F.col("period_start") <= at))
+    )
+    w_pe = W.partitionBy("pair_id", "exchange_id")
+    ck_latest = (
+        ck.withColumn("_P", F.max("period_start").over(w_pe))
+        .filter(F.col("period_start") == F.col("_P"))
+    )
+    bounds = ck_latest.groupBy("pair_id", "exchange_id").agg(
+        F.max("period_start").alias("_P"))
+    tail = (
+        l3.join(F.broadcast(eras), ["pair_id", "exchange_id"])
+        .filter((F.col("era") == F.col("_cur_era"))
+                & (F.col("microtimestamp") <= at))
+        .join(F.broadcast(bounds), ["pair_id", "exchange_id"], "left")
+        .filter(F.col("_P").isNull() | (F.col("microtimestamp") > F.col("_P")))
+    )
+    cand = ck_latest.select(*cols).unionByName(tail.select(*cols))
+    w_o = (W.partitionBy("pair_id", "exchange_id", "order_id")
+           .orderBy(F.desc("microtimestamp"), F.desc("event_no")))
+    live = (
+        cand.withColumn("_rn", F.row_number().over(w_o))
+        .filter((F.col("_rn") == 1) & (F.col("chain_state") != "deleted"))
+        .drop("_rn")
+    )
+    return _maker_crossed_flags(live, only_makers, side)
+
+
 def order_book(l3: DataFrame, at_ts, max_levels: int | None = None,
                bps_range: float | None = None, min_bid: float | None = None,
-               max_ask: float | None = None, only_makers: bool = True) -> DataFrame:
-    """B6: snapshot with liquidity / bps / price level analytics + filters."""
-    live = snapshot(l3, at_ts, only_makers=only_makers)
+               max_ask: float | None = None, only_makers: bool = True,
+               live: DataFrame | None = None) -> DataFrame:
+    """B6: snapshot with liquidity / bps / price level analytics + filters.
+
+    ``live`` supplies a prebuilt flagged snapshot (e.g. from
+    :func:`snapshot_checkpointed`) instead of the full-history as-of filter.
+    """
+    if live is None:
+        live = snapshot(l3, at_ts, only_makers=only_makers)
     # distance from the top of the book: bids descend, asks ascend
     dist = F.when(F.col("side") == "b", -F.col("price")).otherwise(F.col("price"))
     w_pair = W.partitionBy("pair_id", "exchange_id", "side")

@@ -95,3 +95,28 @@ def test_stream_fold_is_batch_size_invariant(spark, level3):
     assert len(base_spread) > 0 and len(base_depth) > 0
     assert not compare("spread tiny-batches", base_spread, tiny_spread)
     assert not compare("depth tiny-batches", base_depth, tiny_depth)
+
+
+def test_snapshot_checkpointed_equals_full_scan(spark, level3):
+    """B1 via book_checkpoints must equal the full-history as-of snapshot at
+    awkward instants: mid-period, exactly ON a boundary (an event at ts==P
+    belongs to the state AT P), and before the era's first boundary (no
+    checkpoint -> plain era scan)."""
+    from obadiah_spark.fold import book_checkpoints
+    from obadiah_spark.operators.order_book import snapshot, snapshot_checkpointed
+    from tools.verify_local import compare
+
+    ck = book_checkpoints(level3, frequency_s=6 * 3600)
+    cols = ["pair_id", "exchange_id", "order_id", "event_no", "microtimestamp",
+            "side", "price", "amount", "price_microtimestamp",
+            "price_event_no", "is_maker", "is_crossed"]
+    for at, must_have_rows in [
+        ("2024-01-09 15:00:00", True),    # mid-period
+        ("2024-01-09 12:00:00", True),    # exactly on a 6h boundary
+        ("2024-01-08 00:30:00", False),   # before the era's first boundary
+    ]:
+        full = snapshot(level3, at).select(*cols).toPandas()
+        fast = snapshot_checkpointed(level3, ck, at).select(*cols).toPandas()
+        if must_have_rows:
+            assert len(full) > 0, at
+        assert not compare(f"snapshot@{at}", full, fast), at
