@@ -144,3 +144,26 @@ def test_episode_framing_equals_reference_state_machine(spark):
     assert got.keys() == expect.keys()  # incomplete tail dropped identically
     assert all(got[k][0] == expect[k][0] for k in expect)
     assert all(got[k][1] == expect[k][1] for k in expect)
+
+
+def test_silver_layout_roundtrip_and_pruning(spark, level3, tmp_path):
+    """SURVEY §1.3: the partitioned silver layout must round-trip the level3
+    rows exactly AND prune partitions — a (pair, side, month) filter shows
+    PartitionFilters in the scan instead of reading every directory."""
+    from obadiah_spark.sources.silver import read_level3, write_level3
+    from tools.verify_local import compare
+
+    path = str(tmp_path / "level3_silver")
+    write_level3(level3.drop("event_id"), path)
+    back = read_level3(spark, path)
+
+    cols = sorted(c for c in level3.columns if c != "event_id")
+    assert sorted(back.columns) == cols
+    assert not compare("silver roundtrip",
+                       back.select(*cols).toPandas(),
+                       level3.select(*cols).toPandas())
+
+    pruned = back.filter("pair_id = 1 AND side = 'b'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "pair_id" in plan.split("PartitionFilters")[1][:200]
