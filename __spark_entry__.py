@@ -481,6 +481,16 @@ def _q_bs_capture_orders(spark, sf_dir):
     return capture_transient_orders(spark.sql(BS_TRANSIENT_SQL))
 
 
+def _q_capture_trades(spark, sf_dir):
+    """I4: transient bitfinex trades (with retransmission duplicates) →
+    canonical matches projection with per-pair precision rounding."""
+    from obadiah_spark.sources.bitstamp import BFX_TRADES_SQL, capture_transient_trades
+
+    _l3(spark, sf_dir)  # registers the pairs dim view
+    return capture_transient_trades(spark.sql(BFX_TRADES_SQL),
+                                    spark.table("pairs"))
+
+
 def _q_episode_framing(spark, sf_dir):
     """SRC2: price==0 episode framing of a raw bitfinex book stream as one
     window expression (the capture client's accumulate/close state machine)."""
@@ -690,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reveal_episodes": _q_reveal_episodes,
         "fix_aggressor_order": _q_fix_aggressor,
         "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
         "episode_framing": _q_episode_framing,
         "cleanse_order": _q_cleanse_order,
         "symbol_upsert": _q_symbol_upsert,
@@ -753,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from obadiah_spark.sources.bitstamp import (
         capture_transient_orders_oracle_sql,
+        capture_transient_trades_oracle_sql,
         frame_episodes_oracle_sql,
     )
     from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
@@ -828,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "reveal_episodes": level3_cte(reveal_episodes_oracle_sql(
             f"rev_trades AS ({inferred_trades_oracle_sql()})")),
         "bs_capture_orders": capture_transient_orders_oracle_sql(),
+        "capture_trades": level3_cte(capture_transient_trades_oracle_sql()),
         "episode_framing": frame_episodes_oracle_sql(),
         "cleanse_order": level3_matches_cte(normalize_event_order_oracle_sql()),
         "symbol_upsert": update_symbol_details_oracle_sql(),

@@ -176,6 +176,90 @@ FROM ann
 """
 
 
+# ------------------------------------------- I4: transient trade capture ----
+# Reference ``bitfinex.capture_transient_trades`` (db/bitfinex_schema.sql:
+# 477-492): transient trades → obanalytics.matches; DISTINCT ON
+# (exchange_timestamp, id) dedup; amount = round(|qty|, pairs.fmu), price =
+# round(price, price_precision); side from sign(qty).
+#
+# Fabric: trades derived from `events`, one in three sells, with every 10th
+# trade retransmitted 1 s later (exercises the dedup keep-first).
+BFX_TRADES_SQL = """
+SELECT id, exchange_timestamp, local_timestamp, pair_id, qty, price
+FROM (
+    SELECT CAST(event_id AS BIGINT) AS id,
+           ts AS exchange_timestamp, ts AS local_timestamp,
+           CAST(1 + (event_id % 2) AS INT) AS pair_id,
+           CASE WHEN (event_id % 3) = 0 THEN -1 ELSE 1 END
+               * CAST(1 + (event_id % 40) AS DOUBLE) / 4 AS qty,
+           CAST(10000 + (event_id % 60) AS DOUBLE) / 100 AS price
+    FROM events
+) base
+UNION ALL
+SELECT id, exchange_timestamp,
+       local_timestamp + INTERVAL '1' SECOND, pair_id, qty, price
+FROM (
+    SELECT CAST(event_id AS BIGINT) AS id,
+           ts AS exchange_timestamp, ts AS local_timestamp,
+           CAST(1 + (event_id % 2) AS INT) AS pair_id,
+           CASE WHEN (event_id % 3) = 0 THEN -1 ELSE 1 END
+               * CAST(1 + (event_id % 40) AS DOUBLE) / 4 AS qty,
+           CAST(10000 + (event_id % 60) AS DOUBLE) / 100 AS price
+    FROM events WHERE (event_id % 10) = 4
+) dup
+"""
+
+
+def capture_transient_trades(transient: DataFrame, pairs: DataFrame) -> DataFrame:
+    """I4: transient bitfinex trades → canonical matches projection.
+
+    ``pairs`` supplies per-pair precisions (r0 = price decimals, fmu =
+    amount decimals, reference obanalytics.pairs). Rounding is
+    round(x·10^k)/10^k on both engines — identical op sequence, and the
+    per-pair scale can be a column (Spark's round() scale argument cannot).
+    The DISTINCT ON dedup keeps the first row per (ts, id) by
+    local_timestamp (the reference's ORDER BY leaves ties arbitrary — we
+    pin the deterministic refinement).
+    """
+    w = (W.partitionBy("pair_id", "exchange_timestamp", "id")
+         .orderBy("local_timestamp"))
+    p = pairs.select("pair_id", F.pow(F.lit(10.0), F.col("r0")).alias("_pf"),
+                     F.pow(F.lit(10.0), F.col("fmu")).alias("_af"))
+    return (
+        transient.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(p), "pair_id")
+        .select(
+            (F.round(F.abs(F.col("qty")) * F.col("_af")) / F.col("_af"))
+            .alias("amount"),
+            (F.round(F.col("price") * F.col("_pf")) / F.col("_pf"))
+            .alias("price"),
+            F.when(F.col("qty") < 0, "s").otherwise("b").alias("side"),
+            F.col("exchange_timestamp").alias("microtimestamp"),
+            "local_timestamp", "pair_id",
+            F.col("id").alias("exchange_trade_id"),
+        )
+    )
+
+
+def capture_transient_trades_oracle_sql() -> str:
+    return f"""
+WITH transient AS ({BFX_TRADES_SQL}), dedup AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY pair_id, exchange_timestamp, id
+            ORDER BY local_timestamp) AS _rn
+        FROM transient) d WHERE _rn = 1
+)
+SELECT round(abs(qty) * power(10.0, fmu)) / power(10.0, fmu) AS amount,
+       round(price * power(10.0, r0)) / power(10.0, r0) AS price,
+       CASE WHEN qty < 0 THEN 's' ELSE 'b' END AS side,
+       exchange_timestamp AS microtimestamp,
+       local_timestamp, pair_id, id AS exchange_trade_id
+FROM dedup JOIN pairs USING (pair_id)
+"""
+
+
 # ------------------------------------------------- SRC2: episode framing ----
 # Raw-book fabric: price == 0 on every 13th message ends an episode.
 BFX_RAW_SQL = """
