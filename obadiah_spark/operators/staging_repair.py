@@ -231,6 +231,8 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
         .groupBy(F.col("pair_id").alias("m_pair"), "m_old", "m_oid", "m_eno")
         .agg(F.min("episode_ts").alias("m_new"))
         .filter(F.col("m_new") != F.col("m_old"))
+        # two consumers (event rewrite + pointer follow): materialize once
+        .localCheckpoint(eager=False)
     )
     tagged = l3.join(
         moves,
@@ -529,6 +531,9 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
         .groupBy(F.col("pair_id").alias("m_pair"), "m_old", "m_oid", "m_eno")
         .agg(F.min("m_new").alias("m_new"))
         .filter(F.col("m_new") != F.col("m_old"))
+        # two consumers (event rewrite + pointer follow): materialize once
+        # instead of re-deriving the whole trade-join subtree per branch
+        .localCheckpoint(eager=False)
     )
     tagged = l3.join(
         moves,

@@ -1,0 +1,78 @@
+"""Streaming level1 derivation: the spread fold over micro-batches (§2.9).
+
+The batch path (``fold.spread_fold``) shuffles once and streams Arrow
+batches through per-(pair, era) ``_SpreadFolder`` state machines. The
+streaming form is the same machine fed by ``foreachBatch``: folder state
+(book + emitted best) persists across micro-batches per key, exactly like
+the reference's C fold persists across SPI cursor fetches
+(db/c/obadiah_db/obadiah_db.cpp:270-363). Events must arrive in event-time
+order per key — upstream that is the SRC5 watermark reorder's contract
+(``streaming/reorder.py``); episodes may still split across micro-batches
+(the folder defers an episode until it sees the next timestamp, and
+:meth:`flush` force-closes only at stream end).
+
+Differential contract (tested): any micro-batch split of the event stream
+reproduces ``spread_fold`` bit-for-bit.
+
+Scale note: this driver-side mirror holds one folder per (pair, era) in the
+process — the executor-side binding is the same move as
+``streaming/chain.py`` (keyed state in the state store); the folder state
+here is O(open orders), the book itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from obadiah_spark.fold import _SpreadFolder
+
+_KEY = ["pair_id", "exchange_id", "era"]
+_ORDER = ["microtimestamp", "order_id", "event_no"]
+
+
+class StreamingSpread:
+    """Accumulates level1 rows from ordered micro-batches of level3 events."""
+
+    def __init__(self) -> None:
+        self.folders: dict[tuple, _SpreadFolder] = {}
+        self.out: list[pd.DataFrame] = []
+
+    def process_batch(self, pdf: pd.DataFrame) -> None:
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(_KEY + _ORDER, kind="mergesort")
+        for key, grp in pdf.groupby(_KEY, sort=False):
+            folder = self.folders.get(key)
+            if folder is None:
+                folder = self.folders[key] = _SpreadFolder(grp.iloc[0])
+            self.out.extend(folder.feed(grp))
+
+    def flush(self) -> pd.DataFrame:
+        for folder in self.folders.values():
+            self.out.extend(folder.finish())
+        cols = list(_SpreadFolder.OUT_COLS)
+        if not self.out:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(self.out, ignore_index=True)[cols]
+
+
+def run_streaming_spread(spark, l3_dir: str, schema: str,
+                         checkpoint_dir: str) -> pd.DataFrame:
+    """Drive a file-per-trigger stream of level3 events through the fold."""
+    acc = StreamingSpread()
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(l3_dir)
+    )
+
+    def handle(batch_df, batch_id):  # noqa: ANN001
+        acc.process_batch(batch_df.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return acc.flush()
