@@ -410,7 +410,16 @@ def _period_start(ts, freq_us: int):
     return F.timestamp_micros((us - us % F.lit(freq_us)).cast("long"))
 
 
-def book_checkpoints(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
+# (session id, input plan semantic hash, frequency) -> cached checkpoints.
+# semanticHash equality means the same logical plan, hence the same
+# checkpoint rows — sharing across the fold family is safe by construction.
+# The table is tiny (boundaries × open chains); .cache() makes the six
+# period-fold consumers derive it once per session instead of once each.
+_CKPT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
+                     use_cache: bool = True) -> DataFrame:
     """Open-order book state at every frequency-aligned boundary, one row
     per (boundary, open chain), carrying the chain's last event WITH its
     original identity (microtimestamp, event_no, price chain, pointers).
@@ -430,6 +439,12 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    if use_cache:
+        key = (id(l3.sparkSession), l3.semanticHash(), frequency_s)
+        hit = _CKPT_CACHE.get(key)
+        if hit is not None:
+            return hit
 
     freq_us = frequency_s * 1_000_000
     full_cols = _EVENT_COLS + ["next_microtimestamp", "next_event_no",
@@ -478,7 +493,7 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
         F.lit(0).alias("event_no"), F.lit(None).cast(st_type).alias("st"),
         F.col("period_start").alias("p_start"),
     ))
-    return (
+    out = (
         timeline.withColumn("c", F.last("st", ignorenulls=True).over(w_carry))
         .filter((F.col("_kind") == 1) & F.col("c").isNotNull()
                 & (F.col("c.chain_state") != "deleted"))
@@ -486,6 +501,10 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
                 F.col("p_start").alias("period_start"),
                 *[F.col(f"c.{c}").alias(c) for c in carried])
     )
+    if use_cache:
+        out = out.cache()
+        _CKPT_CACHE[key] = out
+    return out
 
 
 def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,

@@ -166,12 +166,17 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
     from obadiah_spark.operators.order_book import snapshot_multi
     from obadiah_spark.operators.quality import crossed_books
 
+    from obadiah_spark.log import get_logger
+
+    log = get_logger("repair.fix_crossed_books")
     cur = l3
-    for _ in range(max_iter):
+    for i in range(max_iter):
         cb = crossed_books(spread_fold(cur)).cache()
         rows = cb.limit(1).count()
         if rows == 0:
+            log.debug("pass %d: no crossed periods remain", i)
             return cur
+        log.debug("pass %d: crossed periods detected, merging", i)
         # materialize + cut lineage each round: the repair is iterative and
         # the plan would otherwise compound (fold → merge → fold → ...)
         # drop the audit-only _old_ts so the function's output keeps the
