@@ -410,12 +410,14 @@ def _period_start(ts, freq_us: int):
     return F.timestamp_micros((us - us % F.lit(freq_us)).cast("long"))
 
 
-# (session id, input plan semantic hash, frequency) -> cached checkpoints.
-# semanticHash equality means the same logical plan, hence the same
-# checkpoint rows — sharing across the fold family is safe by construction.
-# The table is tiny (boundaries × open chains); .cache() makes the six
-# period-fold consumers derive it once per session instead of once each.
-_CKPT_CACHE: dict[tuple, DataFrame] = {}
+# (session object, input semanticHash, frequency) -> (input frame, cached
+# checkpoints). Keyed by the LIVE session object (not id(), which a dead
+# session's reuse could collide with); a hit is honored only after an exact
+# plan comparison via sameSemantics, so the 32-bit semanticHash is just a
+# bucket, never the authority. The table is tiny (boundaries × open
+# chains); .cache() makes the period-fold consumers derive it once per
+# session instead of once each. Bounded: cleared wholesale past 32 entries.
+_CKPT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
@@ -440,11 +442,23 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    l3_orig = l3
     if use_cache:
-        key = (id(l3.sparkSession), l3.semanticHash(), frequency_s)
+        key = (l3.sparkSession, l3.semanticHash(), frequency_s)
         hit = _CKPT_CACHE.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and l3.sameSemantics(hit[0]):
+            return hit[1]
+
+    # tolerate event-projection inputs (the documented fold contract): the
+    # pointer/price columns are only needed by snapshot consumers; seeds
+    # read (side, price, amount, chain_state), so missing ones become NULLs
+    for c, t in (("next_microtimestamp", "timestamp"), ("next_event_no", "int"),
+                 ("price_microtimestamp", "timestamp"), ("price_event_no", "int"),
+                 ("life_no", "int")):
+        if c not in l3.columns:
+            from pyspark.sql import functions as _F
+
+            l3 = l3.withColumn(c, _F.lit(None).cast(t))
 
     freq_us = frequency_s * 1_000_000
     full_cols = _EVENT_COLS + ["next_microtimestamp", "next_event_no",
@@ -503,7 +517,9 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
     )
     if use_cache:
         out = out.cache()
-        _CKPT_CACHE[key] = out
+        if len(_CKPT_CACHE) > 32:
+            _CKPT_CACHE.clear()
+        _CKPT_CACHE[key] = (l3_orig, out)
     return out
 
 

@@ -39,21 +39,23 @@ from pyspark.sql import functions as F
 from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
 
 DEPTH_CHAINS_FOLD_SCHEMA = (
-    "pair_id int, era timestamp, microtimestamp timestamp, side string, "
-    "price double, volume double, volume_change double, "
+    "pair_id int, exchange_id int, era timestamp, microtimestamp timestamp, "
+    "side string, price double, volume double, volume_change double, "
     "bid_price double, ask_price double"
 )
 
 
 class _DepthChangesPreSpreadFolder(EpisodeFolder):
     """Changes + pre-episode spread; chain ids are assigned relationally
-    afterwards (see module docstring)."""
+    afterwards (see module docstring). exchange_id rides along so the id
+    allocation stays scoped per exchange (the fold groups on it already)."""
 
-    OUT_COLS = ("pair_id", "era", "microtimestamp", "side", "price", "volume",
-                "volume_change", "bid_price", "ask_price")
+    OUT_COLS = ("pair_id", "exchange_id", "era", "microtimestamp", "side",
+                "price", "volume", "volume_change", "bid_price", "ask_price")
 
     def __init__(self, meta: pd.Series) -> None:
         super().__init__(meta)
+        self.exchange_id = int(meta["exchange_id"])
         self._pre_bb = None
         self._pre_ba = None
 
@@ -68,6 +70,7 @@ class _DepthChangesPreSpreadFolder(EpisodeFolder):
         out = self.out
         for key, vol, prev in self.changed_levels():
             out["pair_id"].append(self.pair_id)
+            out["exchange_id"].append(self.exchange_id)
             out["era"].append(self.era)
             out["microtimestamp"].append(ts)
             out["side"].append(key[0])
@@ -93,7 +96,9 @@ def depth_changes_with_chains(l3: DataFrame,
     # conditions would be ambiguous)
     keys = (
         folded.groupBy(
-            F.col("pair_id").alias("k_pair"), F.col("era").alias("k_era"),
+            F.col("pair_id").alias("k_pair"),
+            F.col("exchange_id").alias("k_exch"),
+            F.col("era").alias("k_era"),
             F.col("side").alias("k_side"), F.abs("volume_change").alias("k_mag"))
         .agg(F.min(F.struct("microtimestamp", "side", "price")).alias("_first"))
     )
@@ -101,12 +106,17 @@ def depth_changes_with_chains(l3: DataFrame,
     ranked = keys.withColumn(
         "chain_id",
         F.dense_rank().over(
-            W.partitionBy("k_pair", "k_era").orderBy("_first")).cast("bigint"),
+            W.partitionBy("k_pair", "k_exch", "k_era")
+            .orderBy("_first")).cast("bigint"),
     ).drop("_first")
+    # the canonical output keeps the reference's client-side shape (no
+    # exchange column); the ORACLE also assumes one exchange — the operator
+    # itself scopes ids per exchange above
     return (
         folded.join(
             ranked,
             (F.col("pair_id") == F.col("k_pair"))
+            & (F.col("exchange_id") == F.col("k_exch"))
             & (F.col("era") == F.col("k_era"))
             & (F.col("side") == F.col("k_side"))
             & (F.abs(F.col("volume_change")) == F.col("k_mag")),

@@ -27,7 +27,15 @@ Deviations (documented):
   leaves pointer maintenance to staging triggers; a batch rewrite must keep
   the frame self-consistent in the same pass;
 - when several trades move one event to different episodes the earliest
-  episode wins (min — the reference's UPDATE order is nondeterministic).
+  episode wins (min — the reference's UPDATE order is nondeterministic);
+- the reference's missing-fill recursion REBUILDS each predecessor amount
+  from the chain rule (amount(k) := amount(k+1) + fill(k+1)); the closed
+  form here adds the recovered fill to the stored amounts instead. The two
+  coincide exactly on the inconsistency the repair targets (amounts
+  consistent except the missing fill, which the feed reported as a no-op) —
+  and with several missing fills on one chain the reference's overlapping
+  walks produce update-order-dependent results, so the batch form's
+  summed-recovery is the determinization.
 """
 
 from __future__ import annotations
@@ -242,7 +250,8 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
         & (F.col("event_no") == F.col("m_eno")),
         "left",
     )
-    # forward pointers follow moved events (one per-order mapping join)
+    # forward AND price-chain pointers follow moved events (a moved trade
+    # event may be a price-chain start — later members must track it)
     ptr = moves.select(
         F.col("m_pair").alias("p_pair"), F.col("m_oid").alias("p_oid"),
         F.col("m_old").alias("p_old"), F.col("m_eno").alias("p_eno"),
@@ -256,11 +265,26 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
         & (F.col("next_event_no") == F.col("p_eno")),
         "left",
     )
+    pp = moves.select(
+        F.col("m_pair").alias("q_pair"), F.col("m_oid").alias("q_oid"),
+        F.col("m_old").alias("q_old"), F.col("m_eno").alias("q_eno"),
+        F.col("m_new").alias("q_new"),
+    ).distinct()
+    out = out.join(
+        pp,
+        (F.col("pair_id") == F.col("q_pair"))
+        & (F.col("order_id") == F.col("q_oid"))
+        & (F.col("price_microtimestamp") == F.col("q_old"))
+        & (F.col("price_event_no") == F.col("q_eno")),
+        "left",
+    )
     return out.select(
         F.coalesce(F.col("m_new"), F.col("microtimestamp")).alias("microtimestamp"),
         "order_id", "event_no", "side", "price", "amount", "fill",
         F.coalesce(F.col("p_new"), F.col("next_microtimestamp")).alias("next_microtimestamp"),
-        *_L3_COLS[8:],
+        "next_event_no", "pair_id", "exchange_id", "local_timestamp",
+        F.coalesce(F.col("q_new"), F.col("price_microtimestamp")).alias("price_microtimestamp"),
+        *_L3_COLS[13:],
     )
 
 
@@ -481,6 +505,7 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
         F.col("order_id").alias("l_oid"), F.col("event_no").alias("l_eno"),
         F.col("price_microtimestamp").alias("l_pts"),
         F.col("price_event_no").alias("l_peno"),
+        F.col("era").alias("l_era"), F.col("life_no").alias("l_life"),
     )
     j = (
         t.join(lsel, (F.col("pair_id") == F.col("l_pair"))
@@ -488,29 +513,38 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
                & (F.col("a_oid") == F.col("l_oid"))
                & (F.col("a_eno") == F.col("l_eno")))
         .select("pair_id", "a_ts", "a_oid", "a_eno", "r_ts", "r_oid", "r_eno",
-                F.col("l_pts").alias("a_pts"), F.col("l_peno").alias("a_peno"))
+                F.col("l_pts").alias("a_pts"), F.col("l_peno").alias("a_peno"),
+                F.col("l_era").alias("a_era"), F.col("l_life").alias("a_life"))
         .join(lsel, (F.col("pair_id") == F.col("l_pair"))
               & (F.col("r_ts") == F.col("l_ts"))
               & (F.col("r_oid") == F.col("l_oid"))
               & (F.col("r_eno") == F.col("l_eno")))
         .select("pair_id", "a_ts", "a_oid", "a_eno", "a_pts", "a_peno",
+                "a_era", "a_life",
                 "r_ts", "r_oid", "r_eno",
-                F.col("l_pts").alias("r_pts"), F.col("l_peno").alias("r_peno"))
+                F.col("l_pts").alias("r_pts"), F.col("l_peno").alias("r_peno"),
+                F.col("l_era").alias("r_era"), F.col("l_life").alias("r_life"))
     )
-    # phase A: proposed episode per trade event; running-min inversion merge
+    # phase A: proposed episode per trade event; running-min inversion merge.
+    # The partition carries the EVENT's era/life: event_no restarts per
+    # (era, life), so a reused order_id across eras or reincarnated lives
+    # must not let episodes merge across those boundaries.
     proposed = (
         j.select("pair_id", F.col("a_oid").alias("order_id"),
+                 F.col("a_era").alias("ev_era"), F.col("a_life").alias("ev_life"),
                  F.col("a_eno").alias("event_no"),
                  F.col("a_pts").alias("episode_ts"),
                  F.col("a_oid").alias("ep_oid"), F.col("a_peno").alias("ep_eno"))
         .unionByName(j.select(
             "pair_id", F.col("r_oid").alias("order_id"),
+            F.col("r_era").alias("ev_era"), F.col("r_life").alias("ev_life"),
             F.col("r_eno").alias("event_no"),
             F.col("a_pts").alias("episode_ts"),
             F.col("a_oid").alias("ep_oid"), F.col("a_peno").alias("ep_eno")))
     )
     w_inv = (
-        W.partitionBy("pair_id", "order_id").orderBy(F.desc("event_no"))
+        W.partitionBy("pair_id", "order_id", "ev_era", "ev_life")
+        .orderBy(F.desc("event_no"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     phase_a = (
@@ -556,11 +590,29 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
         & (F.col("next_event_no") == F.col("p_eno")),
         "left",
     )
+    # price-chain pointers follow moved events too: phase A/B move price-chain
+    # START events, so the start's own (price_microtimestamp, price_event_no)
+    # self-pointer and every later chain member's pointer must track m_new
+    pp = moves.select(
+        F.col("m_pair").alias("q_pair"), F.col("m_oid").alias("q_oid"),
+        F.col("m_old").alias("q_old"), F.col("m_eno").alias("q_eno"),
+        F.col("m_new").alias("q_new"),
+    ).distinct()
+    out = out.join(
+        pp,
+        (F.col("pair_id") == F.col("q_pair"))
+        & (F.col("order_id") == F.col("q_oid"))
+        & (F.col("price_microtimestamp") == F.col("q_old"))
+        & (F.col("price_event_no") == F.col("q_eno")),
+        "left",
+    )
     return out.select(
         F.coalesce(F.col("m_new"), F.col("microtimestamp")).alias("microtimestamp"),
         "order_id", "event_no", "side", "price", "amount", "fill",
         F.coalesce(F.col("p_new"), F.col("next_microtimestamp")).alias("next_microtimestamp"),
-        *_L3_COLS[8:],
+        "next_event_no", "pair_id", "exchange_id", "local_timestamp",
+        F.coalesce(F.col("q_new"), F.col("price_microtimestamp")).alias("price_microtimestamp"),
+        *_L3_COLS[13:],
     )
 
 
@@ -579,24 +631,28 @@ WITH {trades_cte}, tsel AS (
     FROM agg_trades
 ), jj AS (
     SELECT t.*, a.price_microtimestamp AS a_pts, a.price_event_no AS a_peno,
-           r.price_microtimestamp AS r_pts, r.price_event_no AS r_peno
+           a.era AS a_era, a.life_no AS a_life,
+           r.price_microtimestamp AS r_pts, r.price_event_no AS r_peno,
+           r.era AS r_era, r.life_no AS r_life
     FROM tsel t
     JOIN level3 a ON a.pair_id = t.pair_id AND a.microtimestamp = t.a_ts
                  AND a.order_id = t.a_oid AND a.event_no = t.a_eno
     JOIN level3 r ON r.pair_id = t.pair_id AND r.microtimestamp = t.r_ts
                  AND r.order_id = t.r_oid AND r.event_no = t.r_eno
 ), proposed AS (
-    SELECT pair_id, a_oid AS order_id, a_eno AS event_no,
+    SELECT pair_id, a_oid AS order_id, a_era AS ev_era, a_life AS ev_life,
+           a_eno AS event_no,
            a_pts AS episode_ts, a_oid AS ep_oid, a_peno AS ep_eno
     FROM jj
     UNION ALL
-    SELECT pair_id, r_oid, r_eno, a_pts, a_oid, a_peno FROM jj
+    SELECT pair_id, r_oid, r_era, r_life, r_eno, a_pts, a_oid, a_peno FROM jj
 ), phase_a AS (
     SELECT pair_id, episode_ts AS m_old, ep_oid AS m_oid, ep_eno AS m_eno,
            _new AS m_new
     FROM (
         SELECT *, min(episode_ts) OVER (
-            PARTITION BY pair_id, order_id ORDER BY event_no DESC
+            PARTITION BY pair_id, order_id, ev_era, ev_life
+            ORDER BY event_no DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _new
         FROM proposed) p
     WHERE _new < episode_ts
@@ -614,8 +670,8 @@ SELECT coalesce(m.m_new, l.microtimestamp) AS microtimestamp,
        l.order_id, l.event_no, l.side, l.price, l.amount, l.fill,
        coalesce(p.m_new, l.next_microtimestamp) AS next_microtimestamp,
        l.next_event_no, l.pair_id, l.exchange_id, l.local_timestamp,
-       l.price_microtimestamp, l.price_event_no, l.chain_state, l.era,
-       l.life_no
+       coalesce(q.m_new, l.price_microtimestamp) AS price_microtimestamp,
+       l.price_event_no, l.chain_state, l.era, l.life_no
 FROM level3 l
 LEFT JOIN moves m
   ON m.m_pair = l.pair_id AND m.m_old = l.microtimestamp
@@ -623,6 +679,9 @@ LEFT JOIN moves m
 LEFT JOIN moves p
   ON p.m_pair = l.pair_id AND p.m_oid = l.order_id
  AND p.m_old = l.next_microtimestamp AND p.m_eno = l.next_event_no
+LEFT JOIN moves q
+  ON q.m_pair = l.pair_id AND q.m_oid = l.order_id
+ AND q.m_old = l.price_microtimestamp AND q.m_eno = l.price_event_no
 """
 
 
@@ -659,8 +718,8 @@ SELECT coalesce(m.m_new, l.microtimestamp) AS microtimestamp,
        l.order_id, l.event_no, l.side, l.price, l.amount, l.fill,
        coalesce(p.m_new, l.next_microtimestamp) AS next_microtimestamp,
        l.next_event_no, l.pair_id, l.exchange_id, l.local_timestamp,
-       l.price_microtimestamp, l.price_event_no, l.chain_state, l.era,
-       l.life_no
+       coalesce(q.m_new, l.price_microtimestamp) AS price_microtimestamp,
+       l.price_event_no, l.chain_state, l.era, l.life_no
 FROM level3 l
 LEFT JOIN moves m
   ON m.m_pair = l.pair_id AND m.m_old = l.microtimestamp
@@ -668,4 +727,7 @@ LEFT JOIN moves m
 LEFT JOIN moves p
   ON p.m_pair = l.pair_id AND p.m_oid = l.order_id
  AND p.m_old = l.next_microtimestamp AND p.m_eno = l.next_event_no
+LEFT JOIN moves q
+  ON q.m_pair = l.pair_id AND q.m_oid = l.order_id
+ AND q.m_old = l.price_microtimestamp AND q.m_eno = l.price_event_no
 """

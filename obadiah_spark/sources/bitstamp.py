@@ -293,11 +293,18 @@ def frame_episodes(raw: DataFrame) -> DataFrame:
     ).drop("_closing")
     w_ep = W.partitionBy("pair_id", "channel_id", "episode_id")
     w_all = W.partitionBy("pair_id", "channel_id")
+    # episode_timestamp = the client's episode_rts at close: a GLOBAL running
+    # max of exchange_ts through the episode's last message (never reset per
+    # episode — on out-of-order exchange timestamps a later episode inherits
+    # the earlier maximum, exactly as the reference's handler does)
+    run_max = F.max("exchange_ts").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
-        ann.withColumn("episode_timestamp", F.max("exchange_ts").over(w_ep))
+        ann.withColumn("_run_max", run_max)
+        .withColumn("episode_timestamp", F.max("_run_max").over(w_ep))
         .withColumn("_max_ep", F.max("episode_id").over(w_all))
         .filter(F.col("episode_id") < F.col("_max_ep"))
-        .drop("_max_ep")
+        .drop("_max_ep", "_run_max")
     )
 
 
@@ -315,11 +322,14 @@ WITH raw AS ({BFX_RAW_SQL}), flags AS (
         CAST(sum(_closing) OVER (
             PARTITION BY pair_id, channel_id ORDER BY local_ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-            AS episode_id
+            AS episode_id,
+        max(exchange_ts) OVER (
+            PARTITION BY pair_id, channel_id ORDER BY local_ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run_max
     FROM flags
 ), ep AS (
     SELECT *,
-        max(exchange_ts) OVER (
+        max(_run_max) OVER (
             PARTITION BY pair_id, channel_id, episode_id) AS episode_timestamp,
         max(episode_id) OVER (PARTITION BY pair_id, channel_id) AS _max_ep
     FROM ann

@@ -24,8 +24,13 @@ ATTRS = ["price_precision", "initial_margin", "minimum_margin",
 
 
 def latest_symbol_details(history: DataFrame) -> DataFrame:
-    """The reference's DISTINCT ON (pair_id) ... ORDER BY known_since DESC."""
-    w = W.partitionBy("pair_id").orderBy(F.desc("known_since"))
+    """The reference's DISTINCT ON (pair_id) ... ORDER BY known_since DESC —
+    with a deterministic attribute tiebreak: two history rows CAN share a
+    known_since (same-instant reprocessing), and DISTINCT ON would pick one
+    arbitrarily; ordering by the attribute tuple pins the choice on both
+    engines."""
+    w = W.partitionBy("pair_id").orderBy(
+        F.desc("known_since"), F.desc(F.struct(*ATTRS)))
     return (history.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 
@@ -89,7 +94,8 @@ def update_symbol_details_oracle_sql() -> str:
 WITH {SYMBOLS_FABRIC_CTES}, latest AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY pair_id ORDER BY known_since DESC) AS _rn
+            PARTITION BY pair_id
+            ORDER BY known_since DESC, ROW({attrs}) DESC) AS _rn
         FROM hist) h WHERE _rn = 1
 ), appended AS (
     SELECT s.pair_id, {", ".join("s." + c for c in ATTRS)},

@@ -109,17 +109,10 @@ def test_move_events_clips_pointers(level3, staged):
     ).count() == 0
 
 
-def test_episode_framing_equals_reference_state_machine(spark):
-    """SRC2: the one-lag window form must equal a literal replay of the
-    capture client's accumulate/close state machine
-    (reference python/obadiah/bitfinex.py:64-76): price==0 closes the
-    accumulated episode and itself starts the next; the trailing
-    incomplete episode is not saved."""
-    from obadiah_spark.sources.bitstamp import BFX_RAW_SQL, frame_episodes
-
-    raw = spark.sql(BFX_RAW_SQL).orderBy("local_ts", "event_id").collect()
-
-    # reference state machine (single pair/channel fabric)
+def _replay_framing_state_machine(raw):
+    """Literal replay of the capture client's accumulate/close loop
+    (reference python/obadiah/bitfinex.py:64-76), incl. its GLOBAL
+    episode_rts running max (never reset per episode)."""
     started = False
     acc: list = []
     episode_rts = None
@@ -138,12 +131,52 @@ def test_episode_framing_equals_reference_state_machine(spark):
         acc.append(r)
         if episode_rts is None or r.exchange_ts > episode_rts:
             episode_rts = r.exchange_ts
+    return expect
 
+
+def _assert_framing_matches(spark, raw_df):
+    from obadiah_spark.sources.bitstamp import frame_episodes
+
+    raw = raw_df.orderBy("local_ts", "event_id").collect()
+    expect = _replay_framing_state_machine(raw)
     got = {r.event_id: (r.episode_id, r.episode_timestamp)
-           for r in frame_episodes(spark.sql(BFX_RAW_SQL)).collect()}
+           for r in frame_episodes(raw_df).collect()}
     assert got.keys() == expect.keys()  # incomplete tail dropped identically
     assert all(got[k][0] == expect[k][0] for k in expect)
     assert all(got[k][1] == expect[k][1] for k in expect)
+
+
+def test_episode_framing_equals_reference_state_machine(spark):
+    """SRC2: the one-lag window form must equal a literal replay of the
+    capture client's accumulate/close state machine: price==0 closes the
+    accumulated episode and itself starts the next; the trailing
+    incomplete episode is not saved."""
+    from obadiah_spark.sources.bitstamp import BFX_RAW_SQL
+
+    _assert_framing_matches(spark, spark.sql(BFX_RAW_SQL))
+
+
+def test_episode_framing_non_monotone_exchange_ts(spark):
+    """episode_timestamp is the client's GLOBAL running max — a later
+    episode whose messages all carry earlier exchange timestamps inherits
+    the earlier episode's maximum (out-of-order feeds, the case the fabric
+    cannot produce)."""
+    from datetime import datetime
+
+    rows = []
+    # episode 0: exchange_ts up to 00:09; closer at idx 4
+    # episode 1: exchange_ts all BEFORE 00:09 -> ep_ts must stay 00:09
+    seq = [(0, 1, 100.0), (1, 5, 101.0), (2, 9, 100.5), (3, 2, 0.0),
+           (4, 3, 100.2), (5, 4, 0.0), (6, 6, 100.0)]
+    for i, (eid, ts_min, price) in enumerate(seq):
+        rows.append((eid, datetime(2024, 1, 1, 0, ts_min),
+                     datetime(2024, 1, 1, 1, i), 1, 1, eid + 1, price, 1.0))
+    raw = spark.createDataFrame(
+        rows,
+        "event_id long, exchange_ts timestamp, local_ts timestamp, "
+        "pair_id int, channel_id int, order_id long, price double, "
+        "amount double")
+    _assert_framing_matches(spark, raw)
 
 
 def test_silver_layout_roundtrip_and_pruning(spark, level3, tmp_path):

@@ -100,10 +100,13 @@ def test_fix_aggressor_collapses_inversion_chain_in_one_pass(spark):
         "sell_order_id long, sell_event_no int",
     )
     out = fix_aggressor_creation_order(l3, trades)
-    got = {r.order_id: r.microtimestamp for r in out.filter("order_id > 100").collect()}
-    assert got[101] == ts(10)   # collapsed two levels down in ONE pass
-    assert got[102] == ts(10)
-    assert got[103] == ts(10)
+    got = {r.order_id: r for r in out.filter("order_id > 100").collect()}
+    assert got[101].microtimestamp == ts(10)  # collapsed two levels in ONE pass
+    assert got[102].microtimestamp == ts(10)
+    assert got[103].microtimestamp == ts(10)
+    # price-chain self-pointers of the moved start events follow the move
+    assert got[101].price_microtimestamp == ts(10)
+    assert got[102].price_microtimestamp == ts(10)
     # the resting order's events did not move
     assert {r.microtimestamp for r in out.filter(f"order_id = {X}").collect()} == {ts(1), ts(2), ts(3)}
 
