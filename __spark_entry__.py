@@ -52,6 +52,39 @@ def _l3(spark: SparkSession, sf_dir: str):
     return _L3_CACHE[key]
 
 
+_CKPT_SILVER: dict[tuple[int, str], str] = {}
+CKPT_FREQ_S = 86400
+
+
+def _ckpt_silver(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the daily book-checkpoint silver table once per
+    (session, sf) and seed the in-session checkpoint cache with the
+    read-back frame, so BOTH the pruned point-in-time probe
+    (order_book_ckpt) and every default-frequency period_fold consumer
+    (queues / depth_resample / depth_summary / depth_chains /
+    trading_period) read the materialized table instead of re-deriving
+    checkpoints from the full log (VERDICT r4 #1 — write-once lifecycle).
+    Returns the parquet path."""
+    import os
+
+    from obadiah_spark.fold import book_checkpoints, seed_checkpoint_cache
+    from obadiah_spark.sources.silver import (
+        read_checkpoints, write_checkpoints, write_era_registry)
+
+    key = (id(spark), sf_dir)
+    if key not in _CKPT_SILVER:
+        l3 = _l3(spark, sf_dir)
+        sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".silver_cache", sf_name, f"ckpt_{CKPT_FREQ_S}")
+        write_checkpoints(
+            book_checkpoints(l3, CKPT_FREQ_S, use_cache=False), path)
+        write_era_registry(l3, path)
+        seed_checkpoint_cache(l3, CKPT_FREQ_S, read_checkpoints(spark, path))
+        _CKPT_SILVER[key] = path
+    return _CKPT_SILVER[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from obadiah_spark import relational
@@ -105,15 +138,18 @@ def _q_order_book(spark, sf_dir):
 
 
 def _q_order_book_ckpt(spark, sf_dir):
-    """B1 via the book-checkpoint silver table (SURVEY §4.2.3): the as-of
-    snapshot reads one boundary's open chains + the (boundary, ts] tail
-    instead of the era's whole history; must equal the full-scan order_book
-    (shares its oracle)."""
-    from obadiah_spark.fold import book_checkpoints
-    from obadiah_spark.operators.order_book import order_book, snapshot_checkpointed
+    """B1 via the MATERIALIZED book-checkpoint silver table (SURVEY
+    §4.2.3): probe metadata (current era, latest boundary) is a driver-side
+    catalog lookup; the plan reads ONE pruned boundary partition + the
+    (boundary, ts] tail instead of the era's whole history; must equal the
+    full-scan order_book (shares its oracle). The one-time silver write
+    happens in :func:`_ckpt_silver` (bench reports it as its own
+    ``silver_ckpt_build`` line)."""
+    from obadiah_spark.operators.order_book import order_book, snapshot_from_silver
 
     l3 = _l3(spark, sf_dir)
-    live = snapshot_checkpointed(l3, book_checkpoints(l3), OB_AT, only_makers=True)
+    live = snapshot_from_silver(l3, _ckpt_silver(spark, sf_dir), OB_AT,
+                                only_makers=True)
     return order_book(l3, OB_AT, live=live)
 
 
@@ -279,6 +315,31 @@ def _q_get_depth(spark, sf_dir):
     from obadiah_spark.operators.depth import get_depth
 
     return get_depth(_l3(spark, sf_dir), EV_START, EV_END)
+
+
+# frequency used by the grid-overload gate entries (5 minutes — the R
+# client's typical research grid)
+GET_FREQ_S = 300
+
+
+def _q_get_depth_freq(spark, sf_dir):
+    """D4 with p_frequency (VERDICT r4 #2): closed-right _date_ceiling grid,
+    starting depth at _date_floor(start)."""
+    from obadiah_spark.operators.depth import get_depth
+
+    return get_depth(_l3(spark, sf_dir), EV_START, EV_END,
+                     frequency_s=GET_FREQ_S)
+
+
+def _q_get_spread_freq(spark, sf_dir):
+    """D8 with p_frequency (VERDICT r4 #2): level1 collapsed onto the grid,
+    last state per interval wins, emit-on-change per (pair, era)."""
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.depth import get_spread
+
+    l3 = _l3(spark, sf_dir)
+    return get_spread(l3, spread_fold(l3), EV_START, EV_END,
+                      frequency_s=GET_FREQ_S)
 
 
 def _q_depth_summary(spark, sf_dir):
@@ -674,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epsilon_draws": _q_epsilon_draws,  # real-book path: rows-only + fixture tests
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
         "get_depth": _q_get_depth,
+        "get_depth_freq": _q_get_depth_freq,
+        "get_spread_freq": _q_get_spread_freq,
         "depth_summary": _q_depth_summary,
         "crossed_books": _q_crossed_books,
         "chain_audit": _q_chain_audit,
@@ -715,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         SPREAD_LINEAR_ORACLE_BODY,
         depth_summary_oracle_sql,
         get_depth_oracle_sql,
+        get_spread_freq_oracle_sql,
         get_spread_oracle_sql,
     )
     from obadiah_spark.operators.repair import (
@@ -811,6 +875,10 @@ def oracle_sql() -> dict[str, str]:
         "trading_strategy_zigzag": trading_strategy_zigzag_oracle_sql(),
         "epsilon_draws_zigzag": epsilon_draws_zigzag_oracle_sql(),
         "get_depth": level3_cte(get_depth_oracle_sql(EV_START, EV_END)),
+        "get_depth_freq": level3_cte(
+            get_depth_oracle_sql(EV_START, EV_END, frequency_s=GET_FREQ_S)),
+        "get_spread_freq": level3_cte(
+            get_spread_freq_oracle_sql(EV_START, EV_END, GET_FREQ_S)),
         "depth_summary": level3_cte(depth_summary_oracle_sql()),
         "crossed_books": level3_cte(crossed_books_oracle()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),

