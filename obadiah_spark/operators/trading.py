@@ -350,20 +350,26 @@ def trading_period_v0_oracle() -> str:
 # src/epsilon_drawupdowns.cpp:32-89) breaks the hash.
 
 def zigzag_level1(spark) -> DataFrame:
-    """Deterministic triangle-wave level1 fabric: one point per `orders` row
-    (ordered by o_orderkey), 1 s apart, price = 100 + triangle(rn % 12) —
-    consecutive prices always differ by exactly 1, so the series is strictly
-    piecewise-monotone with extrema at m=0 and m=6."""
+    """Deterministic triangle-wave level1 fabric: MULTI-PAIR (pair_id =
+    1 + o_orderkey % 3, so the downstream state machines fold on a real
+    per-pair partition axis, VERDICT r4 "what's wrong" #1), one point per
+    `orders` row per pair (ordered by o_orderkey), 1 s apart, price =
+    100 + triangle(rn % 12) — consecutive prices always differ by exactly
+    1, so each pair's series is strictly piecewise-monotone with extrema
+    at m=0 and m=6."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    rn = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("o_orderkey"))
-    base = spark.table("orders").select(rn.alias("rn"))
+    pair = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    rn = F.row_number().over(
+        Window.partitionBy("pair_id").orderBy("o_orderkey"))
+    base = (spark.table("orders").select(pair.alias("pair_id"), "o_orderkey")
+            .select("pair_id", rn.alias("rn")))
     m = F.col("rn") % 12
     price = (F.lit(100.0) + F.when(m <= 6, m).otherwise(12 - m)).cast("double")
     t0 = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
     return base.select(
-        F.lit(1).alias("pair_id"),
+        "pair_id",
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("era"),
         F.timestamp_micros(t0 + F.col("rn").cast("bigint") * 1_000_000)
         .alias("microtimestamp"),
@@ -372,9 +378,12 @@ def zigzag_level1(spark) -> DataFrame:
 
 
 ZIGZAG_PTS_CTES = """base AS (
-    SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders
+    SELECT CAST(1 + o_orderkey % 3 AS INT) AS pair_id,
+           row_number() OVER (PARTITION BY 1 + o_orderkey % 3
+                              ORDER BY o_orderkey) AS rn
+    FROM orders
 ), pts AS (
-    SELECT 1 AS pair_id, TIMESTAMP '2024-01-01 00:00:00' AS era,
+    SELECT pair_id, TIMESTAMP '2024-01-01 00:00:00' AS era,
            make_timestamp(epoch_us(TIMESTAMP '2024-01-01 00:00:00')
                           + rn * 1000000) AS ts,
            CAST(100 + CASE WHEN rn % 12 <= 6 THEN rn % 12

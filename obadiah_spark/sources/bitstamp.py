@@ -48,7 +48,11 @@ from pyspark.sql import functions as F
 # duplicate creations (order_id % 9 = 2 resends 'order_created' at seq 3),
 # duplicate deletions (every 6th event of an order), ex-nihilo chains
 # (order_id % 11 = 3 never sends its creation; chains in eras after an
-# order's first are ex nihilo too).
+# order's first are ex nihilo too). MULTI-PAIR: pair_id = 1 + order_id % 3
+# (an order lives on exactly one pair), so the transform's
+# (pair_id, era, order_id) windows keep a REAL partition axis — Catalyst
+# cannot constant-fold it away, and the gate exercises the per-pair
+# parallelism the capture fabric has in production (VERDICT r4 #3).
 BS_TRANSIENT_SQL = """
 SELECT CAST(order_id AS BIGINT) AS order_id,
        CAST(1 + ((seq * 5 + order_id) % 37) AS DOUBLE) / 4 AS amount,
@@ -58,7 +62,7 @@ SELECT CAST(order_id AS BIGINT) AS order_id,
             ELSE 'order_changed' END AS event,
        CASE WHEN (order_id % 2) = 0 THEN 'buy' ELSE 'sell' END AS order_type,
        ts AS datetime, ts AS microtimestamp, ts AS local_timestamp,
-       CAST(1 AS INT) AS pair_id,
+       CAST(1 + (order_id % 3) AS INT) AS pair_id,
        CAST(10000 + (order_id % 50) AS DOUBLE) / 100 AS price,
        date_trunc('week', ts) AS era,
        event_id
@@ -262,9 +266,15 @@ FROM dedup JOIN pairs USING (pair_id)
 
 # ------------------------------------------------- SRC2: episode framing ----
 # Raw-book fabric: price == 0 on every 13th message ends an episode.
+# MULTI-PAIR / MULTI-CHANNEL: pair_id = 1 + event_id % 2, channel_id =
+# 1 + event_id % 3 (coprime moduli → all 6 streams populated), so the
+# framing windows partition on a real (pair, channel) axis instead of a
+# constant-folded literal (VERDICT r4 #3 — removes the WindowExec
+# single-partition warning from the bench tail).
 BFX_RAW_SQL = """
 SELECT event_id, ts AS exchange_ts, ts AS local_ts,
-       CAST(1 AS INT) AS pair_id, CAST(1 AS INT) AS channel_id,
+       CAST(1 + (event_id % 2) AS INT) AS pair_id,
+       CAST(1 + (event_id % 3) AS INT) AS channel_id,
        CAST(1 + (event_id % 97) AS BIGINT) AS order_id,
        CASE WHEN (event_id % 13) = 6 THEN CAST(0 AS DOUBLE)
             ELSE CAST(10000 + (event_id % 31) AS DOUBLE) / 100 END AS price,

@@ -137,8 +137,15 @@ def _replay_framing_state_machine(raw):
 def _assert_framing_matches(spark, raw_df):
     from obadiah_spark.sources.bitstamp import frame_episodes
 
+    # the capture client runs ONE state machine per (pair, channel) stream —
+    # replay each stream independently (the fabric is multi-pair/channel)
     raw = raw_df.orderBy("local_ts", "event_id").collect()
-    expect = _replay_framing_state_machine(raw)
+    streams: dict[tuple, list] = {}
+    for r in raw:
+        streams.setdefault((r.pair_id, r.channel_id), []).append(r)
+    expect: dict[int, tuple] = {}
+    for rows in streams.values():
+        expect.update(_replay_framing_state_machine(rows))
     got = {r.event_id: (r.episode_id, r.episode_timestamp)
            for r in frame_episodes(raw_df).collect()}
     assert got.keys() == expect.keys()  # incomplete tail dropped identically
