@@ -348,6 +348,22 @@ def _q_depth_summary(spark, sf_dir):
     return depth_summary_fold(_l3(spark, sf_dir))
 
 
+def _q_order_book_takers(spark, sf_dir):
+    """B1/B3 p_check_takers (VERDICT r4 #4): the rows the reference's
+    _is_valid_taker_event would raise on — live crossing events at the
+    crossed-book instants whose chain goes on resting. One distributed
+    snapshot_multi pass over the first_crossed instants."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.quality import crossed_books, invalid_takers
+
+    l3 = _l3(spark, sf_dir)
+    instants = (crossed_books(spread_fold(l3))
+                .select(F.col("first_crossed").alias("at_ts")).distinct())
+    return invalid_takers(l3, instants)
+
+
 def _q_crossed_books(spark, sf_dir):
     from obadiah_spark.fold import spread_fold
     from obadiah_spark.operators.quality import crossed_books
@@ -739,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_spread_freq": _q_get_spread_freq,
         "depth_summary": _q_depth_summary,
         "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
         "chain_audit": _q_chain_audit,
         "match_fill_exact": _q_match_fill_exact,
         "inferred_trades": _q_inferred_trades,
@@ -794,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.operators.quality import (
         CHAIN_AUDIT_ORACLE_BODY,
         crossed_books_oracle,
+        invalid_takers_oracle_sql,
     )
     from obadiah_spark.operators.events import (
         SUMMARY_ORACLE_BODY,
@@ -881,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
             get_spread_freq_oracle_sql(EV_START, EV_END, GET_FREQ_S)),
         "depth_summary": level3_cte(depth_summary_oracle_sql()),
         "crossed_books": level3_cte(crossed_books_oracle()),
+        "order_book_takers": level3_cte(invalid_takers_oracle_sql()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
         "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),

@@ -157,10 +157,42 @@ def _maker_crossed_flags(live: DataFrame, only_makers: bool = False,
     return out
 
 
+def with_next_is_delete(l3: DataFrame) -> DataFrame:
+    """Annotate each event with ``_next_is_delete``: the chain's next event
+    is a deletion — the Spark-schema analogue of the reference's
+    ``next_microtimestamp = '-infinity'`` transient-taker marker (deletions
+    are explicit events here, so "never rests again" means the immediately
+    following event of the same life removes the order)."""
+    w = (W.partitionBy("pair_id", "exchange_id", "era", "order_id", "life_no")
+         .orderBy("event_no"))
+    return l3.withColumn(
+        "_next_is_delete", F.lead("chain_state").over(w) == "deleted")
+
+
 def snapshot(l3: DataFrame, at_ts, before: bool = False,
-             only_makers: bool = False, side: str | None = None) -> DataFrame:
-    """B1: live events + is_maker / is_crossed flags (price-time priority)."""
-    return _maker_crossed_flags(live_at(l3, at_ts, before), only_makers, side)
+             only_makers: bool = False, side: str | None = None,
+             check_takers: bool = False) -> DataFrame:
+    """B1: live events + is_maker / is_crossed flags (price-time priority).
+
+    ``check_takers`` mirrors the reference's ``p_check_takers`` branch
+    (db/obanalytics_schema.sql:888-900,920-970,612 via
+    ``_is_valid_taker_event``): a live NON-maker (crossing) event is only
+    acceptable if its chain's next event shows the order never rests —
+    here, the next event is a deletion. The reference RAISES on a
+    violator; Spark-first, validation is a query, not an exception: the
+    flag DROPS the acceptable transient takers (they are in-flight, not
+    resting liquidity) along with nothing else, while
+    :func:`obadiah_spark.operators.quality.invalid_takers` surfaces the
+    rows the reference would abort on."""
+    if check_takers:
+        l3 = with_next_is_delete(l3)
+    out = _maker_crossed_flags(live_at(l3, at_ts, before), only_makers, side)
+    if check_takers:
+        out = out.filter(
+            F.col("is_maker")
+            | ~F.coalesce(F.col("_next_is_delete"), F.lit(False))
+        ).drop("_next_is_delete")
+    return out
 
 
 def snapshot_checkpointed(l3: DataFrame, ckpts: DataFrame, at_ts,

@@ -50,7 +50,7 @@ def crossed_books(l1: DataFrame) -> DataFrame:
     )
 
 
-CROSSED_BOOKS_ORACLE_SUFFIX = """, x AS (
+_CROSSED_BOOKS_CTES = """, x AS (
     SELECT pair_id, era, ts,
            coalesce(best_bid_price, best_ask_price)
              > coalesce(best_ask_price, best_bid_price) AS crossed
@@ -74,17 +74,85 @@ CROSSED_BOOKS_ORACLE_SUFFIX = """, x AS (
            lag(period_end) OVER wp AS previous_uncrossed,
            lead(period_start) OVER wp AS next_uncrossed
     FROM periods WINDOW wp AS (PARTITION BY pair_id, era ORDER BY period_start)
-)
+)"""
+
+_CROSSED_BOOKS_SELECT = """
 SELECT pair_id, era, previous_uncrossed,
        period_start AS first_crossed, next_uncrossed
 FROM chained WHERE crossed
 """
+
+CROSSED_BOOKS_ORACLE_SUFFIX = _CROSSED_BOOKS_CTES + _CROSSED_BOOKS_SELECT
 
 
 def crossed_books_oracle() -> str:
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
 
     return f"WITH {SPREAD_L1_CTES}{CROSSED_BOOKS_ORACLE_SUFFIX}"
+
+
+def invalid_takers(l3: DataFrame, instants: DataFrame) -> DataFrame:
+    """The rows the reference's ``p_check_takers`` would RAISE on
+    (``_is_valid_taker_event``, db/obanalytics_schema.sql:888-900): live
+    NON-maker (crossing) events at the probed ``instants`` whose chain's
+    next event is NOT a deletion — a crossing order that went on resting.
+    Spark-first, the reference's per-row exception becomes this audit
+    relation; ``snapshot(check_takers=True)`` is the filtering twin.
+
+    ``instants`` is a one-column (``at_ts``) frame — typically the
+    ``first_crossed`` instants of :func:`crossed_books` — probed in ONE
+    distributed ``snapshot_multi`` pass (no per-instant driver loop)."""
+    from obadiah_spark.operators.order_book import snapshot_multi, with_next_is_delete
+
+    snap = snapshot_multi(with_next_is_delete(l3), instants)
+    return snap.filter(
+        ~F.col("is_maker") & ~F.coalesce(F.col("_next_is_delete"), F.lit(False))
+    ).select("at_ts", "pair_id", "exchange_id", "microtimestamp",
+             "order_id", "event_no", "side", "price", "amount")
+
+
+def invalid_takers_oracle_sql() -> str:
+    """DuckDB mirror: crossed instants → per-instant live sets → maker
+    flags → next-event deletion lookup via the same per-life lead."""
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    return f"""
+WITH {SPREAD_L1_CTES}{_CROSSED_BOOKS_CTES}, instants AS (
+    SELECT DISTINCT period_start AS at_ts FROM chained WHERE crossed
+), nxt AS (
+    SELECT *, lead(chain_state) OVER (
+        PARTITION BY pair_id, exchange_id, era, order_id, life_no
+        ORDER BY event_no) AS next_state
+    FROM level3
+), cur_era AS (
+    SELECT i.at_ts, e.pair_id, e.exchange_id, max(e.era) AS cur_era
+    FROM (SELECT DISTINCT pair_id, exchange_id, era FROM level3) e
+    JOIN instants i ON e.era <= i.at_ts
+    GROUP BY 1, 2, 3
+), live AS (
+    SELECT l.*, c.at_ts
+    FROM nxt l JOIN cur_era c
+      ON l.pair_id = c.pair_id AND l.exchange_id = c.exchange_id
+     AND l.era = c.cur_era AND l.microtimestamp <= c.at_ts
+     AND (l.chain_state = 'alive'
+          OR (l.chain_state = 'chained' AND l.next_microtimestamp > c.at_ts))
+), flagged AS (
+    SELECT *,
+           coalesce(CASE side
+               WHEN 'b' THEN price <= min(price) FILTER (WHERE side = 's' AND amount > 0)
+                   OVER (PARTITION BY at_ts, pair_id, exchange_id
+                         ORDER BY price_microtimestamp, microtimestamp)
+               WHEN 's' THEN price >= max(price) FILTER (WHERE side = 'b' AND amount > 0)
+                   OVER (PARTITION BY at_ts, pair_id, exchange_id
+                         ORDER BY price_microtimestamp, microtimestamp)
+           END, true) AS is_maker
+    FROM live
+)
+SELECT at_ts, pair_id, exchange_id, microtimestamp,
+       order_id, event_no, side, price, amount
+FROM flagged
+WHERE NOT is_maker AND coalesce(next_state, '') <> 'deleted'
+"""
 
 
 def chain_audit(l3: DataFrame) -> DataFrame:

@@ -78,3 +78,47 @@ def test_audit_microtimestamp_moves(level3):
     assert audit.filter(
         F.col("exchange_microtimestamp") != F.col("old_microtimestamp")
     ).count() == 0
+
+
+def test_check_takers_flag_and_invalid_takers(spark):
+    """B1/B3 p_check_takers (reference _is_valid_taker_event,
+    db/obanalytics_schema.sql:888-900): a crossing order whose next event
+    is a deletion is a valid transient taker — snapshot(check_takers=True)
+    drops it; a crossing order that goes on resting is invalid — kept by
+    the flag and surfaced by quality.invalid_takers."""
+    from datetime import datetime
+
+    from obadiah_spark.operators.order_book import snapshot
+    from obadiah_spark.operators.quality import invalid_takers
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    era = T(0)
+    inf = datetime(2100, 1, 1)
+    # maker bid 100 (order 1), maker ask 101 (order 2),
+    # order 3: buy at 102 (crosses the ask) created t1, DELETED t2 -> valid taker
+    # order 4: buy at 103 (crosses the ask) created t1, AMENDED t3 -> invalid
+    rows = [
+        # (ts, order, eno, side, price, amount, state, next_ts, next_eno, life)
+        (T(1), 1, 1, "b", 100.0, 1.0, "alive", None, None, 1),
+        (T(1), 2, 1, "s", 101.0, 1.0, "alive", None, None, 1),
+        (T(2), 3, 1, "b", 102.0, 1.0, "chained", T(4), 2, 1),
+        (T(4), 3, 2, "b", 102.0, 0.0, "deleted", None, None, 1),
+        (T(2), 4, 1, "b", 103.0, 1.0, "chained", T(5), 2, 1),
+        (T(5), 4, 2, "b", 103.0, 0.5, "alive", None, None, 1),
+    ]
+    l3 = spark.createDataFrame(
+        [(1, 1, era, ts, o, e, s, p, a, st, nt, ne, ts, e, life)
+         for ts, o, e, s, p, a, st, nt, ne, life in rows],
+        "pair_id int, exchange_id int, era timestamp, microtimestamp timestamp, "
+        "order_id bigint, event_no int, side string, price double, "
+        "amount double, chain_state string, next_microtimestamp timestamp, "
+        "next_event_no int, price_microtimestamp timestamp, "
+        "price_event_no int, life_no int")
+    at = "2024-01-01 00:03:00"  # both takers live, neither resolved yet
+    plain = {r.order_id for r in snapshot(l3, at).collect()}
+    assert plain == {1, 2, 3, 4}
+    checked = {r.order_id for r in snapshot(l3, at, check_takers=True).collect()}
+    assert checked == {1, 2, 4}  # valid transient taker (3) dropped
+    inst = spark.createDataFrame([(datetime(2024, 1, 1, 0, 3),)], "at_ts timestamp")
+    bad = invalid_takers(l3, inst).collect()
+    assert [(r.order_id, r.side, r.price) for r in bad] == [(4, "b", 103.0)]
