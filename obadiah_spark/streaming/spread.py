@@ -1,18 +1,21 @@
-"""Streaming level1 derivation: the spread fold over micro-batches (§2.9).
+"""Streaming level1/level2 derivation: episode folds over micro-batches
+(§2.9).
 
-The batch path (``fold.spread_fold``) shuffles once and streams Arrow
-batches through per-(pair, era) ``_SpreadFolder`` state machines. The
-streaming form is the same machine fed by ``foreachBatch``: folder state
-(book + emitted best) persists across micro-batches per key, exactly like
-the reference's C fold persists across SPI cursor fetches
-(db/c/obadiah_db/obadiah_db.cpp:270-363). Events must arrive in event-time
-order per key — upstream that is the SRC5 watermark reorder's contract
-(``streaming/reorder.py``); episodes may still split across micro-batches
-(the folder defers an episode until it sees the next timestamp, and
-:meth:`flush` force-closes only at stream end).
+The batch path (``fold.spread_fold`` / ``fold.depth_change_fold``) shuffles
+once and streams Arrow batches through per-(pair, era) ``EpisodeFolder``
+state machines. The streaming form is the same machine fed by
+``foreachBatch``: folder state (book + emitted best / level map) persists
+across micro-batches per key, exactly like the reference's C fold persists
+across SPI cursor fetches (db/c/obadiah_db/obadiah_db.cpp:270-363) — and
+the reference derives level1 AND level2 from the SAME fold, which is why
+both streaming forms here share one accumulator class. Events must arrive
+in event-time order per key — upstream that is the SRC5 watermark
+reorder's contract (``streaming/reorder.py``); episodes may still split
+across micro-batches (the folder defers an episode until it sees the next
+timestamp, and :meth:`flush` force-closes only at stream end).
 
 Differential contract (tested): any micro-batch split of the event stream
-reproduces ``spread_fold`` bit-for-bit.
+reproduces the matching batch fold bit-for-bit.
 
 Scale note: this driver-side mirror holds one folder per (pair, era) in the
 process — the executor-side binding is the same move as
@@ -24,17 +27,22 @@ from __future__ import annotations
 
 import pandas as pd
 
-from obadiah_spark.fold import _SpreadFolder
+from obadiah_spark.fold import EpisodeFolder, _DepthFolder, _SpreadFolder
 
 _KEY = ["pair_id", "exchange_id", "era"]
 _ORDER = ["microtimestamp", "order_id", "event_no"]
 
 
-class StreamingSpread:
-    """Accumulates level1 rows from ordered micro-batches of level3 events."""
+class StreamingFold:
+    """Accumulates fold output from ordered micro-batches of level3 events,
+    one ``folder_cls`` state machine per (pair, exchange, era) key."""
 
-    def __init__(self) -> None:
-        self.folders: dict[tuple, _SpreadFolder] = {}
+    folder_cls: type[EpisodeFolder] = _SpreadFolder
+
+    def __init__(self, folder_cls: type[EpisodeFolder] | None = None) -> None:
+        if folder_cls is not None:
+            self.folder_cls = folder_cls
+        self.folders: dict[tuple, EpisodeFolder] = {}
         self.out: list[pd.DataFrame] = []
 
     def process_batch(self, pdf: pd.DataFrame) -> None:
@@ -44,22 +52,36 @@ class StreamingSpread:
         for key, grp in pdf.groupby(_KEY, sort=False):
             folder = self.folders.get(key)
             if folder is None:
-                folder = self.folders[key] = _SpreadFolder(grp.iloc[0])
+                folder = self.folders[key] = self.folder_cls(grp.iloc[0])
             self.out.extend(folder.feed(grp))
 
     def flush(self) -> pd.DataFrame:
         for folder in self.folders.values():
             self.out.extend(folder.finish())
-        cols = list(_SpreadFolder.OUT_COLS)
+        cols = list(self.folder_cls.OUT_COLS)
         if not self.out:
             return pd.DataFrame(columns=cols)
         return pd.concat(self.out, ignore_index=True)[cols]
 
 
-def run_streaming_spread(spark, l3_dir: str, schema: str,
-                         checkpoint_dir: str) -> pd.DataFrame:
+class StreamingSpread(StreamingFold):
+    """Streaming level1 (D6/D8 upstream)."""
+
+    folder_cls = _SpreadFolder
+
+
+class StreamingDepthChange(StreamingFold):
+    """Streaming level2 (D1) — VERDICT r4 #5: the micro-batch counterpart
+    of ``fold.depth_change_fold``, same folder as the batch path."""
+
+    folder_cls = _DepthFolder
+
+
+def run_streaming_fold(spark, l3_dir: str, schema: str, checkpoint_dir: str,
+                       folder_cls: type[EpisodeFolder] = _SpreadFolder,
+                       ) -> pd.DataFrame:
     """Drive a file-per-trigger stream of level3 events through the fold."""
-    acc = StreamingSpread()
+    acc = StreamingFold(folder_cls)
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(l3_dir)
@@ -76,3 +98,15 @@ def run_streaming_spread(spark, l3_dir: str, schema: str,
     )
     q.awaitTermination()
     return acc.flush()
+
+
+def run_streaming_spread(spark, l3_dir: str, schema: str,
+                         checkpoint_dir: str) -> pd.DataFrame:
+    return run_streaming_fold(spark, l3_dir, schema, checkpoint_dir,
+                              _SpreadFolder)
+
+
+def run_streaming_depth_change(spark, l3_dir: str, schema: str,
+                               checkpoint_dir: str) -> pd.DataFrame:
+    return run_streaming_fold(spark, l3_dir, schema, checkpoint_dir,
+                              _DepthFolder)

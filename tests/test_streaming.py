@@ -208,3 +208,42 @@ def test_streaming_spread_end_to_end(spark, level3):
         got = run_streaming_spread(spark, flat, schema, os.path.join(d, "ckpt"))
     want = spread_fold(level3).toPandas()
     assert not compare("streaming-spread-e2e", got, want)
+
+
+def test_streaming_depth_change_equals_batch(spark, level3):
+    """VERDICT r4 #5 — streaming level2: the depth fold fed by time-ordered
+    micro-batches (episodes splitting across batch boundaries included)
+    must equal the one-shot batch depth_change_fold bit-for-bit."""
+    from obadiah_spark.fold import _EVENT_COLS, depth_change_fold
+    from obadiah_spark.streaming.spread import StreamingDepthChange
+
+    events = (level3.select(*_EVENT_COLS).toPandas()
+              .sort_values(["microtimestamp", "order_id", "event_no"])
+              .reset_index(drop=True))
+    acc = StreamingDepthChange()
+    for chunk in np.array_split(events, 5):
+        acc.process_batch(chunk)
+    got = acc.flush()
+    want = depth_change_fold(level3).toPandas()
+    assert len(got) > 0
+    assert not compare("streaming-depth-vs-batch", got, want)
+
+
+def test_streaming_depth_change_end_to_end(spark, level3):
+    """Real Structured Streaming run of the level2 fold: file source, one
+    file per micro-batch, availableNow trigger."""
+    from obadiah_spark.fold import _EVENT_COLS, depth_change_fold
+    from obadiah_spark.streaming.spread import run_streaming_depth_change
+
+    schema = ("pair_id int, exchange_id int, era timestamp, "
+              "microtimestamp timestamp, order_id long, event_no int, "
+              "side string, price double, amount double, chain_state string")
+    events = (level3.select(*_EVENT_COLS).toPandas()
+              .sort_values(["microtimestamp", "order_id", "event_no"])
+              .reset_index(drop=True))
+    with tempfile.TemporaryDirectory() as d:
+        flat = _write_event_chunks(spark, events, d)
+        got = run_streaming_depth_change(spark, flat, schema,
+                                         os.path.join(d, "ckpt"))
+    want = depth_change_fold(level3).toPandas()
+    assert not compare("streaming-depth-e2e", got, want)
