@@ -250,6 +250,13 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_pairs(spark.table("embeddings"))
 
 
+def _q_ann_lsh_recall(spark, sf_dir):
+    from obadiah_spark.pipelines.similarity import ann_lsh_recall
+
+    _load(spark, sf_dir)
+    return ann_lsh_recall(spark.table("embeddings"))
+
+
 def _q_multimodal(spark, sf_dir):
     from obadiah_spark.pipelines.multimodal import multimodal_features
 
@@ -743,7 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
         "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only (recall test in tests/)
+        "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only; bounded by ann_lsh_recall
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "multimodal_features": _q_multimodal,
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,  # real-book path: rows-only + fixture tests
@@ -852,13 +860,18 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
     from obadiah_spark.sources.symbols import update_symbol_details_oracle_sql
     from obadiah_spark.operators.trading import (
+        epsilon_draws_mid_oracle_sql,
         epsilon_draws_zigzag_oracle_sql,
         trading_period_v0_oracle,
+        trading_strategy_mid_oracle_sql,
         trading_strategy_zigzag_oracle_sql,
     )
     from obadiah_spark.pipelines import dedup
     from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
-    from obadiah_spark.pipelines.similarity import ann_bruteforce_oracle
+    from obadiah_spark.pipelines.similarity import (
+        ann_bruteforce_oracle,
+        ann_lsh_recall_oracle,
+    )
     from obadiah_spark.pipelines.text import TEXT_STATS_ORACLE
     from obadiah_spark.synth import level3_cte, level3_matches_cte
 
@@ -883,13 +896,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "ann_bruteforce": ann_bruteforce_oracle(),
-        # ann_lsh_pairs: intentionally no oracle (approximate operator)
+        # ann_lsh_pairs: intentionally no oracle (approximate operator);
+        # its recall bound is gate-checked by ann_lsh_recall below
+        "ann_lsh_recall": ann_lsh_recall_oracle(),
         "multimodal_features": MULTIMODAL_ORACLE,
         "trading_period": level3_cte(trading_period_v0_oracle()),
-        # trading_strategy / epsilon_draws (real-book path): sequential state
-        # machines over the synthetic book — fixture-tested in
-        # tests/test_trading.py; the *_zigzag entries below hash-check the
-        # same state machines against a closed-form oracle
+        # real-book T2/T3: recursive-CTE replay of the state machines in mid
+        # mode (phi/epsilon must match the _q_* calls above); the *_zigzag
+        # entries additionally hash-check against a closed-form extrema oracle
+        "trading_strategy": level3_cte(trading_strategy_mid_oracle_sql(phi=0.0001)),
+        "epsilon_draws": level3_cte(epsilon_draws_mid_oracle_sql(epsilon=0.0005)),
         "trading_strategy_zigzag": trading_strategy_zigzag_oracle_sql(),
         "epsilon_draws_zigzag": epsilon_draws_zigzag_oracle_sql(),
         "get_depth": level3_cte(get_depth_oracle_sql(EV_START, EV_END)),

@@ -126,10 +126,10 @@ def depth_change(l3: DataFrame, keep_era: bool = False,
 # depth oracle and the linear spread oracle (wrap with synth.level3_cte).
 DEPTH_CHANGES_CTES = """ev AS (
     SELECT pair_id, era, microtimestamp, side, price, amount, chain_state,
-           lag(amount) OVER w AS prev_amount,
-           lag(price)  OVER w AS prev_price
+           lag(amount) OVER wev AS prev_amount,
+           lag(price)  OVER wev AS prev_price
     FROM level3
-    WINDOW w AS (PARTITION BY order_id, era, life_no ORDER BY event_no)
+    WINDOW wev AS (PARTITION BY order_id, era, life_no ORDER BY event_no)
 ), deltas AS (
     SELECT pair_id, era, microtimestamp, side, price AS p, amount AS delta
     FROM ev WHERE chain_state <> 'deleted'
@@ -186,12 +186,12 @@ SPREAD_L1_CTES = f"""{DEPTH_CHANGES_CTES}, grid AS (
     GROUP BY b.pair_id, b.era, b.ts, b.best_bid_price, b.best_ask_price
 ), l1_lag AS (
     SELECT *,
-           lag(best_bid_price) OVER w AS p_bb,
-           lag(best_bid_qty)  OVER w AS p_bq,
-           lag(best_ask_price) OVER w AS p_ba,
-           lag(best_ask_qty)  OVER w AS p_aq
+           lag(best_bid_price) OVER wl1 AS p_bb,
+           lag(best_bid_qty)  OVER wl1 AS p_bq,
+           lag(best_ask_price) OVER wl1 AS p_ba,
+           lag(best_ask_qty)  OVER wl1 AS p_aq
     FROM l1
-    WINDOW w AS (PARTITION BY pair_id, era ORDER BY ts)
+    WINDOW wl1 AS (PARTITION BY pair_id, era ORDER BY ts)
 ), l1_dedup AS (
     SELECT pair_id, era, ts, best_bid_price, best_bid_qty, best_ask_price, best_ask_qty
     FROM l1_lag

@@ -109,9 +109,11 @@ def depth_changes_with_chains(l3: DataFrame,
             W.partitionBy("k_pair", "k_exch", "k_era")
             .orderBy("_first")).cast("bigint"),
     ).drop("_first")
-    # the canonical output keeps the reference's client-side shape (no
-    # exchange column); the ORACLE also assumes one exchange — the operator
-    # itself scopes ids per exchange above
+    # exchange_id stays in the output: chain ids are scoped per (pair,
+    # exchange, era), so a pair listed on two exchanges has two independent
+    # id spaces — without the column consumers could not disambiguate them.
+    # (The reference's R client drops it because a connection is
+    # single-exchange; the ORACLE below still assumes one exchange.)
     return (
         folded.join(
             ranked,
@@ -122,8 +124,9 @@ def depth_changes_with_chains(l3: DataFrame,
             & (F.abs(F.col("volume_change")) == F.col("k_mag")),
         )
         .select(
-            "pair_id", "era", "microtimestamp", "side", "price", "volume",
-            "volume_change", "chain_id", "bid_price", "ask_price",
+            "pair_id", "exchange_id", "era", "microtimestamp", "side",
+            "price", "volume", "volume_change", "chain_id",
+            "bid_price", "ask_price",
         )
     )
 
@@ -172,8 +175,8 @@ WITH {SPREAD_L1_CTES}, chv AS (
                AS chain_id
     FROM keys
 )
-SELECT c.pair_id, c.era, c.microtimestamp, c.side, c.price, c.volume,
-       c.volume_change, r.chain_id, p.bid_price, p.ask_price
+SELECT c.pair_id, x.exchange_id, c.era, c.microtimestamp, c.side, c.price,
+       c.volume, c.volume_change, r.chain_id, p.bid_price, p.ask_price
 FROM chv c
 JOIN ranked r
   ON r.pair_id = c.pair_id AND r.era = c.era AND r.side = c.side
@@ -181,4 +184,6 @@ JOIN ranked r
 JOIN pre_spread p
   ON p.pair_id = c.pair_id AND p.era = c.era
  AND p.microtimestamp = c.microtimestamp
+CROSS JOIN (SELECT DISTINCT CAST(exchange_id AS INT) AS exchange_id
+            FROM level3) x
 """

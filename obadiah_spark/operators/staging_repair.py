@@ -341,11 +341,30 @@ def normalize_event_order(l3: DataFrame) -> DataFrame:
     new_next = F.when(
         F.col("chain_state") == "chained", F.lead("_ts3").over(w_asc)
     ).otherwise(F.col("next_microtimestamp"))
-    return fwd.select(
+    moved = fwd.withColumn("_next2", new_next)
+    # price-chain pointers must follow moved events too (reveal_episodes /
+    # fix_aggressor_order do the same): remap price_microtimestamp through
+    # the chain's own old→new map, keyed by (chain, price_event_no) and
+    # guarded on the old timestamp so an already-dangling pointer is left
+    # untouched rather than silently rewritten
+    pm = moved.select(
+        *[F.col(c).alias(f"_pm_{c}") for c in chain],
+        F.col("event_no").alias("_pm_eno"),
+        F.col("microtimestamp").alias("_pm_old"),
+        F.col("_ts3").alias("_pm_new"),
+    )
+    cond = [moved[c] == pm[f"_pm_{c}"] for c in chain] + [
+        moved["price_event_no"] == pm["_pm_eno"],
+        moved["price_microtimestamp"] == pm["_pm_old"],
+    ]
+    joined = moved.join(pm, cond, "left")
+    return joined.select(
         F.col("_ts3").alias("microtimestamp"),
         "order_id", "event_no", "side", "price", "amount", "fill",
-        new_next.alias("next_microtimestamp"),
-        *_L3_COLS[8:],
+        F.col("_next2").alias("next_microtimestamp"),
+        "next_event_no", "pair_id", "exchange_id", "local_timestamp",
+        F.coalesce("_pm_new", "price_microtimestamp").alias("price_microtimestamp"),
+        "price_event_no", "chain_state", "era", "life_no",
     )
 
 
@@ -448,15 +467,24 @@ WITH {CLEANSE_FABRIC_CTES}, flags AS (
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              ELSE _ts2 END AS _ts3
     FROM back
+), moved AS (
+    SELECT *,
+        CASE WHEN chain_state = 'chained' THEN lead(_ts3) OVER w
+             ELSE next_microtimestamp END AS _next2
+    FROM fwd
+    WINDOW w AS (PARTITION BY pair_id, exchange_id, era, order_id, life_no
+                 ORDER BY event_no)
 )
-SELECT _ts3 AS microtimestamp, order_id, event_no, side, price, amount, fill,
-       CASE WHEN chain_state = 'chained' THEN lead(_ts3) OVER w
-            ELSE next_microtimestamp END AS next_microtimestamp,
-       next_event_no, pair_id, exchange_id, local_timestamp,
-       price_microtimestamp, price_event_no, chain_state, era, life_no
-FROM fwd
-WINDOW w AS (PARTITION BY pair_id, exchange_id, era, order_id, life_no
-             ORDER BY event_no)
+SELECT f._ts3 AS microtimestamp, f.order_id, f.event_no, f.side, f.price,
+       f.amount, f.fill, f._next2 AS next_microtimestamp,
+       f.next_event_no, f.pair_id, f.exchange_id, f.local_timestamp,
+       coalesce(p._ts3, f.price_microtimestamp) AS price_microtimestamp,
+       f.price_event_no, f.chain_state, f.era, f.life_no
+FROM moved f LEFT JOIN moved p
+  ON p.pair_id = f.pair_id AND p.exchange_id = f.exchange_id
+ AND p.era = f.era AND p.order_id = f.order_id AND p.life_no = f.life_no
+ AND p.event_no = f.price_event_no
+ AND p.microtimestamp = f.price_microtimestamp
 """
 
 

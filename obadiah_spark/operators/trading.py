@@ -430,6 +430,190 @@ FROM pairs WHERE t2 IS NOT NULL
 """
 
 
+# ------------------------------------------------- real-book mid oracles --
+# Full-strength DuckDB oracles for the REAL T2/T3 gate paths (mid-price mode,
+# bid == ask == (best_bid+best_ask)/2): the sequential state machines are
+# replayed exactly by a recursive CTE that carries one state row per
+# (pair_id, era) and advances it one level1 row per iteration.  The state
+# transition SQL is a literal transcription of _discover_positions /
+# _discover_draws above (themselves ports of reference
+# src/position_discovery.cpp:28-241 and src/epsilon_drawupdowns.cpp:32-89),
+# specialized to b == a (the `b > a` skip can never fire and the NaN skip
+# becomes an upfront filter, since skipped rows change no state).  Emissions
+# ride on the state row (e_* columns, NULL when the step emitted nothing);
+# trailing open positions/draws are joined on from the final state row.
+# Iteration count = max rows per (pair, era) — fine at gate scale (sf0.01);
+# this is oracle-side code only, never the Spark plan.
+
+_MID_CTE = """mid AS (
+    SELECT pair_id, era, ts,
+           (best_bid_price + best_ask_price) / 2 AS p,
+           row_number() OVER (PARTITION BY pair_id, era ORDER BY ts) AS rn
+    FROM l1_dedup
+    WHERE best_bid_price IS NOT NULL AND best_ask_price IS NOT NULL
+)"""
+
+
+def trading_strategy_mid_oracle_sql(phi: float, rho: float = 0.0) -> str:
+    """Recursive-CTE replay of _discover_positions in mid mode (rho=0)."""
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    if rho != 0.0:
+        raise NotImplementedError("mid oracle covers the gate's rho=0 path")
+    comm = repr(2.0 * max(float(phi), 0.0))
+    return f"""
+WITH RECURSIVE {SPREAD_L1_CTES}, {_MID_CTE}, step AS (
+    SELECT pair_id, era, rn, 0 AS mode,
+           p AS sl_p, ts AS sl_t, p AS ss_p, ts AS ss_t,
+           CAST(NULL AS DOUBLE) AS ex_p, CAST(NULL AS TIMESTAMP) AS ex_t,
+           CAST(NULL AS DOUBLE) AS e_op, CAST(NULL AS TIMESTAMP) AS e_ot,
+           CAST(NULL AS DOUBLE) AS e_cp, CAST(NULL AS TIMESTAMP) AS e_ct
+    FROM mid WHERE rn = 1
+    UNION ALL
+    SELECT pair_id, era, mrn,
+           CASE WHEN x_ol OR x_cl THEN 1 WHEN x_os OR x_cs THEN 2
+                WHEN x_cnl OR x_cns THEN 0 ELSE mode END AS mode,
+           -- sl: reset on open-short / close-from-long / es-extend; min-track
+           -- in short mode (x_sl1); min-track pre-position; frozen in long
+           CASE WHEN x_os OR x_cs OR x_cnl OR x_exts THEN mp
+                WHEN mode = 2 THEN x_sl1p
+                WHEN mode = 0 AND NOT x_ol AND mp < sl_p THEN mp
+                ELSE sl_p END AS sl_p,
+           CASE WHEN x_os OR x_cs OR x_cnl OR x_exts THEN mt
+                WHEN mode = 2 THEN x_sl1t
+                WHEN mode = 0 AND NOT x_ol AND mp < sl_p THEN mt
+                ELSE sl_t END AS sl_t,
+           -- ss: mirror image
+           CASE WHEN x_ol OR x_cl OR x_cns OR x_extl THEN mp
+                WHEN mode = 1 THEN x_ss1p
+                WHEN mode = 0 AND NOT x_os AND mp > ss_p THEN mp
+                ELSE ss_p END AS ss_p,
+           CASE WHEN x_ol OR x_cl OR x_cns OR x_extl THEN mt
+                WHEN mode = 1 THEN x_ss1t
+                WHEN mode = 0 AND NOT x_os AND mp > ss_p THEN mt
+                ELSE ss_t END AS ss_t,
+           -- ex: the open position's running extreme (el in long, es in short)
+           CASE WHEN x_ol OR x_cl OR x_os OR x_cs OR x_extl OR x_exts THEN mp
+                WHEN x_cnl OR x_cns THEN CAST(NULL AS DOUBLE)
+                ELSE ex_p END AS ex_p,
+           CASE WHEN x_ol OR x_cl OR x_os OR x_cs OR x_extl OR x_exts THEN mt
+                WHEN x_cnl OR x_cns THEN CAST(NULL AS TIMESTAMP)
+                ELSE ex_t END AS ex_t,
+           CASE WHEN x_cs OR x_cnl THEN sl_p WHEN x_cl OR x_cns THEN ss_p END AS e_op,
+           CASE WHEN x_cs OR x_cnl THEN sl_t WHEN x_cl OR x_cns THEN ss_t END AS e_ot,
+           CASE WHEN x_cs OR x_cnl OR x_cl OR x_cns THEN ex_p END AS e_cp,
+           CASE WHEN x_cs OR x_cnl OR x_cl OR x_cns THEN ex_t END AS e_ct
+    FROM (
+        SELECT s.*, m.rn AS mrn, m.p AS mp, m.ts AS mt,
+               -- in-step helper updates (short-mode sl min, long-mode ss max)
+               CASE WHEN s.mode = 2 AND m.p < s.sl_p THEN m.p ELSE s.sl_p END AS x_sl1p,
+               CASE WHEN s.mode = 2 AND m.p < s.sl_p THEN m.ts ELSE s.sl_t END AS x_sl1t,
+               CASE WHEN s.mode = 1 AND m.p > s.ss_p THEN m.p ELSE s.ss_p END AS x_ss1p,
+               CASE WHEN s.mode = 1 AND m.p > s.ss_p THEN m.ts ELSE s.ss_t END AS x_ss1t,
+               -- transition flags (position_discovery.cpp branch conditions)
+               (s.mode = 0 AND ln(m.p) - ln(s.sl_p) > {comm}) AS x_ol,
+               (s.mode = 0 AND NOT x_ol AND ln(s.ss_p) - ln(m.p) > {comm}) AS x_os,
+               (s.mode = 1 AND m.p > s.ex_p) AS x_extl,
+               (s.mode = 1 AND NOT x_extl AND ln(x_ss1p) - ln(m.p) > {comm}) AS x_cs,
+               (s.mode = 1 AND NOT x_extl AND NOT x_cs
+                AND ln(s.ex_p) - ln(m.p) > {comm}) AS x_cnl,
+               (s.mode = 2 AND m.p < s.ex_p) AS x_exts,
+               (s.mode = 2 AND NOT x_exts AND ln(m.p) - ln(x_sl1p) > {comm}) AS x_cl,
+               (s.mode = 2 AND NOT x_exts AND NOT x_cl
+                AND ln(m.p) - ln(s.ex_p) > {comm}) AS x_cns
+        FROM step s JOIN mid m
+          ON m.pair_id = s.pair_id AND m.era = s.era AND m.rn = s.rn + 1
+    )
+), last_state AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pair_id, era
+                                     ORDER BY rn DESC) AS rr
+        FROM step) WHERE rr = 1
+), positions AS (
+    SELECT pair_id, era, e_op AS op, e_ot AS ot, e_cp AS cp, e_ct AS ct
+    FROM step WHERE e_op IS NOT NULL
+    UNION ALL
+    SELECT pair_id, era,
+           CASE WHEN mode = 1 THEN sl_p ELSE ss_p END,
+           CASE WHEN mode = 1 THEN sl_t ELSE ss_t END,
+           ex_p, ex_t
+    FROM last_state WHERE mode <> 0
+)
+SELECT pair_id, era, ot AS opened_at, op AS open_price,
+       ct AS closed_at, cp AS close_price,
+       CASE WHEN op > cp THEN (op - cp) / op * 10000
+            ELSE (cp - op) / op * 10000 END AS bps_return,
+       CASE WHEN epoch_us(ct) > epoch_us(ot)
+            THEN exp(abs(ln(op) - ln(cp))
+                     / ((epoch_us(ct) - epoch_us(ot)) / 1e6)) - 1
+            ELSE CAST('infinity' AS DOUBLE) END AS rate,
+       abs(ln(op) - ln(cp)) AS log_return
+FROM positions
+"""
+
+
+def epsilon_draws_mid_oracle_sql(epsilon: float) -> str:
+    """Recursive-CTE replay of _discover_draws over the mid-price stream."""
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    eps = repr(float(epsilon))
+    return f"""
+WITH RECURSIVE {SPREAD_L1_CTES}, {_MID_CTE}, step AS (
+    SELECT pair_id, era, rn,
+           p AS st_p, ts AS st_t, p AS tp_p, ts AS tp_t,
+           CAST(NULL AS DOUBLE) AS e_sp, CAST(NULL AS TIMESTAMP) AS e_st,
+           CAST(NULL AS DOUBLE) AS e_ep, CAST(NULL AS TIMESTAMP) AS e_et
+    FROM mid WHERE rn = 1
+    UNION ALL
+    SELECT pair_id, era, mrn,
+           CASE WHEN x_close THEN tp_p ELSE st_p END AS st_p,
+           CASE WHEN x_close THEN tp_t ELSE st_t END AS st_t,
+           CASE WHEN x_ext THEN mp ELSE tp_p END AS tp_p,
+           CASE WHEN x_ext THEN mt ELSE tp_t END AS tp_t,
+           CASE WHEN x_close THEN st_p END AS e_sp,
+           CASE WHEN x_close THEN st_t END AS e_st,
+           CASE WHEN x_close THEN tp_p END AS e_ep,
+           CASE WHEN x_close THEN tp_t END AS e_et
+    FROM (
+        SELECT s.*, m.rn AS mrn, m.p AS mp, m.ts AS mt,
+               (m.p = s.tp_p) AS x_same,
+               (NOT x_same AND ((s.tp_p >= s.st_p AND m.p > s.tp_p)
+                                OR (s.tp_p <= s.st_p AND m.p < s.tp_p))) AS x_ext,
+               (NOT x_same AND NOT x_ext
+                AND abs(ln(m.p) - ln(s.tp_p)) > {eps}) AS x_close
+        FROM step s JOIN mid m
+          ON m.pair_id = s.pair_id AND m.era = s.era AND m.rn = s.rn + 1
+    )
+), last_state AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pair_id, era
+                                     ORDER BY rn DESC) AS rr
+        FROM step) WHERE rr = 1
+), last_row AS (
+    SELECT * FROM (
+        SELECT pair_id, era, p, ts,
+               row_number() OVER (PARTITION BY pair_id, era
+                                  ORDER BY rn DESC) AS rr
+        FROM mid) WHERE rr = 1
+), draws AS (
+    SELECT pair_id, era, e_sp AS sp, e_st AS st, e_ep AS ep, e_et AS et
+    FROM step WHERE e_sp IS NOT NULL
+    UNION ALL
+    SELECT ls.pair_id, ls.era, ls.st_p, ls.st_t, lr.p, lr.ts
+    FROM last_state ls JOIN last_row lr
+      ON lr.pair_id = ls.pair_id AND lr.era = ls.era
+    WHERE lr.ts > ls.st_t
+)
+SELECT pair_id, era, st AS draw_start, sp AS start_price,
+       et AS draw_end, ep AS end_price,
+       CASE WHEN ep >= sp THEN 'up' ELSE 'down' END AS draw_type,
+       CASE WHEN sp > ep THEN (sp - ep) / sp * 10000
+            ELSE (ep - sp) / sp * 10000 END AS bps_return,
+       abs(ln(sp) - ln(ep)) AS log_return
+FROM draws
+"""
+
+
 def mid_price(l1: DataFrame) -> DataFrame:
     """Mid-price stream from the spread fold output."""
     from pyspark.sql import functions as F

@@ -81,11 +81,12 @@ LSH_TABLES = 4
 LSH_PLANES = 12
 
 
-def _plane_weights(dim: int) -> np.ndarray:
+def _plane_weights(dim: int, tables: int = LSH_TABLES,
+                   planes: int = LSH_PLANES) -> np.ndarray:
     """(tables, planes, dim) ±1 weights — deterministic from md5, no RNG."""
-    w = np.empty((LSH_TABLES, LSH_PLANES, dim), dtype=np.float64)
-    for t in range(LSH_TABLES):
-        for p in range(LSH_PLANES):
+    w = np.empty((tables, planes, dim), dtype=np.float64)
+    for t in range(tables):
+        for p in range(planes):
             h = hashlib.md5(f"{t}#{p}".encode()).digest()
             # expand 16 bytes deterministically to dim bits
             bits = np.frombuffer(
@@ -97,7 +98,8 @@ def _plane_weights(dim: int) -> np.ndarray:
     return w
 
 
-def lsh_signatures(emb: DataFrame) -> DataFrame:
+def lsh_signatures(emb: DataFrame, tables: int = LSH_TABLES,
+                   planes: int = LSH_PLANES) -> DataFrame:
     """(vec_id, table, sig): sign-pattern bucket id per hash table.
     mapInPandas → one numpy matmul per Arrow batch; no shuffle."""
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,9 +109,9 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
                 continue
             e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             if weights is None:
-                weights = _plane_weights(e.shape[1])
+                weights = _plane_weights(e.shape[1], tables, planes)
             out = []
-            for t in range(LSH_TABLES):
+            for t in range(tables):
                 proj = e @ weights[t].T  # (n, planes)
                 bits = (proj > 0).astype(np.uint8)
                 sigs = ["".join(map(str, row)) for row in bits]
@@ -125,11 +127,13 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0) -> DataFrame:
+def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0,
+                  tables: int = LSH_TABLES,
+                  planes: int = LSH_PLANES) -> DataFrame:
     """Candidate neighbor pairs from LSH buckets, scored with exact cosine.
     Candidate generation is a per-(table, sig) equi-join — at 100 TB the
     bucket sizes bound the work, not n²."""
-    sigs = lsh_signatures(emb)
+    sigs = lsh_signatures(emb, tables, planes)
     a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "sig")
     cand = (
@@ -145,3 +149,74 @@ def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0) -> DataFrame:
         .select("vec_a", "vec_b", _cosine("emb_a", "emb_b").alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# Recall-metric parameterization: the testdata embeddings have no planted
+# near-duplicates (max pairwise cosine ~0.51 at sf0.01), and at cosine ~0.5
+# the default 12-plane signature collides with probability ~2% — fine for
+# near-dup hunting, vacuous for a recall bound. The metric therefore runs the
+# SAME signature/bucket/score machinery at a denser, recall-oriented setting
+# (16 tables x 6 planes: per-pair collision ~0.9 at cosine 0.45; measured
+# recall 13/14 on the sf0.01 corpus), bounding it by 0.5 with wide margin.
+RECALL_TABLES = 16
+RECALL_PLANES = 6
+
+
+def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
+                   threshold: float = 0.5) -> DataFrame:
+    """One-row recall metric gating the approximate LSH machinery: of ALL
+    vector pairs whose exact cosine >= min_cosine, the fraction surfaced by
+    the LSH candidate join must be >= threshold.
+
+    The gate oracle recomputes the exact half (n_strong) and asserts the
+    bound — a hash match proves (a) the exact all-pairs cosine side bitwise
+    and (b) that LSH recall did not silently regress below threshold.
+    The exact side is O(n²) by construction (it IS the ground truth the
+    approximate operator exists to avoid) — this is an audit query for the
+    gate corpus, not a production path."""
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"))
+    strong = (
+        ea.crossJoin(eb)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine("emb_a", "emb_b") >= min_cosine)
+        .select("vec_a", "vec_b")
+    )
+    cand = (
+        ann_lsh_pairs(emb, tables=RECALL_TABLES, planes=RECALL_PLANES)
+        .select("vec_a", "vec_b").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = F.broadcast(strong).join(cand, ["vec_a", "vec_b"], "left")
+    return flagged.agg(
+        F.lit("ann_lsh_recall").alias("metric"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strong"),
+        (F.coalesce(F.sum("hit"), F.lit(0))
+         >= F.count(F.lit(1)) * F.lit(threshold)).alias(
+            f"recall_ge_{str(threshold).replace('.', '_')}"),
+    )
+
+
+def ann_lsh_recall_oracle(min_cosine: float = 0.45,
+                          threshold: float = 0.5) -> str:
+    """Exact half recomputed in SQL; the recall bound asserted TRUE
+    (0 >= 0*t holds, so an empty strong set is vacuously true on both
+    sides). Cosines round to 9 dp as in _cosine so the >= boundary agrees."""
+    flag = f"recall_ge_{str(threshold).replace('.', '_')}"
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), d AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 9) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT 'ann_lsh_recall' AS metric,
+       CAST(count(*) AS BIGINT) AS n_strong,
+       TRUE AS {flag}
+FROM d WHERE cosine >= {min_cosine!r}
+"""

@@ -110,9 +110,18 @@ def advance_chain(state: _ChainState, r, row: dict | None = None) -> dict:
     # fabric's raw events carry only (event_id, ts), so the synth formulas
     # below act as the payload ADAPTER when the columns are absent; the
     # state machine itself never re-derives payload from ids.
-    payload_price = getattr(r, "price", None)
-    if payload_price is not None and not pd.isna(payload_price):
-        raw_price = float(payload_price)
+    if hasattr(r, "price"):
+        # column PRESENCE selects the path (a real feed with a legitimately
+        # absent value must not silently fall back to fabricated payloads)
+        if not (hasattr(r, "amount") and hasattr(r, "is_delete")):
+            raise ValueError(
+                "payload contract: rows carrying 'price' must also carry "
+                "'amount' and 'is_delete'")
+        if pd.isna(r.price) or pd.isna(r.amount) or pd.isna(r.is_delete):
+            raise ValueError(
+                f"payload contract: NULL price/amount/is_delete in message "
+                f"event_id={getattr(r, 'event_id', '?')}")
+        raw_price = float(r.price)
         raw_amount = float(r.amount)
         is_delete = bool(r.is_delete)
     else:

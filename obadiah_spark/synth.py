@@ -253,6 +253,10 @@ def _splice_ctes(ctes: str, body: str) -> str:
     clause if it has one (``WITH a AS (...) WITH b AS ...`` is invalid SQL —
     the two CTE lists must be joined with a comma)."""
     stripped = body.lstrip()
+    if stripped[:14].upper() == "WITH RECURSIVE":
+        # RECURSIVE must stay attached to the WITH keyword (it marks the
+        # whole clause; non-recursive CTEs in the list are fine)
+        return f"WITH RECURSIVE {ctes},\n{stripped[14:].lstrip()}"
     if stripped[:4].upper() == "WITH":
         return f"WITH {ctes},\n{stripped[4:].lstrip()}"
     return f"WITH {ctes}\n{stripped}"

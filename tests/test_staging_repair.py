@@ -18,6 +18,86 @@ from pyspark.sql import functions as F  # noqa: E402
 from tools.verify_local import compare  # noqa: E402
 
 
+_L3_SCHEMA = (
+    "microtimestamp timestamp, order_id long, event_no int, side string, "
+    "price double, amount double, fill double, "
+    "next_microtimestamp timestamp, next_event_no int, pair_id int, "
+    "exchange_id int, local_timestamp timestamp, "
+    "price_microtimestamp timestamp, price_event_no int, "
+    "chain_state string, era timestamp, life_no int"
+)
+
+
+def test_missing_fill_repair_round_trip_fixture(spark):
+    """Default-scale round trip on a hand-built 3-event chain: NULL the
+    middle fill, subtract it from the earlier amount (the corruption the
+    reference repairs), assert the repair reproduces the original exactly."""
+    from datetime import datetime
+
+    from obadiah_spark.operators.staging_repair import find_and_repair_missing_fill
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    era = datetime(2024, 1, 1)
+    orig = [
+        (ts(1), 7, 1, "b", 100.0, 5.0, None, ts(2), 2, 1, 1, ts(1), ts(1), 1, "chained", era, 0),
+        (ts(2), 7, 2, "b", 100.0, 4.0, 1.0, ts(3), 3, 1, 1, ts(2), ts(1), 1, "chained", era, 0),
+        (ts(3), 7, 3, "b", 100.0, 3.0, 1.0, None, None, 1, 1, ts(3), ts(1), 1, "alive", era, 0),
+    ]
+    corrupted = [
+        (ts(1), 7, 1, "b", 100.0, 4.0, None, ts(2), 2, 1, 1, ts(1), ts(1), 1, "chained", era, 0),
+        (ts(2), 7, 2, "b", 100.0, 4.0, None, ts(3), 3, 1, 1, ts(2), ts(1), 1, "chained", era, 0),
+        (ts(3), 7, 3, "b", 100.0, 3.0, 1.0, None, None, 1, 1, ts(3), ts(1), 1, "alive", era, 0),
+    ]
+    links = spark.createDataFrame(
+        [(1, ts(2), 7, 2, 1.0)],
+        "pair_id int, microtimestamp timestamp, order_id long, "
+        "event_no int, trade_amount double",
+    )
+    repaired = find_and_repair_missing_fill(
+        spark.createDataFrame(corrupted, _L3_SCHEMA), links)
+    assert not compare(
+        "missing-fill fixture round trip",
+        repaired.toPandas(),
+        spark.createDataFrame(orig, _L3_SCHEMA).toPandas())
+
+
+def test_reveal_episodes_fixture(spark):
+    """Default-scale reveal: both events of a matched trade move to the
+    aggressor's price-chain start, and the aggressor chain's forward pointer
+    follows the moved event."""
+    from datetime import datetime
+
+    from obadiah_spark.operators.staging_repair import reveal_episodes
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    era = datetime(2024, 1, 1)
+    rows = [
+        # resting buy order 7, hit at ts(2)
+        (ts(2), 7, 1, "b", 100.0, 5.0, None, None, None, 1, 1, ts(2), ts(2), 1, "alive", era, 0),
+        # aggressor sell order 101: price chain starts at its creation ts(3);
+        # the trade event is e2 at ts(5)
+        (ts(3), 101, 1, "s", 100.0, 2.0, None, ts(5), 2, 1, 1, ts(3), ts(3), 1, "chained", era, 0),
+        (ts(5), 101, 2, "s", 100.0, 1.0, 1.0, None, None, 1, 1, ts(5), ts(3), 1, "alive", era, 0),
+    ]
+    trades = spark.createDataFrame(
+        [(1, "s", ts(2), 7, 1, ts(5), 101, 2)],
+        "pair_id int, side string, buy_microtimestamp timestamp, "
+        "buy_order_id long, buy_event_no int, "
+        "sell_microtimestamp timestamp, sell_order_id long, "
+        "sell_event_no int",
+    )
+    out = reveal_episodes(spark.createDataFrame(rows, _L3_SCHEMA), trades)
+    got = {(r.order_id, r.event_no): r for r in out.collect()}
+    assert len(got) == 3
+    assert got[(7, 1)].microtimestamp == ts(3)    # resting event moved
+    assert got[(101, 2)].microtimestamp == ts(3)  # aggressor event moved
+    assert got[(101, 1)].next_microtimestamp == ts(3)  # pointer followed
+
+
 def test_missing_fill_repair_round_trip(spark, level3):
     """repair(corrupt(level3)) must reproduce level3 exactly — the corruption
     subtracts each lost fill from all earlier amounts of the life, the repair
