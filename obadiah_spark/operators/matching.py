@@ -392,7 +392,8 @@ JOIN mem m ON m.pair_id = s.pair_id AND m.era = s.era
 
 
 def match_sequential(l3: DataFrame, trades: DataFrame,
-                     tolerance_pct: float = 0.0001, offset: int = 1) -> DataFrame:
+                     tolerance_pct: float = 0.0001, offset: int = 1,
+                     period_s: int | None = None) -> DataFrame:
     """I10 ``bitstamp.match_trades_to_sequential_events``: link a trade that
     knows its buy/sell ORDER ids (but not the events) to a pair of adjacent
     opposite-side events in the sequential event stream (reference
@@ -421,33 +422,69 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
       second event, reference ``matches`` CTE), then one event pair per
       trade via row_number.
 
-    Scale: the lead window and all joins are per (pair, era); no cross
-    product. The reference runs this repeatedly with increasing p_offset —
-    callers do the same, anti-joining already-matched trades between passes.
+    Scale: all joins are per (pair, era); no cross product. With
+    ``period_s`` set the sequential-neighbor lookup is period-parallel: row
+    numbers are assigned per (pair, era, period) partition, a prefix sum
+    over the TINY per-period count table turns them into exact global
+    positions, and ``lead(offset)`` becomes an equi-join on
+    ``gpos + offset`` — identical output to the unsplit window for any
+    offset (split-equality pytest), with parallelism = #periods instead of
+    one reducer per era. The join evaluates the event projection twice, so
+    it wins only when eras are reducer-breakingly large AND ``l3`` is a
+    cheap scan (the silver parquet), not a derived lineage — hence the
+    default keeps the single-pass per-era window, the same call-site
+    escape hatch as the other period-decomposed operators.
     """
-    w = W.partitionBy("pair_id", "era").orderBy(
-        "microtimestamp", "order_id", "event_no")
     is_del = F.col("chain_state") == "deleted"
-    ev = (
-        l3.select(
-            "pair_id", "era", "microtimestamp", "order_id", "event_no",
-            "side", "amount", "fill", "price_microtimestamp",
-            is_del.alias("is_del"),
-            (is_del | (F.col("event_no") > 1)).alias("is_fillish"),
+    ev0 = l3.select(
+        "pair_id", "era", "microtimestamp", "order_id", "event_no",
+        "side", "amount", "fill", "price_microtimestamp",
+        is_del.alias("is_del"),
+        (is_del | (F.col("event_no") > 1)).alias("is_fillish"),
+    )
+    lead_cols = ("microtimestamp", "order_id", "event_no", "side", "amount",
+                 "fill", "price_microtimestamp", "is_del", "is_fillish")
+    n_names = ("n_microtimestamp", "n_order_id", "n_event_no", "n_side",
+               "n_amount", "n_fill", "n_pts", "n_is_del", "n_is_fillish")
+    if period_s is None:
+        w = W.partitionBy("pair_id", "era").orderBy(
+            "microtimestamp", "order_id", "event_no")
+        ev = ev0
+        for src, dst in zip(lead_cols, n_names):
+            ev = ev.withColumn(dst, F.lead(src, offset).over(w))
+    else:
+        per = F.floor(
+            F.unix_micros("microtimestamp") / F.lit(period_s * 1_000_000))
+        w_loc = W.partitionBy("pair_id", "era", "_per").orderBy(
+            "microtimestamp", "order_id", "event_no")
+        numbered = ev0.withColumn("_per", per).withColumn(
+            "_rn", F.row_number().over(w_loc))
+        counts = numbered.groupBy("pair_id", "era", "_per").agg(
+            F.count(F.lit(1)).alias("_cnt"))
+        w_cum = (W.partitionBy("pair_id", "era").orderBy("_per")
+                 .rowsBetween(W.unboundedPreceding, -1))
+        bases = counts.withColumn(
+            "_base", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0))
+        ).drop("_cnt")
+        ev1 = (
+            numbered.join(F.broadcast(bases), ["pair_id", "era", "_per"])
+            .withColumn("_gpos", F.col("_base") + F.col("_rn"))
+            .drop("_per", "_rn", "_base")
         )
-        .withColumn("n_microtimestamp", F.lead("microtimestamp", offset).over(w))
-        .withColumn("n_order_id", F.lead("order_id", offset).over(w))
-        .withColumn("n_event_no", F.lead("event_no", offset).over(w))
-        .withColumn("n_side", F.lead("side", offset).over(w))
-        .withColumn("n_amount", F.lead("amount", offset).over(w))
-        .withColumn("n_fill", F.lead("fill", offset).over(w))
-        .withColumn("n_pts", F.lead("price_microtimestamp", offset).over(w))
-        .withColumn("n_is_del", F.lead("is_del", offset).over(w))
-        .withColumn("n_is_fillish", F.lead("is_fillish", offset).over(w))
-        .filter(
-            (F.col("side") != F.col("n_side"))
-            & F.col("is_fillish") & F.col("n_is_fillish")
+        nxt = ev1.select(
+            F.col("pair_id").alias("x_pair"), F.col("era").alias("x_era"),
+            (F.col("_gpos") - offset).alias("x_gpos"),
+            *[F.col(src).alias(dst) for src, dst in zip(lead_cols, n_names)],
         )
+        ev = ev1.join(
+            nxt,
+            (ev1.pair_id == nxt.x_pair) & (ev1.era == nxt.x_era)
+            & (ev1._gpos == nxt.x_gpos),
+            "left",
+        ).drop("x_pair", "x_era", "x_gpos", "_gpos")
+    ev = ev.filter(
+        (F.col("side") != F.col("n_side"))
+        & F.col("is_fillish") & F.col("n_is_fillish")
     )
     t = trades.select(
         "pair_id", "era", "exchange_trade_id", "trade_microtimestamp",

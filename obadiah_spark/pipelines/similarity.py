@@ -163,7 +163,7 @@ RECALL_PLANES = 6
 
 
 def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5, max_id: int = 1000) -> DataFrame:
     """One-row recall metric gating the approximate LSH machinery: of ALL
     vector pairs whose exact cosine >= min_cosine, the fraction surfaced by
     the LSH candidate join must be >= threshold.
@@ -172,16 +172,25 @@ def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
     bound — a hash match proves (a) the exact all-pairs cosine side bitwise
     and (b) that LSH recall did not silently regress below threshold.
     The exact side is O(n²) by construction (it IS the ground truth the
-    approximate operator exists to avoid) — this is an audit query for the
-    gate corpus, not a production path."""
-    ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("emb_b"))
+    approximate operator exists to avoid), so the audit is bounded to the
+    deterministic subset ``vec_id < max_id`` on BOTH sides — a no-op at the
+    gate corpus size, a cost cap at larger sf."""
+    emb = emb.filter(F.col("vec_id") < max_id)
+    # norms precomputed once per vector (same float ops as _cosine, just not
+    # per pair): cosine = round(dot / (na * nb), 9) is bitwise-identical
+    normed = emb.withColumn(
+        "_n", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))))
+    ea = normed.select(F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("emb_a"),
+                      F.col("_n").alias("_na"))
+    eb = normed.select(F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("emb_b"),
+                      F.col("_n").alias("_nb"))
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
     strong = (
         ea.crossJoin(eb)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(_cosine("emb_a", "emb_b") >= min_cosine)
+        .filter(F.round(dot / (F.col("_na") * F.col("_nb")), 9) >= min_cosine)
         .select("vec_a", "vec_b")
     )
     cand = (
@@ -200,7 +209,8 @@ def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
 
 
 def ann_lsh_recall_oracle(min_cosine: float = 0.45,
-                          threshold: float = 0.5) -> str:
+                          threshold: float = 0.5,
+                          max_id: int = 1000) -> str:
     """Exact half recomputed in SQL; the recall bound asserted TRUE
     (0 >= 0*t holds, so an empty strong set is vacuously true on both
     sides). Cosines round to 9 dp as in _cosine so the >= boundary agrees."""
@@ -208,6 +218,7 @@ def ann_lsh_recall_oracle(min_cosine: float = 0.45,
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE vec_id < {max_id}
 ), d AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.emb, b.emb)
