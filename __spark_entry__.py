@@ -38,21 +38,25 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
     load_tables(spark, sf_dir)
 
 
-_L3_CACHE: dict[tuple[int, str], DataFrame] = {}
+# keyed by the live session object, not id() (see _CKPT_SILVER note)
+_L3_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def _l3(spark: SparkSession, sf_dir: str):
     """Synthesize (and Spark-cache) the level3 log once per (session, sf)."""
     from obadiah_spark.synth import register_level3
 
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _L3_CACHE:
         _load(spark, sf_dir)
         _L3_CACHE[key] = register_level3(spark).cache()
     return _L3_CACHE[key]
 
 
-_CKPT_SILVER: dict[tuple[int, str], str] = {}
+# keyed by the LIVE session object (a dead session's id() could be reused
+# by CPython, which would skip re-seeding the new session's checkpoint
+# cache and serve stale silver paths) — same rule as fold._CKPT_CACHE
+_CKPT_SILVER: dict[tuple[SparkSession, str], str] = {}
 CKPT_FREQ_S = 86400
 
 
@@ -71,7 +75,7 @@ def _ckpt_silver(spark: SparkSession, sf_dir: str) -> str:
     from obadiah_spark.sources.silver import (
         read_checkpoints, write_checkpoints, write_era_registry)
 
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _CKPT_SILVER:
         l3 = _l3(spark, sf_dir)
         sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"

@@ -478,6 +478,11 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
         key = (l3.sparkSession, l3.semanticHash(), frequency_s)
         hit = _CKPT_CACHE.get(key)
         if hit is not None and l3.sameSemantics(hit[0]):
+            # true LRU: a hit refreshes recency, so a hot entry (e.g. the
+            # seeded silver table every period_fold consumer reads) cannot
+            # be evicted by a burst of cold derived-frame inserts
+            _CKPT_CACHE.pop(key, None)
+            _CKPT_CACHE[key] = hit
             return hit[1]
 
     # tolerate event-projection inputs (the documented fold contract): the

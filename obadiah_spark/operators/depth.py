@@ -272,7 +272,12 @@ def _get_spread_freq(l3, l1, start: str, end: str, frequency_s: int):
     hi = date_floor_s(end, frequency_s)
     lo_c = F.lit(lo).cast("timestamp")
     hi_c = F.lit(hi).cast("timestamp")
-    live = live_at(l3, lo, before=True)
+    # CLOSED at lo: the reference's ceiled event cursor reads events from
+    # floor(start) inclusive (episode.cpp:91-101) and an event exactly on
+    # the boundary emits at ceil(lo)=lo, so its effect belongs to the lo
+    # row; folding it into the seeded starting spread yields the same
+    # observable state at every instant >= lo with one row instead of two.
+    live = live_at(l3, lo, before=False)
     lvl = live.groupBy("pair_id", "era", "side", "price").agg(
         F.sum("amount").alias("qty"))
     best = lvl.groupBy("pair_id", "era").agg(
@@ -326,11 +331,11 @@ def get_spread_freq_oracle_sql(start: str, end: str, frequency_s: int) -> str:
 WITH {SPREAD_L1_CTES}, live0 AS (
     SELECT l.pair_id, l.era, l.side, l.price, sum(l.amount) AS qty
     FROM level3 l
-    WHERE microtimestamp < TIMESTAMP '{lo}'
+    WHERE microtimestamp <= TIMESTAMP '{lo}'
       AND era = (SELECT max(era) FROM level3 x
-                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{lo}')
+                 WHERE x.pair_id = l.pair_id AND x.era <= TIMESTAMP '{lo}')
       AND (chain_state = 'alive'
-           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{lo}'))
+           OR (chain_state = 'chained' AND next_microtimestamp > TIMESTAMP '{lo}'))
     GROUP BY l.pair_id, l.era, l.side, l.price
 ), best0 AS (
     SELECT pair_id, era,
@@ -429,8 +434,16 @@ def get_depth(l3, start: str, end: str, frequency_s: int | None = None):
     ``_date_floor(start)``, depth changes collapse onto the
     ``_date_ceiling`` grid (one episode per interval, stamped at the CLOSED
     right boundary), and the range keeps grid points in
-    [floor(start), ceiling(end)] — the right-boundary interval IS included,
-    unlike the raw path. Deliberate deviation shared with the no-frequency
+    (floor(start), ceiling(end)] — the right-boundary interval IS included,
+    unlike the raw path. Boundary handling: the reference's episode cursor
+    only reads events >= floor(start) (episode.cpp:91-101), so pre-start
+    events reach the grid solely through the starting depth; we therefore
+    CLOSE the starting depth at floor(start) (ts <= lo) and emit grid
+    episodes strictly after it — an event landing exactly on floor(start)
+    shows up folded into the starting row instead of as a same-instant
+    change row carrying the same post-event volume (one row instead of the
+    reference's two; every level volume a client observes at any instant is
+    identical). Deliberate deviation shared with the no-frequency
     form: era-bridging depth_change rows between eras are not emitted (each
     era's levels run independently; documented in SURVEY §3.1)."""
     from obadiah_spark.operators.order_book import live_at
@@ -447,15 +460,21 @@ def get_depth(l3, start: str, end: str, frequency_s: int | None = None):
     start_c = F.lit(lo).cast("timestamp")
     end_c = F.lit(hi).cast("timestamp")
     starting = (
-        live_at(l3, lo, before=True)
+        # frequency path: CLOSED at lo — grid episodes start strictly after
+        # floor(start), so a boundary event belongs to the starting row (see
+        # docstring); raw path: open (before=True), a change row at exactly
+        # `start` can only come from an event at that instant.
+        live_at(l3, lo, before=frequency_s is None)
         .groupBy("pair_id", "side", "price")
         .agg(F.sum("amount").alias("volume"))
         .select("pair_id", start_c.alias("microtimestamp"), "side", "price", "volume")
     )
     hi_cond = (F.col("microtimestamp") <= end_c) if hi_op == "<=" \
         else (F.col("microtimestamp") < end_c)
+    lo_cond = (F.col("microtimestamp") > start_c) if frequency_s is not None \
+        else (F.col("microtimestamp") >= start_c)
     changes = depth_change(l3, frequency_s=frequency_s).filter(
-        (F.col("microtimestamp") >= start_c) & hi_cond
+        lo_cond & hi_cond
     ).select("pair_id", "microtimestamp", "side", "price", "volume")
     return (
         starting.unionByName(changes)
@@ -472,12 +491,14 @@ def get_depth_oracle_sql(start: str, end: str,
     episodes onto the same closed-right _date_ceiling grid (independent
     formulation: regroup + re-window at grid granularity)."""
     if frequency_s is None:
-        lo, hi, hi_op = start, end, "<"
+        lo, hi, hi_op, lo_op = start, end, "<", ">="
+        started_op, ended_op = "<", ">="   # starting depth open at lo
         regrid = "changes"
     else:
         lo = date_floor_s(start, frequency_s)
         hi = date_ceiling_s(end, frequency_s)
-        hi_op = "<="
+        hi_op, lo_op = "<=", ">"
+        started_op, ended_op = "<=", ">"   # starting depth CLOSED at lo
         regrid = "gridded"
     grid_cte = "" if frequency_s is None else f""", gridded AS (
     SELECT pair_id, era, {grid_ceil_sql('microtimestamp', frequency_s)} AS microtimestamp,
@@ -497,11 +518,11 @@ WITH {DEPTH_CHANGES_CTES}{grid_cte}, changes2 AS (
     SELECT l.pair_id, TIMESTAMP '{lo}' AS microtimestamp, l.side, l.price,
            sum(l.amount) AS volume
     FROM level3 l
-    WHERE microtimestamp < TIMESTAMP '{lo}'
+    WHERE microtimestamp {started_op} TIMESTAMP '{lo}'
       AND era = (SELECT max(era) FROM level3 x
-                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{lo}')
+                 WHERE x.pair_id = l.pair_id AND x.era {started_op} TIMESTAMP '{lo}')
       AND (chain_state = 'alive'
-           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{lo}'))
+           OR (chain_state = 'chained' AND next_microtimestamp {ended_op} TIMESTAMP '{lo}'))
     GROUP BY l.pair_id, l.side, l.price
 )
 SELECT pair_id, microtimestamp, price, volume,
@@ -510,7 +531,7 @@ FROM (
     SELECT pair_id, microtimestamp, side, price, volume FROM starting
     UNION ALL
     SELECT pair_id, microtimestamp, side, price, volume FROM changes2
-    WHERE microtimestamp >= TIMESTAMP '{lo}' AND microtimestamp {hi_op} TIMESTAMP '{hi}'
+    WHERE microtimestamp {lo_op} TIMESTAMP '{lo}' AND microtimestamp {hi_op} TIMESTAMP '{hi}'
 ) d
 """
 

@@ -195,6 +195,29 @@ def snapshot(l3: DataFrame, at_ts, before: bool = False,
     return out
 
 
+# canonical snapshot projection — shared by every checkpointed probe path
+_SNAPSHOT_COLS = ["pair_id", "exchange_id", "era", "microtimestamp",
+                  "order_id", "event_no", "side", "price", "amount",
+                  "chain_state", "next_microtimestamp", "next_event_no",
+                  "price_microtimestamp", "price_event_no", "life_no"]
+
+
+def _dedup_live(cand: DataFrame, only_makers: bool,
+                side: str | None) -> DataFrame:
+    """Per-order last-event dedup over a (checkpoint ∪ tail) candidate set:
+    the latest row per order decides, alive iff it is not a delete; then the
+    maker/crossed flags. Shared tail of every checkpointed probe so the two
+    paths cannot diverge on dedup semantics."""
+    w_o = (W.partitionBy("pair_id", "exchange_id", "order_id")
+           .orderBy(F.desc("microtimestamp"), F.desc("event_no")))
+    live = (
+        cand.withColumn("_rn", F.row_number().over(w_o))
+        .filter((F.col("_rn") == 1) & (F.col("chain_state") != "deleted"))
+        .drop("_rn")
+    )
+    return _maker_crossed_flags(live, only_makers, side)
+
+
 def snapshot_checkpointed(l3: DataFrame, ckpts: DataFrame, at_ts,
                           only_makers: bool = False,
                           side: str | None = None) -> DataFrame:
@@ -210,45 +233,31 @@ def snapshot_checkpointed(l3: DataFrame, ckpts: DataFrame, at_ts,
     being O(era). Output is identical to :func:`snapshot` at the same
     instant (pytest-enforced, incl. at_ts exactly on a boundary).
 
-    Plan shape: the current era and latest checkpoint boundary per (pair,
-    exchange) are **plan-time metadata** — O(#pairs) rows, resolved with two
-    tiny driver lookups (the Spark analogue of the reference's scalar
-    subqueries, db/obanalytics_schema.sql:2061-2065) and folded back in as
-    one broadcast literal frame. That leaves the probe itself exactly two
-    shuffles (per-order last-event dedup + maker/crossed flags) instead of a
-    five-stage chain of metadata windows; this is bounded-metadata
-    resolution, not a data collect."""
+    Plan shape: fully LAZY — no driver jobs at call time. The current era
+    and latest boundary per (pair, exchange) are O(#pairs) aggregates
+    broadcast back into the probe in-plan (the Spark analogue of the
+    reference's scalar subqueries, db/obanalytics_schema.sql:2061-2065).
+    ``ckpts`` appears twice in the plan (bound aggregate + boundary rows):
+    pass a cached/materialized table — `book_checkpoints` returns a
+    session-cached frame and the silver path reads parquet, so both
+    in-repo callers satisfy this; for a production metastore-backed table
+    prefer :func:`snapshot_from_silver`, which resolves boundaries from
+    partition metadata without scanning."""
     at = F.lit(at_ts).cast("timestamp")
-    spark = l3.sparkSession
-    era_rows = (
+    era_meta = (
         l3.select("pair_id", "exchange_id", "era").distinct()
         .filter(F.col("era") <= at)
         .groupBy("pair_id", "exchange_id").agg(F.max("era").alias("cur_era"))
-        .collect()
     )
-    if not era_rows:
-        return _maker_crossed_flags(
-            live_at(l3, at_ts).limit(0), only_makers, side)
-    era_meta = spark.createDataFrame(
-        [(r.pair_id, r.exchange_id, r.cur_era) for r in era_rows],
-        "pair_id int, exchange_id int, cur_era timestamp")
-    bound_rows = (
+    bounds = (
         ckpts.join(F.broadcast(era_meta), ["pair_id", "exchange_id"])
         .filter((F.col("era") == F.col("cur_era"))
                 & (F.col("period_start") <= at))
         .groupBy("pair_id", "exchange_id")
         .agg(F.max("period_start").alias("bound"))
-        .collect()
     )
-    bmap = {(r.pair_id, r.exchange_id): r.bound for r in bound_rows}
-    meta = F.broadcast(spark.createDataFrame(
-        [(r.pair_id, r.exchange_id, r.cur_era,
-          bmap.get((r.pair_id, r.exchange_id))) for r in era_rows],
-        "pair_id int, exchange_id int, cur_era timestamp, bound timestamp"))
-    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
-            "event_no", "side", "price", "amount", "chain_state",
-            "next_microtimestamp", "next_event_no",
-            "price_microtimestamp", "price_event_no", "life_no"]
+    meta = F.broadcast(
+        era_meta.join(bounds, ["pair_id", "exchange_id"], "left"))
     ck_latest = (
         ckpts.join(meta, ["pair_id", "exchange_id"])
         .filter((F.col("era") == F.col("cur_era"))
@@ -261,15 +270,9 @@ def snapshot_checkpointed(l3: DataFrame, ckpts: DataFrame, at_ts,
                 & (F.col("bound").isNull()
                    | (F.col("microtimestamp") > F.col("bound"))))
     )
-    cand = ck_latest.select(*cols).unionByName(tail.select(*cols))
-    w_o = (W.partitionBy("pair_id", "exchange_id", "order_id")
-           .orderBy(F.desc("microtimestamp"), F.desc("event_no")))
-    live = (
-        cand.withColumn("_rn", F.row_number().over(w_o))
-        .filter((F.col("_rn") == 1) & (F.col("chain_state") != "deleted"))
-        .drop("_rn")
-    )
-    return _maker_crossed_flags(live, only_makers, side)
+    cand = (ck_latest.select(*_SNAPSHOT_COLS)
+            .unionByName(tail.select(*_SNAPSHOT_COLS)))
+    return _dedup_live(cand, only_makers, side)
 
 
 def snapshot_from_silver(l3: DataFrame, ckpt_path: str, at_ts,
@@ -297,10 +300,7 @@ def snapshot_from_silver(l3: DataFrame, ckpt_path: str, at_ts,
         return _maker_crossed_flags(
             live_at(l3, at_ts).limit(0), only_makers, side)
     spark = l3.sparkSession
-    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
-            "event_no", "side", "price", "amount", "chain_state",
-            "next_microtimestamp", "next_event_no",
-            "price_microtimestamp", "price_event_no", "life_no"]
+    cols = _SNAPSHOT_COLS
 
     ck_dirs = []
     tail_pred = F.lit(False)
@@ -335,14 +335,7 @@ def snapshot_from_silver(l3: DataFrame, ckpt_path: str, at_ts,
     # (p,e,side) — is satisfied by this clustering, so the whole probe
     # pipeline runs in a single exchange (sorts only, no further shuffles)
     cand = cand.repartition("pair_id", "exchange_id")
-    w_o = (W.partitionBy("pair_id", "exchange_id", "order_id")
-           .orderBy(F.desc("microtimestamp"), F.desc("event_no")))
-    live = (
-        cand.withColumn("_rn", F.row_number().over(w_o))
-        .filter((F.col("_rn") == 1) & (F.col("chain_state") != "deleted"))
-        .drop("_rn")
-    )
-    return _maker_crossed_flags(live, only_makers, side)
+    return _dedup_live(cand, only_makers, side)
 
 
 def order_book(l3: DataFrame, at_ts, max_levels: int | None = None,

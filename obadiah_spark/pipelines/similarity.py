@@ -198,7 +198,9 @@ def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
         .select("vec_a", "vec_b").distinct()
         .withColumn("hit", F.lit(1))
     )
-    flagged = F.broadcast(strong).join(cand, ["vec_a", "vec_b"], "left")
+    # a LEFT OUTER join can only broadcast its right (non-preserved) side —
+    # hint cand (bucket-bounded, small); hinting strong would be ignored
+    flagged = strong.join(F.broadcast(cand), ["vec_a", "vec_b"], "left")
     return flagged.agg(
         F.lit("ann_lsh_recall").alias("metric"),
         F.count(F.lit(1)).cast("bigint").alias("n_strong"),
