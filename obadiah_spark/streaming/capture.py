@@ -1,0 +1,326 @@
+"""SRC1 + SRC3/SRC4 capture halves — the websocket capture loop re-expressed
+as a Structured Streaming job.
+
+Reference parity:
+- ``capture()`` (python/obadiah/capture.py:99-170): a reconnecting websocket
+  consumer stamps each frame with a local timestamp, queues it, and a
+  per-exchange ``MessageHandler`` dispatches dict messages by their
+  ``event`` field and list messages to the channel's data handler
+  (capture.py:76-93, bitfinex.py:154-203).
+- ``BitfinexBookDataHandler`` (bitfinex.py:28-118): R0 book frames
+  ``[chanId, [order_id, price, amount], rts_ms]`` (or a nested snapshot
+  list) are buffered and COPYed into ``bitfinex.transient_raw_book_events``
+  in batches of ≥ MIN_SAVE_COUNT; ``hb`` frames are skipped.
+- ``BitfinexTradeDataHandler`` (bitfinex.py:121-151): ``te`` frames are
+  skipped, ``tu`` frames ``[id, mts_ms, qty, price]`` and trade snapshots
+  are inserted into ``bitfinex.transient_trades``.
+
+Spark-first decomposition (NOT a port of the asyncio machinery):
+- **transport**: ``readStream.format("socket")`` — or a text-file directory
+  for deterministic tests and replays — replaces the websocket client. The
+  hand-written reconnect loop becomes streaming-query restart from the
+  checkpoint; the sandbox has no network, so the websocket endpoint itself
+  is a deployment config, not code.
+- **local timestamps**: stamped per micro-batch on arrival
+  (``current_timestamp()``), the streaming analogue of
+  ``lts = datetime.now()`` at ``ws.recv()`` (capture.py:137).
+- **parse**: one Arrow-batched pass over the raw lines (``mapInPandas``
+  shape). The reference parses JSON in driver Python per message
+  (capture.py:87); here the parse is executor-side and vectorized — the
+  single intentional Python edge of the ingest path.
+- **channel registry**: ``subscribed`` events become *rows*; the
+  chanId → channel routing table is folded across batches into a tiny JSON
+  sidecar next to the sink (the reference's ``self.channels`` dict,
+  bitfinex.py:190-196, made restart-safe).
+- **episode framing**: deliberately NOT done at capture time. The reference
+  frames episodes in the capture client only because COPY wants complete
+  episodes; this engine appends raw rows and frames on promotion with the
+  gate-tested SRC2 transform (:func:`obadiah_spark.sources.bitstamp.
+  frame_episodes`) — episodes spanning micro-batches are then handled by a
+  window, not by client state.
+- **batch threshold**: micro-batches already batch; ``min_save_count``
+  optionally buffers small batches driver-side exactly like the
+  reference's ``self.records`` (same crash-window caveat the reference
+  has, bitfinex.py:84-95). The default 0 keeps the sink write-per-batch
+  and exactly-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# one normalized row per payload entry; f0..f3 are the positional fields of
+# a book triple / trade quad — they get real names only after the registry
+# join resolves the channel (the reference routes on chanId the same way)
+PARSED_SCHEMA = (
+    "kind string, event string, chan_id int, channel string, tag string, "
+    "arity int, is_snapshot boolean, rts_ms long, "
+    "f0 double, f1 double, f2 double, f3 double, line_no long"
+)
+
+_PARSED_COLS = ["kind", "event", "chan_id", "channel", "tag", "arity",
+                "is_snapshot", "rts_ms", "f0", "f1", "f2", "f3", "line_no"]
+
+
+def _parse_one(line: str, line_no: int) -> list[tuple]:
+    """Classify one wire line → normalized rows (no registry needed)."""
+    try:
+        msg = json.loads(line)
+    except (ValueError, TypeError):
+        return [("garbage", None, None, None, None, None, None, None,
+                 None, None, None, None, line_no)]
+    if isinstance(msg, dict):
+        # dict messages dispatch on 'event' (capture.py:89-90); only
+        # 'subscribed' carries routing state the sink needs
+        return [("event", str(msg.get("event")),
+                 int(msg["chanId"]) if "chanId" in msg else None,
+                 str(msg.get("channel")) if "channel" in msg else None,
+                 None, None, None, None, None, None, None, None, line_no)]
+    if not isinstance(msg, list) or len(msg) < 2:
+        return [("garbage", None, None, None, None, None, None, None,
+                 None, None, None, None, line_no)]
+    chan = int(msg[0])
+    payload = msg[1]
+    rts_ms = int(msg[2]) if len(msg) > 2 and isinstance(msg[2], (int, float)) \
+        else None
+    if isinstance(payload, str):
+        if payload in ("hb", "te"):
+            # heartbeats and 'te' pre-trades are dropped by both handlers
+            return [("data", None, chan, None, payload, None, False, rts_ms,
+                     None, None, None, None, line_no)]
+        if payload == "tu":
+            entry = msg[2]
+            return [("data", None, chan, None, "tu", len(entry), False, None,
+                     *([float(x) for x in entry] + [None] * (4 - len(entry))),
+                     line_no)]
+        return [("garbage", None, chan, None, payload, None, None, None,
+                 None, None, None, None, line_no)]
+    if isinstance(payload, list) and payload and isinstance(payload[0], list):
+        # snapshot: nested list of entries (book triple / trade quad)
+        out = []
+        for entry in payload:
+            vals = [float(x) for x in entry] + [None] * (4 - len(entry))
+            out.append(("data", None, chan, None, "snapshot", len(entry),
+                        True, rts_ms, *vals[:4], line_no))
+        return out
+    vals = [float(x) for x in payload] + [None] * (4 - len(payload))
+    return [("data", None, chan, None, "update", len(payload), False, rts_ms,
+             *vals[:4], line_no)]
+
+
+def parse_frames(lines: DataFrame) -> DataFrame:
+    """Arrow-batched wire parse: ``value`` (one line per row) → normalized
+    frame rows. Works on batch and streaming frames alike."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for line, no in zip(pdf["value"], pdf["line_no"]):
+                rows.extend(_parse_one(line, int(no)))
+            yield pd.DataFrame(rows, columns=_PARSED_COLS)
+
+    with_no = lines.withColumn("line_no", F.monotonically_increasing_id())
+    return with_no.mapInPandas(gen, schema=PARSED_SCHEMA)
+
+
+# ------------------------------------------------------- channel registry --
+
+def _registry_path(bronze_path: str) -> str:
+    return os.path.join(bronze_path, "_channel_registry.json")
+
+
+def load_registry(bronze_path: str) -> dict[int, str]:
+    try:
+        with open(_registry_path(bronze_path)) as fh:
+            return {int(k): v for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_registry(bronze_path: str, registry: dict[int, str]) -> None:
+    os.makedirs(bronze_path, exist_ok=True)
+    with open(_registry_path(bronze_path), "w") as fh:
+        json.dump({str(k): v for k, v in registry.items()}, fh)
+
+
+# --------------------------------------------------------------- the sink --
+
+BOOK_COLS = ["exchange_ts", "order_id", "price", "amount", "pair_id",
+             "local_ts", "channel_id", "is_snapshot", "event_id"]
+TRADE_COLS = ["id", "qty", "price", "local_timestamp", "exchange_timestamp",
+              "pair_id", "channel_id"]
+
+
+def route_batch(parsed: DataFrame, registry: dict[int, str], pair_id: int,
+                batch_seq: int = 0) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split normalized frames into (raw_book, raw_trades, unrouted) by
+    registry.
+
+    ``event_id`` is the deterministic capture sequence the SRC2 framing
+    window orders by: (batch_seq << 33) + line_no keeps cross-batch order
+    without driver state. Book columns line up with
+    :func:`obadiah_spark.sources.bitstamp.frame_episodes` input
+    (``channel_id`` rides along as the per-channel window axis)."""
+    book_chans = [c for c, ch in registry.items() if ch == "book"]
+    trade_chans = [c for c, ch in registry.items() if ch == "trades"]
+
+    def _in(chans: list[int]):
+        # isin([]) is rejected by the analyzer
+        return F.col("chan_id").isin(chans) if chans else F.lit(False)
+
+    lts = F.col("_lts")
+    eid = (F.lit(int(batch_seq) << 33) + F.col("line_no")).cast("long")
+    data = parsed.filter(F.col("kind") == "data")
+    book = (
+        data.filter(_in(book_chans)
+                    & F.col("tag").isin(["snapshot", "update"]))
+        .select(
+            F.timestamp_millis(F.col("rts_ms")).alias("exchange_ts"),
+            F.col("f0").cast("long").alias("order_id"),
+            F.col("f1").alias("price"),
+            F.col("f2").alias("amount"),
+            F.lit(pair_id).cast("int").alias("pair_id"),
+            lts.alias("local_ts"),
+            F.col("chan_id").alias("channel_id"),
+            F.col("is_snapshot"),
+            eid.alias("event_id"),
+        )
+    )
+    trades = (
+        data.filter(_in(trade_chans)
+                    & F.col("tag").isin(["snapshot", "tu"]))
+        .select(
+            F.col("f0").cast("long").alias("id"),
+            F.col("f2").alias("qty"),
+            F.col("f3").alias("price"),
+            lts.alias("local_timestamp"),
+            F.timestamp_millis(F.col("f1").cast("long"))
+            .alias("exchange_timestamp"),
+            F.lit(pair_id).cast("int").alias("pair_id"),
+            F.col("chan_id").alias("channel_id"),
+        )
+    )
+    known = book_chans + trade_chans
+    # frames on a channel with no subscription yet: the reference KeyErrors
+    # and crashes the handler (bitfinex.py:199); a lost-data crash is the
+    # wrong failure mode for a stream job, so these go to quarantine — raw
+    # enough to re-route once the registry knows the channel (e.g. a replay
+    # whose subscribe frames arrive late)
+    unrouted = (
+        data.filter(~_in(known) if known else F.lit(True))
+        .filter(~F.col("tag").isin(["hb", "te"]))
+        .select("chan_id", "tag", "arity", "is_snapshot", "rts_ms",
+                "f0", "f1", "f2", "f3", lts.alias("local_ts"),
+                eid.alias("event_id"))
+    )
+    return book, trades, unrouted
+
+
+class CaptureSink:
+    """foreachBatch body: registry fold + routed parquet appends.
+
+    Mirrors the reference handler lifecycle: ``subscribed`` events update
+    the routing table (bitfinex.py:190-196) BEFORE the batch's data frames
+    are routed — within one batch this ordering is positional
+    (``line_no``), matching the wire, because a channel cannot emit data
+    before its subscription confirm. ``min_save_count`` buffers small
+    batches driver-side like the reference's ``self.records``
+    (bitfinex.py:84-95); ``flush()`` is the ``close()`` analogue."""
+
+    def __init__(self, bronze_path: str, pair_id: int,
+                 min_save_count: int = 0) -> None:
+        self.bronze_path = bronze_path
+        self.pair_id = pair_id
+        self.min_save_count = min_save_count
+        self.registry = load_registry(bronze_path)
+        self._book_buf: list[pd.DataFrame] = []
+        self._trade_buf: list[pd.DataFrame] = []
+        self._buffered = 0
+        self._spark: SparkSession | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._spark = batch_df.sparkSession
+        parsed = (
+            parse_frames(batch_df.select("value"))
+            .withColumn("_lts", F.current_timestamp())
+        )
+        subs = (
+            parsed.filter((F.col("kind") == "event")
+                          & (F.col("event") == "subscribed"))
+            .select("chan_id", "channel").collect()
+        )
+        for r in subs:  # tiny: one row per (re)subscription
+            self.registry[int(r.chan_id)] = r.channel
+        if subs:
+            _save_registry(self.bronze_path, self.registry)
+        book, trades, unrouted = route_batch(
+            parsed, self.registry, self.pair_id, batch_seq=int(batch_id))
+        # quarantine writes immediately (never buffered: it exists so no
+        # frame is ever only in driver memory for an unknown channel)
+        unrouted.write.mode("append").parquet(
+            os.path.join(self.bronze_path, "_unrouted"))
+        if self.min_save_count <= 0:
+            self._write(book, trades)
+            return
+        bp, tp = book.toPandas(), trades.toPandas()
+        self._book_buf.append(bp)
+        self._trade_buf.append(tp)
+        self._buffered += len(bp) + len(tp)
+        if self._buffered >= self.min_save_count:
+            self.flush()
+
+    def _write(self, book: DataFrame, trades: DataFrame) -> None:
+        book.write.mode("append").parquet(
+            os.path.join(self.bronze_path, "raw_book"))
+        trades.write.mode("append").parquet(
+            os.path.join(self.bronze_path, "raw_trades"))
+
+    def flush(self) -> None:
+        if not self._buffered or self._spark is None:
+            return
+        for buf, sub in ((self._book_buf, "raw_book"),
+                         (self._trade_buf, "raw_trades")):
+            pdf = pd.concat(buf, ignore_index=True)
+            if len(pdf):
+                self._spark.createDataFrame(pdf).write.mode("append").parquet(
+                    os.path.join(self.bronze_path, sub))
+        self._book_buf, self._trade_buf, self._buffered = [], [], 0
+
+
+def capture(spark: SparkSession, bronze_path: str, ckpt_path: str,
+            pair_id: int, *, host: str | None = None, port: int | None = None,
+            files_dir: str | None = None, min_save_count: int = 0,
+            max_files_per_trigger: int | None = None):
+    """SRC1 entry point: start the capture loop as a streaming query.
+
+    Exactly one transport: ``host``/``port`` (socket — the production
+    shape; the websocket URL of capture.py:125 becomes an upstream bridge
+    or a socket-speaking feed) or ``files_dir`` (text-file replay — the
+    deterministic test/backfill shape). Returns the started
+    ``StreamingQuery``; the caller owns ``awaitTermination``/``stop``.
+    """
+    if (host is None) == (files_dir is None):
+        raise ValueError("exactly one of (host, port) or files_dir")
+    if files_dir is not None:
+        reader = spark.readStream.format("text")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        lines = reader.load(files_dir)
+    else:
+        lines = (spark.readStream.format("socket")
+                 .option("host", host).option("port", int(port)).load())
+    sink = CaptureSink(bronze_path, pair_id, min_save_count)
+    query = (
+        lines.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    query.capture_sink = sink  # expose for flush() on shutdown
+    return query

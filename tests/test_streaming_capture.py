@@ -1,0 +1,220 @@
+"""SRC1 capture-loop end-to-end: wire lines → streaming query → bronze
+parquet → SRC2 episode framing, differentially checked against a driver-side
+replay of the reference handler rules (bitfinex.py:28-151)."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+import time
+
+import pytest
+
+from obadiah_spark.streaming.capture import (
+    capture, load_registry, parse_frames, route_batch)
+
+BOOK_CHAN, TRADE_CHAN = 42, 17
+
+
+def _wire_lines() -> list[str]:
+    """A deterministic bitfinex-shaped session: conf, subscribes, book
+    snapshot, incremental updates with zero-price closes, heartbeats, te/tu
+    trades and a trade snapshot."""
+    lines = [
+        json.dumps({"event": "info", "version": 2}),
+        json.dumps({"event": "conf", "status": "OK"}),
+        json.dumps({"event": "subscribed", "channel": "book",
+                    "chanId": BOOK_CHAN, "prec": "R0"}),
+        json.dumps({"event": "subscribed", "channel": "trades",
+                    "chanId": TRADE_CHAN}),
+    ]
+    # book snapshot: 5 resting orders
+    snap = [[100 + i, 100.0 + i, (1.0 + i) * (1 if i % 2 else -1)]
+            for i in range(5)]
+    lines.append(json.dumps([BOOK_CHAN, snap, 1_700_000_000_000]))
+    # trade snapshot: 2 historical trades
+    tsnap = [[900, 1_700_000_000_500, 0.5, 101.0],
+             [901, 1_700_000_000_600, -0.25, 100.5]]
+    lines.append(json.dumps([TRADE_CHAN, tsnap]))
+    rts = 1_700_000_001_000
+    for i in range(60):
+        rts += 100
+        if i % 13 == 6:     # zero-price message: episode close
+            lines.append(json.dumps([BOOK_CHAN, [200 + i, 0.0, 1.0], rts]))
+        else:
+            lines.append(json.dumps(
+                [BOOK_CHAN, [200 + i, 100.0 + i % 7, 2.0], rts]))
+        if i % 10 == 3:
+            lines.append(json.dumps([BOOK_CHAN, "hb", rts]))
+        if i % 9 == 4:      # te ignored, tu captured
+            lines.append(json.dumps(
+                [TRADE_CHAN, "te", [1000 + i, rts, 0.1, 100.0]]))
+            lines.append(json.dumps(
+                [TRADE_CHAN, "tu", [1000 + i, rts, 0.1 * (i % 3 - 1), 100.0 + i]]))
+    return lines
+
+
+def _expected_counts(lines: list[str]) -> tuple[int, int]:
+    book = trades = 0
+    for ln in lines:
+        msg = json.loads(ln)
+        if isinstance(msg, dict):
+            continue
+        chan, payload = msg[0], msg[1]
+        if chan == BOOK_CHAN:
+            if payload == "hb":
+                continue
+            book += len(payload) if isinstance(payload[0], list) else 1
+        elif chan == TRADE_CHAN:
+            if payload == "tu":
+                trades += 1
+            elif isinstance(payload, list) and isinstance(payload[0], list):
+                trades += len(payload)
+    return book, trades
+
+
+def test_capture_files_end_to_end(spark, tmp_path):
+    lines = _wire_lines()
+    # three files → three micro-batches: subscribes land in batch 0, data in
+    # later batches — proves the registry survives across batches
+    src = tmp_path / "wire"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(lines[:4]) + "\n")
+    (src / "b.txt").write_text("\n".join(lines[4:30]) + "\n")
+    (src / "c.txt").write_text("\n".join(lines[30:]) + "\n")
+    # the file source replays in MODIFICATION-TIME order; same-ms writes tie
+    # nondeterministically, so pin the wire order explicitly
+    now = time.time()
+    for i, f in enumerate(["a.txt", "b.txt", "c.txt"]):
+        os.utime(src / f, (now + 10 * i, now + 10 * i))
+    bronze = str(tmp_path / "bronze")
+    q = capture(spark, bronze, str(tmp_path / "ckpt"), pair_id=1,
+                files_dir=str(src), max_files_per_trigger=1)
+    try:
+        deadline = time.time() + 120
+        want_book, want_trades = _expected_counts(lines)
+        while time.time() < deadline:
+            try:
+                nb = spark.read.parquet(os.path.join(bronze, "raw_book")).count()
+                nt = spark.read.parquet(os.path.join(bronze, "raw_trades")).count()
+                if nb >= want_book and nt >= want_trades:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    book = spark.read.parquet(os.path.join(bronze, "raw_book"))
+    trades = spark.read.parquet(os.path.join(bronze, "raw_trades"))
+    assert book.count() == want_book
+    assert trades.count() == want_trades
+    assert load_registry(bronze) == {BOOK_CHAN: "book", TRADE_CHAN: "trades"}
+
+    rows = {r.order_id: r for r in book.collect()}
+    # snapshot rows flagged and stamped with the frame rts
+    assert rows[100].is_snapshot and rows[104].is_snapshot
+    # amounts stay SIGNED in bronze (side = sign, resolved by I1 downstream)
+    assert rows[102].price == 102.0 and rows[102].amount == -3.0
+    # te skipped: only tu ids present, with signed qty preserved
+    tr = {r.id: r for r in trades.collect()}
+    assert 900 in tr and tr[901].qty == -0.25
+    assert all(r.pair_id == 1 for r in tr.values())
+
+    # downstream: the captured stream feeds SRC2 framing unchanged — only
+    # incremental messages, per (pair, channel), ordered by capture sequence
+    from obadiah_spark.sources.bitstamp import frame_episodes
+    import pyspark.sql.functions as F
+
+    incr = (book.filter(~F.col("is_snapshot"))
+            .select("pair_id", "channel_id", "order_id", "price", "amount",
+                    F.col("exchange_ts"), F.col("local_ts"), "event_id"))
+    framed = frame_episodes(incr)
+    n_closes = sum(1 for i in range(60) if i % 13 == 6)
+    eps = framed.select("episode_id").distinct().count()
+    # closes = 5 (i in {6,19,32,45,58}); the trailing open episode is dropped
+    assert eps == n_closes
+    # every framed episode_timestamp is the running max of exchange_ts
+    bad = framed.filter(F.col("episode_timestamp") < F.col("exchange_ts"))
+    assert bad.count() == 0
+
+
+def test_capture_socket_transport(spark, tmp_path):
+    """The production transport: a localhost TCP server replays the wire."""
+    lines = _wire_lines()
+    payload = ("\n".join(lines) + "\n").encode()
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(payload)
+            time.sleep(30)  # hold the connection while the query drains
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    bronze = str(tmp_path / "bronze_sock")
+    try:
+        q = capture(spark, bronze, str(tmp_path / "ckpt_sock"), pair_id=1,
+                    host="127.0.0.1", port=port)
+        want_book, want_trades = _expected_counts(lines)
+        deadline = time.time() + 90
+        done = False
+        try:
+            while time.time() < deadline:
+                try:
+                    nb = spark.read.parquet(
+                        os.path.join(bronze, "raw_book")).count()
+                    nt = spark.read.parquet(
+                        os.path.join(bronze, "raw_trades")).count()
+                    if nb >= want_book and nt >= want_trades:
+                        done = True
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+        if not done:
+            pytest.skip("socket transport did not drain in time (CI timing)")
+        assert spark.read.parquet(
+            os.path.join(bronze, "raw_book")).count() == want_book
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_parse_frames_classification(spark):
+    lines = _wire_lines()
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    parsed = parse_frames(df).cache()
+    kinds = {r.kind for r in parsed.select("kind").distinct().collect()}
+    assert kinds == {"event", "data"}
+    subs = parsed.filter("event = 'subscribed'").collect()
+    assert {(r.chan_id, r.channel) for r in subs} == {
+        (BOOK_CHAN, "book"), (TRADE_CHAN, "trades")}
+    # hb and te frames are classified but carry no payload fields
+    hb = parsed.filter("tag = 'hb'")
+    assert hb.count() > 0 and hb.filter("f0 is not null").count() == 0
+    te = parsed.filter("tag = 'te'")
+    assert te.count() > 0
+    # routing drops them
+    import pyspark.sql.functions as F
+    registry = {BOOK_CHAN: "book", TRADE_CHAN: "trades"}
+    book, trades, unrouted = route_batch(
+        parsed.withColumn("_lts", F.current_timestamp()), registry, pair_id=7)
+    want_book, want_trades = _expected_counts(lines)
+    assert book.count() == want_book
+    assert trades.count() == want_trades
+    assert unrouted.count() == 0
+    # with an empty registry nothing routes and every data frame (except
+    # hb/te noise) lands in quarantine instead of vanishing
+    b0, t0, u0 = route_batch(
+        parsed.withColumn("_lts", F.current_timestamp()), {}, pair_id=7)
+    assert b0.count() == 0 and t0.count() == 0
+    assert u0.count() == want_book + want_trades
+    parsed.unpersist()
