@@ -69,6 +69,7 @@ def _ckpt_silver(spark: SparkSession, sf_dir: str) -> str:
     trading_period) read the materialized table instead of re-deriving
     checkpoints from the full log (VERDICT r4 #1 — write-once lifecycle).
     Returns the parquet path."""
+    import json
     import os
 
     from obadiah_spark.fold import book_checkpoints, seed_checkpoint_cache
@@ -79,11 +80,39 @@ def _ckpt_silver(spark: SparkSession, sf_dir: str) -> str:
     if key not in _CKPT_SILVER:
         l3 = _l3(spark, sf_dir)
         sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".silver_cache", sf_name, f"ckpt_{CKPT_FREQ_S}")
-        write_checkpoints(
-            book_checkpoints(l3, CKPT_FREQ_S, use_cache=False), path)
-        write_era_registry(l3, path)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(repo, ".silver_cache", sf_name,
+                            f"ckpt_{CKPT_FREQ_S}")
+        # write-ONCE lifecycle across processes, not just per session: the
+        # build is skipped when an on-disk table matches the current inputs
+        # AND the derivation code. The fingerprint is the newest mtime of
+        # the source parquet plus the synth/fold module mtimes — either
+        # regenerated testdata or a derivation change forces a rebuild, so
+        # a stale table can never satisfy the gate.
+        import obadiah_spark.fold as _fold
+        import obadiah_spark.synth as _synth
+
+        def _mt(p):
+            try:
+                return max((os.path.getmtime(os.path.join(p, f))
+                            for f in os.listdir(p)), default=0.0)
+            except OSError:
+                return 0.0
+        fp = {"src": _mt(sf_dir), "freq": CKPT_FREQ_S,
+              "code": max(os.path.getmtime(_synth.__file__),
+                          os.path.getmtime(_fold.__file__))}
+        meta_file = os.path.join(path, "_build_meta.json")
+        try:
+            with open(meta_file) as fh:
+                fresh = json.load(fh) == fp
+        except (OSError, ValueError):
+            fresh = False
+        if not fresh:
+            write_checkpoints(
+                book_checkpoints(l3, CKPT_FREQ_S, use_cache=False), path)
+            write_era_registry(l3, path)
+            with open(meta_file, "w") as fh:
+                json.dump(fp, fh)
         seed_checkpoint_cache(l3, CKPT_FREQ_S, read_checkpoints(spark, path))
         _CKPT_SILVER[key] = path
     return _CKPT_SILVER[key]
@@ -588,6 +617,23 @@ def _q_episode_framing(spark, sf_dir):
     return frame_episodes(spark.sql(BFX_RAW_SQL))
 
 
+def _q_capture_raw_book(spark, sf_dir):
+    """I1 batch form: framed bitfinex raw episodes (signed amounts, price==0
+    deletes) → canonical level3 — dedup, reincarnation, side-from-sign,
+    chains, price chains (db/bitfinex_schema.sql:279-468). Era = ISO week of
+    the episode (the orchestrator's decision in the reference; see operator
+    docstring)."""
+    import pyspark.sql.functions as F
+
+    from obadiah_spark.sources.bitstamp import (
+        BFX_I1_RAW_SQL, capture_raw_book_events, frame_episodes)
+
+    _l3(spark, sf_dir)  # registers the pairs dim view
+    framed = frame_episodes(spark.sql(BFX_I1_RAW_SQL)).withColumn(
+        "era", F.date_trunc("week", F.col("episode_timestamp")))
+    return capture_raw_book_events(framed, spark.table("pairs"))
+
+
 def _q_symbol_upsert(spark, sf_dir):
     """SRC8: SCD-2-style symbol-details upsert — snapshot rows appended to
     history when new or changed (every 3rd fabric pair bumps a margin, 30
@@ -794,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_capture_orders": _q_bs_capture_orders,
         "capture_trades": _q_capture_trades,
         "episode_framing": _q_episode_framing,
+        "capture_raw_book": _q_capture_raw_book,
         "cleanse_order": _q_cleanse_order,
         "symbol_upsert": _q_symbol_upsert,
     }
@@ -859,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.sources.bitstamp import (
         capture_transient_orders_oracle_sql,
         capture_transient_trades_oracle_sql,
+        capture_raw_book_oracle_sql,
         frame_episodes_oracle_sql,
     )
     from obadiah_spark.sources.csv_io import csv_roundtrip_oracle_sql
@@ -949,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "bs_capture_orders": capture_transient_orders_oracle_sql(),
         "capture_trades": level3_cte(capture_transient_trades_oracle_sql()),
         "episode_framing": frame_episodes_oracle_sql(),
+        "capture_raw_book": capture_raw_book_oracle_sql(),
         "cleanse_order": level3_matches_cte(normalize_event_order_oracle_sql()),
         "symbol_upsert": update_symbol_details_oracle_sql(),
         "fix_aggressor_order": level3_cte(fix_aggressor_creation_order_oracle_sql(

@@ -9,7 +9,10 @@ synthesis + the write-once book-checkpoint silver build (consumed by
 order_book_ckpt and the period-fold queries) — runs first and is timed
 explicitly as its own ``silver_ckpt_build`` line: it is ingestion
 lifecycle, not query time, but it stays inside the reported total so
-nothing is hidden.
+nothing is hidden. The build is write-once ACROSS processes: when the
+on-disk table's fingerprint (source parquet mtimes + derivation-code
+mtimes) matches, the line reports the warm read-back-and-seed cost; any
+testdata or code change forces a cold rebuild.
 """
 
 from __future__ import annotations

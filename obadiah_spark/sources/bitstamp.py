@@ -318,9 +318,11 @@ def frame_episodes(raw: DataFrame) -> DataFrame:
     )
 
 
-def frame_episodes_oracle_sql() -> str:
-    return f"""
-WITH raw AS ({BFX_RAW_SQL}), flags AS (
+def framed_ctes(raw_sql: str) -> str:
+    """The framing transform as a reusable DuckDB CTE chain over any raw
+    fabric: ``raw → flags → ann → ep → framed``. Independent formulation of
+    :func:`frame_episodes` (named windows instead of column chaining)."""
+    return f"""raw AS ({raw_sql}), flags AS (
     SELECT *,
         CASE WHEN price = 0 AND lag(price) OVER w IS NOT NULL
                   AND lag(price) OVER w <> 0
@@ -343,8 +345,237 @@ WITH raw AS ({BFX_RAW_SQL}), flags AS (
             PARTITION BY pair_id, channel_id, episode_id) AS episode_timestamp,
         max(episode_id) OVER (PARTITION BY pair_id, channel_id) AS _max_ep
     FROM ann
+), framed AS (
+    SELECT event_id, exchange_ts, local_ts, pair_id, channel_id, order_id,
+           price, amount, episode_id, episode_timestamp
+    FROM ep WHERE episode_id < _max_ep
+)"""
+
+
+def frame_episodes_oracle_sql() -> str:
+    return f"""
+WITH {framed_ctes(BFX_RAW_SQL)}
+SELECT * FROM framed
+"""
+
+
+# ----------------------------------------- I1: raw episodes → level3 --------
+# Fabric for the BATCH I1 transform (reference
+# bitfinex.capture_transient_raw_book_events, db/bitfinex_schema.sql:279-468):
+# a bitfinex-shaped transient raw-book stream with SIGNED amounts (side is
+# inferred from the sign of the order's first amount, :408-410), price == 0
+# deletions (which also close episodes — the same zero plays both roles on
+# the real wire), PACMAN price wiggles (order_id % 5 = 1 → price chains),
+# and a small order cycle (11 ids) so per-episode duplicates are real and
+# the keep-latest dedup (:374-384) does work. Two pairs keep the partition
+# axis honest.
+BFX_I1_RAW_SQL = """
+SELECT event_id, ts AS exchange_ts, ts AS local_ts,
+       CAST(1 + (event_id % 2) AS INT) AS pair_id,
+       CAST(1 AS INT) AS channel_id,
+       CAST(1 + (event_id % 11) AS BIGINT) AS order_id,
+       CASE WHEN (event_id % 13) = 6 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(10000 + (event_id % 11)
+                      + CASE WHEN (event_id % 11) % 5 = 1
+                             THEN ((event_id - (event_id % 240)) / 240) % 3
+                             ELSE 0 END AS DOUBLE) / 100 END AS price,
+       CASE WHEN (event_id % 11) % 2 = 0 THEN -1 ELSE 1 END
+           * CAST(1 + (event_id % 17) AS DOUBLE) / 4 AS amount
+FROM events
+"""
+
+
+def capture_raw_book_events(framed: DataFrame, pairs: DataFrame) -> DataFrame:
+    """I1: framed bitfinex raw-book episodes → canonical level3 rows — the
+    reference's heaviest ingestion program
+    (``bitfinex.capture_transient_raw_book_events``,
+    db/bitfinex_schema.sql:279-468) as one window pipeline.
+
+    Input = :func:`frame_episodes` output plus an ``era`` column (constant
+    within an episode). Era assignment is the ORCHESTRATOR's decision in the
+    reference too — the plpgsql loop inserts ``level3_eras`` rows around the
+    windowed program (:332-340), the program itself never derives eras — so
+    the batch operator takes it as data. Steps, each cited to the reference:
+
+    1. per-(episode, order, channel) dedup keeping the LATEST message by
+       (exchange_ts, local_ts) (``distinct on`` :374-384), after rounding
+       price/amount to the pair's precision (:351-352);
+    2. reincarnation: a message following a price==0 delete starts a new
+       life — running sum of ``lag(price)=0`` flags (:408-417);
+    3. side from the sign of the order's FIRST amount (:408-410 — bitfinex
+       "changes order type" mid-stream; the reference treats that as a bug);
+    4. per-(order, life) chains ordered by (exchange_ts, local_ts):
+       event_no = row_number (:395), fill = lag(|amount|) − |amount| (:399),
+       next_microtimestamp = lead(episode_ts) | 'infinity' for alive |
+       '-infinity' for deletes (:400) — this engine's chain_state encoding;
+       deletes carry the PREVIOUS event's |price|/|amount| (:397-398);
+    5. lonely deletions (no prior event in the life) are dropped, exactly
+       the ``where price is not null`` guard (:445);
+    6. price chains: running sum of ``price <> lag(price) and price > 0``
+       flags → first event of each price group (:443-458).
+
+    Eras scope every window: chains cannot span an era, the invariant the
+    reference enforces by restarting the program per era (:332-340). The
+    trigger games of the final INSERT stage (NULL event_no when appending
+    to an existing chain, :412-431) belong to incremental promotion — I8's
+    job here — not to the batch-from-empty form.
+    """
+    w_dedup = (W.partitionBy("pair_id", "era", "channel_id",
+                             "episode_timestamp", "order_id")
+               .orderBy(F.desc("exchange_ts"), F.desc("local_ts"),
+                        F.desc("event_id")))
+    p = pairs.select("pair_id", F.pow(F.lit(10.0), F.col("r0")).alias("_pf"),
+                     F.pow(F.lit(10.0), F.col("fmu")).alias("_af"))
+    base = (
+        framed.join(F.broadcast(p), "pair_id")
+        .withColumn("price", F.round(F.col("price") * F.col("_pf")) / F.col("_pf"))
+        .withColumn("amount", F.round(F.col("amount") * F.col("_af")) / F.col("_af"))
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pf", "_af")
+    )
+    o = (W.partitionBy("pair_id", "era", "order_id")
+         .orderBy("exchange_ts", "local_ts", "event_id"))
+    ann = (
+        base
+        .withColumn("_resur",
+                    F.coalesce(F.lag("price").over(o) == 0, F.lit(False)))
+        .withColumn("life_no", F.sum(F.col("_resur").cast("int")).over(
+            o.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"))
+        .withColumn("side", F.when(F.first("amount").over(o) < 0, "s")
+                    .otherwise("b"))
+        .drop("_resur")
+    )
+    oe = (W.partitionBy("pair_id", "era", "order_id", "life_no")
+          .orderBy("exchange_ts", "local_ts", "event_id"))
+    is_del = F.col("price") == 0
+    lag_price = F.lag("price").over(oe)
+    lag_amount = F.lag("amount").over(oe)
+    lead_ep = F.lead("episode_timestamp").over(oe)
+    chained = (
+        ann.select(
+            "pair_id", "era", "order_id", "life_no", "side",
+            "local_ts", "event_id",
+            F.col("episode_timestamp").alias("microtimestamp"),
+            F.row_number().over(oe).cast("int").alias("event_no"),
+            F.when(is_del, F.abs(lag_price)).otherwise(F.abs("price"))
+            .alias("out_price"),
+            F.when(is_del, F.abs(lag_amount)).otherwise(F.abs("amount"))
+            .alias("out_amount"),
+            F.when(is_del, F.lit(None).cast("double"))
+            .otherwise(F.abs(lag_amount) - F.abs("amount")).alias("fill"),
+            F.when(is_del, F.lit(None).cast("timestamp"))
+            .otherwise(lead_ep).alias("next_microtimestamp"),
+            F.when(is_del | lead_ep.isNull(), F.lit(None).cast("int"))
+            .otherwise(F.row_number().over(oe) + 1).cast("int")
+            .alias("next_event_no"),
+            F.when(is_del, "deleted").when(lead_ep.isNull(), "alive")
+            .otherwise("chained").alias("chain_state"),
+            F.coalesce(((F.col("price") != lag_price)
+                        & (F.col("price") > 0)).cast("int"), F.lit(1))
+            .alias("_price_changed"),
+        )
+        # lonely deletion: first event of a life is a delete → carried
+        # price is NULL → dropped (I8 "will simply drop it")
+        .filter(F.col("out_price").isNotNull())
+    )
+    og = (W.partitionBy("pair_id", "era", "order_id", "life_no")
+          .orderBy("microtimestamp", "event_no"))
+    grouped = chained.withColumn(
+        "price_group", F.sum("_price_changed").over(
+            og.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    op = (W.partitionBy("pair_id", "era", "order_id", "life_no", "price_group")
+          .orderBy("microtimestamp", "event_no"))
+    return (
+        grouped
+        .withColumn("price_microtimestamp", F.first("microtimestamp").over(op))
+        .withColumn("price_event_no", F.first("event_no").over(op).cast("int"))
+        .select(
+            "pair_id", "era", "microtimestamp",
+            F.col("local_ts").alias("local_timestamp"),
+            "order_id", "event_no", "side",
+            F.col("out_price").alias("price"),
+            F.col("out_amount").alias("amount"),
+            "fill", "next_microtimestamp", "next_event_no",
+            "price_microtimestamp", "price_event_no", "life_no", "chain_state",
+        )
+    )
+
+
+def capture_raw_book_oracle_sql() -> str:
+    """DuckDB oracle: the same reference program written with DISTINCT ON +
+    named windows over the shared fabric, era = ISO week of the episode."""
+    from obadiah_spark.synth import PAIRS_SQL
+
+    return f"""
+WITH {framed_ctes(BFX_I1_RAW_SQL)}, pairs AS ({PAIRS_SQL}), with_era AS (
+    SELECT f.*, date_trunc('week', episode_timestamp) AS era,
+           round(price * power(10.0, r0)) / power(10.0, r0) AS r_price,
+           round(amount * power(10.0, fmu)) / power(10.0, fmu) AS r_amount
+    FROM framed f JOIN pairs USING (pair_id)
+), dedup AS (
+    SELECT DISTINCT ON (pair_id, era, channel_id, episode_timestamp, order_id)
+           pair_id, era, order_id, episode_timestamp, exchange_ts, local_ts,
+           event_id, r_price AS price, r_amount AS amount
+    FROM with_era
+    ORDER BY pair_id, era, channel_id, episode_timestamp, order_id,
+             exchange_ts DESC, local_ts DESC, event_id DESC
+), resur AS (
+    -- two layers: the lag flag cannot nest inside the running sum (DuckDB)
+    SELECT *,
+        CASE WHEN COALESCE(lag(price) OVER o = 0, FALSE)
+             THEN 1 ELSE 0 END AS _resur,
+        CASE WHEN first_value(amount) OVER o < 0 THEN 's' ELSE 'b' END AS side
+    FROM dedup
+    WINDOW o AS (PARTITION BY pair_id, era, order_id
+                 ORDER BY exchange_ts, local_ts, event_id)
+), lives AS (
+    SELECT *,
+        CAST(sum(_resur) OVER (
+            PARTITION BY pair_id, era, order_id
+            ORDER BY exchange_ts, local_ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+            AS life_no
+    FROM resur
+), chains AS (
+    SELECT pair_id, era, order_id, life_no, side, local_ts, event_id,
+           episode_timestamp AS microtimestamp,
+           CAST(row_number() OVER oe AS INT) AS event_no,
+           CASE WHEN price = 0 THEN abs(lag(price) OVER oe)
+                ELSE abs(price) END AS out_price,
+           CASE WHEN price = 0 THEN abs(lag(amount) OVER oe)
+                ELSE abs(amount) END AS out_amount,
+           CASE WHEN price = 0 THEN NULL
+                ELSE abs(lag(amount) OVER oe) - abs(amount) END AS fill,
+           CASE WHEN price = 0 THEN NULL
+                ELSE lead(episode_timestamp) OVER oe END AS next_microtimestamp,
+           CASE WHEN price = 0 OR lead(episode_timestamp) OVER oe IS NULL
+                THEN NULL
+                ELSE CAST(row_number() OVER oe + 1 AS INT) END AS next_event_no,
+           CASE WHEN price = 0 THEN 'deleted'
+                WHEN lead(episode_timestamp) OVER oe IS NULL THEN 'alive'
+                ELSE 'chained' END AS chain_state,
+           COALESCE(CAST(price <> lag(price) OVER oe AND price > 0 AS INT), 1)
+               AS _price_changed
+    FROM lives
+    WINDOW oe AS (PARTITION BY pair_id, era, order_id, life_no
+                  ORDER BY exchange_ts, local_ts, event_id)
+), kept AS (
+    SELECT *,
+        CAST(sum(_price_changed) OVER (
+            PARTITION BY pair_id, era, order_id, life_no
+            ORDER BY microtimestamp, event_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS price_group
+    FROM chains WHERE out_price IS NOT NULL
 )
-SELECT event_id, exchange_ts, local_ts, pair_id, channel_id, order_id,
-       price, amount, episode_id, episode_timestamp
-FROM ep WHERE episode_id < _max_ep
+SELECT pair_id, era, microtimestamp, local_ts AS local_timestamp,
+       order_id, event_no, side, out_price AS price, out_amount AS amount,
+       fill, next_microtimestamp, next_event_no,
+       first_value(microtimestamp) OVER op AS price_microtimestamp,
+       CAST(first_value(event_no) OVER op AS INT) AS price_event_no,
+       life_no, chain_state
+FROM kept
+WINDOW op AS (PARTITION BY pair_id, era, order_id, life_no, price_group
+              ORDER BY microtimestamp, event_no)
 """

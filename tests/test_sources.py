@@ -255,3 +255,80 @@ def test_checkpoint_silver_roundtrip_pruning_and_probe(spark, level3, tmp_path):
         assert not compare(f"silver literal probe @ {probe_at}",
                            fast.select(*keys).toPandas(),
                            ref.select(*keys).toPandas())
+
+
+def test_capture_raw_book_reference_branches(spark):
+    """I1 hand fixture: dedup keep-latest, side from first amount sign,
+    delete carries previous price/amount, reincarnation restarts event_no,
+    price chains, lonely deletion dropped
+    (db/bitfinex_schema.sql:374-458)."""
+    from obadiah_spark.sources.bitstamp import capture_raw_book_events
+
+    T = "2024-01-01 00:00:{:02d}"
+    rows = [
+        # (order, episode_s, exch_s, local_s, event_id, price, amount)
+        (1, 10, 9, 9, 1, 100.00, 2.0),       # A create (bid: amount > 0)
+        (1, 20, 18, 18, 2, 100.00, 1.75),    # A dup: superseded within ep
+        (1, 20, 19, 19, 3, 100.00, 1.5),     # A change kept (fill 0.5)
+        (1, 30, 29, 29, 4, 0.0, 1.0),        # A delete (price==0)
+        (1, 40, 39, 39, 5, 100.02, 3.0),     # A resurrects → life 1
+        (2, 10, 9, 9, 6, 100.10, -2.0),      # B create (ask: amount < 0)
+        (2, 20, 19, 19, 7, 100.12, -2.0),    # B pacman price change
+        (3, 10, 9, 9, 8, 0.0, 1.0),          # C lonely delete → dropped
+    ]
+    raw = spark.createDataFrame(
+        [(o, T.format(ep), T.format(e), T.format(l), i, p, a)
+         for o, ep, e, l, i, p, a in rows],
+        "order_id long, episode_timestamp string, exchange_ts string, "
+        "local_ts string, event_id long, price double, amount double",
+    ).selectExpr(
+        "CAST(1 AS INT) AS pair_id", "CAST(1 AS INT) AS channel_id",
+        "order_id", "CAST(episode_timestamp AS TIMESTAMP) episode_timestamp",
+        "CAST(exchange_ts AS TIMESTAMP) exchange_ts",
+        "CAST(local_ts AS TIMESTAMP) local_ts", "event_id", "price", "amount",
+        "CAST('2024-01-01' AS TIMESTAMP) AS era",
+    )
+    pairs = spark.createDataFrame([(1, 2, 8)], "pair_id int, r0 int, fmu int")
+    out = {(r.order_id, r.event_no, r.life_no): r
+           for r in capture_raw_book_events(raw, pairs).collect()}
+
+    assert len(out) == 6                      # 8 in − 1 dup − 1 lonely delete
+    a1 = out[(1, 1, 0)]
+    assert a1.side == "b" and a1.fill is None and a1.chain_state == "chained"
+    a2 = out[(1, 2, 0)]
+    assert a2.amount == 1.5 and a2.fill == 0.5          # dup superseded
+    a3 = out[(1, 3, 0)]                                  # the delete
+    assert a3.chain_state == "deleted"
+    assert a3.price == 100.00 and a3.amount == 1.5       # carried from prev
+    a4 = out[(1, 1, 1)]                                  # reincarnation
+    assert a4.chain_state == "alive" and a4.price == 100.02
+    b1, b2 = out[(2, 1, 0)], out[(2, 2, 0)]
+    assert b1.side == "s" == b2.side                     # sign of first amount
+    assert (b2.price_microtimestamp, b2.price_event_no) == (
+        b2.microtimestamp, 2)                            # new price chain
+    assert (b1.price_microtimestamp, b1.price_event_no) == (
+        b1.microtimestamp, 1)
+    assert (3, 1, 0) not in out                          # lonely delete
+
+
+def test_capture_raw_book_feeds_order_book(spark):
+    """Lifecycle integration: framed fabric → I1 → point-in-time snapshot
+    is a consistent book (both sides, no per-order duplicates)."""
+    from obadiah_spark.operators.order_book import snapshot
+    from obadiah_spark.sources.bitstamp import (
+        BFX_I1_RAW_SQL, capture_raw_book_events, frame_episodes)
+    from obadiah_spark.synth import PAIRS_SQL
+
+    framed = frame_episodes(spark.sql(BFX_I1_RAW_SQL)).withColumn(
+        "era", F.date_trunc("week", F.col("episode_timestamp")))
+    l3 = capture_raw_book_events(framed, spark.sql(PAIRS_SQL)).withColumn(
+        "exchange_id", F.lit(1).cast("int"))
+    mid = l3.agg(F.max("microtimestamp")).first()[0]
+    book = snapshot(l3, mid).cache()
+    per_order = (book.groupBy("pair_id", "order_id").count()
+                 .filter("count > 1").count())
+    assert per_order == 0
+    sides = {r.side for r in book.select("side").distinct().collect()}
+    assert sides == {"b", "s"}
+    assert book.filter("chain_state = 'deleted'").count() == 0
+    book.unpersist()

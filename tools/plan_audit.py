@@ -1,0 +1,129 @@
+"""Physical-plan audit over every gate query: the ".explain and iterate"
+discipline as a repeatable check instead of a one-off.
+
+For each `__spark_entry__.queries()` entry (at a small sf — plan SHAPE is
+sf-independent) the tool records the formatted physical plan and flags:
+
+- `cartesian` / `bnlj`: CartesianProduct or BroadcastNestedLoopJoin nodes.
+  Only the brute-force similarity queries may carry one — they ARE the
+  documented O(n²) ground truth the approximate operators are judged
+  against (`ALLOWED_CROSS`); anywhere else it is a 100 TB showstopper.
+  Exception counted separately as `bnlj_degenerate`: a BNLJ whose
+  broadcast build side carries ZERO columns (`Input: []`) — Catalyst
+  constant-folded a one-row literal dim (e.g. the single-exchange table)
+  into the join, so the "loop" is over one empty row; benign at any scale.
+- `exchanges`: number of shuffle Exchange nodes (trend metric — a jump in
+  a diff means an operator regressed into extra shuffles).
+- `scan_pushdown`: parquet scans whose PushedFilters is empty while the
+  query filters that table (heuristic: reported per scan for eyeballing).
+
+Usage:  python tools/plan_audit.py [sf_dir] [key ...]   (default sf0.001)
+Writes PLANS.json at the repo root and prints one summary line per query;
+exits 1 if a disallowed cartesian/BNLJ appears.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# the exact-side ground truths are all-pairs BY DESIGN (bounded by max_id /
+# corpus size); everything else must join with keys
+ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard"}
+
+# annotated non-equi joins where BOTH sides are metadata-sized by
+# construction — reviewed, not a scale risk; a NEW name appearing here
+# must be justified the same way
+ALLOWED_BNLJ = {
+    "order_book_takers":
+        "snapshot_multi era resolution: distinct (pair, era) rows "
+        "range-joined (era <= at_ts) to the broadcast instants frame — "
+        "O(#pairs x #eras x #instants), all metadata-sized",
+}
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _bnlj_counts(plan: str) -> tuple[int, int]:
+    """(real, degenerate) BroadcastNestedLoopJoin counts. The formatted
+    detail section lists nodes as ``(n) Name``; a BNLJ's build side is the
+    immediately preceding BroadcastExchange detail block — degenerate when
+    that block's Input is the empty column list."""
+    real = degen = 0
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for i, b in enumerate(blocks):
+        if b.startswith("(") and ") BroadcastNestedLoopJoin" in b.split("\n")[0]:
+            prev = blocks[i - 1] if i else ""
+            if "BroadcastExchange" in prev.split("\n")[0] and \
+                    re.search(r"^Input: \[\]", prev, re.M):
+                degen += 1
+            else:
+                real += 1
+    return real, degen
+
+
+def audit(name: str, df) -> dict:
+    p = plan_of(df)
+    nodes = re.findall(r"^\s*\(\d+\)\s+(\S+)", p, re.M)
+    scans = re.findall(r"PushedFilters: \[(.*?)\]", p)
+    bnlj, bnlj_degen = _bnlj_counts(p)
+    return {
+        "cartesian": sum(n.startswith("CartesianProduct") for n in nodes),
+        "bnlj": bnlj,
+        "bnlj_degenerate": bnlj_degen,
+        "exchanges": sum(n == "Exchange" for n in nodes),
+        "windows": sum(n == "Window" for n in nodes),
+        "scans": len(scans),
+        "scans_with_pushdown": sum(bool(s.strip()) for s in scans),
+        "nodes": len(nodes),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    keys = sys.argv[2:]
+
+    import __spark_entry__ as em
+    from obadiah_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    qs = em.queries()
+    if keys:
+        qs = {k: qs[k] for k in keys}
+
+    out: dict[str, dict] = {}
+    bad: list[str] = []
+    for name, fn in qs.items():
+        try:
+            res = audit(name, fn(spark, sf_dir))
+        except Exception as e:  # a query that cannot even plan is a failure
+            out[name] = {"error": str(e)[:200]}
+            bad.append(name)
+            print(f"ERROR {name}: {str(e)[:120]}")
+            continue
+        out[name] = res
+        cross = res["cartesian"] + res["bnlj"]
+        flag = ""
+        if cross and name not in ALLOWED_CROSS and name not in ALLOWED_BNLJ:
+            bad.append(name)
+            flag = "  << DISALLOWED CROSS JOIN"
+        print(f"{name}: exchanges={res['exchanges']} windows={res['windows']}"
+              f" scans={res['scans']} cross={cross}{flag}")
+
+    with open(os.path.join(REPO, "PLANS.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"\n{len(out)} plans audited, {len(bad)} flagged: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
