@@ -290,6 +290,16 @@ def _q_ann_lsh_recall(spark, sf_dir):
     return ann_lsh_recall(spark.table("embeddings"))
 
 
+def _q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup marking (exact ground-truth form): dup_of =
+    the smallest lower-id neighbor at cosine >= 0.45; the LSH-bucketed
+    scale path is recall-tested in pytest."""
+    from obadiah_spark.pipelines.dedup import embedding_dedup
+
+    _load(spark, sf_dir)
+    return embedding_dedup(spark.table("embeddings"))
+
+
 def _q_multimodal(spark, sf_dir):
     from obadiah_spark.pipelines.multimodal import multimodal_features
 
@@ -802,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only; bounded by ann_lsh_recall
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "embedding_dedup": _q_embedding_dedup,
         "multimodal_features": _q_multimodal,
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,  # real-book path: rows-only + fixture tests
@@ -951,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_pairs: intentionally no oracle (approximate operator);
         # its recall bound is gate-checked by ann_lsh_recall below
         "ann_lsh_recall": ann_lsh_recall_oracle(),
+        "embedding_dedup": dedup.embedding_dedup_oracle(),
         "multimodal_features": MULTIMODAL_ORACLE,
         "trading_period": level3_cte(trading_period_v0_oracle()),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid

@@ -295,3 +295,80 @@ SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
 """
+
+
+# --------------------------------------- embedding-cosine near-dup ----------
+
+def embedding_dedup(emb: DataFrame, min_cosine: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate marking: a vector is a duplicate iff
+    some LOWER-id vector is within ``min_cosine``; ``dup_of`` is the
+    smallest such neighbor (deterministic canonical representative — the
+    usual keep-first-occurrence rule of a dedup sweep).
+
+    This EXACT form is the ground truth: all-pairs cosine, O(n²) by
+    construction, fine at the corpus sizes where you can afford truth.
+    The 100 TB path is :func:`embedding_dedup_lsh` — same rule over
+    LSH-bucketed candidates only, recall-tested against this form.
+    """
+    from obadiah_spark.pipelines.similarity import _cosine
+
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_id"),
+                   F.col("embedding").alias("b_emb"))
+    dup_of = (
+        b.crossJoin(a)
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(_cosine("a_emb", "b_emb") >= min_cosine)
+        .groupBy("vec_id").agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        emb.select("vec_id").join(dup_of, "vec_id", "left")
+        .select("vec_id", F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of")
+    )
+
+
+def embedding_dedup_oracle(min_cosine: float = 0.45) -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dup AS (
+    SELECT b.vec_id, min(a.vec_id) AS dup_of
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 9) >= {min_cosine!r}
+    GROUP BY b.vec_id
+)
+SELECT e.vec_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+"""
+
+
+# sign-LSH at cosine 0.45: p_plane ≈ 0.65, so a 6-plane band collides with
+# p ≈ 0.074 and 32 tables give ≈ 0.92 expected recall — denser than the
+# similarity-search default because a dedup SWEEP pays for misses with
+# retained duplicates, not just a worse neighbor list
+DEDUP_TABLES = 32
+DEDUP_PLANES = 6
+
+
+def embedding_dedup_lsh(emb: DataFrame, min_cosine: float = 0.45) -> DataFrame:
+    """Scale path: the same dup rule over LSH candidate pairs only — bucket
+    equi-joins, never all-pairs. Misses are possible (that is the trade);
+    the recall pytest bounds them against :func:`embedding_dedup`."""
+    from obadiah_spark.pipelines.similarity import ann_lsh_pairs
+
+    cand = ann_lsh_pairs(emb, tables=DEDUP_TABLES, planes=DEDUP_PLANES,
+                         min_cosine=min_cosine)
+    dup_of = (
+        cand.filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        emb.select("vec_id").join(dup_of, "vec_id", "left")
+        .select("vec_id", F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of")
+    )

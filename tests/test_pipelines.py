@@ -60,3 +60,20 @@ def test_multimodal_plumbing(spark):
         F.col("byte_len") != F.length(F.encode(F.col("text"), "utf-8"))
     )
     assert joined.count() == 0
+
+
+def test_embedding_dedup_lsh_recall(spark):
+    """The LSH-bucketed dedup sweep must flag most of the exact sweep's
+    dups (and never flag a non-dup: candidates are exact-scored)."""
+    from conftest import SF_DIR
+
+    from obadiah_spark.pipelines.dedup import (
+        embedding_dedup, embedding_dedup_lsh)
+    from obadiah_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    exact = {r.vec_id for r in embedding_dedup(emb).collect() if r.is_dup}
+    approx = {r.vec_id for r in embedding_dedup_lsh(emb).collect() if r.is_dup}
+    assert approx <= exact          # no false positives (exact rescoring)
+    if exact:
+        assert len(approx) / len(exact) >= 0.5

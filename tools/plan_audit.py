@@ -34,7 +34,8 @@ sys.path.insert(0, REPO)
 
 # the exact-side ground truths are all-pairs BY DESIGN (bounded by max_id /
 # corpus size); everything else must join with keys
-ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard"}
+ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
+                 "embedding_dedup"}
 
 # annotated non-equi joins where BOTH sides are metadata-sized by
 # construction — reviewed, not a scale risk; a NEW name appearing here
