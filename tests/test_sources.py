@@ -332,3 +332,70 @@ def test_capture_raw_book_feeds_order_book(spark):
     assert sides == {"b", "s"}
     assert book.filter("chain_state = 'deleted'").count() == 0
     book.unpersist()
+
+
+def test_capture_raw_book_randomized_invariants(spark):
+    """Seeded randomized stream → every chain invariant the reference's FK
+    constraints would enforce (db/obanalytics_schema.sql:146-151,412-416):
+    dense event_no per life, forward pointers hit the next event exactly,
+    fills are amount deltas, deletes carry the previous payload, lives
+    split exactly at deletes, side is the first amount's sign, price
+    pointers mark maximal equal-price runs."""
+    import numpy as np
+    import pandas as pd
+
+    from obadiah_spark.sources.bitstamp import capture_raw_book_events
+
+    rng = np.random.RandomState(7)
+    n = 600
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(n):
+        order = int(rng.randint(1, 13))
+        is_del = bool(rng.rand() < 0.15)
+        price = 0.0 if is_del else float(100 + rng.randint(0, 5)) + 0.01 * order
+        amount = (1 if order % 2 else -1) * float(rng.randint(1, 9)) / 4
+        ep = i // 7  # 7 messages per episode
+        rows.append((1, 1, order,
+                     base + pd.Timedelta(seconds=10 * ep),
+                     base + pd.Timedelta(seconds=10 * ep + (i % 7)),
+                     base + pd.Timedelta(seconds=10 * ep + (i % 7)),
+                     i, price, amount))
+    raw = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "pair_id", "channel_id", "order_id", "episode_timestamp",
+            "exchange_ts", "local_ts", "event_id", "price", "amount"]),
+    ).withColumn("era", F.lit("2024-01-01").cast("timestamp"))
+    pairs = spark.createDataFrame([(1, 2, 8)], "pair_id int, r0 int, fmu int")
+    out = capture_raw_book_events(raw, pairs).toPandas()
+
+    # one row per (episode, order): the keep-latest dedup
+    assert not out.duplicated(["microtimestamp", "order_id"]).any()
+    for (_, o, life), g in out.groupby(["era", "order_id", "life_no"]):
+        g = g.sort_values("event_no").reset_index(drop=True)
+        assert list(g.event_no) == list(range(1, len(g) + 1))  # dense
+        assert (g.side == g.side.iloc[0]).all()
+        deletes = g.chain_state == "deleted"
+        assert not deletes.iloc[:-1].any()   # a delete ends the life
+        for k in range(len(g) - 1):
+            assert g.next_microtimestamp[k] == g.microtimestamp[k + 1]
+            assert g.next_event_no[k] == g.event_no[k + 1]
+        last = g.iloc[-1]
+        assert pd.isna(last.next_microtimestamp)
+        assert last.chain_state in ("alive", "deleted")
+        for k in range(1, len(g)):
+            if g.chain_state[k] == "deleted":
+                assert g.price[k] == g.price[k - 1]
+                assert g.amount[k] == g.amount[k - 1]
+                assert pd.isna(g.fill[k])
+            else:
+                assert abs(g.fill[k] - (g.amount[k - 1] - g.amount[k])) < 1e-9
+        # price pointers: first row of each maximal equal-price run
+        run_start = g.microtimestamp[0]
+        run_eno = g.event_no[0]
+        for k in range(len(g)):
+            if (k > 0 and g.price[k] != g.price[k - 1]
+                    and g.chain_state[k] != "deleted"):
+                run_start, run_eno = g.microtimestamp[k], g.event_no[k]
+            assert g.price_microtimestamp[k] == run_start
+            assert g.price_event_no[k] == run_eno
