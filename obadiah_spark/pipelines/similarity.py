@@ -163,7 +163,7 @@ RECALL_PLANES = 6
 
 
 def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
-                   threshold: float = 0.5, max_id: int = 1000) -> DataFrame:
+                   threshold: float = 0.5, max_id: int = 800) -> DataFrame:
     """One-row recall metric gating the approximate LSH machinery: of ALL
     vector pairs whose exact cosine >= min_cosine, the fraction surfaced by
     the LSH candidate join must be >= threshold.
@@ -212,7 +212,7 @@ def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
 
 def ann_lsh_recall_oracle(min_cosine: float = 0.45,
                           threshold: float = 0.5,
-                          max_id: int = 1000) -> str:
+                          max_id: int = 800) -> str:
     """Exact half recomputed in SQL; the recall bound asserted TRUE
     (0 >= 0*t holds, so an empty strong set is vacuously true on both
     sides). Cosines round to 9 dp as in _cosine so the >= boundary agrees."""
