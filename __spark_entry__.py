@@ -381,6 +381,15 @@ def _q_get_depth_freq(spark, sf_dir):
                      frequency_s=GET_FREQ_S)
 
 
+def _q_spread_at(spark, sf_dir):
+    """D8 single-instant overload: get.spread(p_start_time) = starting
+    spread only (_spread_from_depth over _starting_depth,
+    db/get_schema.sql:640-653), one row per pair."""
+    from obadiah_spark.operators.depth import spread_at
+
+    return spread_at(_l3(spark, sf_dir), EV_START)
+
+
 def _q_get_spread_freq(spark, sf_dir):
     """D8 with p_frequency (VERDICT r4 #2): level1 collapsed onto the grid,
     last state per interval wins, emit-on-change per (pair, era)."""
@@ -834,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_events": _q_export,
         "book_by_episode": _q_book_by_episode,
         "get_spread": _q_get_spread,
+        "spread_at": _q_spread_at,
         "depth_resample": _q_depth_resample,
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
@@ -867,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         get_depth_oracle_sql,
         get_spread_freq_oracle_sql,
         get_spread_oracle_sql,
+        spread_at_oracle_sql,
     )
     from obadiah_spark.operators.repair import (
         audit_microtimestamp_moves_oracle_sql,
@@ -991,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "export_events": level3_cte(export_oracle_sql(EV_START, EV_END)),
         "book_by_episode": level3_cte(book_by_episode_oracle_sql()),
         "get_spread": level3_cte(get_spread_oracle_sql(EV_START, EV_END)),
+        "spread_at": level3_cte(spread_at_oracle_sql(EV_START)),
         "depth_resample": level3_cte(depth_resample_oracle_sql()),
         "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),

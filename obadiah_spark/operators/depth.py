@@ -423,7 +423,71 @@ WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
 
 # ------------------------------------------------------------- D4 get.depth --
 
-def get_depth(l3, start: str, end: str, frequency_s: int | None = None):
+def spread_at(l3, at: str, frequency_s: int | None = None):
+    """The reference's single-instant ``get.spread(p_start_time, ...)``
+    overload (db/get_schema.sql:640-653): the starting spread alone —
+    ``_spread_from_depth`` over ``_starting_depth`` at ``at`` (grid-floored
+    when ``frequency_s`` is given), no stream. One row per pair."""
+    from obadiah_spark.operators.order_book import live_at
+
+    lo = at if frequency_s is None else date_floor_s(at, frequency_s)
+    lo_c = F.lit(lo).cast("timestamp")
+    # the single-point overload always reads the book BEFORE the instant
+    # (order_book p_before := true via _starting_depth, get_schema.sql:115)
+    live = live_at(l3, lo, before=True)
+    lvl = live.groupBy("pair_id", "side", "price").agg(
+        F.sum("amount").alias("qty"))
+    best = lvl.groupBy("pair_id").agg(
+        F.max(F.when(F.col("side") == "b", F.col("price"))).alias("best_bid_price"),
+        F.min(F.when(F.col("side") == "s", F.col("price"))).alias("best_ask_price"),
+    )
+    return (
+        best.join(lvl, "pair_id")
+        .groupBy("pair_id", "best_bid_price", "best_ask_price")
+        .agg(
+            F.max(F.when((F.col("side") == "b")
+                         & (F.col("price") == F.col("best_bid_price")),
+                         F.col("qty"))).alias("best_bid_qty"),
+            F.max(F.when((F.col("side") == "s")
+                         & (F.col("price") == F.col("best_ask_price")),
+                         F.col("qty"))).alias("best_ask_qty"),
+        )
+        .select("pair_id", lo_c.alias("microtimestamp"),
+                "best_bid_price", "best_bid_qty",
+                "best_ask_price", "best_ask_qty")
+    )
+
+
+def spread_at_oracle_sql(at: str, frequency_s: int | None = None) -> str:
+    lo = at if frequency_s is None else date_floor_s(at, frequency_s)
+    return f"""
+WITH live0 AS (
+    SELECT l.pair_id, l.side, l.price, sum(l.amount) AS qty
+    FROM level3 l
+    WHERE microtimestamp < TIMESTAMP '{lo}'
+      AND era = (SELECT max(era) FROM level3 x
+                 WHERE x.pair_id = l.pair_id AND x.era < TIMESTAMP '{lo}')
+      AND (chain_state = 'alive'
+           OR (chain_state = 'chained' AND next_microtimestamp >= TIMESTAMP '{lo}'))
+    GROUP BY l.pair_id, l.side, l.price
+), best0 AS (
+    SELECT pair_id,
+           max(CASE WHEN side = 'b' THEN price END) AS best_bid_price,
+           min(CASE WHEN side = 's' THEN price END) AS best_ask_price
+    FROM live0 GROUP BY pair_id
+)
+SELECT b.pair_id, TIMESTAMP '{lo}' AS microtimestamp,
+       b.best_bid_price,
+       max(CASE WHEN l.side = 'b' AND l.price = b.best_bid_price THEN l.qty END) AS best_bid_qty,
+       b.best_ask_price,
+       max(CASE WHEN l.side = 's' AND l.price = b.best_ask_price THEN l.qty END) AS best_ask_qty
+FROM best0 b JOIN live0 l ON l.pair_id = b.pair_id
+GROUP BY b.pair_id, b.best_bid_price, b.best_ask_price
+"""
+
+
+def get_depth(l3, start: str, end: str, frequency_s: int | None = None,
+              starting_depth: bool = True, depth_changes: bool = True):
     """D4 ``get.depth``: starting full depth (point-in-time, before=start) ∪
     depth changes in [start, end) (right boundary open — the reference's
     no-frequency convention, db/get_schema.sql:263-267); side as bid/ask
@@ -445,7 +509,12 @@ def get_depth(l3, start: str, end: str, frequency_s: int | None = None):
     reference's two; every level volume a client observes at any instant is
     identical). Deliberate deviation shared with the no-frequency
     form: era-bridging depth_change rows between eras are not emitted (each
-    era's levels run independently; documented in SURVEY §3.1)."""
+    era's levels run independently; documented in SURVEY §3.1).
+
+    ``starting_depth`` / ``depth_changes`` mirror the reference's
+    ``p_starting_depth`` / ``p_depth_changes`` toggles
+    (get_schema.sql:239-244) — the R client's interval cache fetches the
+    two halves separately when merging cached ranges."""
     from obadiah_spark.operators.order_book import live_at
 
     from obadiah_spark.functions import validate_parameters
@@ -476,9 +545,15 @@ def get_depth(l3, start: str, end: str, frequency_s: int | None = None):
     changes = depth_change(l3, frequency_s=frequency_s).filter(
         lo_cond & hi_cond
     ).select("pair_id", "microtimestamp", "side", "price", "volume")
+    parts = ([starting] if starting_depth else []) + \
+            ([changes] if depth_changes else [])
+    if not parts:
+        parts = [starting.limit(0)]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
     return (
-        starting.unionByName(changes)
-        .select(
+        un.select(
             "pair_id", "microtimestamp", "price", "volume",
             F.when(F.col("side") == "b", "bid").otherwise("ask").alias("side"),
         )

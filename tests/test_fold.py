@@ -120,3 +120,22 @@ def test_snapshot_checkpointed_equals_full_scan(spark, level3):
         if must_have_rows:
             assert len(full) > 0, at
         assert not compare(f"snapshot@{at}", full, fast), at
+
+
+def test_get_depth_toggles_partition_the_output(level3):
+    """p_starting_depth / p_depth_changes (get_schema.sql:239-244): the two
+    halves partition the full result exactly — the R client's cache-merge
+    contract."""
+    from obadiah_spark.operators.depth import get_depth
+
+    s, e = "2024-01-09 00:00:00", "2024-01-10 00:00:00"
+    full = get_depth(level3, s, e).count()
+    only_start = get_depth(level3, s, e, depth_changes=False).count()
+    only_changes = get_depth(level3, s, e, starting_depth=False).count()
+    assert only_start + only_changes == full
+    assert only_start > 0 and only_changes > 0
+    neither = get_depth(level3, s, e, starting_depth=False,
+                        depth_changes=False)
+    assert neither.count() == 0
+    assert neither.columns == ["pair_id", "microtimestamp", "price",
+                               "volume", "side"]
