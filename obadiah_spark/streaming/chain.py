@@ -264,3 +264,59 @@ def finalize_open_chains(l3: pd.DataFrame) -> pd.DataFrame:
         else:
             l3.loc[i, "chain_state"] = "alive"
     return l3
+
+
+def payload_keyed_stream(framed_stream):
+    """REAL-FEED ADAPTER: a framed capture stream already carries identity
+    and payload — project it onto the chain-processor contract unchanged
+    (microtimestamp = the episode instant; price/amount/is_delete are the
+    authoritative payload branch of ``advance_chain``; ``side`` is whatever
+    the feed adapter assigned — first-amount sign for bitfinex, the order
+    enum for bitstamp — never re-derived here)."""
+    from pyspark.sql import functions as F
+
+    return framed_stream.select(
+        F.col("event_id"),
+        F.col("local_ts").alias("local_timestamp"),
+        F.col("episode_timestamp").alias("microtimestamp"),
+        F.col("order_id"),
+        F.col("pair_id").cast("int").alias("pair_id"),
+        F.lit(1).cast("int").alias("exchange_id"),
+        F.col("side"),
+        F.col("era"),
+        (F.col("price") == 0).alias("is_delete"),
+        F.col("price"),
+        F.abs(F.col("amount")).alias("amount"),
+    )
+
+
+def run_payload_chain_stream(spark, framed_dir: str, schema: str,
+                             checkpoint_dir: str,
+                             query_name: str = "level3_payload_chain"
+                             ) -> pd.DataFrame:
+    """File-per-trigger payload stream → executor-side chain → latest-wins
+    level3 (the real-feed twin of :func:`run_chain_stream`)."""
+    from obadiah_spark.streaming.reorder import with_reorder_watermark
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(framed_dir)
+    )
+    stream = with_reorder_watermark(stream, "local_ts", "1 second")
+    out = chain_stream(payload_keyed_stream(stream))
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ups = spark.table(query_name).toPandas()
+    return (
+        ups.sort_values("rev")
+        .drop_duplicates(["pair_id", "era", "order_id", "microtimestamp"],
+                         keep="last")
+        .drop(columns=["rev"])
+        .reset_index(drop=True)
+    )

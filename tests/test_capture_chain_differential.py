@@ -90,3 +90,75 @@ def test_capture_chain_matches_batch_i1(spark):
     s["event_no"] = s["event_no"].astype(b["event_no"].dtype)
     s["life_no"] = s["life_no"].astype(b["life_no"].dtype)
     pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
+def test_executor_chain_matches_batch_i1(spark, tmp_path):
+    """Same differential through the EXECUTOR-SIDE processor
+    (applyInPandasWithState, state in the Spark state store): a framed
+    payload stream replayed file-per-trigger must fold to the batch I1
+    output."""
+    from obadiah_spark.sources.bitstamp import (
+        BFX_I1_RAW_SQL, capture_raw_book_events, frame_episodes)
+    from obadiah_spark.streaming.chain import run_payload_chain_stream
+
+    framed = (
+        frame_episodes(spark.sql(BFX_I1_RAW_SQL))
+        .withColumn("era", F.date_trunc("week", F.col("episode_timestamp")))
+        .filter(F.col("pair_id") == 1)
+    )
+    pairs = spark.createDataFrame([(1, 2, 8)], "pair_id int, r0 int, fmu int")
+    batch = capture_raw_book_events(framed, pairs).toPandas()
+
+    pdf = framed.toPandas().sort_values(
+        ["exchange_ts", "local_ts", "event_id"]).reset_index(drop=True)
+    pdf["price"] = np.round(pdf["price"] * 100) / 100
+    pdf["amount"] = np.round(pdf["amount"] * 1e8) / 1e8
+    first_amount = (
+        pdf.groupby(["era", "order_id"], sort=False)["amount"].transform("first"))
+    pdf["side"] = np.where(first_amount < 0, "s", "b")
+    cols = ["event_id", "exchange_ts", "local_ts", "pair_id", "order_id",
+            "price", "amount", "episode_timestamp", "era", "side"]
+    schema = ("event_id bigint, exchange_ts timestamp, local_ts timestamp, "
+              "pair_id int, order_id bigint, price double, amount double, "
+              "episode_timestamp timestamp, era timestamp, side string")
+    src = tmp_path / "framed"
+    src.mkdir()
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        spark.createDataFrame(pdf.iloc[lo:hi][cols], schema) \
+            .coalesce(1).write.parquet(str(src / f"b{i}"))
+    # one directory per batch won't do for maxFilesPerTrigger — flatten
+    import glob
+    import shutil
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import os
+    import time
+    now = time.time()
+    for i in range(3):
+        part = glob.glob(str(src / f"b{i}" / "part-*.parquet"))[0]
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(part, dst)
+        # the file source replays in mtime order; same-ms copies tie
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    stream = run_payload_chain_stream(
+        spark, str(flat), schema=(
+            "event_id bigint, exchange_ts timestamp, local_ts timestamp, "
+            "pair_id int, order_id bigint, price double, amount double, "
+            "episode_timestamp timestamp, era timestamp, side string"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    # open tails rest alive; lonely deletes are the documented difference
+    stream.loc[stream.chain_state.isna(), "chain_state"] = "alive"
+    stream = stream[~((stream.chain_state == "deleted")
+                      & (stream.event_no == 1))]
+
+    comp = ["order_id", "microtimestamp", "event_no", "side", "price",
+            "amount", "fill", "next_microtimestamp", "next_event_no",
+            "price_microtimestamp", "price_event_no", "life_no",
+            "chain_state"]
+    b = batch[comp].sort_values(["order_id", "microtimestamp", "event_no"]
+                                ).reset_index(drop=True)
+    s = stream[comp].sort_values(["order_id", "microtimestamp", "event_no"]
+                                 ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
