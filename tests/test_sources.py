@@ -399,3 +399,42 @@ def test_capture_raw_book_randomized_invariants(spark):
                 run_start, run_eno = g.microtimestamp[k], g.event_no[k]
             assert g.price_microtimestamp[k] == run_start
             assert g.price_event_no[k] == run_eno
+
+
+def test_assign_eras_by_gap(spark):
+    """Era opens on episode gaps > threshold, per pair; chains fed into I1
+    then cannot span an era boundary."""
+    import pandas as pd
+
+    from obadiah_spark.sources.bitstamp import (
+        assign_eras_by_gap, capture_raw_book_events)
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # pair 1: episodes at 0s,1s,2s then a 10s gap, then 13s,14s
+    for i, off in enumerate([0, 1, 2, 12, 13, 14]):
+        rows.append((1, 1, 5, base + pd.Timedelta(seconds=off),
+                     base + pd.Timedelta(seconds=off),
+                     base + pd.Timedelta(seconds=off), i, 100.0, 1.0))
+    # pair 2: no gaps
+    for i, off in enumerate([0, 1, 2, 3]):
+        rows.append((2, 1, 6, base + pd.Timedelta(seconds=off),
+                     base + pd.Timedelta(seconds=off),
+                     base + pd.Timedelta(seconds=off), 100 + i, 200.0, -1.0))
+    framed = spark.createDataFrame(pd.DataFrame(rows, columns=[
+        "pair_id", "channel_id", "order_id", "episode_timestamp",
+        "exchange_ts", "local_ts", "event_id", "price", "amount"]))
+    out = assign_eras_by_gap(framed, threshold_s=2.0)
+    eras = {(r.pair_id, r.episode_timestamp.second): r.era.second
+            for r in out.collect()}
+    assert eras[(1, 0)] == eras[(1, 1)] == eras[(1, 2)] == 0
+    assert eras[(1, 12)] == eras[(1, 13)] == eras[(1, 14)] == 12
+    assert all(eras[(2, s)] == 0 for s in (0, 1, 2, 3))
+
+    # chains restart at the era boundary: order 5's events split 3 + 3
+    pairs = spark.createDataFrame([(1, 2, 8), (2, 2, 8)],
+                                  "pair_id int, r0 int, fmu int")
+    l3 = capture_raw_book_events(out, pairs)
+    counts = {(r.era.second, r.event_no) for r in
+              l3.filter("order_id = 5").collect()}
+    assert counts == {(0, 1), (0, 2), (0, 3), (12, 1), (12, 2), (12, 3)}
