@@ -560,6 +560,18 @@ def _q_merge_episodes(spark, sf_dir):
     return merge_episodes(_l3(spark, sf_dir), EV_START, EV_END)
 
 
+def _q_fix_chain_integrity(spark, sf_dir):
+    """Q4 repair trio round-trip: inject the reference's three defect
+    classes (duplicate eternal creations, wiped forward pointers, premature
+    generated deletes — db/obanalytics_schema.sql:2157-2336) on disjoint
+    order families, repair, and hash-match the ORIGINAL log (the oracle is
+    plain level3: repair(corrupt(x)) == x is the checked property)."""
+    from obadiah_spark.operators.repair import (
+        corrupt_chains, fix_chain_integrity)
+
+    return fix_chain_integrity(corrupt_chains(_l3(spark, sf_dir)))
+
+
 def _q_merge_crossed_books(spark, sf_dir):
     """Q2 merge path: the full level3 rewritten so every crossed period is
     merged into its next uncrossed episode (non-vacuous: the synthetic book
@@ -848,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
+        "fix_chain_integrity": _q_fix_chain_integrity,
         "move_audit": _q_move_audit,
         "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -1007,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
         "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),
+        "fix_chain_integrity": level3_cte("SELECT * FROM level3"),
         "move_audit": level3_cte(audit_microtimestamp_moves_oracle_sql(120)),
         "insert_era": level3_cte(insert_level3_era_oracle_sql(ERA_SPLIT_AT)),
         "csv_roundtrip": level3_cte(csv_roundtrip_oracle_sql()),

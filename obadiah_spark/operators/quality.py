@@ -213,9 +213,46 @@ def chain_audit(l3: DataFrame) -> DataFrame:
             & F.col("next_microtimestamp").isNotNull()
         ).select(*keys, F.lit("terminal_with_next").alias("issue"))
     )
+    # POINTER-level orphan: nobody's next targets this event (the
+    # reference's fix_eternals orphan definition,
+    # db/obanalytics_schema.sql:2231-2238) — stricter than the
+    # predecessor-by-number check above (a wiped pointer leaves the
+    # numbering intact but strands the successor)
+    c, d = l3.alias("c"), l3.alias("d")
+    ptr_orphan = (
+        c.filter("c.event_no > 1")
+        .join(
+            d,
+            (F.col("c.order_id") == F.col("d.order_id"))
+            & (F.col("c.era") == F.col("d.era"))
+            & (F.col("c.life_no") == F.col("d.life_no"))
+            & (F.col("d.next_microtimestamp") == F.col("c.microtimestamp"))
+            & (F.col("d.next_event_no") == F.col("c.event_no")),
+            "left_anti",
+        )
+        .select(*[f"c.{k}" for k in keys],
+                F.lit("pointer_orphan").alias("issue"))
+    )
+    # an 'alive' event must be its life's LAST event (a non-terminal
+    # 'alive' is fix_eternals' reconnect target)
+    e, g = l3.alias("e"), l3.alias("g")
+    dangling = (
+        e.filter(F.col("e.chain_state") == "alive")
+        .join(
+            g,
+            (F.col("e.order_id") == F.col("g.order_id"))
+            & (F.col("e.era") == F.col("g.era"))
+            & (F.col("e.life_no") == F.col("g.life_no"))
+            & (F.col("g.event_no") > F.col("e.event_no")),
+            "left_semi",
+        )
+        .select(*[f"e.{k}" for k in keys],
+                F.lit("dangling_alive").alias("issue"))
+    )
     return (
         dup.unionByName(orphan).unionByName(bad_next)
         .unionByName(bad_life).unionByName(terminal)
+        .unionByName(ptr_orphan).unionByName(dangling)
     )
 
 
@@ -252,6 +289,22 @@ UNION ALL
 SELECT pair_id, era, order_id, life_no, event_no, 'terminal_with_next'
 FROM level3
 WHERE chain_state IN ('alive', 'deleted') AND next_microtimestamp IS NOT NULL
+UNION ALL
+SELECT c.pair_id, c.era, c.order_id, c.life_no, c.event_no, 'pointer_orphan'
+FROM level3 c
+WHERE c.event_no > 1
+  AND NOT EXISTS (SELECT 1 FROM level3 d
+                  WHERE d.order_id = c.order_id AND d.era = c.era
+                    AND d.life_no = c.life_no
+                    AND d.next_microtimestamp = c.microtimestamp
+                    AND d.next_event_no = c.event_no)
+UNION ALL
+SELECT e.pair_id, e.era, e.order_id, e.life_no, e.event_no, 'dangling_alive'
+FROM level3 e
+WHERE e.chain_state = 'alive'
+  AND EXISTS (SELECT 1 FROM level3 g
+              WHERE g.order_id = e.order_id AND g.era = e.era
+                AND g.life_no = e.life_no AND g.event_no > e.event_no)
 """
 
 

@@ -559,3 +559,217 @@ SELECT
     price_microtimestamp, price_event_no, chain_state, era
 FROM annotated
 """
+
+
+# --------------------------- Q4 chain-integrity repairs (closed forms) ------
+
+_CHAIN_KEYS = ["pair_id", "exchange_id", "era", "order_id", "life_no"]
+
+
+def corrupt_chains(l3: DataFrame) -> DataFrame:
+    """Deterministic corruption fabric for the Q4 repair round-trip: inject
+    exactly the three defect classes ``fix_chain_integrity`` removes, on
+    DISJOINT order families, such that the repair restores the original log
+    bit-for-bit (the gate then hash-compares against plain level3).
+
+    - order_id % 10 == 3 (life 0, chained first event): a spurious eternal
+      duplicate creation — a clone of event 1 at ts+37s, chain_state
+      'alive' (the reference's fix_duplicate target,
+      db/obanalytics_schema.sql:2180-2196);
+    - order_id % 10 == 4 (life 0, ≥3 events): event 2's forward pointer
+      wiped and state flipped to 'alive' → event 3 orphans (fix_eternals,
+      :2208-2256);
+    - order_id % 10 == 6 (life 0, ≥2 chained events): a GENERATED delete
+      (local_timestamp NULL) wedged between events 1 and 2, event 1
+      re-pointed at it → the real event 2 orphans
+      (fix_premature_deletes, :2290-2336).
+    """
+    cols = l3.columns
+    w_life = W.partitionBy(*_CHAIN_KEYS)
+    sized = l3.withColumn("_n_life", F.max("event_no").over(w_life))
+
+    dup_fam = (F.col("order_id") % 10 == 3) & (F.col("life_no") == 0)
+    dup_rows = (
+        sized.filter(dup_fam & (F.col("event_no") == 1)
+                     & (F.col("chain_state") == "chained"))
+        .withColumn("microtimestamp",
+                    F.col("microtimestamp") + F.expr("INTERVAL 37 SECONDS"))
+        .withColumn("local_timestamp",
+                    F.col("local_timestamp") + F.expr("INTERVAL 37 SECONDS"))
+        .withColumn("chain_state", F.lit("alive"))
+        .withColumn("next_microtimestamp", F.lit(None).cast("timestamp"))
+        .withColumn("next_event_no", F.lit(None).cast("int"))
+        .select(*cols)
+    )
+
+    et_fam = ((F.col("order_id") % 10 == 4) & (F.col("life_no") == 0)
+              & (F.col("_n_life") >= 3))
+    base = sized.select(
+        *cols,
+        F.when(et_fam & (F.col("event_no") == 2), True)
+        .otherwise(False).alias("_wipe"))
+    base = (
+        base
+        .withColumn("chain_state",
+                    F.when(F.col("_wipe"), "alive").otherwise(F.col("chain_state")))
+        .withColumn("next_microtimestamp",
+                    F.when(F.col("_wipe"), F.lit(None).cast("timestamp"))
+                    .otherwise(F.col("next_microtimestamp")))
+        .withColumn("next_event_no",
+                    F.when(F.col("_wipe"), F.lit(None).cast("int"))
+                    .otherwise(F.col("next_event_no")))
+        .drop("_wipe")
+    )
+
+    pm_fam = ((F.col("order_id") % 10 == 6) & (F.col("life_no") == 0)
+              & (F.col("_n_life") >= 2))
+    e1 = sized.filter(pm_fam & (F.col("event_no") == 1)
+                      & (F.col("chain_state") == "chained")).select(
+        *_CHAIN_KEYS,
+        F.col("microtimestamp").alias("_ts1"),
+        F.col("next_microtimestamp").alias("_ts2"))
+    mid = F.timestamp_micros(
+        ((F.unix_micros("_ts1") + F.unix_micros("_ts2")) / 2).cast("long"))
+    g_meta = e1.select(*_CHAIN_KEYS, F.col("_ts2"), mid.alias("_g_ts"))
+    e2 = sized.filter(pm_fam & (F.col("event_no") == 2)).select(*cols)
+    g_rows = (
+        e2.join(g_meta, _CHAIN_KEYS)
+        .filter(F.col("microtimestamp") == F.col("_ts2"))
+        .withColumn("microtimestamp", F.col("_g_ts"))
+        .withColumn("local_timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("chain_state", F.lit("deleted"))
+        .withColumn("next_microtimestamp", F.lit(None).cast("timestamp"))
+        .withColumn("next_event_no", F.lit(None).cast("int"))
+        .select(*cols)
+    )
+    repointed = (
+        base.join(g_meta.select(*_CHAIN_KEYS,
+                                F.col("_ts2").alias("_pm_ts2"), "_g_ts"),
+                  _CHAIN_KEYS, "left")
+        .withColumn(
+            "next_microtimestamp",
+            F.when((F.col("event_no") == 1)
+                   & F.col("_g_ts").isNotNull()
+                   & (F.col("next_microtimestamp") == F.col("_pm_ts2")),
+                   F.col("_g_ts"))
+            .otherwise(F.col("next_microtimestamp")))
+        .select(*cols)
+    )
+    return repointed.unionByName(dup_rows).unionByName(g_rows)
+
+
+def fix_chain_integrity(l3: DataFrame) -> DataFrame:
+    """Q4 repairs as one closed-form rewrite — the reference's
+    ``qty_level3_fix_duplicate_order_events`` / ``fix_eternals`` /
+    ``fix_premature_deletes`` (db/obanalytics_schema.sql:2157-2336), which
+    are per-era plpgsql DELETE/UPDATE programs there and three distributed
+    set operations here:
+
+    1. drop spurious eternal duplicate creations: event_no = 1, 'alive',
+       belonging to an (order, life) with any duplicated event_no;
+    2. premature deletes: a GENERATED delete (``local_timestamp`` NULL —
+       "produced by us, not by exchange") whose (order, life, event_no) has
+       an ORPHANED exchange-produced twin: re-point whoever targets the
+       generated row at the twin, then drop the generated row;
+    3. eternals: for every remaining orphan (event_no > 1, nobody's
+       ``next`` targets it), reconnect the same life's still-'alive' event
+       with event_no − 1.
+
+    Order matters exactly as in the reference: the premature reconnect runs
+    before orphan-based eternal reconnection (so a predecessor pointing at
+    a generated delete is never treated as eternal), and the generated row
+    is dropped only if still orphaned AFTER re-pointing.
+
+    Each stage's result is materialized (localCheckpoint) before the next:
+    every stage self-joins its input twice, so an unbroken lineage grows
+    the plan exponentially across the three stages (a production pipeline
+    writes each rewrite to the silver table anyway — this mirrors that
+    lifecycle in-session)."""
+    cols = l3.columns
+    keys = _CHAIN_KEYS
+    l3 = l3.localCheckpoint()
+
+    # (1) duplicate eternal creations
+    dup_lives = (l3.groupBy(*keys, "event_no").count().filter("count > 1")
+                 .select(*keys).distinct())
+    is_dup_victim = (F.col("event_no") == 1) & (F.col("chain_state") == "alive")
+    l3 = (
+        l3.join(dup_lives.withColumn("_dup", F.lit(True)), keys, "left")
+        .filter(~(F.coalesce(F.col("_dup"), F.lit(False)) & is_dup_victim))
+        .drop("_dup")
+    ).localCheckpoint()
+
+    # orphan set: event_no > 1 and no same-life row points at it
+    def _orphans(df: DataFrame) -> DataFrame:
+        a, b = df.alias("a"), df.alias("b")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        cond = cond & (F.col("b.next_microtimestamp") == F.col("a.microtimestamp")) \
+                    & (F.col("b.next_event_no") == F.col("a.event_no"))
+        return (a.filter("a.event_no > 1").join(b, cond, "left_anti")
+                .select(*[f"a.{c}" for c in df.columns]))
+
+    # (2) premature deletes: generated delete + orphaned exchange twin
+    gen = l3.filter((F.col("chain_state") == "deleted")
+                    & F.col("local_timestamp").isNull()).select(
+        *keys, "event_no", F.col("microtimestamp").alias("_g_ts"))
+    twin = (
+        _orphans(l3).filter(F.col("local_timestamp").isNotNull())
+        .join(gen, keys + ["event_no"])
+        .select(*keys, "event_no", "_g_ts",
+                F.col("microtimestamp").alias("_e_ts"))
+    )
+    # join ON the pointer match itself: a life with several generated
+    # deletes must not fan out unfixed row copies (tw is unique per
+    # (life, event_no), so each row matches at most once)
+    tw = twin.select(
+        *[F.col(k).alias(f"_tw_{k}") for k in keys],
+        F.col("event_no").alias("_t_eno"), "_g_ts", "_e_ts")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_tw_{k}"))
+    cond = cond & (F.col("next_microtimestamp") == F.col("_g_ts")) \
+                & (F.col("next_event_no") == F.col("_t_eno"))
+    l3 = (
+        l3.join(tw, cond, "left")
+        .withColumn("next_microtimestamp",
+                    F.coalesce(F.col("_e_ts"), F.col("next_microtimestamp")))
+        .select(*cols)
+    ).localCheckpoint()
+    # drop generated deletes that are STILL orphaned after re-pointing
+    still = _orphans(l3).filter((F.col("chain_state") == "deleted")
+                                & F.col("local_timestamp").isNull())
+    l3 = l3.join(
+        still.select(*keys, "event_no", "microtimestamp")
+        .withColumn("_drop", F.lit(True)),
+        keys + ["event_no", "microtimestamp"], "left"
+    ).filter(F.col("_drop").isNull()).drop("_drop").localCheckpoint()
+
+    # (3) eternals: reconnect event_no-1 'alive' rows to remaining orphans
+    # (join keyed by event_no == orphan.event_no - 1: at most one orphan
+    # per (life, event_no), so no fan-out for multi-orphan lives)
+    orph = _orphans(l3).select(
+        *[F.col(k).alias(f"_or_{k}") for k in keys],
+        F.col("event_no").alias("_o_eno"),
+        F.col("microtimestamp").alias("_o_ts"))
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_or_{k}"))
+    cond = cond & (F.col("event_no") == F.col("_o_eno") - 1) \
+                & (F.col("chain_state") == "alive")
+    l3 = (
+        l3.join(orph, cond, "left")
+        .withColumn("_fix", F.col("_o_eno").isNotNull())
+        .withColumn("next_microtimestamp",
+                    F.when(F.col("_fix"), F.col("_o_ts"))
+                    .otherwise(F.col("next_microtimestamp")))
+        .withColumn("next_event_no",
+                    F.when(F.col("_fix"), F.col("_o_eno"))
+                    .otherwise(F.col("next_event_no")).cast("int"))
+        .withColumn("chain_state",
+                    F.when(F.col("_fix"), "chained")
+                    .otherwise(F.col("chain_state")))
+        .select(*cols)
+    )
+    return l3

@@ -118,3 +118,32 @@ def test_validate_parameters():
         validate_parameters("2024-01-01 00:00:00", "2024-03-15 00:00:00")
     with pytest.raises(ValueError):
         validate_parameters("2024-02-01 00:00:00", "2024-01-01 00:00:00")
+
+
+def test_fix_chain_integrity_round_trip(level3):
+    """corrupt → fix == original, and the audit sees the injected defects
+    before and zero after (Q4 repair trio,
+    db/obanalytics_schema.sql:2157-2336)."""
+    import pandas as pd
+
+    from obadiah_spark.operators.quality import chain_audit
+    from obadiah_spark.operators.repair import (
+        corrupt_chains, fix_chain_integrity)
+
+    bad = corrupt_chains(level3).cache()
+    assert bad.count() > level3.count()          # injections landed
+    issues = {r.issue for r in chain_audit(bad).select("issue").distinct().collect()}
+    assert {"duplicate_event", "pointer_orphan", "dangling_alive"} <= issues
+
+    fixed = fix_chain_integrity(bad).cache()
+    assert chain_audit(fixed).count() == 0
+
+    cols = sorted(level3.columns)
+    a = level3.select(*cols).toPandas().sort_values(
+        ["pair_id", "era", "order_id", "life_no", "event_no", "microtimestamp"]
+    ).reset_index(drop=True)
+    b = fixed.select(*cols).toPandas().sort_values(
+        ["pair_id", "era", "order_id", "life_no", "event_no", "microtimestamp"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+    bad.unpersist(); fixed.unpersist()
