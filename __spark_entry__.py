@@ -560,6 +560,16 @@ def _q_merge_episodes(spark, sf_dir):
     return merge_episodes(_l3(spark, sf_dir), EV_START, EV_END)
 
 
+def _q_match_audit(spark, sf_dir):
+    """Trade-link integrity audit (the reference's matches FKs +
+    live_trades triggers as a violations relation): zero rows on the
+    consistent store."""
+    from obadiah_spark.operators.quality import match_audit
+
+    l3 = _l3(spark, sf_dir)
+    return match_audit(l3, spark.table("matches"))
+
+
 def _q_fix_chain_integrity(spark, sf_dir):
     """Q4 repair trio round-trip: inject the reference's three defect
     classes (duplicate eternal creations, wiped forward pointers, premature
@@ -861,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
         "fix_chain_integrity": _q_fix_chain_integrity,
+        "match_audit": _q_match_audit,
         "move_audit": _q_move_audit,
         "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -904,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from obadiah_spark.operators.quality import (
         CHAIN_AUDIT_ORACLE_BODY,
+        MATCH_AUDIT_ORACLE_BODY,
         crossed_books_oracle,
         invalid_takers_oracle_sql,
     )
@@ -1005,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "crossed_books": level3_cte(crossed_books_oracle()),
         "order_book_takers": level3_cte(invalid_takers_oracle_sql()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
+        "match_audit": level3_matches_cte(MATCH_AUDIT_ORACLE_BODY),
         "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
         "match_sequential": level3_cte(_match_sequential_oracle(

@@ -121,3 +121,43 @@ SELECT pair_id, order_id AS id,
        CASE side WHEN 'b' THEN 'bid' ELSE 'ask' END AS direction
 FROM active
 """
+
+
+def available_exchanges(l3: DataFrame, spark: SparkSession) -> DataFrame:
+    """E6 ``get.available_exchanges``: exchanges with data
+    (db/get_schema.sql:165-176)."""
+    return (l3.select("exchange_id").distinct()
+            .join(F.broadcast(spark.table("exchanges")), "exchange_id")
+            .select("exchange"))
+
+
+def available_pairs(l3: DataFrame, spark: SparkSession,
+                    exchange: str | None = None) -> DataFrame:
+    """E6 ``get.available_pairs``: pairs with data, optionally for one
+    exchange (db/get_schema.sql:178-192)."""
+    d = l3.select("exchange_id", "pair_id").distinct()
+    if exchange is not None:
+        ex = spark.table("exchanges").filter(F.lower("exchange") == exchange.lower())
+        d = d.join(F.broadcast(ex), "exchange_id")
+    return (d.join(F.broadcast(spark.table("pairs")), "pair_id")
+            .select("pair").distinct())
+
+
+def pair_id(spark: SparkSession, pair: str) -> int:
+    """F8 ``get.pair_id``: case-insensitive name → id
+    (db/get_schema.sql:509-514)."""
+    rows = (spark.table("pairs")
+            .filter(F.upper("pair") == pair.upper()).select("pair_id").collect())
+    if not rows:
+        raise KeyError(f"unknown pair {pair!r}")
+    return rows[0].pair_id
+
+
+def exchange_id(spark: SparkSession, exchange: str) -> int:
+    """F8 ``get.exchange_id`` (db/get_schema.sql:612-617)."""
+    rows = (spark.table("exchanges")
+            .filter(F.lower("exchange") == exchange.lower())
+            .select("exchange_id").collect())
+    if not rows:
+        raise KeyError(f"unknown exchange {exchange!r}")
+    return rows[0].exchange_id

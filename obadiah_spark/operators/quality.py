@@ -340,3 +340,75 @@ def audit_microtimestamp_moves(rewritten: DataFrame, max_change_s: int = 15) -> 
         .when(delta_us > max_change_s * 1_000_000, "too_far")
         .alias("violation"),
     )
+
+
+def match_audit(l3: DataFrame, matches: DataFrame) -> DataFrame:
+    """Trade-link integrity audit — the invariants the reference enforces
+    with FKs on ``obanalytics.matches`` and the bitstamp
+    ``live_trades_validate`` / ``live_trades_manage_linked_events``
+    triggers (db/bitstamp_schema.sql): every linked (order, event) exists
+    at the trade's instant, the linked event's fill equals the trade
+    amount, and the link is on the correct side. Returns violations
+    (zero rows on a consistent store — the gate entry)."""
+    # the reference link is the FULL level3 pkey (microtimestamp, order_id,
+    # event_no) — event_no alone is reused across reincarnation lives, so
+    # the instant is part of the identity, not a separate consistency check
+    ev = l3.select(
+        "pair_id", "era", "order_id", "event_no", "microtimestamp",
+        F.lit(True).alias("_found"),
+        F.col("side").alias("_ev_side"), F.col("fill").alias("_ev_fill"))
+
+    out = []
+    for side, oid, eno in (("b", "buy_order_id", "buy_event_no"),
+                           ("s", "sell_order_id", "sell_event_no")):
+        m = matches.filter(F.col(oid).isNotNull()).select(
+            "pair_id", "era", "microtimestamp", "amount",
+            "exchange_trade_id",
+            F.col(oid).alias("order_id"), F.col(eno).alias("event_no"))
+        j = m.join(ev, ["pair_id", "era", "order_id", "event_no",
+                        "microtimestamp"], "left")
+        missing = j.filter(F.col("_found").isNull()).select(
+            "pair_id", "exchange_trade_id",
+            F.lit(f"missing_{side}_event").alias("issue"))
+        bad_fill = j.filter(
+            F.col("_found") & (F.col("_ev_fill") != F.col("amount"))).select(
+            "pair_id", "exchange_trade_id",
+            F.lit(f"fill_mismatch_{side}").alias("issue"))
+        wrong_side = j.filter(
+            F.col("_found") & (F.col("_ev_side") != side)).select(
+            "pair_id", "exchange_trade_id",
+            F.lit(f"wrong_side_{side}").alias("issue"))
+        out += [missing, bad_fill, wrong_side]
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+MATCH_AUDIT_ORACLE_BODY = """
+WITH links AS (
+    SELECT pair_id, era, microtimestamp, amount, exchange_trade_id,
+           buy_order_id AS order_id, buy_event_no AS event_no, 'b' AS lside
+    FROM matches WHERE buy_order_id IS NOT NULL
+    UNION ALL
+    SELECT pair_id, era, microtimestamp, amount, exchange_trade_id,
+           sell_order_id, sell_event_no, 's'
+    FROM matches WHERE sell_order_id IS NOT NULL
+), j AS (
+    SELECT k.*, e.microtimestamp IS NOT NULL AS found,
+           e.side AS ev_side, e.fill AS ev_fill
+    FROM links k LEFT JOIN level3 e
+      ON e.pair_id = k.pair_id AND e.era = k.era
+     AND e.order_id = k.order_id AND e.event_no = k.event_no
+     AND e.microtimestamp = k.microtimestamp
+)
+SELECT pair_id, exchange_trade_id,
+       'missing_' || lside || '_event' AS issue
+FROM j WHERE NOT found
+UNION ALL
+SELECT pair_id, exchange_trade_id, 'fill_mismatch_' || lside
+FROM j WHERE found AND ev_fill <> amount
+UNION ALL
+SELECT pair_id, exchange_trade_id, 'wrong_side_' || lside
+FROM j WHERE found AND ev_side <> lside
+"""

@@ -122,3 +122,63 @@ def test_check_takers_flag_and_invalid_takers(spark):
     inst = spark.createDataFrame([(datetime(2024, 1, 1, 0, 3),)], "at_ts timestamp")
     bad = invalid_takers(l3, inst).collect()
     assert [(r.order_id, r.side, r.price) for r in bad] == [(4, "b", 103.0)]
+
+
+def test_match_audit_detects_corruption(spark, level3):
+    """Zero on a consistent hand-built store; a broken link, wrong fill and
+    wrong side each produce exactly their issue class (density-independent:
+    the synth matches table is empty at tiny sf)."""
+    from obadiah_spark.operators.quality import match_audit
+
+    T = "2024-01-08 10:0{}:00"
+    l3 = spark.createDataFrame(
+        [(1, "2024-01-08", T.format(1), 10, 1, "b", 0.5),
+         (1, "2024-01-08", T.format(2), 11, 1, "s", 0.5),
+         (1, "2024-01-08", T.format(3), 12, 2, "b", 0.25)],
+        "pair_id int, era string, microtimestamp string, order_id long, "
+        "event_no int, side string, fill double",
+    ).selectExpr("pair_id", "CAST(era AS TIMESTAMP) era",
+                 "CAST(microtimestamp AS TIMESTAMP) microtimestamp",
+                 "order_id", "event_no", "side", "fill")
+    mk = [(1, "2024-01-08", T.format(1), 0.5, 10, 1, None, None, 900),
+          (1, "2024-01-08", T.format(2), 0.5, None, None, 11, 1, 901),
+          (1, "2024-01-08", T.format(3), 0.25, 12, 2, None, None, 902)]
+    matches = spark.createDataFrame(
+        mk, "pair_id int, era string, microtimestamp string, amount double, "
+            "buy_order_id long, buy_event_no int, sell_order_id long, "
+            "sell_event_no int, exchange_trade_id long",
+    ).selectExpr("pair_id", "CAST(era AS TIMESTAMP) era",
+                 "CAST(microtimestamp AS TIMESTAMP) microtimestamp",
+                 "amount", "buy_order_id", "buy_event_no",
+                 "sell_order_id", "sell_event_no", "exchange_trade_id")
+    assert match_audit(l3, matches).count() == 0
+
+    broken = matches.selectExpr(
+        "pair_id", "era", "microtimestamp",
+        "CASE WHEN exchange_trade_id = 901 THEN amount + 1 ELSE amount END AS amount",
+        "CASE WHEN exchange_trade_id = 900 THEN buy_order_id ELSE buy_order_id END AS buy_order_id",
+        "CASE WHEN exchange_trade_id = 900 THEN buy_event_no + 99 ELSE buy_event_no END AS buy_event_no",
+        # 902's buy link re-pointed at a SELL-side event: wrong_side
+        "CASE WHEN exchange_trade_id = 902 THEN 11 ELSE sell_order_id END AS sell_order_id",
+        "CASE WHEN exchange_trade_id = 902 THEN NULL ELSE sell_event_no END AS sell_event_no",
+        "exchange_trade_id",
+    )
+    issues = {(r.exchange_trade_id, r.issue)
+              for r in match_audit(l3, broken).collect()}
+    assert (900, "missing_b_event") in issues
+    assert (901, "fill_mismatch_s") in issues
+
+
+def test_catalog_lookup_helpers(spark, level3):
+    from obadiah_spark.operators.catalog import (
+        available_exchanges, available_pairs, exchange_id, pair_id)
+
+    assert {r.exchange for r in available_exchanges(level3, spark).collect()} \
+        == {"bitfinex"}
+    assert {r.pair for r in available_pairs(level3, spark).collect()} \
+        == {"BTCUSD", "ETHUSD"}
+    assert pair_id(spark, "btcusd") == 1
+    assert exchange_id(spark, "BITFINEX") == 1
+    import pytest
+    with pytest.raises(KeyError):
+        pair_id(spark, "DOGEUSD")
