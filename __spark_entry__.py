@@ -479,6 +479,10 @@ def _q_match_sequential(spark, sf_dir):
         F.col("side").alias("trade_type"),
         "buy_order_id", "sell_order_id",
     )
+    # inferred_trades is itself a multi-window pipeline; materialize it once
+    # (it is tiny — one row per fill) instead of letting the matcher's
+    # consumers re-derive it inside a compound plan
+    t = t.localCheckpoint()
     return match_sequential(l3, t, offset=1)
 
 

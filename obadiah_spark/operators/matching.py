@@ -486,19 +486,37 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
         (F.col("side") != F.col("n_side"))
         & F.col("is_fillish") & F.col("n_is_fillish")
     )
-    t = trades.select(
-        "pair_id", "era", "exchange_trade_id", "trade_microtimestamp",
+    # both orientations as ONE equi-join: explode each trade into its two
+    # (first event, second event) order-id orientations and join once.
+    # Semantically identical to the union of the buy-first and sell-first
+    # joins, but the ev lead-window pipeline and the trades input are each
+    # evaluated once instead of twice — at the gate, where `trades` is the
+    # full inferred_trades derivation, that halves the physical plan.
+    # Join keys get t_-prefixed names: `trades` commonly shares lineage
+    # with `l3` (closed-loop gates derive it FROM the event log), and
+    # fresh names sidestep the ambiguous-self-join attribute trap
+    t2 = trades.select(
+        F.col("pair_id").alias("t_pair_id"), F.col("era").alias("t_era"),
+        "exchange_trade_id", "trade_microtimestamp",
         F.col("amount").alias("t_amount"), F.col("price").alias("t_price"),
         "trade_type", "buy_order_id", "sell_order_id",
+        F.explode(F.array(F.lit(True), F.lit(False))).alias("ev_is_buy"),
+    ).withColumn(
+        "_first_oid",
+        F.when(F.col("ev_is_buy"), F.col("buy_order_id"))
+         .otherwise(F.col("sell_order_id")),
+    ).withColumn(
+        "_second_oid",
+        F.when(F.col("ev_is_buy"), F.col("sell_order_id"))
+         .otherwise(F.col("buy_order_id")),
     )
-    a = ev.join(t, (ev.pair_id == t.pair_id) & (ev.era == t.era)
-                & (ev.order_id == t.buy_order_id)
-                & (ev.n_order_id == t.sell_order_id)).drop(t.pair_id).drop(t.era)
-    b = ev.join(t, (ev.pair_id == t.pair_id) & (ev.era == t.era)
-                & (ev.order_id == t.sell_order_id)
-                & (ev.n_order_id == t.buy_order_id)).drop(t.pair_id).drop(t.era)
-    cand = a.withColumn("ev_is_buy", F.lit(True)).unionByName(
-        b.withColumn("ev_is_buy", F.lit(False)))
+    cand = (
+        ev.join(t2, (F.col("pair_id") == F.col("t_pair_id"))
+                & (F.col("era") == F.col("t_era"))
+                & (F.col("order_id") == F.col("_first_oid"))
+                & (F.col("n_order_id") == F.col("_second_oid")))
+        .drop("t_pair_id", "t_era", "_first_oid", "_second_oid")
+    )
     tol = F.col("t_amount") * 0 + F.lit(tolerance_pct) * F.col("t_price")
     mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
                     F.col("fill"), F.col("is_del"), tol)
@@ -514,7 +532,12 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
             | ((F.col("trade_type") == "s") & (buy_pts <= sell_pts))
         )
     )
-    # a single event may not participate in two trades (reference `matches`)
+    # a single event may not participate in two trades (reference `matches`).
+    # `proposed` is referenced twice below (as itself and as the exclusion
+    # set) — cut lineage so the candidate pipeline (lead windows + trade
+    # join) runs once, not once per reference; one candidate row per trade
+    # orientation, so this is a small frame
+    proposed = proposed.localCheckpoint()
     seconds = proposed.select(
         "pair_id", "era",
         F.col("n_order_id").alias("x_oid"), F.col("n_event_no").alias("x_eno"),

@@ -158,14 +158,32 @@ WHERE NOT is_maker AND coalesce(next_state, '') <> 'deleted'
 def chain_audit(l3: DataFrame) -> DataFrame:
     """Q4: one row per chain-integrity violation (empty on healthy data).
 
-    Reincarnation-aware: a chain is identified by (order_id, era, life_no) —
-    event_no restarts at 1 per life (reference reincarnation_no,
-    db/bitfinex_schema.sql:408-417), so uniqueness and predecessor checks
-    must scope to the life, not the bare (order, era)."""
+    Reincarnation-aware: a chain is identified by (pair_id, exchange_id,
+    era, order_id, life_no) — event_no restarts at 1 per life (reference
+    reincarnation_no, db/bitfinex_schema.sql:408-417), so uniqueness and
+    predecessor checks must scope to the life, not the bare (order, era).
+    The pair/exchange keys are load-bearing in every join: order_ids are
+    only unique within an exchange's pair, so a same-numbered order on
+    another pair could otherwise mask a real violation (matching
+    repair._CHAIN_KEYS)."""
     keys = ["pair_id", "era", "order_id", "life_no", "event_no"]
 
+    def _same_order(x: str, y: str):
+        # order identity — pair/exchange included so cross-pair order_id
+        # collisions can't satisfy (or mask) a probe
+        return (
+            (F.col(f"{x}.order_id") == F.col(f"{y}.order_id"))
+            & (F.col(f"{x}.pair_id") == F.col(f"{y}.pair_id"))
+            & (F.col(f"{x}.exchange_id") == F.col(f"{y}.exchange_id"))
+            & (F.col(f"{x}.era") == F.col(f"{y}.era"))
+        )
+
+    def _same_chain(x: str, y: str):
+        return _same_order(x, y) \
+            & (F.col(f"{x}.life_no") == F.col(f"{y}.life_no"))
+
     dup = (
-        l3.groupBy(*keys).count().filter("count > 1")
+        l3.groupBy(*keys, "exchange_id").count().filter("count > 1")
         .select(*keys, F.lit("duplicate_event").alias("issue"))
     )
     a, b = l3.alias("a"), l3.alias("b")
@@ -173,9 +191,7 @@ def chain_audit(l3: DataFrame) -> DataFrame:
         a.filter("a.event_no > 1")
         .join(
             b,
-            (F.col("a.order_id") == F.col("b.order_id"))
-            & (F.col("a.era") == F.col("b.era"))
-            & (F.col("a.life_no") == F.col("b.life_no"))
+            _same_chain("a", "b")
             & (F.col("a.event_no") == F.col("b.event_no") + 1),
             "left_anti",
         )
@@ -198,8 +214,7 @@ def chain_audit(l3: DataFrame) -> DataFrame:
         .filter(F.col("l1.event_no") == 1)
         .join(
             l2,
-            (F.col("l1.order_id") == F.col("l2.order_id"))
-            & (F.col("l1.era") == F.col("l2.era"))
+            _same_order("l1", "l2")
             & (F.col("l1.life_no") == F.col("l2.life_no") + 1)
             & (F.col("l2.chain_state") == "deleted")
             & (F.col("l2.microtimestamp") < F.col("l1.microtimestamp")),
@@ -223,9 +238,7 @@ def chain_audit(l3: DataFrame) -> DataFrame:
         c.filter("c.event_no > 1")
         .join(
             d,
-            (F.col("c.order_id") == F.col("d.order_id"))
-            & (F.col("c.era") == F.col("d.era"))
-            & (F.col("c.life_no") == F.col("d.life_no"))
+            _same_chain("c", "d")
             & (F.col("d.next_microtimestamp") == F.col("c.microtimestamp"))
             & (F.col("d.next_event_no") == F.col("c.event_no")),
             "left_anti",
@@ -240,9 +253,7 @@ def chain_audit(l3: DataFrame) -> DataFrame:
         e.filter(F.col("e.chain_state") == "alive")
         .join(
             g,
-            (F.col("e.order_id") == F.col("g.order_id"))
-            & (F.col("e.era") == F.col("g.era"))
-            & (F.col("e.life_no") == F.col("g.life_no"))
+            _same_chain("e", "g")
             & (F.col("g.event_no") > F.col("e.event_no")),
             "left_semi",
         )
@@ -258,15 +269,18 @@ def chain_audit(l3: DataFrame) -> DataFrame:
 
 CHAIN_AUDIT_ORACLE_BODY = """
 SELECT pair_id, era, order_id, life_no, event_no, 'duplicate_event' AS issue
-FROM (SELECT pair_id, era, order_id, life_no, event_no, count(*) AS n
-      FROM level3 GROUP BY pair_id, era, order_id, life_no, event_no) d
+FROM (SELECT pair_id, exchange_id, era, order_id, life_no, event_no,
+             count(*) AS n
+      FROM level3
+      GROUP BY pair_id, exchange_id, era, order_id, life_no, event_no) d
 WHERE n > 1
 UNION ALL
 SELECT a.pair_id, a.era, a.order_id, a.life_no, a.event_no, 'orphan_chain'
 FROM level3 a
 WHERE a.event_no > 1
   AND NOT EXISTS (SELECT 1 FROM level3 b
-                  WHERE b.order_id = a.order_id AND b.era = a.era
+                  WHERE b.order_id = a.order_id AND b.pair_id = a.pair_id
+                    AND b.exchange_id = a.exchange_id AND b.era = a.era
                     AND b.life_no = a.life_no
                     AND b.event_no = a.event_no - 1)
 UNION ALL
@@ -281,7 +295,8 @@ SELECT l1.pair_id, l1.era, l1.order_id, l1.life_no, l1.event_no, 'life_without_d
 FROM level3 l1
 WHERE l1.life_no > 0 AND l1.event_no = 1
   AND NOT EXISTS (SELECT 1 FROM level3 l2
-                  WHERE l2.order_id = l1.order_id AND l2.era = l1.era
+                  WHERE l2.order_id = l1.order_id AND l2.pair_id = l1.pair_id
+                    AND l2.exchange_id = l1.exchange_id AND l2.era = l1.era
                     AND l2.life_no = l1.life_no - 1
                     AND l2.chain_state = 'deleted'
                     AND l2.microtimestamp < l1.microtimestamp)
@@ -294,7 +309,8 @@ SELECT c.pair_id, c.era, c.order_id, c.life_no, c.event_no, 'pointer_orphan'
 FROM level3 c
 WHERE c.event_no > 1
   AND NOT EXISTS (SELECT 1 FROM level3 d
-                  WHERE d.order_id = c.order_id AND d.era = c.era
+                  WHERE d.order_id = c.order_id AND d.pair_id = c.pair_id
+                    AND d.exchange_id = c.exchange_id AND d.era = c.era
                     AND d.life_no = c.life_no
                     AND d.next_microtimestamp = c.microtimestamp
                     AND d.next_event_no = c.event_no)
@@ -303,7 +319,8 @@ SELECT e.pair_id, e.era, e.order_id, e.life_no, e.event_no, 'dangling_alive'
 FROM level3 e
 WHERE e.chain_state = 'alive'
   AND EXISTS (SELECT 1 FROM level3 g
-              WHERE g.order_id = e.order_id AND g.era = e.era
+              WHERE g.order_id = e.order_id AND g.pair_id = e.pair_id
+                AND g.exchange_id = e.exchange_id AND g.era = e.era
                 AND g.life_no = e.life_no AND g.event_no > e.event_no)
 """
 

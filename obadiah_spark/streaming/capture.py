@@ -41,8 +41,10 @@ Spark-first decomposition (NOT a port of the asyncio machinery):
 - **batch threshold**: micro-batches already batch; ``min_save_count``
   optionally buffers small batches driver-side exactly like the
   reference's ``self.records`` (same crash-window caveat the reference
-  has, bitfinex.py:84-95). The default 0 keeps the sink write-per-batch
-  and exactly-once.
+  has, bitfinex.py:84-95). Delivery: the default 0 writes each batch to a
+  batchId-keyed parquet leaf with overwrite — idempotent under
+  foreachBatch replay, i.e. effectively exactly-once; the buffered path
+  (> 0) is at-least-once with dedup-on-promote via ``event_id``.
 """
 
 from __future__ import annotations
@@ -62,30 +64,48 @@ from pyspark.sql import functions as F
 PARSED_SCHEMA = (
     "kind string, event string, chan_id int, channel string, tag string, "
     "arity int, is_snapshot boolean, rts_ms long, "
-    "f0 double, f1 double, f2 double, f3 double, line_no long"
+    "f0 double, f1 double, f2 double, f3 double, line_no long, entry_no int"
 )
 
 _PARSED_COLS = ["kind", "event", "chan_id", "channel", "tag", "arity",
-                "is_snapshot", "rts_ms", "f0", "f1", "f2", "f3", "line_no"]
+                "is_snapshot", "rts_ms", "f0", "f1", "f2", "f3", "line_no",
+                "entry_no"]
+
+
+def _garbage(line_no: int, chan=None, tag=None) -> list[tuple]:
+    return [("garbage", None, chan, None, tag, None, None, None,
+             None, None, None, None, line_no, 0)]
 
 
 def _parse_one(line: str, line_no: int) -> list[tuple]:
-    """Classify one wire line → normalized rows (no registry needed)."""
+    """Classify one wire line → normalized rows (no registry needed).
+
+    Tolerance contract: a malformed line NEVER raises — it classifies as
+    ``garbage`` (one bad wire frame must not kill the capture query; the
+    quarantine sink exists precisely so nothing is silently lost)."""
+    try:
+        return _parse_one_strict(line, line_no)
+    except Exception:
+        # structurally-valid JSON with broken content (short 'tu', a
+        # non-numeric payload member, a non-integer chanId, ...) is garbage
+        # by the same contract as unparseable JSON
+        return _garbage(line_no)
+
+
+def _parse_one_strict(line: str, line_no: int) -> list[tuple]:
     try:
         msg = json.loads(line)
     except (ValueError, TypeError):
-        return [("garbage", None, None, None, None, None, None, None,
-                 None, None, None, None, line_no)]
+        return _garbage(line_no)
     if isinstance(msg, dict):
         # dict messages dispatch on 'event' (capture.py:89-90); only
         # 'subscribed' carries routing state the sink needs
         return [("event", str(msg.get("event")),
                  int(msg["chanId"]) if "chanId" in msg else None,
                  str(msg.get("channel")) if "channel" in msg else None,
-                 None, None, None, None, None, None, None, None, line_no)]
+                 None, None, None, None, None, None, None, None, line_no, 0)]
     if not isinstance(msg, list) or len(msg) < 2:
-        return [("garbage", None, None, None, None, None, None, None,
-                 None, None, None, None, line_no)]
+        return _garbage(line_no)
     chan = int(msg[0])
     payload = msg[1]
     rts_ms = int(msg[2]) if len(msg) > 2 and isinstance(msg[2], (int, float)) \
@@ -94,25 +114,26 @@ def _parse_one(line: str, line_no: int) -> list[tuple]:
         if payload in ("hb", "te"):
             # heartbeats and 'te' pre-trades are dropped by both handlers
             return [("data", None, chan, None, payload, None, False, rts_ms,
-                     None, None, None, None, line_no)]
+                     None, None, None, None, line_no, 0)]
         if payload == "tu":
             entry = msg[2]
             return [("data", None, chan, None, "tu", len(entry), False, None,
                      *([float(x) for x in entry] + [None] * (4 - len(entry))),
-                     line_no)]
-        return [("garbage", None, chan, None, payload, None, None, None,
-                 None, None, None, None, line_no)]
+                     line_no, 0)]
+        return _garbage(line_no, chan, payload)
     if isinstance(payload, list) and payload and isinstance(payload[0], list):
         # snapshot: nested list of entries (book triple / trade quad)
+        # entry_no: position within the snapshot — each expanded row needs
+        # its own slot in the capture sequence (same line_no otherwise)
         out = []
-        for entry in payload:
+        for i, entry in enumerate(payload):
             vals = [float(x) for x in entry] + [None] * (4 - len(entry))
             out.append(("data", None, chan, None, "snapshot", len(entry),
-                        True, rts_ms, *vals[:4], line_no))
+                        True, rts_ms, *vals[:4], line_no, i))
         return out
     vals = [float(x) for x in payload] + [None] * (4 - len(payload))
     return [("data", None, chan, None, "update", len(payload), False, rts_ms,
-             *vals[:4], line_no)]
+             *vals[:4], line_no, 0)]
 
 
 def parse_frames(lines: DataFrame) -> DataFrame:
@@ -156,6 +177,15 @@ BOOK_COLS = ["exchange_ts", "order_id", "price", "amount", "pair_id",
              "local_ts", "channel_id", "is_snapshot", "event_id"]
 TRADE_COLS = ["id", "qty", "price", "local_timestamp", "exchange_timestamp",
               "pair_id", "channel_id"]
+# explicit sink schemas: the buffered flush() path must NOT type-infer from
+# pandas (an all-None column, e.g. exchange_ts for frames without rts,
+# would fail inference or drift vs the write-per-batch parquet schema)
+BOOK_SCHEMA = ("exchange_ts timestamp, order_id long, price double, "
+               "amount double, pair_id int, local_ts timestamp, "
+               "channel_id int, is_snapshot boolean, event_id long")
+TRADE_SCHEMA = ("id long, qty double, price double, "
+                "local_timestamp timestamp, exchange_timestamp timestamp, "
+                "pair_id int, channel_id int")
 
 
 def route_batch(parsed: DataFrame, registry: dict[int, str], pair_id: int,
@@ -164,8 +194,16 @@ def route_batch(parsed: DataFrame, registry: dict[int, str], pair_id: int,
     registry.
 
     ``event_id`` is the deterministic capture sequence the SRC2 framing
-    window orders by: (batch_seq << 33) + line_no keeps cross-batch order
-    without driver state. Book columns line up with
+    window orders by: (batch_seq << 33) + row_number over
+    (line_no, entry_no). The explicit row_number (not raw line_no) fixes
+    two collision classes: ``monotonically_increasing_id`` puts the
+    partition id in bits ≥ 33 on multi-partition frames (which would
+    alias a later batch's partition-0 range), and snapshot expansion
+    yields several rows per wire line (same line_no). The global window
+    is a single-partition pass — a capture batch is seconds of wire
+    frames from one serial socket, so that IS its natural shape, not a
+    bottleneck (``CaptureSink`` coalesces to one partition up front).
+    Book columns line up with
     :func:`obadiah_spark.sources.bitstamp.frame_episodes` input
     (``channel_id`` rides along as the per-channel window axis)."""
     book_chans = [c for c, ch in registry.items() if ch == "book"]
@@ -175,9 +213,15 @@ def route_batch(parsed: DataFrame, registry: dict[int, str], pair_id: int,
         # isin([]) is rejected by the analyzer
         return F.col("chan_id").isin(chans) if chans else F.lit(False)
 
+    from pyspark.sql import Window
+
     lts = F.col("_lts")
-    eid = (F.lit(int(batch_seq) << 33) + F.col("line_no")).cast("long")
-    data = parsed.filter(F.col("kind") == "data")
+    eid = F.col("_eid")
+    data = parsed.filter(F.col("kind") == "data").withColumn(
+        "_eid",
+        (F.lit(int(batch_seq) << 33)
+         + F.row_number().over(Window.orderBy("line_no", "entry_no"))
+         - F.lit(1)).cast("long"))
     book = (
         data.filter(_in(book_chans)
                     & F.col("tag").isin(["snapshot", "update"]))
@@ -247,8 +291,13 @@ class CaptureSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self._spark = batch_df.sparkSession
+        # one partition per batch: makes monotonically_increasing_id a pure
+        # 0..n-1 wire sequence (no partition-id bits), so the
+        # (batch_seq << 33) + line_no event_id is collision-free across
+        # batches and ordered exactly like the wire. Capture batches are
+        # seconds of frames from one serial socket — never large.
         parsed = (
-            parse_frames(batch_df.select("value"))
+            parse_frames(batch_df.select("value").coalesce(1))
             .withColumn("_lts", F.current_timestamp())
         )
         subs = (
@@ -263,11 +312,12 @@ class CaptureSink:
         book, trades, unrouted = route_batch(
             parsed, self.registry, self.pair_id, batch_seq=int(batch_id))
         # quarantine writes immediately (never buffered: it exists so no
-        # frame is ever only in driver memory for an unknown channel)
-        unrouted.write.mode("append").parquet(
-            os.path.join(self.bronze_path, "_unrouted"))
+        # frame is ever only in driver memory for an unknown channel);
+        # batchId-keyed overwrite → idempotent under foreachBatch replay
+        unrouted.write.mode("overwrite").parquet(
+            self._batch_dir("_unrouted", batch_id))
         if self.min_save_count <= 0:
-            self._write(book, trades)
+            self._write(book, trades, batch_id)
             return
         bp, tp = book.toPandas(), trades.toPandas()
         self._book_buf.append(bp)
@@ -276,20 +326,41 @@ class CaptureSink:
         if self._buffered >= self.min_save_count:
             self.flush()
 
-    def _write(self, book: DataFrame, trades: DataFrame) -> None:
-        book.write.mode("append").parquet(
-            os.path.join(self.bronze_path, "raw_book"))
-        trades.write.mode("append").parquet(
-            os.path.join(self.bronze_path, "raw_trades"))
+    def _batch_dir(self, sub: str, batch_id: int) -> str:
+        # Hive-style batch_seq=N leaf: readers of the table root discover
+        # it as an extra int partition column; re-running the same batch
+        # OVERWRITES its own leaf → the write-per-batch path is idempotent
+        # (exactly-once effective) under foreachBatch's at-least-once replay
+        return os.path.join(self.bronze_path, sub, f"batch_seq={batch_id}")
+
+    def _write(self, book: DataFrame, trades: DataFrame,
+               batch_id: int) -> None:
+        book.write.mode("overwrite").parquet(
+            self._batch_dir("raw_book", batch_id))
+        trades.write.mode("overwrite").parquet(
+            self._batch_dir("raw_trades", batch_id))
 
     def flush(self) -> None:
+        """Write out the driver-side buffer (min_save_count > 0 path).
+
+        This path is AT-LEAST-ONCE: a crash after a partial flush replays
+        the contributing batches on restart. Promotion dedups on
+        ``event_id`` (the I1 dedup window), so duplicates never reach
+        level3 — same recovery contract the reference's buffered COPY has
+        (bitfinex.py:84-95)."""
         if not self._buffered or self._spark is None:
             return
-        for buf, sub in ((self._book_buf, "raw_book"),
-                         (self._trade_buf, "raw_trades")):
+        for buf, sub, schema in (
+                (self._book_buf, "raw_book", BOOK_SCHEMA),
+                (self._trade_buf, "raw_trades", TRADE_SCHEMA)):
+            if not buf:
+                continue
             pdf = pd.concat(buf, ignore_index=True)
             if len(pdf):
-                self._spark.createDataFrame(pdf).write.mode("append").parquet(
+                # explicit schema: an all-None column (e.g. exchange_ts for
+                # frames without rts) must not fail or drift type inference
+                self._spark.createDataFrame(
+                    pdf, schema=schema).write.mode("append").parquet(
                     os.path.join(self.bronze_path, sub))
         self._book_buf, self._trade_buf, self._buffered = [], [], 0
 

@@ -218,3 +218,72 @@ def test_parse_frames_classification(spark):
     assert b0.count() == 0 and t0.count() == 0
     assert u0.count() == want_book + want_trades
     parsed.unpersist()
+
+
+def test_parse_tolerance_malformed_frames(spark):
+    """One bad wire line must classify as garbage, never raise (the
+    capture query's tolerance contract)."""
+    from obadiah_spark.streaming.capture import _parse_one
+
+    bad = [
+        '[17, "tu"]',                       # short tu: no entry member
+        '[42, [1, "abc", 2.0], 123]',       # non-numeric payload member
+        '{"event": "subscribed", "chanId": "x"}',  # non-integer chanId
+        '[42, {"a": 1}]',                   # dict payload
+        'not json at all',
+        '[42, [[1, 2, "z"]], 5]',           # snapshot with bad member
+    ]
+    for i, ln in enumerate(bad):
+        rows = _parse_one(ln, i)
+        assert rows, ln
+        assert all(r[0] == "garbage" for r in rows), ln
+    # and via the vectorized path: the whole frame parses without error
+    df = spark.createDataFrame([(ln,) for ln in bad], "value string")
+    from obadiah_spark.streaming.capture import parse_frames
+    out = parse_frames(df)
+    assert out.count() == len(bad)
+    assert out.filter("kind <> 'garbage'").count() == 0
+
+
+def test_flush_all_none_column_keeps_schema(spark, tmp_path):
+    """Buffered flush with an all-None exchange_ts must write the declared
+    timestamp type, not drift to pandas-inferred object/float."""
+    import pandas as pd
+    from obadiah_spark.streaming.capture import BOOK_COLS, CaptureSink
+
+    sink = CaptureSink(str(tmp_path / "bronze"), pair_id=1, min_save_count=10)
+    sink._spark = spark
+    pdf = pd.DataFrame(
+        [[None, 7, 100.0, 1.5, 1, pd.Timestamp("2024-01-01"), 42, False, 0],
+         [None, 8, 101.0, -2.0, 1, pd.Timestamp("2024-01-01"), 42, False, 1]],
+        columns=BOOK_COLS)
+    sink._book_buf.append(pdf)
+    sink._buffered = len(pdf)
+    sink.flush()
+    out = spark.read.parquet(str(tmp_path / "bronze" / "raw_book"))
+    field = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert field["exchange_ts"] == "timestamp"
+    assert field["order_id"] == "bigint"
+    assert out.count() == 2
+
+
+def test_capture_replayed_batch_idempotent(spark, tmp_path):
+    """Re-running the same foreachBatch batch id must not duplicate rows
+    (the at-least-once replay case for min_save_count=0)."""
+    from obadiah_spark.streaming.capture import CaptureSink
+
+    lines = _wire_lines()
+    sink = CaptureSink(str(tmp_path / "bronze"), pair_id=1)
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    sink(df, 0)
+    n1 = spark.read.parquet(str(tmp_path / "bronze" / "raw_book")).count()
+    sink(df, 0)  # replay of batch 0
+    book = spark.read.parquet(str(tmp_path / "bronze" / "raw_book"))
+    assert book.count() == n1
+    # and event_ids stay unique across a genuinely-new batch
+    sink(df, 1)
+    ids = book.unionByName(
+        spark.read.parquet(str(tmp_path / "bronze" / "raw_book"))).select(
+        "event_id").distinct()
+    full = spark.read.parquet(str(tmp_path / "bronze" / "raw_book"))
+    assert full.select("event_id").distinct().count() == full.count()
