@@ -214,6 +214,18 @@ def _q_get_events(spark, sf_dir):
     return get_events(l3, spread_fold(l3), spark.table("matches"), EV_START, EV_END)
 
 
+def _q_get_events_freq(spark, sf_dir):
+    """E1 with p_frequency (get_schema.sql:307): only the prevailing
+    best-bid/ask columns read the grid-sampled level1 stream; event rows
+    are untouched."""
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.events import get_events
+
+    l3 = _l3(spark, sf_dir)
+    return get_events(l3, spread_fold(l3), spark.table("matches"),
+                      EV_START, EV_END, frequency_s=GET_FREQ_S)
+
+
 def _q_get_trades(spark, sf_dir):
     from obadiah_spark.operators.events import get_trades
 
@@ -300,6 +312,15 @@ def _q_embedding_dedup(spark, sf_dir):
     return embedding_dedup(spark.table("embeddings"))
 
 
+def _q_embedding_dedup_lsh_recall(spark, sf_dir):
+    """The LSH dedup scale path, gate-visible via its recall-vs-exact
+    metric (the same promotion ann_lsh_pairs got through ann_lsh_recall)."""
+    from obadiah_spark.pipelines.dedup import embedding_dedup_lsh_recall
+
+    _load(spark, sf_dir)
+    return embedding_dedup_lsh_recall(spark.table("embeddings"))
+
+
 def _q_multimodal(spark, sf_dir):
     from obadiah_spark.pipelines.multimodal import multimodal_features
 
@@ -327,6 +348,23 @@ def _q_trading_strategy(spark, sf_dir):
     ).withColumn("ask_price", F.col("bid_price"))
     # phi is a LOG-RETURN (reference src/base.h:151): 1 bps commission per
     # leg — proportionate to the synthetic book's ~50 bps price range
+    return trading_strategy(mid, phi=0.0001, rho=0.0)
+
+
+def _q_trading_strategy_freq(spark, sf_dir):
+    """T2 with p_frequency (get_schema.sql:740): DiscoverPositions over the
+    mid-price stream of the grid-resampled log."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.depth import grid_sample_l3
+    from obadiah_spark.operators.trading import trading_strategy
+
+    sampled = grid_sample_l3(_l3(spark, sf_dir), GET_FREQ_S)
+    mid = spread_fold(sampled).select(
+        "pair_id", "era", "microtimestamp",
+        ((F.col("best_bid_price") + F.col("best_ask_price")) / 2).alias("bid_price"),
+    ).withColumn("ask_price", F.col("bid_price"))
     return trading_strategy(mid, phi=0.0001, rho=0.0)
 
 
@@ -405,6 +443,31 @@ def _q_depth_summary(spark, sf_dir):
     from obadiah_spark.operators.depth import depth_summary_fold
 
     return depth_summary_fold(_l3(spark, sf_dir))
+
+
+def _q_depth_summary_freq(spark, sf_dir):
+    """D5 with p_frequency (get_schema.sql:278): the log resampled onto the
+    closed-right ceiling grid before the bps bucketing fold."""
+    from obadiah_spark.operators.depth import depth_summary_fold
+
+    return depth_summary_fold(_l3(spark, sf_dir), frequency_s=GET_FREQ_S)
+
+
+def _q_queues_freq(spark, sf_dir):
+    """D12 with p_frequency (get_schema.sql:623): queue states at most once
+    per grid interval."""
+    from obadiah_spark.operators.resample import queues
+
+    return queues(_l3(spark, sf_dir), frequency_s=GET_FREQ_S)
+
+
+def _q_trading_period_freq(spark, sf_dir):
+    """T1 with p_frequency (get_schema.sql:729): the effective-price stream
+    over the grid-resampled log, emit-on-change."""
+    from obadiah_spark.operators.trading import trading_period_fold
+
+    return trading_period_fold(_l3(spark, sf_dir), volume=0.0,
+                               frequency_s=GET_FREQ_S)
 
 
 def _q_order_book_takers(spark, sf_dir):
@@ -823,13 +886,49 @@ def _match_sum_of_fills_oracle(match_sql: str) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDERING IS THE ROTATION PROTOCOL: the driver's correctness file caps
+    at the FIRST 50 entries, so the dict is ordered by verification need —
+    (1) entries that have never had a driver row, (2) entries rotated out
+    of the previous round's 50, (3) entries new or code-touched this
+    round, (4) stable core operators. The tail (driver-green in the last
+    round, code unchanged) rotates back in next round; every entry must
+    get a driver row at least once every two rounds."""
     return {
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q_q3,
-        "q5_revenue_by_nation": _q_q5,
-        "topk_orders_per_customer": _q_topk,
-        "sessionize_events": _q_sessionize,
+        # -- (1) never driver-checked before round 6 ----------------------
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "reveal_episodes": _q_reveal_episodes,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
+        "episode_framing": _q_episode_framing,
+        "capture_raw_book": _q_capture_raw_book,
+        "cleanse_order": _q_cleanse_order,
+        "symbol_upsert": _q_symbol_upsert,
+        # -- (2) rotated out of r5's 50 (last driver row: r4) -------------
+        "move_audit": _q_move_audit,
+        "insert_era": _q_insert_era,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
+        "depth_chains": _q_depth_chains,
+        # -- (3) new or code-touched in round 6 ---------------------------
+        "get_events_freq": _q_get_events_freq,
+        "depth_summary_freq": _q_depth_summary_freq,
+        "queues_freq": _q_queues_freq,
+        "trading_period_freq": _q_trading_period_freq,
+        "trading_strategy_freq": _q_trading_strategy_freq,
+        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "chain_audit": _q_chain_audit,
+        "match_sequential": _q_match_sequential,
+        "match_fill_exact": _q_match_fill_exact,
+        "inferred_trades": _q_inferred_trades,
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "fix_chain_integrity": _q_fix_chain_integrity,
+        # -- (4) stable core (r5 driver-green, unchanged) -----------------
         "order_book": _q_order_book,
         "order_book_ckpt": _q_order_book_ckpt,
         "spread": _q_spread,
@@ -839,6 +938,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
         "summary": _q_summary,
+        "trading_period": _q_trading_period,
+        "trading_strategy": _q_trading_strategy,
+        "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
+        "epsilon_draws": _q_epsilon_draws,
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
+        "get_depth": _q_get_depth,
+        "get_depth_freq": _q_get_depth_freq,
+        "get_spread_freq": _q_get_spread_freq,
+        "depth_summary": _q_depth_summary,
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
+        "data_overview": _q_data_overview,
+        # ---- slot 51+: r5 driver-green, unchanged — rotate back in r7 ---
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -849,23 +966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "embedding_dedup": _q_embedding_dedup,
         "multimodal_features": _q_multimodal,
-        "trading_period": _q_trading_period,
-        "trading_strategy": _q_trading_strategy,  # real-book path: rows-only + fixture tests
-        "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
-        "epsilon_draws": _q_epsilon_draws,  # real-book path: rows-only + fixture tests
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
-        "get_depth": _q_get_depth,
-        "get_depth_freq": _q_get_depth_freq,
-        "get_spread_freq": _q_get_spread_freq,
-        "depth_summary": _q_depth_summary,
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        "chain_audit": _q_chain_audit,
-        "match_fill_exact": _q_match_fill_exact,
-        "inferred_trades": _q_inferred_trades,
-        "match_sequential": _q_match_sequential,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "data_overview": _q_data_overview,
         "export_events": _q_export,
         "book_by_episode": _q_book_by_episode,
         "get_spread": _q_get_spread,
@@ -874,24 +974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
-        "fix_chain_integrity": _q_fix_chain_integrity,
-        "match_audit": _q_match_audit,
-        "move_audit": _q_move_audit,
-        "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
-        "staging_summary": _q_staging_summary,
-        "depth_chains": _q_depth_chains,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "reveal_episodes": _q_reveal_episodes,
-        "fix_aggressor_order": _q_fix_aggressor,
-        "bs_capture_orders": _q_bs_capture_orders,
-        "capture_trades": _q_capture_trades,
-        "episode_framing": _q_episode_framing,
-        "capture_raw_book": _q_capture_raw_book,
-        "cleanse_order": _q_cleanse_order,
-        "symbol_upsert": _q_symbol_upsert,
     }
 
 
@@ -900,11 +982,13 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark import relational
     from obadiah_spark.operators.depth import (
         DEPTH_CHANGE_ORACLE_BODY,
+        SPREAD_L1_CTES,
         SPREAD_LINEAR_ORACLE_BODY,
         depth_summary_oracle_sql,
         get_depth_oracle_sql,
         get_spread_freq_oracle_sql,
         get_spread_oracle_sql,
+        grid_sample_l3_sql,
         spread_at_oracle_sql,
     )
     from obadiah_spark.operators.repair import (
@@ -990,6 +1074,9 @@ def oracle_sql() -> dict[str, str]:
         "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
         "spread_periods": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         "get_events": level3_matches_cte(events_oracle_sql(EV_START, EV_END)),
+        "get_events_freq": level3_matches_cte(events_oracle_sql(
+            EV_START, EV_END,
+            l1_ctes=grid_sample_l3_sql(SPREAD_L1_CTES, GET_FREQ_S))),
         "get_trades": level3_matches_cte(trades_oracle_sql(TR_START, TR_END)),
         "events_intervals": level3_cte(intervals_oracle_sql(HORIZON)),
         "summary": level3_matches_cte(SUMMARY_ORACLE_BODY),
@@ -1003,12 +1090,15 @@ def oracle_sql() -> dict[str, str]:
         # its recall bound is gate-checked by ann_lsh_recall below
         "ann_lsh_recall": ann_lsh_recall_oracle(),
         "embedding_dedup": dedup.embedding_dedup_oracle(),
+        "embedding_dedup_lsh_recall": dedup.embedding_dedup_lsh_recall_oracle(),
         "multimodal_features": MULTIMODAL_ORACLE,
         "trading_period": level3_cte(trading_period_v0_oracle()),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag
         # entries additionally hash-check against a closed-form extrema oracle
         "trading_strategy": level3_cte(trading_strategy_mid_oracle_sql(phi=0.0001)),
+        "trading_strategy_freq": level3_cte(grid_sample_l3_sql(
+            trading_strategy_mid_oracle_sql(phi=0.0001), GET_FREQ_S)),
         "epsilon_draws": level3_cte(epsilon_draws_mid_oracle_sql(epsilon=0.0005)),
         "trading_strategy_zigzag": trading_strategy_zigzag_oracle_sql(),
         "epsilon_draws_zigzag": epsilon_draws_zigzag_oracle_sql(),
@@ -1018,6 +1108,12 @@ def oracle_sql() -> dict[str, str]:
         "get_spread_freq": level3_cte(
             get_spread_freq_oracle_sql(EV_START, EV_END, GET_FREQ_S)),
         "depth_summary": level3_cte(depth_summary_oracle_sql()),
+        "depth_summary_freq": level3_cte(
+            grid_sample_l3_sql(depth_summary_oracle_sql(), GET_FREQ_S)),
+        "queues_freq": level3_cte(
+            grid_sample_l3_sql(queues_oracle_sql(), GET_FREQ_S)),
+        "trading_period_freq": level3_cte(
+            grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
         "crossed_books": level3_cte(crossed_books_oracle()),
         "order_book_takers": level3_cte(invalid_takers_oracle_sql()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),

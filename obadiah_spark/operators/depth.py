@@ -74,6 +74,43 @@ def grid_ceil_sql(col: str, frequency_s: int) -> str:
             f" * {f}) * 1000000)")
 
 
+def grid_sample_l3(l3: DataFrame, frequency_s: int) -> DataFrame:
+    """The reference's ``p_frequency`` sampling applied AT THE SOURCE: map
+    every event (and its chain pointer) onto the closed-right
+    ``_date_ceiling`` grid before any episode grouping.
+
+    This is how the reference feeds its C analytics at a frequency —
+    ``level2_continuous(..., p_frequency)`` collapses all episodes inside
+    one interval into a single episode at the right boundary
+    (db/get_schema.sql:285-287; cursor fold episode.cpp:91-101). Ceiling
+    the event log once up front gives every downstream fold the same
+    semantics: per-order chain order is preserved (event_no tiebreak) and
+    cross-order application commutes within an interval, so the book state
+    at each grid point is exact. ``next_microtimestamp`` is ceiled too —
+    it always equals the chained successor's microtimestamp, so the
+    pointer stays consistent with the resampled stream (the period-fold
+    boundary probes rely on that)."""
+    out = l3.withColumn(
+        "microtimestamp", grid_ceil_col("microtimestamp", frequency_s))
+    if "next_microtimestamp" in out.columns:
+        out = out.withColumn(
+            "next_microtimestamp",
+            grid_ceil_col("next_microtimestamp", frequency_s))
+    return out
+
+
+def grid_sample_l3_sql(body: str, frequency_s: int) -> str:
+    """DuckDB mirror of :func:`grid_sample_l3` for oracle bodies: rewrite
+    every ``FROM level3`` to read a grid-ceiled projection of it. Textual
+    by design — the oracle CTE fabrics reference the log as the bare
+    ``level3`` relation and nothing else matches that token."""
+    ceil_ts = grid_ceil_sql("microtimestamp", frequency_s)
+    ceil_next = grid_ceil_sql("next_microtimestamp", frequency_s)
+    sub = (f"(SELECT * REPLACE ({ceil_ts} AS microtimestamp, "
+           f"{ceil_next} AS next_microtimestamp) FROM level3)")
+    return body.replace("FROM level3", f"FROM {sub} AS level3")
+
+
 def depth_change(l3: DataFrame, keep_era: bool = False,
                  frequency_s: int | None = None) -> DataFrame:
     """D2: per-episode changed (side, price) levels with running volume.
@@ -614,7 +651,8 @@ FROM (
 # -------------------------------------------------------- D5 depth_summary --
 
 def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int = 2,
-                       period_s: int | None = 86400):
+                       period_s: int | None = 86400,
+                       frequency_s: int | None = None):
     """D5 ``get.depth_summary``: per change-episode, the FULL depth bucketed
     by bps distance from the best price (reference db/get_schema.sql:278-298;
     bucketing db/obanalytics_schema.sql:662-712): bps_level =
@@ -628,10 +666,19 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
     ``period_s`` splits eras into seeded periods (fold.period_fold) so
     parallelism is #periods; every output row belongs to one episode and
     the only cross-episode state is the book + emitted map (both seeded),
-    so the split output is identical (pytest-enforced)."""
+    so the split output is identical (pytest-enforced).
+
+    ``frequency_s`` is the reference's ``p_frequency`` output grid
+    (db/get_schema.sql:278): the event log is resampled onto the
+    closed-right ceiling grid (:func:`grid_sample_l3`) so the summary
+    emits at most once per grid interval, with the true full-depth
+    buckets at each grid point."""
     import math
 
     from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
+
+    if frequency_s is not None:
+        l3 = grid_sample_l3(l3, frequency_s)
 
     scale = 10 ** r0
 

@@ -43,11 +43,34 @@ _ACTIVE_COLS = [
 
 
 def get_events(l3: DataFrame, l1: DataFrame, matches: DataFrame,
-               start: str, end: str) -> DataFrame:
-    """E1: classified order events over (start, end]."""
+               start: str, end: str,
+               frequency_s: int | None = None) -> DataFrame:
+    """E1: classified order events over (start, end].
+
+    ``frequency_s`` is the reference's ``p_frequency`` (get_schema.sql:307):
+    it affects ONLY the prevailing best bid/ask columns — the level1 stream
+    is sampled onto the closed-right ceiling grid (last state per interval,
+    stamped at the boundary, get_schema.sql:339 feeds level1_continuous
+    with p_frequency) before the as-of join; the event rows themselves are
+    never resampled."""
     from obadiah_spark.functions import validate_parameters
 
     validate_parameters(start, end)  # F6 range guard (get_schema.sql:150-159)
+    if frequency_s is not None:
+        from obadiah_spark.operators.depth import grid_ceil_col
+
+        l1 = (
+            l1.withColumn("_g_ts",
+                          grid_ceil_col("microtimestamp", frequency_s))
+            .groupBy("pair_id", "era", "_g_ts")
+            .agg(F.max_by(
+                F.struct("best_bid_price", "best_ask_price"),
+                F.col("microtimestamp")).alias("_s"))
+            .select("pair_id", "era",
+                    F.col("_g_ts").alias("microtimestamp"),
+                    F.col("_s.best_bid_price").alias("best_bid_price"),
+                    F.col("_s.best_ask_price").alias("best_ask_price"))
+        )
     start_c = F.lit(start).cast("timestamp")
     end_c = F.lit(end).cast("timestamp")
 
@@ -191,9 +214,14 @@ def get_events(l3: DataFrame, l1: DataFrame, matches: DataFrame,
     )
 
 
-def events_oracle_sql(start: str, end: str) -> str:
+def events_oracle_sql(start: str, end: str,
+                      l1_ctes: str | None = None) -> str:
     """DuckDB oracle for get_events — independent formulation: ASOF join for
-    the prevailing spread instead of the unioned timeline."""
+    the prevailing spread instead of the unioned timeline.
+
+    ``l1_ctes`` substitutes the level1 CTE fabric (default SPREAD_L1_CTES)
+    — the frequency overload passes the grid-ceiled variant so only the
+    prevailing-spread side is resampled, exactly like the engine."""
     uuid_self = level3_uuid_sql("f.microtimestamp", "f.order_id", "f.event_no",
                                 "f.pair_id", "f.exchange_id")
     uuid_sell = level3_uuid_sql("microtimestamp", "sell_order_id", "sell_event_no",
@@ -201,7 +229,7 @@ def events_oracle_sql(start: str, end: str) -> str:
     uuid_buy = level3_uuid_sql("microtimestamp", "buy_order_id", "buy_event_no",
                                "pair_id", "exchange_id")
     return f"""
-WITH {SPREAD_L1_CTES},
+WITH {l1_ctes if l1_ctes is not None else SPREAD_L1_CTES},
 active AS (
     SELECT pair_id, exchange_id, era, microtimestamp, order_id, event_no,
            chain_state = 'deleted' AS is_deleted_event,

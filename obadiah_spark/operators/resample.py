@@ -172,7 +172,8 @@ GROUP BY pair_id, grid_ts, side, tick_price
 
 
 def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10,
-           period_s: int | None = 86400) -> DataFrame:
+           period_s: int | None = 86400,
+           frequency_s: int | None = None) -> DataFrame:
     """D12: per change-episode queue volumes bucketed by tick distance from
     the opposite best (long format: one row per non-empty tick bucket).
 
@@ -184,10 +185,20 @@ def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10,
     ``period_s`` splits each era into seeded periods (fold.period_fold):
     parallelism = #periods, not #eras — every output row belongs to exactly
     one episode, so the split output is identical row-for-row (the folder's
-    only cross-episode state is the book + emitted map, both seeded)."""
+    only cross-episode state is the book + emitted map, both seeded).
+
+    ``frequency_s`` is the reference's ``p_frequency`` output grid
+    (db/get_schema.sql:623): the event log is resampled onto the
+    closed-right ceiling grid (depth.grid_sample_l3) before folding, so
+    queue states emit at most once per grid interval."""
     import math
 
     from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
+
+    if frequency_s is not None:
+        from obadiah_spark.operators.depth import grid_sample_l3
+
+        l3 = grid_sample_l3(l3, frequency_s)
 
     class _QueuesFolder(EpisodeFolder):
         OUT_COLS = ("pair_id", "microtimestamp", "side", "tick_idx", "volume")

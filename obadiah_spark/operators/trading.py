@@ -82,7 +82,8 @@ def _pair_eq(a: float, b: float) -> bool:
 
 
 def trading_period_fold(l3: DataFrame, volume: float = 0.0,
-                        period_s: int | None = 86400) -> DataFrame:
+                        period_s: int | None = 86400,
+                        frequency_s: int | None = None) -> DataFrame:
     """T1: effective bid/ask stream for executing ``volume``, emit-on-change.
 
     At volume=0 this equals the best-price projection of the spread fold —
@@ -92,7 +93,17 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0,
     parallelism = #periods, not #eras. The emit-on-change state is restored
     from the seeded book (after any emission the prevailing pair always
     equals the book-derived effective prices, so recomputing them from the
-    seed reproduces the unsplit dedup exactly)."""
+    seed reproduces the unsplit dedup exactly).
+
+    ``frequency_s`` is the reference's ``p_frequency`` grid
+    (db/get_schema.sql:729 — the C CalculateTradingPeriod consumes the
+    level1 stream sampled at that interval): the event log is resampled
+    onto the closed-right ceiling grid (depth.grid_sample_l3), so the
+    effective-price stream changes at most once per grid interval."""
+    if frequency_s is not None:
+        from obadiah_spark.operators.depth import grid_sample_l3
+
+        l3 = grid_sample_l3(l3, frequency_s)
 
     class _TradingPeriodFolder(EpisodeFolder):
         OUT_COLS = ("pair_id", "era", "microtimestamp", "bid_price", "ask_price")

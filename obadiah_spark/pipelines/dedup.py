@@ -384,3 +384,61 @@ def embedding_dedup_lsh(emb: DataFrame, min_cosine: float = 0.45) -> DataFrame:
         .select("vec_id", F.col("dup_of").isNotNull().alias("is_dup"),
                 "dup_of")
     )
+
+
+def embedding_dedup_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
+                               threshold: float = 0.5,
+                               max_id: int = 800) -> DataFrame:
+    """One-row recall metric gating the LSH dedup scale path (the same
+    promotion pattern as similarity.ann_lsh_recall): of all vectors the
+    EXACT sweep marks duplicate, the fraction the LSH sweep also marks
+    must be >= threshold. A vector counts as recalled if flagged at all —
+    its ``dup_of`` may legitimately name a different lower neighbor (the
+    LSH sweep sees only bucketed candidates).
+
+    The oracle recomputes the exact duplicate count and asserts the bound,
+    so a hash match proves (a) the exact side bitwise and (b) that LSH
+    recall did not silently regress. Bounded to ``vec_id < max_id`` like
+    every exact ground-truth audit (no-op at the gate corpus, cost cap at
+    larger sf)."""
+    emb_b = emb.filter(F.col("vec_id") < max_id)
+    exact = (embedding_dedup(emb_b, min_cosine, max_id)
+             .filter("is_dup").select("vec_id"))
+    lsh = (embedding_dedup_lsh(emb_b, min_cosine)
+           .filter("is_dup").select("vec_id").withColumn("hit", F.lit(1)))
+    flag = f"recall_ge_{str(threshold).replace('.', '_')}"
+    # LEFT join broadcasts only its right (non-preserved) side — lsh is
+    # bucket-bounded and tiny
+    flagged = exact.join(F.broadcast(lsh), "vec_id", "left")
+    return flagged.agg(
+        F.lit("embedding_dedup_lsh_recall").alias("metric"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_dups"),
+        (F.coalesce(F.sum("hit"), F.lit(0))
+         >= F.count(F.lit(1)) * F.lit(threshold)).alias(flag),
+    )
+
+
+def embedding_dedup_lsh_recall_oracle(min_cosine: float = 0.45,
+                                      threshold: float = 0.5,
+                                      max_id: int = 800) -> str:
+    """Exact duplicate count recomputed in SQL; the recall bound asserted
+    TRUE (0 >= 0*t holds, so an empty duplicate set is vacuously true on
+    both sides)."""
+    flag = f"recall_ge_{str(threshold).replace('.', '_')}"
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE vec_id < {max_id}
+), dup AS (
+    SELECT b.vec_id, min(a.vec_id) AS dup_of
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 9) >= {min_cosine!r}
+    GROUP BY b.vec_id
+)
+SELECT 'embedding_dedup_lsh_recall' AS metric,
+       CAST(count(*) AS BIGINT) AS n_exact_dups,
+       TRUE AS {flag}
+FROM dup
+"""

@@ -395,3 +395,237 @@ def capture(spark: SparkSession, bronze_path: str, ckpt_path: str,
     )
     query.capture_sink = sink  # expose for flush() on shutdown
     return query
+
+
+# ===================================================== bitstamp wire-half ==
+# SRC4's missing half: the live_orders_*/live_trades_* channel JSON of
+# python/obadiah/bitstamp.py:27-148 parsed and routed into the
+# transient_live_orders / transient_live_trades bronze shapes that the I7
+# transform (sources.bitstamp.capture_transient_orders) consumes. Same
+# Spark-first decomposition as the Bitfinex path above: Arrow-batched parse,
+# dict-event dispatch as a filter, era as restart-safe sidecar state (the
+# reference stamps era = first order event of the handler session,
+# bitstamp.py:84-90 + live_orders_eras insert).
+
+BS_PARSED_SCHEMA = (
+    "kind string, event string, channel string, us long, dt_s double, "
+    "amount double, price double, order_id long, order_type int, "
+    "trade_id long, buy_order_id long, sell_order_id long, trade_type int, "
+    "line_no long"
+)
+
+_BS_PARSED_COLS = ["kind", "event", "channel", "us", "dt_s", "amount",
+                   "price", "order_id", "order_type", "trade_id",
+                   "buy_order_id", "sell_order_id", "trade_type", "line_no"]
+
+_BS_ORDER_EVENTS = ("order_created", "order_changed", "order_deleted")
+
+
+def _bs_garbage(line_no: int) -> list[tuple]:
+    return [("garbage", None, None, None, None, None, None, None, None,
+             None, None, None, None, line_no)]
+
+
+def _bs_parse_one(line: str, line_no: int) -> list[tuple]:
+    """One bitstamp wire line → one normalized row; malformed lines are
+    garbage, never an exception (same tolerance contract as the Bitfinex
+    parser above)."""
+    try:
+        return _bs_parse_one_strict(line, line_no)
+    except Exception:
+        return _bs_garbage(line_no)
+
+
+def _bs_parse_one_strict(line: str, line_no: int) -> list[tuple]:
+    try:
+        msg = json.loads(line)
+    except (ValueError, TypeError):
+        return _bs_garbage(line_no)
+    if not isinstance(msg, dict) or "event" not in msg:
+        return _bs_garbage(line_no)
+    event = str(msg["event"])
+    channel = str(msg.get("channel")) if "channel" in msg else None
+    if event in _BS_ORDER_EVENTS:
+        d = msg["data"]
+        # bitstamp ships microtimestamp as a µs string, datetime as a
+        # seconds string (bitstamp.py:52-55, 80-95); amount/price via the
+        # *_str fields (the bare floats are lossy duplicates)
+        return [("order", event, channel,
+                 int(float(d["microtimestamp"])), float(d["datetime"]),
+                 float(d["amount_str"]), float(d["price_str"]),
+                 int(d["id"]), int(d["order_type"]),
+                 None, None, None, None, line_no)]
+    if event == "trade":
+        d = msg["data"]
+        return [("trade", event, channel,
+                 int(float(d["microtimestamp"])), None,
+                 float(d["amount_str"]), float(d["price_str"]),
+                 None, None,
+                 int(d["id"]), int(d["buy_order_id"]),
+                 int(d["sell_order_id"]), int(d["type"]), line_no)]
+    # bts:subscription_succeeded / bts:error / reconnect notices: control
+    # events (bitstamp.py:126-128) — kept as rows for observability
+    return [("event", event, channel, None, None, None, None, None, None,
+             None, None, None, None, line_no)]
+
+
+def parse_bitstamp_frames(lines: DataFrame) -> DataFrame:
+    """Arrow-batched bitstamp wire parse (batch and streaming alike)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for line, no in zip(pdf["value"], pdf["line_no"]):
+                rows.extend(_bs_parse_one(line, int(no)))
+            yield pd.DataFrame(rows, columns=_BS_PARSED_COLS)
+
+    with_no = lines.withColumn("line_no", F.monotonically_increasing_id())
+    return with_no.mapInPandas(gen, schema=BS_PARSED_SCHEMA)
+
+
+BS_ORDER_COLS = ["microtimestamp", "datetime", "amount", "price", "order_id",
+                 "order_type", "event", "era", "pair_id", "local_timestamp",
+                 "event_id"]
+BS_TRADE_COLS = ["trade_timestamp", "amount", "buy_order_id",
+                 "sell_order_id", "price", "bitstamp_trade_id", "trade_type",
+                 "pair_id", "local_timestamp"]
+
+
+def route_bitstamp_batch(parsed: DataFrame, pair_id: int, era_us: int,
+                         batch_seq: int = 0
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split normalized bitstamp frames into (transient_live_orders,
+    transient_live_trades, garbage) shapes.
+
+    Dispatch is on the event name exactly like the reference handler
+    (order_created/order_changed/order_deleted → live_order_event,
+    trade → trade; bitstamp.py:117-124). ``era_us`` is the session era the
+    sink resolved (first order event of the capture session); ``event_id``
+    follows the same single-partition row_number contract as the Bitfinex
+    ``route_batch`` above."""
+    from pyspark.sql import Window
+
+    lts = F.col("_lts")
+    era_c = F.timestamp_micros(F.lit(int(era_us))).cast("timestamp")
+    data = parsed.filter(F.col("kind").isin(["order", "trade"])).withColumn(
+        "_eid",
+        (F.lit(int(batch_seq) << 33)
+         + F.row_number().over(Window.orderBy("line_no"))
+         - F.lit(1)).cast("long"))
+    orders = (
+        data.filter(F.col("kind") == "order")
+        .select(
+            F.timestamp_micros(F.col("us")).alias("microtimestamp"),
+            F.timestamp_micros((F.col("dt_s") * 1_000_000).cast("long"))
+            .alias("datetime"),
+            "amount", "price", "order_id",
+            # order_type: 1 = sell (bitstamp.py:98)
+            F.when(F.col("order_type") == 1, "sell").otherwise("buy")
+            .alias("order_type"),
+            "event",
+            era_c.alias("era"),
+            F.lit(pair_id).cast("int").alias("pair_id"),
+            lts.alias("local_timestamp"),
+            F.col("_eid").alias("event_id"),
+        )
+    )
+    trades = (
+        data.filter(F.col("kind") == "trade")
+        .select(
+            F.timestamp_micros(F.col("us")).alias("trade_timestamp"),
+            "amount", "buy_order_id", "sell_order_id", "price",
+            F.col("trade_id").alias("bitstamp_trade_id"),
+            # type: 1 = sell (bitstamp.py:62)
+            F.when(F.col("trade_type") == 1, "sell").otherwise("buy")
+            .alias("trade_type"),
+            F.lit(pair_id).cast("int").alias("pair_id"),
+            lts.alias("local_timestamp"),
+        )
+    )
+    garbage = parsed.filter(F.col("kind") == "garbage").select(
+        "line_no", lts.alias("local_ts"))
+    return orders, trades, garbage
+
+
+class BitstampCaptureSink:
+    """foreachBatch body for the bitstamp channels: era fold + routed
+    parquet appends (batchId-keyed overwrite — idempotent like the
+    Bitfinex sink)."""
+
+    def __init__(self, bronze_path: str, pair_id: int) -> None:
+        self.bronze_path = bronze_path
+        self.pair_id = pair_id
+        self.era_us: int | None = self._load_era()
+
+    def _era_path(self) -> str:
+        return os.path.join(self.bronze_path, "_era.json")
+
+    def _load_era(self) -> int | None:
+        try:
+            with open(self._era_path()) as fh:
+                return int(json.load(fh)["era_us"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _save_era(self) -> None:
+        os.makedirs(self.bronze_path, exist_ok=True)
+        with open(self._era_path(), "w") as fh:
+            json.dump({"era_us": self.era_us}, fh)
+
+    def _batch_dir(self, sub: str, batch_id: int) -> str:
+        return os.path.join(self.bronze_path, sub, f"batch_seq={batch_id}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        parsed = (
+            parse_bitstamp_frames(batch_df.select("value").coalesce(1))
+            .withColumn("_lts", F.current_timestamp())
+        )
+        if self.era_us is None:
+            # era = first order event of the capture session
+            # (bitstamp.py:84-90); one tiny min() over the batch, only
+            # until resolved
+            r = parsed.filter(F.col("kind") == "order").agg(
+                F.min("us")).collect()[0][0]
+            if r is None:
+                # no order event yet (acks / trades only): don't write
+                # orders this batch, trades carry no era
+                parsed = parsed.cache()
+            else:
+                self.era_us = int(r)
+                self._save_era()
+        orders, trades, garbage = route_bitstamp_batch(
+            parsed, self.pair_id, self.era_us or 0, batch_seq=int(batch_id))
+        if self.era_us is not None:
+            orders.write.mode("overwrite").parquet(
+                self._batch_dir("transient_live_orders", batch_id))
+        trades.write.mode("overwrite").parquet(
+            self._batch_dir("transient_live_trades", batch_id))
+        garbage.write.mode("overwrite").parquet(
+            self._batch_dir("_garbage", batch_id))
+
+
+def capture_bitstamp(spark: SparkSession, bronze_path: str, ckpt_path: str,
+                     pair_id: int, *, host: str | None = None,
+                     port: int | None = None, files_dir: str | None = None,
+                     max_files_per_trigger: int | None = None):
+    """SRC4 wire-half entry point: bitstamp channel JSON → transient bronze
+    tables, feeding I7 (sources.bitstamp.capture_transient_orders) on
+    promotion. Transport contract identical to :func:`capture`."""
+    if (host is None) == (files_dir is None):
+        raise ValueError("exactly one of (host, port) or files_dir")
+    if files_dir is not None:
+        reader = spark.readStream.format("text")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        lines = reader.load(files_dir)
+    else:
+        lines = (spark.readStream.format("socket")
+                 .option("host", host).option("port", int(port)).load())
+    sink = BitstampCaptureSink(bronze_path, pair_id)
+    query = (
+        lines.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    query.capture_sink = sink
+    return query

@@ -35,7 +35,10 @@ sys.path.insert(0, REPO)
 # the exact-side ground truths are all-pairs BY DESIGN (bounded by max_id /
 # corpus size); everything else must join with keys
 ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
-                 "embedding_dedup"}
+                 "embedding_dedup",
+                 # recall metric re-derives the bounded exact side (the
+                 # same crossJoin embedding_dedup itself is allowed)
+                 "embedding_dedup_lsh_recall"}
 
 # annotated non-equi joins where BOTH sides are metadata-sized by
 # construction — reviewed, not a scale risk; a NEW name appearing here

@@ -1,0 +1,147 @@
+"""sf1-scale probe of the fold family (VERDICT r5 #8): turn SCALE.md's
+extrapolations into measurements at ~10× the bench scale.
+
+There is no driver-generated sf1 testdata, so the probe builds one from the
+sf0.1 log by TIME-SHIFTED REPLICATION: k = 0..9 copies of the level3 log,
+each shifted by k × (span + 1 day) so every replica lands in its own eras —
+exactly how a longer capture history grows (more eras/periods of the same
+density, the axis `period_fold` parallelizes on). Timestamp columns and
+`era` shift together; `event_id` is offset per replica so it stays unique.
+This is a PERFORMANCE fabric only — correctness is the sf0.01 oracle
+gate's job.
+
+Both scales run the same cold-silver path (parquet read, no session cache —
+the 100 TB shape): the period folds (queues, depth_summary,
+trading_period, spread via level1 period fold) and the point-in-time
+probes (full-scan vs checkpoint). Prints one JSON line with per-op timings
+at 1× and 10× plus the scaling exponent log10(t10/t1) — 1.0 means linear.
+
+Usage:  python tools/scale_probe.py [sf_dir] [work_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TS_COLS = ("microtimestamp", "next_microtimestamp", "price_microtimestamp",
+           "local_timestamp", "era")
+
+
+def build_replicated(spark, sf_dir: str, work: str, reps: int) -> str:
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.synth import register_level3
+    from obadiah_spark.sources.silver import write_level3
+
+    path = os.path.join(work, f"level3_x{reps}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    l3 = register_level3(spark, sf_dir).cache()
+    lo, hi = l3.agg(F.min("microtimestamp"), F.max("microtimestamp")).first()
+    span_us = int((hi - lo).total_seconds() * 1_000_000) + 86_400_000_000
+    parts = []
+    for k in range(reps):
+        off = k * span_us
+        rep = l3
+        for c in TS_COLS:
+            rep = rep.withColumn(
+                c, F.timestamp_micros(F.unix_micros(F.col(c)) + F.lit(off)))
+        rep = rep.withColumn(
+            "event_id", (F.col("event_id") + F.lit(k) * F.lit(1 << 40))
+            .cast("long"))
+        parts.append(rep)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    write_level3(big, path)
+    l3.unpersist()
+    return path
+
+
+def build_ckpt(spark, l3_path: str, work: str, tag: str) -> str:
+    from obadiah_spark.fold import book_checkpoints
+    from obadiah_spark.sources.silver import (
+        read_level3, write_checkpoints, write_era_registry)
+
+    path = os.path.join(work, f"ckpt_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    l3 = read_level3(spark, l3_path)
+    t0 = time.perf_counter()
+    write_checkpoints(book_checkpoints(l3, 86400, use_cache=False), path)
+    write_era_registry(l3, path)
+    print(f"# ckpt build {tag}: {time.perf_counter()-t0:.2f}s",
+          file=sys.stderr)
+    return path
+
+
+def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
+    """Cold-silver fold family + point-in-time probes, one timing dict."""
+    from obadiah_spark.fold import seed_checkpoint_cache, spread_fold
+    from obadiah_spark.operators.depth import depth_summary_fold
+    from obadiah_spark.operators.order_book import (
+        order_book, snapshot_from_silver)
+    from obadiah_spark.operators.resample import queues
+    from obadiah_spark.operators.trading import trading_period_fold
+    from obadiah_spark.sources.silver import read_checkpoints, read_level3
+
+    out: dict[str, float] = {}
+    l3 = read_level3(spark, l3_path)
+    # seed the in-session checkpoint cache from the silver table (the
+    # period folds consume it; same lifecycle as __spark_entry__._ckpt_silver)
+    seed_checkpoint_cache(l3, 86400, read_checkpoints(spark, ckpt_path))
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+
+    timed("queues", lambda: queues(l3).count())
+    timed("depth_summary", lambda: depth_summary_fold(l3).count())
+    timed("trading_period", lambda: trading_period_fold(l3).count())
+    timed("spread_fold", lambda: spread_fold(l3).count())
+    timed("order_book_cold",
+          lambda: order_book(l3, at).count())
+    timed("order_book_ckpt_cold",
+          lambda: order_book(
+              l3, at,
+              live=snapshot_from_silver(l3, ckpt_path, at,
+                                        only_makers=True)).count())
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/obadiah_scale_probe"
+    os.makedirs(work, exist_ok=True)
+
+    from obadiah_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+    spark = get_spark("scale_probe")
+    import __spark_entry__ as em
+
+    p1 = build_replicated(spark, sf_dir, work, 1)
+    p10 = build_replicated(spark, sf_dir, work, 10)
+    c1 = build_ckpt(spark, p1, work, "x1")
+    c10 = build_ckpt(spark, p10, work, "x10")
+
+    r1 = probe(spark, p1, c1, em.OB_AT)
+    r10 = probe(spark, p10, c10, em.OB_AT)
+    exps = {k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2)
+            for k in r1}
+    print(json.dumps({"sf_base": sf_dir, "x1": r1, "x10": r10,
+                      "scaling_exponent_log10": exps}))
+
+
+if __name__ == "__main__":
+    main()
