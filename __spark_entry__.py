@@ -461,6 +461,23 @@ def _q_queues_freq(spark, sf_dir):
     return queues(_l3(spark, sf_dir), frequency_s=GET_FREQ_S)
 
 
+def _q_depth_summary_range(spark, sf_dir):
+    """D5 with p_start_time/p_end_time (get_schema.sql:278): starting
+    bucketed snapshot at start + change episodes in (start, end] from
+    PRUNED period folding."""
+    from obadiah_spark.operators.depth import depth_summary_fold
+
+    return depth_summary_fold(_l3(spark, sf_dir), start=EV_START, end=EV_END)
+
+
+def _q_queues_range(spark, sf_dir):
+    """D12 with p_start_time/p_end_time (get_schema.sql:623): same range
+    convention as depth_summary_range."""
+    from obadiah_spark.operators.resample import queues
+
+    return queues(_l3(spark, sf_dir), start=EV_START, end=EV_END)
+
+
 def _q_trading_period_freq(spark, sf_dir):
     """T1 with p_frequency (get_schema.sql:729): the effective-price stream
     over the grid-resampled log, emit-on-change."""
@@ -919,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_events_freq": _q_get_events_freq,
         "depth_summary_freq": _q_depth_summary_freq,
         "queues_freq": _q_queues_freq,
+        "depth_summary_range": _q_depth_summary_range,
+        "queues_range": _q_queues_range,
         "trading_period_freq": _q_trading_period_freq,
         "trading_strategy_freq": _q_trading_strategy_freq,
         "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
@@ -1112,6 +1131,10 @@ def oracle_sql() -> dict[str, str]:
             grid_sample_l3_sql(depth_summary_oracle_sql(), GET_FREQ_S)),
         "queues_freq": level3_cte(
             grid_sample_l3_sql(queues_oracle_sql(), GET_FREQ_S)),
+        "depth_summary_range": level3_cte(
+            depth_summary_oracle_sql(start=EV_START, end=EV_END)),
+        "queues_range": level3_cte(
+            queues_oracle_sql(start=EV_START, end=EV_END)),
         "trading_period_freq": level3_cte(
             grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
         "crossed_books": level3_cte(crossed_books_oracle()),

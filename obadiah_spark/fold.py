@@ -558,7 +558,8 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
 
 
 def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
-                frequency_s: int = 86400) -> DataFrame:
+                frequency_s: int = 86400, start: str | None = None,
+                end: str | None = None) -> DataFrame:
     """The reference's answer to "one giant era serializes the fold"
     (``_periods_within_eras`` + seeded restart, db/obanalytics_schema.sql:
     979-1005, level2_continuous :1627-1661): split each era into
@@ -576,7 +577,15 @@ def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
     period-start instant; the folder absorbs the seed episode into its book
     and change-tracking state without emitting, so the output is IDENTICAL
     to the unsplit fold (the equality is pytest-enforced).
-    """
+
+    ``start``/``end`` restrict the fold to the instants in ``(start, end]``
+    — the p_start_time/p_end_time half of every reference ``get.*``
+    signature. Because every period is independently seeded with
+    full-history state, the restriction is pure PRUNING: only periods that
+    can emit in-range instants are folded (events outside them never
+    shuffle), and the output equals the unrestricted fold filtered to the
+    range — cost O(range + one period tail), not O(history). The schema's
+    ``microtimestamp`` column is the filter axis."""
     from pyspark.sql import functions as F
 
     freq_us = frequency_s * 1_000_000
@@ -590,11 +599,33 @@ def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
         F.lit("seed").alias("chain_state"),
         "period_start",
     )
+    if start is not None:
+        # first period able to emit an instant > start begins at
+        # floor(start) — its seed carries the state AT start (checkpoint
+        # boundaries include boundary-instant events), so earlier periods
+        # are irrelevant
+        lo_us = F.unix_micros(F.lit(start).cast("timestamp"))
+        lo_p = F.timestamp_micros((lo_us - lo_us % F.lit(freq_us)).cast("long"))
+        ev = ev.filter(F.col("period_start") >= lo_p)
+        seed_events = seed_events.filter(F.col("period_start") >= lo_p)
+    if end is not None:
+        end_c = F.lit(end).cast("timestamp")
+        # events after end cannot affect any in-range instant (folds are
+        # causal); a period starting at/after end emits past it entirely
+        ev = ev.filter(F.col("microtimestamp") <= end_c)
+        seed_events = seed_events.filter(F.col("period_start") < end_c)
     unioned = ev.unionByName(seed_events.select(*_EVENT_COLS, "period_start"))
-    return stream_fold(
+    out = stream_fold(
         unioned, folder, schema,
         keys=("pair_id", "exchange_id", "era", "period_start"),
     )
+    if start is not None:
+        out = out.filter(
+            F.col("microtimestamp") > F.lit(start).cast("timestamp"))
+    if end is not None:
+        out = out.filter(
+            F.col("microtimestamp") <= F.lit(end).cast("timestamp"))
+    return out
 
 
 def spread_fold_periods(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:

@@ -650,9 +650,68 @@ FROM (
 
 # -------------------------------------------------------- D5 depth_summary --
 
+def depth_summary_at(l3, at: str, bps_step: int = 25,
+                     max_bps_level: int = 500, r0: int = 2):
+    """Single-instant full bucketed depth — the bps arithmetic of D5 over
+    the book state AT ``at`` (closed, events at the instant included),
+    derived relationally from :func:`live_at` instead of a fold. Supplies
+    the starting row of the range overload (the reference's
+    ``level2_continuous(p_start_time, ...)`` emits starting depth at the
+    range start, db/get_schema.sql:115-130, which ``depth_summary_agg``
+    buckets like any other episode). The float op sequence matches the
+    folder and the SQL oracle bit-for-bit (ceil → scale → floor-round)."""
+    from obadiah_spark.operators.order_book import live_at
+
+    scale = 10 ** r0
+    lvl = (
+        live_at(l3, at, before=False)
+        .groupBy("pair_id", "side", "price")
+        .agg(F.sum("amount").alias("qty"))
+        .filter(F.col("qty") > 0)
+    )
+    best = lvl.groupBy("pair_id").agg(
+        F.max(F.when(F.col("side") == "b", F.col("price"))).alias("bb"),
+        F.min(F.when(F.col("side") == "s", F.col("price"))).alias("ba"),
+    )
+    bl = F.when(
+        F.col("side") == "s",
+        F.ceil((F.col("price") - F.col("ba")) / F.col("ba")
+               / F.lit(bps_step) * 10000) * bps_step,
+    ).otherwise(
+        F.ceil((F.col("bb") - F.col("price")) / F.col("bb")
+               / F.lit(bps_step) * 10000) * bps_step)
+    j = (
+        lvl.join(best, "pair_id")
+        .filter(((F.col("side") == "s") & F.col("ba").isNotNull())
+                | ((F.col("side") == "b") & F.col("bb").isNotNull()))
+        .withColumn("_lvl", bl)
+        .filter(F.col("_lvl") <= max_bps_level)
+        .withColumn(
+            "_adj",
+            F.when(F.col("side") == "s",
+                   F.floor(F.col("ba") * (1 + F.col("_lvl") / 10000)
+                           * scale + F.lit(0.5)) / scale)
+            .otherwise(
+                F.floor(F.col("bb") * (1 - F.col("_lvl") / 10000)
+                        * scale + F.lit(0.5)) / scale))
+    )
+    return (
+        j.groupBy(
+            "pair_id",
+            F.when(F.col("side") == "s", "ask").otherwise("bid").alias("side"),
+            F.col("_adj").alias("price"),
+            F.col("_lvl").alias("bps_level"))
+        .agg(F.sum("qty").alias("volume"))
+        .select("pair_id",
+                F.lit(at).cast("timestamp").alias("microtimestamp"),
+                "side", "price", "volume", "bps_level")
+    )
+
+
 def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int = 2,
                        period_s: int | None = 86400,
-                       frequency_s: int | None = None):
+                       frequency_s: int | None = None,
+                       start: str | None = None, end: str | None = None):
     """D5 ``get.depth_summary``: per change-episode, the FULL depth bucketed
     by bps distance from the best price (reference db/get_schema.sql:278-298;
     bucketing db/obanalytics_schema.sql:662-712): bps_level =
@@ -672,11 +731,27 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
     (db/get_schema.sql:278): the event log is resampled onto the
     closed-right ceiling grid (:func:`grid_sample_l3`) so the summary
     emits at most once per grid interval, with the true full-depth
-    buckets at each grid point."""
+    buckets at each grid point.
+
+    ``start``/``end`` (both or neither) are the reference's
+    p_start_time/p_end_time: a full bucketed snapshot AT ``start``
+    (:func:`depth_summary_at` — the level2_continuous starting-depth
+    episode) plus change episodes in ``(start, end]``, computed by PRUNED
+    period folding (only the periods intersecting the range shuffle —
+    O(range), not O(history)). Boundary convention matches the engine's
+    freq path: the starting row is CLOSED at start, change episodes
+    strictly after — one row per instant, same observable state as the
+    reference's starting+change pair. With ``frequency_s`` too, the log
+    is grid-sampled first, then the range applies to the sampled log."""
     import math
 
     from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
 
+    if (start is None) != (end is None):
+        raise ValueError("start and end come together")
+    if start is not None and period_s is None:
+        raise ValueError("the range overload requires period_s (the "
+                         "pruning axis)")
     if frequency_s is not None:
         l3 = grid_sample_l3(l3, frequency_s)
 
@@ -720,17 +795,30 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "price double, volume double, bps_level bigint")
+    if start is not None:
+        folded = period_fold(l3, _DepthSummaryFolder, schema,
+                             frequency_s=period_s, start=start, end=end)
+        starting = depth_summary_at(l3, start, bps_step, max_bps_level, r0)
+        return starting.unionByName(folded)
     if period_s is not None:
         return period_fold(l3, _DepthSummaryFolder, schema, frequency_s=period_s)
     return stream_fold(l3.select(*cols), _DepthSummaryFolder, schema)
 
 
-def depth_summary_oracle_sql(bps_step: int = 25, max_bps_level: int = 500) -> str:
+def depth_summary_oracle_sql(bps_step: int = 25, max_bps_level: int = 500,
+                             start: str | None = None,
+                             end: str | None = None) -> str:
     """Grid-based oracle: per change-episode level volumes (vol CTE) + best
-    prices (best CTE) → same bucketing arithmetic, op for op."""
-    return f"""
-WITH {SPREAD_L1_CTES}, lvl AS (
-    SELECT v.pair_id, v.ts, v.side, v.price, v.volume,
+    prices (best CTE) → same bucketing arithmetic, op for op.
+
+    With ``start``/``end``: an INDEPENDENT formulation of the range
+    overload — the full-log episode fabric filtered to ``(start, end]``
+    plus the last in-era episode at/before ``start`` re-stamped to it
+    (nothing changed in between, so the re-stamped full-bucket row IS the
+    state at start) — while the engine derives the starting row from a
+    point-in-time live set and folds only pruned periods."""
+    fabric = f"""{SPREAD_L1_CTES}, lvl AS (
+    SELECT v.pair_id, v.era, v.ts, v.side, v.price, v.volume,
            CASE v.side
              WHEN 's' THEN ceil((v.price - b.best_ask_price) / b.best_ask_price / {bps_step} * 10000) * {bps_step}
              ELSE ceil((b.best_bid_price - v.price) / b.best_bid_price / {bps_step} * 10000) * {bps_step}
@@ -742,17 +830,38 @@ WITH {SPREAD_L1_CTES}, lvl AS (
       AND ((v.side = 's' AND b.best_ask_price IS NOT NULL)
         OR (v.side = 'b' AND b.best_bid_price IS NOT NULL))
 ), adj AS (
-    SELECT pair_id, ts, side,
+    SELECT pair_id, era, ts, side,
            CASE side
              WHEN 's' THEN floor(best_ask_price * (1 + bps_level / 10000) * 100 + 0.5) / 100
              ELSE floor(best_bid_price * (1 - bps_level / 10000) * 100 + 0.5) / 100
            END AS price,
            volume, bps_level
     FROM lvl WHERE bps_level <= {max_bps_level}
-)
-SELECT pair_id, ts AS microtimestamp,
-       CASE side WHEN 's' THEN 'ask' ELSE 'bid' END AS side,
-       price, sum(volume) AS volume, CAST(bps_level AS BIGINT) AS bps_level
-FROM adj
-GROUP BY pair_id, ts, side, price, bps_level
+), fin AS (
+    SELECT pair_id, era, ts,
+           CASE side WHEN 's' THEN 'ask' ELSE 'bid' END AS side,
+           price, sum(volume) AS volume, CAST(bps_level AS BIGINT) AS bps_level
+    FROM adj
+    GROUP BY pair_id, era, ts, side, price, bps_level
+)"""
+    if start is None:
+        return f"""
+WITH {fabric}
+SELECT pair_id, ts AS microtimestamp, side, price, volume, bps_level
+FROM fin
+"""
+    return f"""
+WITH {fabric}
+SELECT pair_id, ts AS microtimestamp, side, price, volume, bps_level
+FROM fin
+WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
+UNION ALL
+SELECT f.pair_id, TIMESTAMP '{start}' AS microtimestamp,
+       f.side, f.price, f.volume, f.bps_level
+FROM fin f
+WHERE f.era = (SELECT max(era) FROM level3 x
+               WHERE x.pair_id = f.pair_id AND x.era <= TIMESTAMP '{start}')
+  AND f.ts = (SELECT max(g.ts) FROM fin g
+              WHERE g.pair_id = f.pair_id AND g.era = f.era
+                AND g.ts <= TIMESTAMP '{start}')
 """

@@ -23,6 +23,7 @@ oracle, one shuffle on (pair, era, side, price).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from obadiah_spark.operators.depth import DEPTH_CHANGES_CTES, SPREAD_L1_CTES
 
@@ -171,9 +172,47 @@ GROUP BY pair_id, grid_ts, side, tick_price
 """
 
 
+def queues_at(l3: DataFrame, at: str, tick: float = 0.05,
+              max_ticks: int = 10) -> DataFrame:
+    """Single-instant queue buckets — D12's tick arithmetic over the book
+    state AT ``at`` (closed), relational via live_at. Supplies the range
+    overload's starting row (level2_continuous's starting-depth episode,
+    db/get_schema.sql:115-130, bucketed like any other)."""
+    from obadiah_spark.operators.order_book import live_at
+
+    lvl = (
+        live_at(l3, at, before=False)
+        .groupBy("pair_id", "side", "price")
+        .agg(F.sum("amount").alias("qty"))
+        .filter(F.col("qty") > 0)
+    )
+    best = lvl.groupBy("pair_id").agg(
+        F.max(F.when(F.col("side") == "b", F.col("price"))).alias("bb"),
+        F.min(F.when(F.col("side") == "s", F.col("price"))).alias("ba"),
+    )
+    idx = F.when(
+        F.col("side") == "b",
+        F.ceil((F.col("ba") - F.col("price")) / F.lit(tick) - F.lit(_EPS)),
+    ).otherwise(
+        F.ceil((F.col("price") - F.col("bb")) / F.lit(tick) - F.lit(_EPS)))
+    return (
+        lvl.join(best, "pair_id")
+        .filter(((F.col("side") == "b") & F.col("ba").isNotNull())
+                | ((F.col("side") == "s") & F.col("bb").isNotNull()))
+        .withColumn("_idx", idx)
+        .filter((F.col("_idx") >= 1) & (F.col("_idx") <= max_ticks))
+        .groupBy("pair_id", "side", F.col("_idx").alias("tick_idx"))
+        .agg(F.sum("qty").alias("volume"))
+        .select("pair_id",
+                F.lit(at).cast("timestamp").alias("microtimestamp"),
+                "side", "tick_idx", "volume")
+    )
+
+
 def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10,
            period_s: int | None = 86400,
-           frequency_s: int | None = None) -> DataFrame:
+           frequency_s: int | None = None,
+           start: str | None = None, end: str | None = None) -> DataFrame:
     """D12: per change-episode queue volumes bucketed by tick distance from
     the opposite best (long format: one row per non-empty tick bucket).
 
@@ -190,11 +229,20 @@ def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10,
     ``frequency_s`` is the reference's ``p_frequency`` output grid
     (db/get_schema.sql:623): the event log is resampled onto the
     closed-right ceiling grid (depth.grid_sample_l3) before folding, so
-    queue states emit at most once per grid interval."""
+    queue states emit at most once per grid interval.
+
+    ``start``/``end`` (both or neither) are p_start_time/p_end_time: a
+    full bucketed snapshot AT ``start`` (:func:`queues_at`) plus change
+    episodes in ``(start, end]`` from PRUNED period folding — O(range),
+    not O(history); same boundary convention as depth_summary_fold."""
     import math
 
     from obadiah_spark.fold import EpisodeFolder, period_fold, stream_fold
 
+    if (start is None) != (end is None):
+        raise ValueError("start and end come together")
+    if start is not None and period_s is None:
+        raise ValueError("the range overload requires period_s")
     if frequency_s is not None:
         from obadiah_spark.operators.depth import grid_sample_l3
 
@@ -233,14 +281,22 @@ def queues(l3: DataFrame, tick: float = 0.05, max_ticks: int = 10,
             "event_no", "side", "price", "amount", "chain_state"]
     schema = ("pair_id int, microtimestamp timestamp, side string, "
               "tick_idx bigint, volume double")
+    if start is not None:
+        folded = period_fold(l3, _QueuesFolder, schema,
+                             frequency_s=period_s, start=start, end=end)
+        return queues_at(l3, start, tick, max_ticks).unionByName(folded)
     if period_s is not None:
         return period_fold(l3, _QueuesFolder, schema, frequency_s=period_s)
     return stream_fold(l3.select(*cols), _QueuesFolder, schema)
 
 
-def queues_oracle_sql(tick: float = 0.05, max_ticks: int = 10) -> str:
-    return f"""
-WITH {SPREAD_L1_CTES}, l1_asof AS (
+def queues_oracle_sql(tick: float = 0.05, max_ticks: int = 10,
+                      start: str | None = None,
+                      end: str | None = None) -> str:
+    """With ``start``/``end``: independent range formulation (full-log
+    fabric filtered + the last in-era episode at/before start re-stamped
+    — same pattern as depth_summary_oracle_sql)."""
+    fabric = f"""{SPREAD_L1_CTES}, l1_asof AS (
     SELECT g.pair_id, g.era, g.ts,
            last_value(l.best_bid_price IGNORE NULLS) OVER w AS bb,
            last_value(l.best_ask_price IGNORE NULLS) OVER w AS ba,
@@ -255,13 +311,34 @@ WITH {SPREAD_L1_CTES}, l1_asof AS (
     FROM vol v JOIN l1_asof a
       ON a.pair_id = v.pair_id AND a.era = v.era AND a.ts = v.ts
     WHERE v.volume > 0
-)
-SELECT pair_id, ts AS microtimestamp, side,
-       CAST(CASE WHEN side = 'b' THEN ceil((ba - price) / {tick} - {_EPS})
-                 ELSE ceil((price - bb) / {tick} - {_EPS}) END AS BIGINT) AS tick_idx,
-       sum(volume) AS volume
-FROM j
-WHERE CASE WHEN side = 'b' THEN ceil((ba - price) / {tick} - {_EPS})
-           ELSE ceil((price - bb) / {tick} - {_EPS}) END BETWEEN 1 AND {max_ticks}
-GROUP BY pair_id, ts, side, tick_idx
+), fin AS (
+    SELECT pair_id, era, ts, side,
+           CAST(CASE WHEN side = 'b' THEN ceil((ba - price) / {tick} - {_EPS})
+                     ELSE ceil((price - bb) / {tick} - {_EPS}) END AS BIGINT) AS tick_idx,
+           sum(volume) AS volume
+    FROM j
+    WHERE CASE WHEN side = 'b' THEN ceil((ba - price) / {tick} - {_EPS})
+               ELSE ceil((price - bb) / {tick} - {_EPS}) END BETWEEN 1 AND {max_ticks}
+    GROUP BY pair_id, era, ts, side, tick_idx
+)"""
+    if start is None:
+        return f"""
+WITH {fabric}
+SELECT pair_id, ts AS microtimestamp, side, tick_idx, volume
+FROM fin
+"""
+    return f"""
+WITH {fabric}
+SELECT pair_id, ts AS microtimestamp, side, tick_idx, volume
+FROM fin
+WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
+UNION ALL
+SELECT f.pair_id, TIMESTAMP '{start}' AS microtimestamp,
+       f.side, f.tick_idx, f.volume
+FROM fin f
+WHERE f.era = (SELECT max(era) FROM level3 x
+               WHERE x.pair_id = f.pair_id AND x.era <= TIMESTAMP '{start}')
+  AND f.ts = (SELECT max(g.ts) FROM fin g
+              WHERE g.pair_id = f.pair_id AND g.era = f.era
+                AND g.ts <= TIMESTAMP '{start}')
 """

@@ -139,3 +139,37 @@ def test_get_depth_toggles_partition_the_output(level3):
     assert neither.count() == 0
     assert neither.columns == ["pair_id", "microtimestamp", "price",
                                "volume", "side"]
+
+
+def test_range_fold_equals_filtered_full(spark, level3):
+    """The (start, end] range overloads must equal the unrestricted fold
+    filtered to the range, plus the starting snapshot at start — the
+    pruned periods contribute nothing the full fold wouldn't."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.depth import (
+        depth_summary_at, depth_summary_fold)
+    from obadiah_spark.operators.resample import queues, queues_at
+
+    lo, hi = level3.agg(
+        F.min("microtimestamp"), F.max("microtimestamp")).first()
+    span = hi - lo
+    start = (lo + span / 3).strftime("%Y-%m-%d %H:%M:%S")
+    end = (lo + 2 * span / 3).strftime("%Y-%m-%d %H:%M:%S")
+
+    for op, op_at in ((depth_summary_fold, depth_summary_at),
+                      (queues, queues_at)):
+        got = op(level3, start=start, end=end).toPandas()
+        full = op(level3).filter(
+            (F.col("microtimestamp") > F.lit(start).cast("timestamp"))
+            & (F.col("microtimestamp") <= F.lit(end).cast("timestamp"))
+        ).toPandas()
+        snap = op_at(level3, start).toPandas()
+        want = pd.concat([snap, full], ignore_index=True)
+        cols = sorted(got.columns)
+        assert sorted(want.columns) == cols
+        a = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        b = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0, "range picked an empty window — fixture drifted"

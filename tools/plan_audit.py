@@ -123,7 +123,19 @@ def main() -> int:
         print(f"{name}: exchanges={res['exchanges']} windows={res['windows']}"
               f" scans={res['scans']} cross={cross}{flag}")
 
-    with open(os.path.join(REPO, "PLANS.json"), "w") as fh:
+    plans_path = os.path.join(REPO, "PLANS.json")
+    if keys:
+        # subset run: MERGE into the existing file — a partial audit must
+        # never shrink coverage (the pytest guard checks every query has
+        # an entry)
+        try:
+            with open(plans_path) as fh:
+                merged = json.load(fh)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(out)
+        out = merged
+    with open(plans_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"\n{len(out)} plans audited, {len(bad)} flagged: {bad}")
     return 1 if bad else 0

@@ -107,6 +107,12 @@ def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
 
     timed("queues", lambda: queues(l3).count())
     timed("depth_summary", lambda: depth_summary_fold(l3).count())
+    # range overload: a fixed window inside replica 0 — must stay FLAT as
+    # history grows (pruned periods + partition pruning)
+    timed("depth_summary_range",
+          lambda: depth_summary_fold(
+              l3, start="2024-01-09 00:00:00",
+              end="2024-01-13 00:00:00").count())
     timed("trading_period", lambda: trading_period_fold(l3).count())
     timed("spread_fold", lambda: spread_fold(l3).count())
     timed("order_book_cold",
