@@ -478,6 +478,16 @@ def _q_queues_range(spark, sf_dir):
     return queues(_l3(spark, sf_dir), start=EV_START, end=EV_END)
 
 
+def _q_trading_period_range(spark, sf_dir):
+    """T1 with p_start_time/p_end_time (get_schema.sql:729): prevailing
+    effective-price row at start + emit-on-change rows in (start, end]
+    from pruned period folding."""
+    from obadiah_spark.operators.trading import trading_period_fold
+
+    return trading_period_fold(_l3(spark, sf_dir), volume=0.0,
+                               start=EV_START, end=EV_END)
+
+
 def _q_trading_period_freq(spark, sf_dir):
     """T1 with p_frequency (get_schema.sql:729): the effective-price stream
     over the grid-resampled log, emit-on-change."""
@@ -938,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queues_freq": _q_queues_freq,
         "depth_summary_range": _q_depth_summary_range,
         "queues_range": _q_queues_range,
+        "trading_period_range": _q_trading_period_range,
         "trading_period_freq": _q_trading_period_freq,
         "trading_strategy_freq": _q_trading_strategy_freq,
         "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
@@ -1069,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         epsilon_draws_mid_oracle_sql,
         epsilon_draws_zigzag_oracle_sql,
         trading_period_v0_oracle,
+        trading_period_v0_range_oracle,
         trading_strategy_mid_oracle_sql,
         trading_strategy_zigzag_oracle_sql,
     )
@@ -1135,6 +1147,8 @@ def oracle_sql() -> dict[str, str]:
             depth_summary_oracle_sql(start=EV_START, end=EV_END)),
         "queues_range": level3_cte(
             queues_oracle_sql(start=EV_START, end=EV_END)),
+        "trading_period_range": level3_cte(
+            trading_period_v0_range_oracle(EV_START, EV_END)),
         "trading_period_freq": level3_cte(
             grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
         "crossed_books": level3_cte(crossed_books_oracle()),

@@ -81,9 +81,89 @@ def _pair_eq(a: float, b: float) -> bool:
     return (math.isnan(a) and math.isnan(b)) or a == b
 
 
+def effective_spread_at(l3: DataFrame, at: str,
+                        volume: float = 0.0) -> DataFrame:
+    """Single-instant effective bid/ask for executing ``volume`` — the
+    relational form of :func:`_effective_price` over the book state AT
+    ``at`` (closed): bids walk from the highest price down, asks from the
+    lowest up, VWAP over the first ``volume`` units (reference
+    src/base.h:288-349). Supplies the starting row of the range overload.
+
+    One row per (pair, era-containing-at) that has ANY event at or before
+    ``at`` — a pair whose book is empty at the instant still has a
+    prevailing (NULL, NULL) state, mirroring the fold's emit semantics
+    after the book empties."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.order_book import live_at
+
+    at_c = F.lit(at).cast("timestamp")
+    # pairs with a defined prevailing state: era containing `at` has events
+    w_pair = W.partitionBy("pair_id", "exchange_id")
+    base = (
+        l3.filter(F.col("era") <= at_c)
+        .withColumn("_cur", F.max("era").over(w_pair))
+        .filter((F.col("era") == F.col("_cur"))
+                & (F.col("microtimestamp") <= at_c))
+        .select("pair_id", "era").distinct()
+    )
+    lvl = (
+        live_at(l3, at, before=False)
+        .groupBy("pair_id", "era", "side", "price")
+        .agg(F.sum("amount").alias("qty"))
+        .filter(F.col("qty") > 0)
+    )
+    if volume == 0:
+        eff = lvl.groupBy("pair_id", "era").agg(
+            F.max(F.when(F.col("side") == "b", F.col("price")))
+            .alias("bid_price"),
+            F.min(F.when(F.col("side") == "s", F.col("price")))
+            .alias("ask_price"),
+        )
+    else:
+        # price-ordered walk per side: cumulative quantity → per-level take
+        w_side = (
+            W.partitionBy("pair_id", "era", "side")
+            .orderBy(F.when(F.col("side") == "b", -F.col("price"))
+                     .otherwise(F.col("price")))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        walked = (
+            lvl.withColumn("_cum", F.sum("qty").over(w_side))
+            .withColumn("_prev", F.col("_cum") - F.col("qty"))
+            .withColumn(
+                "_take",
+                F.when(F.col("_prev") < volume,
+                       F.least(F.col("qty"), F.lit(volume) - F.col("_prev")))
+                .otherwise(F.lit(0.0)))
+        )
+        per_side = (
+            walked.groupBy("pair_id", "era", "side")
+            .agg(F.sum(F.col("_take") * F.col("price")).alias("_acc"),
+                 F.sum("_take").alias("_v"))
+            .withColumn(
+                "_eff",
+                F.when(F.col("_v") >= volume, F.col("_acc") / F.col("_v")))
+        )
+        eff = per_side.groupBy("pair_id", "era").agg(
+            F.max(F.when(F.col("side") == "b", F.col("_eff")))
+            .alias("bid_price"),
+            F.max(F.when(F.col("side") == "s", F.col("_eff")))
+            .alias("ask_price"),
+        )
+    return (
+        base.join(eff, ["pair_id", "era"], "left")
+        .select("pair_id", "era", at_c.alias("microtimestamp"),
+                "bid_price", "ask_price")
+    )
+
+
 def trading_period_fold(l3: DataFrame, volume: float = 0.0,
                         period_s: int | None = 86400,
-                        frequency_s: int | None = None) -> DataFrame:
+                        frequency_s: int | None = None,
+                        start: str | None = None,
+                        end: str | None = None) -> DataFrame:
     """T1: effective bid/ask stream for executing ``volume``, emit-on-change.
 
     At volume=0 this equals the best-price projection of the spread fold —
@@ -99,7 +179,17 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0,
     (db/get_schema.sql:729 — the C CalculateTradingPeriod consumes the
     level1 stream sampled at that interval): the event log is resampled
     onto the closed-right ceiling grid (depth.grid_sample_l3), so the
-    effective-price stream changes at most once per grid interval."""
+    effective-price stream changes at most once per grid interval.
+
+    ``start``/``end`` (both or neither) are p_start_time/p_end_time
+    (get_schema.sql:729): the prevailing effective-price row AT ``start``
+    (:func:`effective_spread_at`) plus emit-on-change rows in
+    ``(start, end]`` from PRUNED period folding — O(range), not
+    O(history); same convention as depth_summary_fold."""
+    if (start is None) != (end is None):
+        raise ValueError("start and end come together")
+    if start is not None and period_s is None:
+        raise ValueError("the range overload requires period_s")
     if frequency_s is not None:
         from obadiah_spark.operators.depth import grid_sample_l3
 
@@ -142,6 +232,12 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0,
 
     cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
             "event_no", "side", "price", "amount", "chain_state"]
+    if start is not None:
+        from obadiah_spark.fold import period_fold
+
+        folded = period_fold(l3, _TradingPeriodFolder, TRADING_PERIOD_SCHEMA,
+                             frequency_s=period_s, start=start, end=end)
+        return effective_spread_at(l3, start, volume).unionByName(folded)
     if period_s is not None:
         from obadiah_spark.fold import period_fold
 
@@ -347,6 +443,40 @@ def trading_period_v0_oracle() -> str:
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
 
     return f"WITH {SPREAD_L1_CTES}{TRADING_PERIOD_V0_ORACLE_BODY_SUFFIX}"
+
+
+def trading_period_v0_range_oracle(start: str, end: str) -> str:
+    """Range form of the v0 oracle: emitted rows in (start, end] plus the
+    last in-era emission at/before start re-stamped to it (independent of
+    the engine's live-set starting derivation)."""
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    return f"""
+WITH {SPREAD_L1_CTES}, tp AS (
+    SELECT pair_id, era, ts,
+           best_bid_price AS bid_price, best_ask_price AS ask_price,
+           lag(best_bid_price) OVER w AS pb,
+           lag(best_ask_price) OVER w AS pa
+    FROM l1_dedup
+    WINDOW w AS (PARTITION BY pair_id, era ORDER BY ts)
+), fin AS (
+    SELECT pair_id, era, ts, bid_price, ask_price
+    FROM tp
+    WHERE pb IS DISTINCT FROM bid_price OR pa IS DISTINCT FROM ask_price
+)
+SELECT pair_id, era, ts AS microtimestamp, bid_price, ask_price
+FROM fin
+WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
+UNION ALL
+SELECT f.pair_id, f.era, TIMESTAMP '{start}' AS microtimestamp,
+       f.bid_price, f.ask_price
+FROM fin f
+WHERE f.era = (SELECT max(era) FROM level3 x
+               WHERE x.pair_id = f.pair_id AND x.era <= TIMESTAMP '{start}')
+  AND f.ts = (SELECT max(g.ts) FROM fin g
+              WHERE g.pair_id = f.pair_id AND g.era = f.era
+                AND g.ts <= TIMESTAMP '{start}')
+"""
 
 
 # ---------------------------------------------------------- zigzag oracles --

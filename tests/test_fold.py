@@ -173,3 +173,40 @@ def test_range_fold_equals_filtered_full(spark, level3):
         b = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert len(a) > 0, "range picked an empty window — fixture drifted"
+
+
+def test_trading_period_range_equals_filtered_full(spark, level3):
+    """T1 range overload at volume 0 AND at a walking volume (the
+    no-oracle path): pruned range fold == full fold filtered, prepended
+    with the effective-spread snapshot at start."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.trading import (
+        effective_spread_at, trading_period_fold)
+
+    lo, hi = level3.agg(
+        F.min("microtimestamp"), F.max("microtimestamp")).first()
+    span = hi - lo
+    start = (lo + span / 3).strftime("%Y-%m-%d %H:%M:%S")
+    end = (lo + 2 * span / 3).strftime("%Y-%m-%d %H:%M:%S")
+
+    for vol in (0.0, 2.5):
+        got = trading_period_fold(level3, volume=vol,
+                                  start=start, end=end).toPandas()
+        full = trading_period_fold(level3, volume=vol).filter(
+            (F.col("microtimestamp") > F.lit(start).cast("timestamp"))
+            & (F.col("microtimestamp") <= F.lit(end).cast("timestamp"))
+        ).toPandas()
+        snap = effective_spread_at(level3, start, vol).toPandas()
+        want = pd.concat([snap, full], ignore_index=True)
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        b = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0
+        # the starting row reflects the book, not a copy of a fold row:
+        # at volume 0 it must carry the best bid <= best ask when both set
+        s0 = snap.dropna()
+        if vol == 0.0 and len(s0):
+            assert (s0.bid_price <= s0.ask_price).all()
