@@ -368,6 +368,58 @@ def _q_trading_strategy_freq(spark, sf_dir):
     return trading_strategy(mid, phi=0.0001, rho=0.0)
 
 
+def _mid_range(spark, sf_dir, start, end):
+    """Range mid-price stream: prevailing spread at start (closed) plus
+    the pruned level1 period fold over (start, end], mid-projected."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.fold import spread_fold_periods
+    from obadiah_spark.operators.trading import effective_spread_at
+
+    l3 = _l3(spark, sf_dir)
+    l1r = spread_fold_periods(l3, start=start, end=end).select(
+        "pair_id", "era", "microtimestamp",
+        F.col("best_bid_price").alias("bid_price"),
+        F.col("best_ask_price").alias("ask_price"))
+    start_row = effective_spread_at(l3, start, 0.0)
+    return (
+        start_row.unionByName(l1r)
+        .filter(F.col("bid_price").isNotNull()
+                & F.col("ask_price").isNotNull())
+        .select("pair_id", "era", "microtimestamp",
+                ((F.col("bid_price") + F.col("ask_price")) / 2)
+                .alias("bid_price"))
+        .withColumn("ask_price", F.col("bid_price"))
+    )
+
+
+def _q_trading_strategy_range(spark, sf_dir):
+    """T2 with p_start_time/p_end_time (get_schema.sql:740): position
+    discovery over the range-restricted mid stream (prevailing spread at
+    start + pruned level1 fold)."""
+    from obadiah_spark.operators.trading import trading_strategy
+
+    # phi=0: the 4-day window's mid stream is quiet — at the 1 bps
+    # commission of the full-history gate it holds zero positions, which
+    # would make the hash check vacuous; zero commission emits a position
+    # per local extremum, giving the range gate real content
+    return trading_strategy(_mid_range(spark, sf_dir, EV_START, EV_END),
+                            phi=0.0, rho=0.0)
+
+
+def _q_epsilon_draws_range(spark, sf_dir):
+    """T3 with p_start_time/p_end_time: draw decomposition over the same
+    range-restricted mid stream."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.trading import epsilon_drawupdowns
+
+    prices = _mid_range(spark, sf_dir, EV_START, EV_END).select(
+        "pair_id", "era", "microtimestamp",
+        F.col("bid_price").alias("price"))
+    return epsilon_drawupdowns(prices, epsilon=0.0005)
+
+
 def _q_epsilon_draws(spark, sf_dir):
     from obadiah_spark.fold import spread_fold
     from obadiah_spark.operators.trading import epsilon_drawupdowns, mid_price
@@ -949,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_summary_range": _q_depth_summary_range,
         "queues_range": _q_queues_range,
         "trading_period_range": _q_trading_period_range,
+        "trading_strategy_range": _q_trading_strategy_range,
+        "epsilon_draws_range": _q_epsilon_draws_range,
         "trading_period_freq": _q_trading_period_freq,
         "trading_strategy_freq": _q_trading_strategy_freq,
         "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
@@ -1079,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.operators.trading import (
         epsilon_draws_mid_oracle_sql,
         epsilon_draws_zigzag_oracle_sql,
+        _mid_range_cte,
         trading_period_v0_oracle,
         trading_period_v0_range_oracle,
         trading_strategy_mid_oracle_sql,
@@ -1149,6 +1204,10 @@ def oracle_sql() -> dict[str, str]:
             queues_oracle_sql(start=EV_START, end=EV_END)),
         "trading_period_range": level3_cte(
             trading_period_v0_range_oracle(EV_START, EV_END)),
+        "trading_strategy_range": level3_cte(trading_strategy_mid_oracle_sql(
+            phi=0.0, mid_cte=_mid_range_cte(EV_START, EV_END))),
+        "epsilon_draws_range": level3_cte(epsilon_draws_mid_oracle_sql(
+            epsilon=0.0005, mid_cte=_mid_range_cte(EV_START, EV_END))),
         "trading_period_freq": level3_cte(
             grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
         "crossed_books": level3_cte(crossed_books_oracle()),

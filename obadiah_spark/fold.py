@@ -628,9 +628,13 @@ def period_fold(l3: DataFrame, folder: type[EpisodeFolder], schema: str,
     return out
 
 
-def spread_fold_periods(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:
-    """D3/D8: period-parallel level1 — identical output to spread_fold."""
-    return period_fold(l3, _SpreadFolder, SPREAD_SCHEMA, frequency_s)
+def spread_fold_periods(l3: DataFrame, frequency_s: int = 86400,
+                        start: str | None = None,
+                        end: str | None = None) -> DataFrame:
+    """D3/D8: period-parallel level1 — identical output to spread_fold.
+    ``start``/``end`` apply the pruned-range restriction (see period_fold)."""
+    return period_fold(l3, _SpreadFolder, SPREAD_SCHEMA, frequency_s,
+                       start=start, end=end)
 
 
 def depth_change_fold_periods(l3: DataFrame, frequency_s: int = 86400) -> DataFrame:

@@ -595,15 +595,47 @@ _MID_CTE = """mid AS (
 )"""
 
 
-def trading_strategy_mid_oracle_sql(phi: float, rho: float = 0.0) -> str:
-    """Recursive-CTE replay of _discover_positions in mid mode (rho=0)."""
+def _mid_range_cte(start: str, end: str) -> str:
+    """Range variant of the mid CTE: level1 rows in (start, end] plus the
+    last in-era row at/before start re-stamped to it (the prevailing
+    spread), then the usual both-sides-set mid projection."""
+    return f"""mid AS (
+    SELECT pair_id, era, ts,
+           (best_bid_price + best_ask_price) / 2 AS p,
+           row_number() OVER (PARTITION BY pair_id, era ORDER BY ts) AS rn
+    FROM (
+        SELECT pair_id, era, ts, best_bid_price, best_ask_price
+        FROM l1_dedup
+        WHERE ts > TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
+        UNION ALL
+        SELECT f.pair_id, f.era, TIMESTAMP '{start}' AS ts,
+               f.best_bid_price, f.best_ask_price
+        FROM l1_dedup f
+        WHERE f.era = (SELECT max(era) FROM level3 x
+                       WHERE x.pair_id = f.pair_id
+                         AND x.era <= TIMESTAMP '{start}')
+          AND f.ts = (SELECT max(g.ts) FROM l1_dedup g
+                      WHERE g.pair_id = f.pair_id AND g.era = f.era
+                        AND g.ts <= TIMESTAMP '{start}')
+    ) u
+    WHERE best_bid_price IS NOT NULL AND best_ask_price IS NOT NULL
+)"""
+
+
+def trading_strategy_mid_oracle_sql(phi: float, rho: float = 0.0,
+                                    mid_cte: str | None = None) -> str:
+    """Recursive-CTE replay of _discover_positions in mid mode (rho=0).
+
+    ``mid_cte`` substitutes the mid-price source (the range overload
+    passes :func:`_mid_range_cte`)."""
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
 
     if rho != 0.0:
         raise NotImplementedError("mid oracle covers the gate's rho=0 path")
     comm = repr(2.0 * max(float(phi), 0.0))
+    mid = mid_cte if mid_cte is not None else _MID_CTE
     return f"""
-WITH RECURSIVE {SPREAD_L1_CTES}, {_MID_CTE}, step AS (
+WITH RECURSIVE {SPREAD_L1_CTES}, {mid}, step AS (
     SELECT pair_id, era, rn, 0 AS mode,
            p AS sl_p, ts AS sl_t, p AS ss_p, ts AS ss_t,
            CAST(NULL AS DOUBLE) AS ex_p, CAST(NULL AS TIMESTAMP) AS ex_t,
@@ -693,13 +725,17 @@ FROM positions
 """
 
 
-def epsilon_draws_mid_oracle_sql(epsilon: float) -> str:
-    """Recursive-CTE replay of _discover_draws over the mid-price stream."""
+def epsilon_draws_mid_oracle_sql(epsilon: float,
+                                 mid_cte: str | None = None) -> str:
+    """Recursive-CTE replay of _discover_draws over the mid-price stream.
+
+    ``mid_cte`` substitutes the mid-price source (range overload)."""
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
 
     eps = repr(float(epsilon))
+    mid = mid_cte if mid_cte is not None else _MID_CTE
     return f"""
-WITH RECURSIVE {SPREAD_L1_CTES}, {_MID_CTE}, step AS (
+WITH RECURSIVE {SPREAD_L1_CTES}, {mid}, step AS (
     SELECT pair_id, era, rn,
            p AS st_p, ts AS st_t, p AS tp_p, ts AS tp_t,
            CAST(NULL AS DOUBLE) AS e_sp, CAST(NULL AS TIMESTAMP) AS e_st,
