@@ -1012,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_trades": _q_inferred_trades,
         "match_sum_of_fills": _q_match_sum_of_fills,
         "fix_chain_integrity": _q_fix_chain_integrity,
+        "depth_summary": _q_depth_summary,
+        "queues": _q_queues,
         # -- (4) stable core (r5 driver-green, unchanged) -----------------
         "order_book": _q_order_book,
         "order_book_ckpt": _q_order_book_ckpt,
@@ -1027,10 +1029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
         "epsilon_draws": _q_epsilon_draws,
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
-        "get_depth": _q_get_depth,
-        "get_depth_freq": _q_get_depth_freq,
-        "get_spread_freq": _q_get_spread_freq,
-        "depth_summary": _q_depth_summary,
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
         "data_overview": _q_data_overview,
@@ -1050,12 +1048,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "embedding_dedup": _q_embedding_dedup,
         "multimodal_features": _q_multimodal,
+        "get_depth": _q_get_depth,
+        "get_depth_freq": _q_get_depth_freq,
+        "get_spread_freq": _q_get_spread_freq,
         "export_events": _q_export,
         "book_by_episode": _q_book_by_episode,
         "get_spread": _q_get_spread,
         "spread_at": _q_spread_at,
         "depth_resample": _q_depth_resample,
-        "queues": _q_queues,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
     }

@@ -586,7 +586,10 @@ FROM pairs WHERE t2 IS NOT NULL
 # Iteration count = max rows per (pair, era) — fine at gate scale (sf0.01);
 # this is oracle-side code only, never the Spark plan.
 
-_MID_CTE = """mid AS (
+# MATERIALIZED: the recursive replays reference `mid` every iteration —
+# without it DuckDB re-derives the whole level1 fabric per step (measured
+# minutes → seconds at sf0.01)
+_MID_CTE = """mid AS MATERIALIZED (
     SELECT pair_id, era, ts,
            (best_bid_price + best_ask_price) / 2 AS p,
            row_number() OVER (PARTITION BY pair_id, era ORDER BY ts) AS rn
@@ -598,8 +601,12 @@ _MID_CTE = """mid AS (
 def _mid_range_cte(start: str, end: str) -> str:
     """Range variant of the mid CTE: level1 rows in (start, end] plus the
     last in-era row at/before start re-stamped to it (the prevailing
-    spread), then the usual both-sides-set mid projection."""
-    return f"""mid AS (
+    spread), then the usual both-sides-set mid projection.
+
+    MATERIALIZED: the recursive replay references ``mid`` on every
+    iteration — without materialization DuckDB re-derives the whole
+    level1 fabric (and the correlated restamp probe) per step."""
+    return f"""mid AS MATERIALIZED (
     SELECT pair_id, era, ts,
            (best_bid_price + best_ask_price) / 2 AS p,
            row_number() OVER (PARTITION BY pair_id, era ORDER BY ts) AS rn
