@@ -772,6 +772,9 @@ def _q_cleanse_order(spark, sf_dir):
     _l3(spark, sf_dir)  # registers level3 + matches views
     disordered = spark.sql(
         f"WITH {CLEANSE_FABRIC_CTES} SELECT * FROM disordered")
+    # the normalizer walks its input through several window stages that
+    # each reference it — materialize the small corrupt fabric once
+    disordered = disordered.localCheckpoint()
     return normalize_event_order(disordered)
 
 
@@ -907,7 +910,9 @@ def _q_reveal_episodes(spark, sf_dir):
     from obadiah_spark.operators.staging_repair import reveal_episodes
 
     l3 = _l3(spark, sf_dir)
-    return reveal_episodes(l3, inferred_trades(l3))
+    # inferred_trades is a multi-window pipeline referenced more than once
+    # inside the repair — materialize it once (same fix as match_sequential)
+    return reveal_episodes(l3, inferred_trades(l3).localCheckpoint())
 
 
 def _q_fix_aggressor(spark, sf_dir):
@@ -927,7 +932,9 @@ def _q_fix_aggressor(spark, sf_dir):
         "side",
         F.when(flip, F.when(F.col("side") == "b", "s").otherwise("b"))
         .otherwise(F.col("side")))
-    return fix_aggressor_creation_order(l3, flipped)
+    # materialize the (tiny) trades input once — the repair references it
+    # in both phases, and its lineage is the full inferred_trades pipeline
+    return fix_aggressor_creation_order(l3, flipped.localCheckpoint())
 
 
 def _match_sequential_oracle(inferred_sql: str, match_sql: str) -> str:
