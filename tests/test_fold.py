@@ -210,3 +210,36 @@ def test_trading_period_range_equals_filtered_full(spark, level3):
         s0 = snap.dropna()
         if vol == 0.0 and len(s0):
             assert (s0.bid_price <= s0.ask_price).all()
+
+
+def test_range_with_frequency_combo(spark, level3):
+    """start/end + frequency_s together: must equal the full grid-sampled
+    fold filtered to the range, prepended with the starting snapshot over
+    the SAMPLED log (the combo is defined as sample-then-range)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.depth import (
+        depth_summary_at, depth_summary_fold, grid_sample_l3)
+
+    lo, hi = level3.agg(
+        F.min("microtimestamp"), F.max("microtimestamp")).first()
+    span = hi - lo
+    start = (lo + span / 3).strftime("%Y-%m-%d %H:%M:%S")
+    end = (lo + 2 * span / 3).strftime("%Y-%m-%d %H:%M:%S")
+    f = 3600
+
+    got = depth_summary_fold(level3, frequency_s=f,
+                             start=start, end=end).toPandas()
+    sampled = grid_sample_l3(level3, f)
+    full = depth_summary_fold(level3, frequency_s=f).filter(
+        (F.col("microtimestamp") > F.lit(start).cast("timestamp"))
+        & (F.col("microtimestamp") <= F.lit(end).cast("timestamp"))
+    ).toPandas()
+    snap = depth_summary_at(sampled, start).toPandas()
+    want = pd.concat([snap, full], ignore_index=True)
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
