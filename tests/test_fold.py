@@ -243,3 +243,37 @@ def test_range_with_frequency_combo(spark, level3):
     b = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) > 0
+
+
+def test_grid_sample_idempotent_and_boundary(spark, level3):
+    """grid_sample_l3 invariants: (a) idempotent — sampling a sampled log
+    changes nothing (every ts already sits on the grid, and the ceiling
+    maps grid points to themselves); (b) every output instant is on the
+    grid; (c) chain pointers stay consistent (next == the successor's
+    sampled ts)."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.depth import grid_sample_l3
+
+    f = 900
+    s1 = grid_sample_l3(level3, f)
+    s2 = grid_sample_l3(s1, f)
+    diff = s1.select("microtimestamp", "next_microtimestamp").exceptAll(
+        s2.select("microtimestamp", "next_microtimestamp"))
+    assert diff.count() == 0
+    off_grid = s1.filter(
+        (F.unix_micros("microtimestamp") % (f * 1_000_000)) != 0)
+    assert off_grid.count() == 0
+    # pointer consistency: a chained event's next equals the ceiled ts of
+    # its successor (event_no + 1 in the same life)
+    a = s1.filter("chain_state = 'chained'").alias("a")
+    b = s1.alias("b")
+    bad = a.join(
+        b,
+        (F.col("a.pair_id") == F.col("b.pair_id"))
+        & (F.col("a.era") == F.col("b.era"))
+        & (F.col("a.order_id") == F.col("b.order_id"))
+        & (F.col("a.life_no") == F.col("b.life_no"))
+        & (F.col("a.event_no") + 1 == F.col("b.event_no")),
+    ).filter(F.col("a.next_microtimestamp") != F.col("b.microtimestamp"))
+    assert bad.count() == 0
