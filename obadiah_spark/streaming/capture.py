@@ -586,11 +586,9 @@ class BitstampCaptureSink:
             # until resolved
             r = parsed.filter(F.col("kind") == "order").agg(
                 F.min("us")).collect()[0][0]
-            if r is None:
-                # no order event yet (acks / trades only): don't write
-                # orders this batch, trades carry no era
-                parsed = parsed.cache()
-            else:
+            # r is None = no order event yet (acks / trades only): orders
+            # are not written this batch and trades carry no era
+            if r is not None:
                 self.era_us = int(r)
                 self._save_era()
         orders, trades, garbage = route_bitstamp_batch(

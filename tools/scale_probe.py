@@ -125,6 +125,56 @@ def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
     return out
 
 
+def build_docs(spark, sf_dir: str, work: str, reps: int) -> str:
+    """Replicated documents table for the dedup/text-family probe: k
+    copies with doc_id offset and a per-replica content salt appended, so
+    replicas aren't trivial exact duplicates of each other (the workload
+    stays shingle/minhash-shaped, not degenerate)."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(work, f"documents_x{reps}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = []
+    for k in range(reps):
+        rep = docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(k) * F.lit(1 << 32))
+            .cast("long"))
+        if k:
+            rep = rep.withColumn(
+                "text", F.concat(F.col("text"),
+                                 F.lit(f" replica-{k} salt")))
+        parts.append(rep)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe_docs(spark, docs_path: str) -> dict[str, float]:
+    """Dedup/text family over a documents table read cold from parquet."""
+    from obadiah_spark.pipelines import dedup
+    from obadiah_spark.pipelines.text import text_stats
+
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+
+    timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
+    timed("minhash_lsh_candidates",
+          lambda: dedup.minhash_lsh_candidates(docs, spark).count())
+    timed("simhash", lambda: dedup.simhash(docs, spark).count())
+    timed("text_stats", lambda: text_stats(docs).count())
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/obadiah_scale_probe"
@@ -143,6 +193,10 @@ def main() -> None:
 
     r1 = probe(spark, p1, c1, em.OB_AT)
     r10 = probe(spark, p10, c10, em.OB_AT)
+    d1 = probe_docs(spark, build_docs(spark, sf_dir, work, 1))
+    d10 = probe_docs(spark, build_docs(spark, sf_dir, work, 10))
+    r1.update(d1)
+    r10.update(d10)
     exps = {k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2)
             for k in r1}
     print(json.dumps({"sf_base": sf_dir, "x1": r1, "x10": r10,
