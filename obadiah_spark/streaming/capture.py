@@ -519,8 +519,9 @@ def route_bitstamp_batch(parsed: DataFrame, pair_id: int, era_us: int,
             F.timestamp_micros((F.col("dt_s") * 1_000_000).cast("long"))
             .alias("datetime"),
             "amount", "price", "order_id",
-            # order_type: 1 = sell (bitstamp.py:98)
-            F.when(F.col("order_type") == 1, "sell").otherwise("buy")
+            # order_type: truthy = sell (bitstamp.py:98 uses
+            # `'sell' if data["order_type"] else 'buy'`)
+            F.when(F.col("order_type") != 0, "sell").otherwise("buy")
             .alias("order_type"),
             "event",
             era_c.alias("era"),
@@ -535,8 +536,8 @@ def route_bitstamp_batch(parsed: DataFrame, pair_id: int, era_us: int,
             F.timestamp_micros(F.col("us")).alias("trade_timestamp"),
             "amount", "buy_order_id", "sell_order_id", "price",
             F.col("trade_id").alias("bitstamp_trade_id"),
-            # type: 1 = sell (bitstamp.py:62)
-            F.when(F.col("trade_type") == 1, "sell").otherwise("buy")
+            # type: truthy = sell (bitstamp.py:62)
+            F.when(F.col("trade_type") != 0, "sell").otherwise("buy")
             .alias("trade_type"),
             F.lit(pair_id).cast("int").alias("pair_id"),
             lts.alias("local_timestamp"),
