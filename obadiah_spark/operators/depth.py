@@ -100,15 +100,30 @@ def grid_sample_l3(l3: DataFrame, frequency_s: int) -> DataFrame:
 
 
 def grid_sample_l3_sql(body: str, frequency_s: int) -> str:
-    """DuckDB mirror of :func:`grid_sample_l3` for oracle bodies: rewrite
-    every ``FROM level3`` to read a grid-ceiled projection of it. Textual
-    by design — the oracle CTE fabrics reference the log as the bare
-    ``level3`` relation and nothing else matches that token."""
+    """DuckDB mirror of :func:`grid_sample_l3` for oracle bodies: every
+    ``level3`` reference is redirected to a grid-ceiled projection,
+    introduced as a prepended CTE. Token-level rewrite (word-boundary
+    regex) — aliased references (``FROM level3 x``, correlated probes)
+    stay valid, unlike a naive ``FROM level3`` string substitution."""
+    import re
+
     ceil_ts = grid_ceil_sql("microtimestamp", frequency_s)
     ceil_next = grid_ceil_sql("next_microtimestamp", frequency_s)
-    sub = (f"(SELECT * REPLACE ({ceil_ts} AS microtimestamp, "
-           f"{ceil_next} AS next_microtimestamp) FROM level3)")
-    return body.replace("FROM level3", f"FROM {sub} AS level3")
+    cte = (f"level3_gridded AS (SELECT * REPLACE ({ceil_ts} AS "
+           f"microtimestamp, {ceil_next} AS next_microtimestamp) "
+           f"FROM level3)")
+    redirected = re.sub(r"\blevel3\b", "level3_gridded", body)
+    stripped = redirected.lstrip()
+    if stripped[:14].upper() == "WITH RECURSIVE":
+        return f"\nWITH RECURSIVE {cte},\n{stripped[14:].lstrip()}"
+    if stripped[:4].upper() == "WITH":
+        return f"\nWITH {cte},\n{stripped[4:].lstrip()}"
+    if stripped[:6].upper() == "SELECT" or stripped[:1] == "(":
+        return f"\nWITH {cte}\n{stripped}"
+    # a bare CTE-list fragment (e.g. SPREAD_L1_CTES handed to another
+    # oracle builder): prepend the gridded CTE, no WITH keyword — the
+    # consumer supplies it
+    return f"{cte},\n{stripped}"
 
 
 def depth_change(l3: DataFrame, keep_era: bool = False,

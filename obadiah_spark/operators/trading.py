@@ -122,29 +122,43 @@ def effective_spread_at(l3: DataFrame, at: str,
             .alias("ask_price"),
         )
     else:
-        # price-ordered walk per side: cumulative quantity → per-level take
-        w_side = (
-            W.partitionBy("pair_id", "era", "side")
-            .orderBy(F.when(F.col("side") == "b", -F.col("price"))
-                     .otherwise(F.col("price")))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
+        # price-ordered walk per side, FLOAT-FAITHFUL to the folder's
+        # sequential loop: _prev is the exclusive running sum (the loop's
+        # `v` before this level — NOT `_cum - qty`, whose float value can
+        # differ and flip the fillability test at the boundary), `_take`
+        # mirrors `min(q, volume - v)`, the accumulator is a sequential
+        # running sum (post-fill takes are exact 0.0, so trailing rows
+        # leave it unchanged), fillability is `v + q >= volume` on the
+        # last contributing row, and the VWAP divides by exactly
+        # ``volume`` (the loop pins v = volume on fill)
+        order_expr = (F.when(F.col("side") == "b", -F.col("price"))
+                      .otherwise(F.col("price")))
+        w_run = (W.partitionBy("pair_id", "era", "side").orderBy(order_expr)
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        w_prev = (W.partitionBy("pair_id", "era", "side").orderBy(order_expr)
+                  .rowsBetween(W.unboundedPreceding, -1))
         walked = (
-            lvl.withColumn("_cum", F.sum("qty").over(w_side))
-            .withColumn("_prev", F.col("_cum") - F.col("qty"))
+            lvl.withColumn(
+                "_prev", F.coalesce(F.sum("qty").over(w_prev), F.lit(0.0)))
             .withColumn(
                 "_take",
                 F.when(F.col("_prev") < volume,
                        F.least(F.col("qty"), F.lit(volume) - F.col("_prev")))
                 .otherwise(F.lit(0.0)))
+            .withColumn("_acc", F.sum(F.col("_take") * F.col("price"))
+                        .over(w_run))
+            .withColumn("_filled",
+                        F.col("_prev") + F.col("qty") >= F.lit(volume))
         )
         per_side = (
             walked.groupBy("pair_id", "era", "side")
-            .agg(F.sum(F.col("_take") * F.col("price")).alias("_acc"),
-                 F.sum("_take").alias("_v"))
+            .agg(F.max_by(F.col("_acc"), F.struct(
+                F.col("_prev"), F.col("qty"))).alias("_acc_last"),
+                 F.max("_filled").alias("_fillable"))
             .withColumn(
                 "_eff",
-                F.when(F.col("_v") >= volume, F.col("_acc") / F.col("_v")))
+                F.when(F.col("_fillable"),
+                       F.col("_acc_last") / F.lit(volume)))
         )
         eff = per_side.groupBy("pair_id", "era").agg(
             F.max(F.when(F.col("side") == "b", F.col("_eff")))

@@ -339,10 +339,12 @@ def embedding_dedup(emb: DataFrame, min_cosine: float = 0.45,
     )
 
 
-def embedding_dedup_oracle(min_cosine: float = 0.45,
-                           max_id: int = 800) -> str:
-    return f"""
-WITH e AS (
+def _exact_dup_ctes(min_cosine: float, max_id: int) -> str:
+    """The exact-duplicate rule as shared CTEs (round-9 cosine, lower-id
+    representative, max_id bound) — ONE definition consumed by both the
+    embedding_dedup oracle and the LSH recall oracle, so the rule cannot
+    silently fork between them."""
+    return f"""e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     WHERE vec_id < {max_id}
 ), dup AS (
@@ -352,7 +354,13 @@ WITH e AS (
                 / (sqrt(list_dot_product(a.emb, a.emb))
                    * sqrt(list_dot_product(b.emb, b.emb))), 9) >= {min_cosine!r}
     GROUP BY b.vec_id
-)
+)"""
+
+
+def embedding_dedup_oracle(min_cosine: float = 0.45,
+                           max_id: int = 800) -> str:
+    return f"""
+WITH {_exact_dup_ctes(min_cosine, max_id)}
 SELECT e.vec_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
 FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
 """
@@ -426,17 +434,7 @@ def embedding_dedup_lsh_recall_oracle(min_cosine: float = 0.45,
     both sides)."""
     flag = f"recall_ge_{str(threshold).replace('.', '_')}"
     return f"""
-WITH e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    WHERE vec_id < {max_id}
-), dup AS (
-    SELECT b.vec_id, min(a.vec_id) AS dup_of
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.emb, b.emb)
-                / (sqrt(list_dot_product(a.emb, a.emb))
-                   * sqrt(list_dot_product(b.emb, b.emb))), 9) >= {min_cosine!r}
-    GROUP BY b.vec_id
-)
+WITH {_exact_dup_ctes(min_cosine, max_id)}
 SELECT 'embedding_dedup_lsh_recall' AS metric,
        CAST(count(*) AS BIGINT) AS n_exact_dups,
        TRUE AS {flag}

@@ -117,9 +117,12 @@ def _parse_one_strict(line: str, line_no: int) -> list[tuple]:
                      None, None, None, None, line_no, 0)]
         if payload == "tu":
             entry = msg[2]
+            # slice to 4 like the snapshot/update paths — a >4-member
+            # entry must not build an oversized row (pd.DataFrame would
+            # raise OUTSIDE the per-line try/except and kill the query)
+            vals = ([float(x) for x in entry] + [None] * 4)[:4]
             return [("data", None, chan, None, "tu", len(entry), False, None,
-                     *([float(x) for x in entry] + [None] * (4 - len(entry))),
-                     line_no, 0)]
+                     *vals, line_no, 0)]
         return _garbage(line_no, chan, payload)
     if isinstance(payload, list) and payload and isinstance(payload[0], list):
         # snapshot: nested list of entries (book triple / trade quad)
@@ -287,6 +290,7 @@ class CaptureSink:
         self._book_buf: list[pd.DataFrame] = []
         self._trade_buf: list[pd.DataFrame] = []
         self._buffered = 0
+        self._flush_no = 0
         self._spark: SparkSession | None = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -296,35 +300,45 @@ class CaptureSink:
         # (batch_seq << 33) + line_no event_id is collision-free across
         # batches and ordered exactly like the wire. Capture batches are
         # seconds of frames from one serial socket — never large.
+        # persist: the registry probe and the three routed writes are
+        # separate actions — without it each re-runs the wire parse AND
+        # re-resolves current_timestamp, giving one batch's book/trade/
+        # quarantine rows different local timestamps. The probe's collect
+        # materializes every partition (there is exactly one), so _lts is
+        # frozen at first evaluation — the reference stamps lts once per
+        # message at receive for the same reason (capture.py:137)
         parsed = (
             parse_frames(batch_df.select("value").coalesce(1))
             .withColumn("_lts", F.current_timestamp())
-        )
-        subs = (
-            parsed.filter((F.col("kind") == "event")
-                          & (F.col("event") == "subscribed"))
-            .select("chan_id", "channel").collect()
-        )
-        for r in subs:  # tiny: one row per (re)subscription
-            self.registry[int(r.chan_id)] = r.channel
-        if subs:
-            _save_registry(self.bronze_path, self.registry)
-        book, trades, unrouted = route_batch(
-            parsed, self.registry, self.pair_id, batch_seq=int(batch_id))
-        # quarantine writes immediately (never buffered: it exists so no
-        # frame is ever only in driver memory for an unknown channel);
-        # batchId-keyed overwrite → idempotent under foreachBatch replay
-        unrouted.write.mode("overwrite").parquet(
-            self._batch_dir("_unrouted", batch_id))
-        if self.min_save_count <= 0:
-            self._write(book, trades, batch_id)
-            return
-        bp, tp = book.toPandas(), trades.toPandas()
-        self._book_buf.append(bp)
-        self._trade_buf.append(tp)
-        self._buffered += len(bp) + len(tp)
-        if self._buffered >= self.min_save_count:
-            self.flush()
+        ).persist()
+        try:
+            subs = (
+                parsed.filter((F.col("kind") == "event")
+                              & (F.col("event") == "subscribed"))
+                .select("chan_id", "channel").collect()
+            )
+            for r in subs:  # tiny: one row per (re)subscription
+                self.registry[int(r.chan_id)] = r.channel
+            if subs:
+                _save_registry(self.bronze_path, self.registry)
+            book, trades, unrouted = route_batch(
+                parsed, self.registry, self.pair_id, batch_seq=int(batch_id))
+            # quarantine writes immediately (never buffered: it exists so
+            # no frame is ever only in driver memory for an unknown
+            # channel); batchId-keyed overwrite → idempotent under replay
+            unrouted.write.mode("overwrite").parquet(
+                self._batch_dir("_unrouted", batch_id))
+            if self.min_save_count <= 0:
+                self._write(book, trades, batch_id)
+                return
+            bp, tp = book.toPandas(), trades.toPandas()
+            self._book_buf.append(bp)
+            self._trade_buf.append(tp)
+            self._buffered += len(bp) + len(tp)
+            if self._buffered >= self.min_save_count:
+                self.flush()
+        finally:
+            parsed.unpersist()
 
     def _batch_dir(self, sub: str, batch_id: int) -> str:
         # Hive-style batch_seq=N leaf: readers of the table root discover
@@ -347,9 +361,18 @@ class CaptureSink:
         the contributing batches on restart. Promotion dedups on
         ``event_id`` (the I1 dedup window), so duplicates never reach
         level3 — same recovery contract the reference's buffered COPY has
-        (bitfinex.py:84-95)."""
+        (bitfinex.py:84-95).
+
+        Flushes write into the SAME Hive-style ``batch_seq=N`` layout as
+        the write-per-batch path — a flat file at the table root would
+        break partition discovery for the whole bronze table if the two
+        modes ever touched one path. Flush leaves use the reserved range
+        ``batch_seq >= 1<<40`` (streaming batch ids never reach it), one
+        leaf per flush."""
         if not self._buffered or self._spark is None:
             return
+        leaf = (1 << 40) + self._flush_no
+        self._flush_no += 1
         for buf, sub, schema in (
                 (self._book_buf, "raw_book", BOOK_SCHEMA),
                 (self._trade_buf, "raw_trades", TRADE_SCHEMA)):
@@ -360,8 +383,8 @@ class CaptureSink:
                 # explicit schema: an all-None column (e.g. exchange_ts for
                 # frames without rts) must not fail or drift type inference
                 self._spark.createDataFrame(
-                    pdf, schema=schema).write.mode("append").parquet(
-                    os.path.join(self.bronze_path, sub))
+                    pdf, schema=schema).write.mode("overwrite").parquet(
+                    self._batch_dir(sub, leaf))
         self._book_buf, self._trade_buf, self._buffered = [], [], 0
 
 
@@ -551,15 +574,27 @@ def route_bitstamp_batch(parsed: DataFrame, pair_id: int, era_us: int,
 class BitstampCaptureSink:
     """foreachBatch body for the bitstamp channels: era fold + routed
     parquet appends (batchId-keyed overwrite — idempotent like the
-    Bitfinex sink)."""
+    Bitfinex sink).
 
-    def __init__(self, bronze_path: str, pair_id: int) -> None:
+    The era sidecar lives in the streaming CHECKPOINT directory, not the
+    bronze table: a restart FROM the same checkpoint is the same logical
+    capture session (unprocessed batches replay, no data gap) and must
+    keep its era, while a NEW session (fresh checkpoint — a real
+    reconnect after a gap) must open a new era exactly like the
+    reference's per-connect ``live_orders_eras`` insert
+    (bitstamp.py:84-90); reusing the previous era across a gap would let
+    I7 splice pre-gap and post-gap events of one order_id into one
+    chain."""
+
+    def __init__(self, bronze_path: str, pair_id: int,
+                 era_dir: str | None = None) -> None:
         self.bronze_path = bronze_path
         self.pair_id = pair_id
+        self.era_dir = era_dir if era_dir is not None else bronze_path
         self.era_us: int | None = self._load_era()
 
     def _era_path(self) -> str:
-        return os.path.join(self.bronze_path, "_era.json")
+        return os.path.join(self.era_dir, "_era.json")
 
     def _load_era(self) -> int | None:
         try:
@@ -569,7 +604,7 @@ class BitstampCaptureSink:
             return None
 
     def _save_era(self) -> None:
-        os.makedirs(self.bronze_path, exist_ok=True)
+        os.makedirs(self.era_dir, exist_ok=True)
         with open(self._era_path(), "w") as fh:
             json.dump({"era_us": self.era_us}, fh)
 
@@ -577,30 +612,41 @@ class BitstampCaptureSink:
         return os.path.join(self.bronze_path, sub, f"batch_seq={batch_id}")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the era probe and the three routed writes are separate
+        # actions — one parse per batch, one frozen _lts (see the bitfinex
+        # sink's note)
         parsed = (
             parse_bitstamp_frames(batch_df.select("value").coalesce(1))
             .withColumn("_lts", F.current_timestamp())
-        )
-        if self.era_us is None:
-            # era = first order event of the capture session
-            # (bitstamp.py:84-90); one tiny min() over the batch, only
-            # until resolved
-            r = parsed.filter(F.col("kind") == "order").agg(
-                F.min("us")).collect()[0][0]
-            # r is None = no order event yet (acks / trades only): orders
-            # are not written this batch and trades carry no era
-            if r is not None:
-                self.era_us = int(r)
-                self._save_era()
-        orders, trades, garbage = route_bitstamp_batch(
-            parsed, self.pair_id, self.era_us or 0, batch_seq=int(batch_id))
-        if self.era_us is not None:
-            orders.write.mode("overwrite").parquet(
-                self._batch_dir("transient_live_orders", batch_id))
-        trades.write.mode("overwrite").parquet(
-            self._batch_dir("transient_live_trades", batch_id))
-        garbage.write.mode("overwrite").parquet(
-            self._batch_dir("_garbage", batch_id))
+        ).persist()
+        try:
+            if self.era_us is None:
+                # era = first order event of the capture session
+                # (bitstamp.py:84-90); one tiny min() over the batch, only
+                # until resolved
+                r = parsed.filter(F.col("kind") == "order").agg(
+                    F.min("us")).collect()[0][0]
+                # r is None = no order event yet (acks / trades only):
+                # orders are not written this batch, trades carry no era
+                if r is not None:
+                    self.era_us = int(r)
+                    self._save_era()
+            else:
+                # freeze _lts before the writes (the era probe does this
+                # on the unresolved path)
+                parsed.count()
+            orders, trades, garbage = route_bitstamp_batch(
+                parsed, self.pair_id, self.era_us or 0,
+                batch_seq=int(batch_id))
+            if self.era_us is not None:
+                orders.write.mode("overwrite").parquet(
+                    self._batch_dir("transient_live_orders", batch_id))
+            trades.write.mode("overwrite").parquet(
+                self._batch_dir("transient_live_trades", batch_id))
+            garbage.write.mode("overwrite").parquet(
+                self._batch_dir("_garbage", batch_id))
+        finally:
+            parsed.unpersist()
 
 
 def capture_bitstamp(spark: SparkSession, bronze_path: str, ckpt_path: str,
@@ -620,7 +666,7 @@ def capture_bitstamp(spark: SparkSession, bronze_path: str, ckpt_path: str,
     else:
         lines = (spark.readStream.format("socket")
                  .option("host", host).option("port", int(port)).load())
-    sink = BitstampCaptureSink(bronze_path, pair_id)
+    sink = BitstampCaptureSink(bronze_path, pair_id, era_dir=ckpt_path)
     query = (
         lines.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt_path)

@@ -113,3 +113,44 @@ def test_trading_period_volume_walk(spark, level3):
         | (F.col("bid_price").isNotNull() & F.col("bb").isNotNull() & (F.col("bid_price") > F.col("bb")))
     )
     assert bad.count() == 0
+
+
+def test_effective_spread_at_matches_loop_walk(spark):
+    """The relational single-instant effective price must equal the
+    folder's sequential loop bit-for-bit — including the float boundary
+    where cum(0.1+0.2) >= 0.3 only under the loop's accumulation order."""
+    import math
+
+    from obadiah_spark.operators.trading import (
+        _effective_price, effective_spread_at)
+
+    rows = [
+        # (order_id, side, price, amount) — bid side has the adversarial
+        # [0.1, 0.2] quantities; ask side a plain two-level book
+        (1, "b", 100.0, 0.1), (2, "b", 99.0, 0.2),
+        (3, "s", 101.0, 0.15), (4, "s", 102.0, 0.4),
+    ]
+    l3 = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", f"2024-01-01 00:00:{i:02d}",
+          oid, 1, side, price, amount, "alive", None, None, 0)
+         for i, (oid, side, price, amount) in enumerate(rows)],
+        "pair_id int, exchange_id int, era string, microtimestamp string, "
+        "order_id long, event_no int, side string, price double, "
+        "amount double, chain_state string, next_microtimestamp timestamp, "
+        "next_event_no int, life_no int",
+    ).selectExpr("pair_id", "exchange_id", "CAST(era AS TIMESTAMP) era",
+                 "CAST(microtimestamp AS TIMESTAMP) microtimestamp",
+                 "order_id", "event_no", "side", "price", "amount",
+                 "chain_state", "next_microtimestamp", "next_event_no",
+                 "life_no")
+    levels = {(s, p): a for _, s, p, a in rows}
+    for vol in (0.3, 0.25, 0.05, 0.5, 1.0):
+        got = effective_spread_at(
+            l3, "2024-01-01 00:01:00", vol).collect()[0]
+        want_b = _effective_price(levels, "b", vol)
+        want_a = _effective_price(levels, "s", vol)
+        for gv, wv in ((got.bid_price, want_b), (got.ask_price, want_a)):
+            if math.isnan(wv):
+                assert gv is None, (vol, gv, wv)
+            else:
+                assert gv == wv, (vol, gv, wv)

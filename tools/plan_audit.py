@@ -127,14 +127,17 @@ def main() -> int:
     if keys:
         # subset run: MERGE into the existing file — a partial audit must
         # never shrink coverage (the pytest guard checks every query has
-        # an entry)
+        # an entry) — but PRUNE entries for queries that no longer exist,
+        # so a rename can't leave a stale record masking (or failing) the
+        # guard forever
         try:
             with open(plans_path) as fh:
                 merged = json.load(fh)
         except (OSError, ValueError):
             merged = {}
         merged.update(out)
-        out = merged
+        live = set(em.queries())
+        out = {k: v for k, v in merged.items() if k in live}
     with open(plans_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"\n{len(out)} plans audited, {len(bad)} flagged: {bad}")
