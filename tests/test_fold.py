@@ -277,3 +277,37 @@ def test_grid_sample_idempotent_and_boundary(spark, level3):
         & (F.col("a.event_no") + 1 == F.col("b.event_no")),
     ).filter(F.col("a.next_microtimestamp") != F.col("b.microtimestamp"))
     assert bad.count() == 0
+
+
+def test_range_fold_edges(spark, level3):
+    """Range-overload edge cases: a range covering all data equals the
+    full fold plus the initial snapshot; a range before any data is
+    empty; an empty window returns only the snapshot."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.depth import depth_summary_fold
+
+    lo, hi = level3.agg(
+        F.min("microtimestamp"), F.max("microtimestamp")).first()
+    import datetime
+    before = (lo - datetime.timedelta(days=30)).strftime("%Y-%m-%d %H:%M:%S")
+    before2 = (lo - datetime.timedelta(days=20)).strftime("%Y-%m-%d %H:%M:%S")
+    after = (hi + datetime.timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S")
+
+    # covers everything: snapshot at `before` is empty (no events yet), so
+    # the range output must equal the unrestricted fold exactly
+    full = depth_summary_fold(level3)
+    ranged = depth_summary_fold(level3, start=before, end=after)
+    assert ranged.exceptAll(full).count() == 0
+    assert full.exceptAll(ranged).count() == 0
+
+    # entirely before the data: nothing
+    assert depth_summary_fold(level3, start=before, end=before2).count() == 0
+
+    # empty window inside the data: the starting snapshot alone
+    mid = (lo + (hi - lo) / 2).strftime("%Y-%m-%d %H:%M:%S")
+    snap_only = depth_summary_fold(level3, start=mid, end=mid)
+    got = snap_only.select(F.min("microtimestamp"),
+                           F.max("microtimestamp")).first()
+    assert str(got[0]) == mid and str(got[1]) == mid
+    assert snap_only.count() > 0
