@@ -33,6 +33,15 @@ are already compressed, e.g. the emit-on-change level1 stream.)
 Best-price lookup is incremental: a lazy-deletion heap per side amortizes to
 O(log levels) per episode instead of a full level scan (the reference keeps
 ordered maps for the same reason, db/c/obadiah_db/order_book.cpp:22-60).
+
+Output-schema convention: the fold OUTPUT schemas carry ``pair_id`` (and
+``era`` where the consumer needs it) but not ``exchange_id`` — mirroring
+the reference's ``get.*`` surfaces, which take (pair, exchange) parameters
+and return per-market streams without an exchange column. The folds
+PROCESS per (pair, exchange, era) correctly; a caller folding a
+multi-exchange frame where one pair_id trades on several exchanges must
+filter the exchange upstream (or it cannot attribute same-pair rows).
+The gate corpus and the reference's pair dim are single-exchange-per-pair.
 """
 
 from __future__ import annotations
@@ -344,6 +353,11 @@ class _SpreadFolder(EpisodeFolder):
         self._prev = (bb, bbq, ba, baq)
 
     def on_episode(self, ts) -> None:
+        # drain the change-tracking set even though level1 doesn't read
+        # it: left to grow, it retains every (side, price) ever seen for
+        # the group's lifetime, breaking the module's O(open orders +
+        # price levels) memory bound on year-long eras
+        self.book.touched.clear()
         bb, bbq = self.book.best("b")
         ba, baq = self.book.best("s")
         cur = (bb, bbq, ba, baq)
@@ -492,9 +506,7 @@ def book_checkpoints(l3: DataFrame, frequency_s: int = 86400,
                  ("price_microtimestamp", "timestamp"), ("price_event_no", "int"),
                  ("life_no", "int")):
         if c not in l3.columns:
-            from pyspark.sql import functions as _F
-
-            l3 = l3.withColumn(c, _F.lit(None).cast(t))
+            l3 = l3.withColumn(c, F.lit(None).cast(t))
 
     freq_us = frequency_s * 1_000_000
     full_cols = _EVENT_COLS + ["next_microtimestamp", "next_event_no",

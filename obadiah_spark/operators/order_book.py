@@ -85,42 +85,19 @@ def snapshot_multi(l3: DataFrame, instants: DataFrame) -> DataFrame:
            | ((F.col("l.chain_state") == "chained")
               & (F.col("l.next_microtimestamp") > at))),
     ).select("l.*", "e.at_ts")
-    w_pair = W.partitionBy("at_ts", "pair_id", "exchange_id")
-    w_fwd = w_pair.orderBy("price_microtimestamp", "microtimestamp")
-    w_bwd = w_pair.orderBy(F.desc("price_microtimestamp"), F.desc("microtimestamp"))
-    older_ask_min = F.min(
-        F.when((F.col("side") == "s") & (F.col("amount") > 0), F.col("price"))
-    ).over(w_fwd)
-    older_bid_max = F.max(
-        F.when((F.col("side") == "b") & (F.col("amount") > 0), F.col("price"))
-    ).over(w_fwd)
-    newer_ask_min = F.min(
-        F.when((F.col("side") == "s") & (F.col("amount") > 0), F.col("price"))
-    ).over(w_bwd)
-    newer_bid_max = F.max(
-        F.when((F.col("side") == "b") & (F.col("amount") > 0), F.col("price"))
-    ).over(w_bwd)
-    return live.withColumn(
-        "is_maker",
-        F.coalesce(
-            F.when(F.col("side") == "b", F.col("price") <= older_ask_min)
-             .when(F.col("side") == "s", F.col("price") >= older_bid_max),
-            F.lit(True),
-        ),
-    ).withColumn(
-        "is_crossed",
-        F.coalesce(
-            F.when(F.col("side") == "b", F.col("price") > newer_ask_min)
-             .when(F.col("side") == "s", F.col("price") < newer_bid_max),
-            F.lit(False),
-        ),
-    )
+    return _maker_crossed_flags(
+        live, partition_cols=("at_ts", "pair_id", "exchange_id"))
 
 
 def _maker_crossed_flags(live: DataFrame, only_makers: bool = False,
-                         side: str | None = None) -> DataFrame:
-    """Price-time-priority maker/crossed flags over a live set (B1)."""
-    w_pair = W.partitionBy("pair_id", "exchange_id")
+                         side: str | None = None,
+                         partition_cols: tuple[str, ...] = (
+                             "pair_id", "exchange_id")) -> DataFrame:
+    """Price-time-priority maker/crossed flags over a live set (B1).
+
+    ``partition_cols`` is the book identity — snapshot_multi adds its
+    probe instant (``at_ts``) so one pass flags many books at once."""
+    w_pair = W.partitionBy(*partition_cols)
     w_fwd = w_pair.orderBy("price_microtimestamp", "microtimestamp")
     w_bwd = w_pair.orderBy(F.desc("price_microtimestamp"), F.desc("microtimestamp"))
     older_ask_min = F.min(
@@ -288,12 +265,19 @@ def snapshot_from_silver(l3: DataFrame, ckpt_path: str, at_ts,
     (boundary, at_ts] event tail) unioned into exactly two shuffles
     (per-order last-event dedup, maker/crossed flags). Equality with
     :func:`snapshot` is pytest-enforced."""
-    from datetime import datetime, timezone
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
 
     from ..sources.silver import resolve_probe
 
     at = F.lit(at_ts).cast("timestamp")
-    at_dt = datetime.fromisoformat(str(at_ts)).replace(tzinfo=timezone.utc)
+    # the driver-side epoch must agree with how the SESSION interprets the
+    # same literal (F.lit(...).cast('timestamp') uses
+    # spark.sql.session.timeZone) — hardcoding UTC would mis-resolve the
+    # boundary by the session offset and break the boundary/tail tiling
+    tz = l3.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    at_dt = datetime.fromisoformat(str(at_ts)).replace(
+        tzinfo=ZoneInfo(tz or "UTC"))
     at_us = int(at_dt.timestamp() * 1_000_000)
     meta = resolve_probe(ckpt_path, at_us)
     if not meta:
@@ -380,12 +364,17 @@ def order_book(l3: DataFrame, at_ts, max_levels: int | None = None,
         out = out.filter(F.col("lvl") <= max_levels)
     if bps_range is not None:
         out = out.filter(F.col("bps") <= bps_range)
+    # per-SIDE constraints (reference p_min_bid_price / p_max_ask_price):
+    # a bound trims its own side and leaves the other side whole — a
+    # bids-only bound must never drop the ask book
+    cond = F.lit(True)
+    if min_bid is not None:
+        cond = cond & ((F.col("side") != "b")
+                       | (F.col("price") >= min_bid))
+    if max_ask is not None:
+        cond = cond & ((F.col("side") != "s")
+                       | (F.col("price") <= max_ask))
     if min_bid is not None or max_ask is not None:
-        cond = F.lit(False)
-        if min_bid is not None:
-            cond = cond | ((F.col("side") == "b") & (F.col("price") >= min_bid))
-        if max_ask is not None:
-            cond = cond | ((F.col("side") == "s") & (F.col("price") <= max_ask))
         out = out.filter(cond)
     return out
 

@@ -229,6 +229,9 @@ def trading_period_fold(l3: DataFrame, volume: float = 0.0,
             self._prev_a = self._price("s")
 
         def on_episode(self, ts) -> None:
+            # drain the unread change-tracking set (memory bound — see
+            # fold._SpreadFolder.on_episode)
+            self.book.touched.clear()
             b = self._price("b")
             a = self._price("s")
             if self._prev_b is None and math.isnan(b) and math.isnan(a):

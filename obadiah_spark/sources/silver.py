@@ -31,7 +31,13 @@ def write_level3(l3: DataFrame, path: str, mode: str = "overwrite") -> None:
     (
         l3.withColumn("month", F.date_format("microtimestamp", "yyyy-MM"))
         .repartition(*PARTITION_COLS)
-        .sortWithinPartitions("microtimestamp", "order_id", "event_no")
+        # lead the sort with the partition columns: the dynamic-partition
+        # writer inserts its own sort on them, and only a sort that
+        # SUBSUMES it guarantees the in-file (microtimestamp, ...) order
+        # the row-group min/max skipping depends on (relying on the
+        # writer sort's tie-stability would be an implementation detail)
+        .sortWithinPartitions(*PARTITION_COLS, "microtimestamp",
+                              "order_id", "event_no")
         .write.mode(mode).partitionBy(*PARTITION_COLS).parquet(path)
     )
 
@@ -68,7 +74,7 @@ def write_checkpoints(ckpts: DataFrame, path: str, mode: str = "overwrite") -> N
         .withColumn("era_us", F.unix_micros("era"))
         .withColumn("boundary_us", F.unix_micros("period_start"))
         .repartition("exchange_id", "pair_id", "era_us", "boundary_us")
-        .sortWithinPartitions("order_id")
+        .sortWithinPartitions(*CKPT_PARTITION_COLS, "order_id")
         .write.mode(mode).partitionBy(*CKPT_PARTITION_COLS).parquet(path)
     )
 
