@@ -460,10 +460,7 @@ def summary(l3: DataFrame, matches: DataFrame) -> DataFrame:
         F.unix_micros("t_first_ts").alias("t_first_us"),
         F.unix_micros("t_last_ts").alias("t_last_us"),
         F.coalesce(F.col("t_total"), F.lit(0)).alias("t_total"),
-        F.when(
-            (F.unix_micros("t_last_ts") - F.unix_micros("t_first_ts")) > 0,
-            F.round(F.col("t_total") / ((F.unix_micros("t_last_ts") - F.unix_micros("t_first_ts")) / 1e6), 2),
-        ).otherwise(F.lit(0.0)).alias("t_per_sec"),
+        per_sec("t_total", "t_first_ts", "t_last_ts").alias("t_per_sec"),
         F.coalesce(F.col("t_matched"), F.lit(0)).alias("t_matched"),
         F.coalesce(F.col("t_exchange"), F.lit(0)).alias("t_exchange"),
     )

@@ -75,9 +75,13 @@ def match_price_and_fill_exact(l3: DataFrame, trades: DataFrame,
         & (F.col("microtimestamp")
            <= F.col("trade_microtimestamp") + F.expr(f"INTERVAL {max_delay_s} SECOND"))
     )
-    w_trade = W.partitionBy("pair_id", "exchange_trade_id").orderBy(
+    # identities carry era (order ids and trade ids recycle across eras —
+    # the repo-wide convention) and the event side carries microtimestamp
+    # too ((order_id, event_no) is NOT unique across reincarnation lives)
+    w_trade = W.partitionBy("pair_id", "era", "exchange_trade_id").orderBy(
         "microtimestamp", "order_id", "event_no")
-    w_event = W.partitionBy("pair_id", "order_id", "event_no").orderBy(
+    w_event = W.partitionBy("pair_id", "era", "microtimestamp", "order_id",
+                            "event_no").orderBy(
         "trade_microtimestamp", "exchange_trade_id")
     return (
         j.withColumn("r", F.row_number().over(w_trade))
@@ -103,9 +107,10 @@ WITH ev AS (
     FROM matches
 ), j AS (
     SELECT ev.*, trades.trade_microtimestamp, trades.exchange_trade_id,
-           row_number() OVER (PARTITION BY ev.pair_id, trades.exchange_trade_id
+           row_number() OVER (PARTITION BY ev.pair_id, ev.era, trades.exchange_trade_id
                               ORDER BY ev.microtimestamp, ev.order_id, ev.event_no) AS r,
-           row_number() OVER (PARTITION BY ev.pair_id, ev.order_id, ev.event_no
+           row_number() OVER (PARTITION BY ev.pair_id, ev.era, ev.microtimestamp,
+                                           ev.order_id, ev.event_no
                               ORDER BY trades.trade_microtimestamp, trades.exchange_trade_id) AS r_l3
     FROM ev JOIN trades
       ON ev.pair_id = trades.pair_id AND ev.era = trades.era
@@ -152,7 +157,25 @@ def match_sum_of_fills(l3: DataFrame, trades: DataFrame,
 
     Output: one row per matched member trade with its event link (the
     reference UPDATEs each member; we return the links).
+
+    Documented deviations from the reference's sequential claiming:
+    - subset enumeration is implemented for sizes 2 and 3 (plus the
+      whole-set group); a larger ``max_group_size`` would silently match
+      nothing in sizes 4..max, so it is rejected;
+    - the no-reuse rule is resolved in ONE deterministic pass (a group
+    survives only if it is the minimum among all groups sharing any
+    member). A chain of overlapping candidate groups can therefore
+    under-match relative to the reference's order-dependent FOR UPDATE
+    loop (which claims greedily and re-tests against only the already-
+    claimed set) — the one-shot rule is conservative: it never matches a
+    trade twice and never picks a different event, it can only leave a
+    contested trade unmatched. The gate fabric has no such chains, and
+    both engines implement the same rule, so the hash check pins it.
     """
+    if max_group_size > 3:
+        raise ValueError(
+            "subset enumeration is implemented for max_group_size <= 3 "
+            "(sizes above 3 would silently produce no candidate groups)")
     delay = F.expr(f"INTERVAL {max_delay_s} SECOND")
     w_seq = W.partitionBy("pair_id", "era").orderBy("trade_microtimestamp",
                                                     "exchange_trade_id")
@@ -517,7 +540,7 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
                 & (F.col("n_order_id") == F.col("_second_oid")))
         .drop("t_pair_id", "t_era", "_first_oid", "_second_oid")
     )
-    tol = F.col("t_amount") * 0 + F.lit(tolerance_pct) * F.col("t_price")
+    tol = F.lit(tolerance_pct) * F.col("t_price")
     mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
                     F.col("fill"), F.col("is_del"), tol)
     n_mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("n_amount"),

@@ -65,6 +65,7 @@ def merge_episodes(l3: DataFrame, start: str, end: str) -> DataFrame:
         new_next.alias("next_microtimestamp"),
         "next_event_no", "pair_id", "exchange_id", "local_timestamp",
         "price_microtimestamp", "price_event_no", "chain_state", "era",
+        "life_no",
     )
 
 
@@ -175,6 +176,7 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
         rows = cb.limit(1).count()
         if rows == 0:
             log.debug("pass %d: no crossed periods remain", i)
+            cb.unpersist()
             return cur
         log.debug("pass %d: crossed periods detected, merging", i)
         # materialize + cut lineage each round: the repair is iterative and
@@ -182,8 +184,17 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
         # drop the audit-only _old_ts so the function's output keeps the
         # canonical 17-column level3 shape on every exit path
         cur = merge_crossed_books(cur, periods=cb).drop("_old_ts").localCheckpoint()
+        # eternal periods keep their MARKET identity: the synthesized
+        # deletes below must hit only the (pair, era) whose crossed period
+        # runs through era end — snapshot_multi probes every market at
+        # every instant, and an unscoped filter would inject deletes into
+        # unrelated pairs that merely happen to have a crossing order
+        # alive at the same wall-clock instant
         eternal = (cb.filter(F.col("next_uncrossed").isNull())
-                     .select(F.col("first_crossed").alias("at_ts")).distinct())
+                     .select("pair_id", "era",
+                             F.col("first_crossed").alias("at_ts"))
+                     .distinct())
+        cb.unpersist()
         if eternal.limit(1).count() == 0:
             continue
         # "eternal takers" (reference fix 1: not is_maker, alive forever) and
@@ -191,10 +202,17 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
         # synthesized delete event at the first crossed instant. ONE
         # distributed snapshot pass over all eternal instants (snapshot_multi
         # broadcasts the tiny instants frame) — no per-instant scans, no
-        # driver-side collect of snapshot rows.
+        # driver-side collect of snapshot rows. At most one eternal period
+        # exists per (pair, era) (only the last crossed period of an era
+        # can lack a next uncrossed episode), so after the market-identity
+        # semi-join each (pair, era, order) gets at most ONE delete and the
+        # repoint join below cannot fan out.
         tgt = {f.name: f.dataType for f in cur.select(*_L3_COLS).schema.fields}
+        instants = eternal.select("at_ts").distinct()
         deletes = (
-            snapshot_multi(cur, eternal)
+            snapshot_multi(cur, instants)
+            .join(F.broadcast(eternal), ["at_ts", "pair_id", "era"],
+                  "left_semi")
             .filter((~F.col("is_maker") | F.col("is_crossed"))
                     & (F.col("chain_state") == "alive"))
             .select(
@@ -556,7 +574,7 @@ SELECT
          THEN TIMESTAMP '{end}'
          ELSE next_microtimestamp END AS next_microtimestamp,
     next_event_no, pair_id, exchange_id, local_timestamp,
-    price_microtimestamp, price_event_no, chain_state, era
+    price_microtimestamp, price_event_no, chain_state, era, life_no
 FROM annotated
 """
 

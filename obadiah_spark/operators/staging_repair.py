@@ -256,7 +256,7 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
         F.col("m_pair").alias("p_pair"), F.col("m_oid").alias("p_oid"),
         F.col("m_old").alias("p_old"), F.col("m_eno").alias("p_eno"),
         F.col("m_new").alias("p_new"),
-    ).distinct()
+    )  # moves is unique on these keys by its groupBy — no distinct needed
     out = tagged.join(
         ptr,
         (F.col("pair_id") == F.col("p_pair"))
@@ -269,7 +269,7 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
         F.col("m_pair").alias("q_pair"), F.col("m_oid").alias("q_oid"),
         F.col("m_old").alias("q_old"), F.col("m_eno").alias("q_eno"),
         F.col("m_new").alias("q_new"),
-    ).distinct()
+    )
     out = out.join(
         pp,
         (F.col("pair_id") == F.col("q_pair"))
@@ -609,7 +609,7 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
         F.col("m_pair").alias("p_pair"), F.col("m_oid").alias("p_oid"),
         F.col("m_old").alias("p_old"), F.col("m_eno").alias("p_eno"),
         F.col("m_new").alias("p_new"),
-    ).distinct()
+    )  # moves is unique on these keys by its groupBy — no distinct needed
     out = tagged.join(
         ptr,
         (F.col("pair_id") == F.col("p_pair"))
@@ -625,7 +625,7 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
         F.col("m_pair").alias("q_pair"), F.col("m_oid").alias("q_oid"),
         F.col("m_old").alias("q_old"), F.col("m_eno").alias("q_eno"),
         F.col("m_new").alias("q_new"),
-    ).distinct()
+    )
     out = out.join(
         pp,
         (F.col("pair_id") == F.col("q_pair"))
