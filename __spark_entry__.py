@@ -266,13 +266,13 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(spark, sf_dir), spark)
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
 def _q_simhash(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import simhash
 
-    return simhash(_docs(spark, sf_dir), spark)
+    return simhash(_docs(spark, sf_dir))
 
 
 def _q_text_stats(spark, sf_dir):

@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-DEPTH_COLS = ["pair_id", "microtimestamp", "side", "price", "volume", "volume_change"]
 
 
 # ------------------------------------------- F1 frequency-grid helpers ------

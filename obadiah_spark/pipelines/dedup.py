@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on whitespace-normalized lowercase text."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
     f = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
     w = W.partitionBy("fingerprint")
     return f.select(
@@ -41,7 +41,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 EXACT_DEDUP_ORACLE = r"""
 WITH f AS (
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '[ \t\n\r\x0B\f]+', ' ', 'g')))) AS fingerprint
     FROM documents
 )
 SELECT doc_id, fingerprint,
@@ -187,7 +187,7 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
-def minhash_lsh_candidates(docs: DataFrame, spark: SparkSession,
+def minhash_lsh_candidates(docs: DataFrame,
                            max_bucket_size: int = 50) -> DataFrame:
     """Near-duplicate candidate pairs: equal band signature in >=1 band.
 
@@ -198,7 +198,10 @@ def minhash_lsh_candidates(docs: DataFrame, spark: SparkSession,
     bands = (
         _minhash_bands(docs)
         # materialize once: the self-join would otherwise recompute the whole
-        # shingle -> 16-hash -> min lineage for BOTH sides
+        # shingle -> 16-hash -> min lineage for BOTH sides. The cache lives
+        # for the session (it is part of the RETURNED lazy plan, so this
+        # function cannot unpersist it); a caller running many invocations
+        # per session can spark.catalog.clearCache() between them
         .persist()
     )
     wb = W.partitionBy("band", "band_sig")
@@ -217,7 +220,10 @@ def minhash_lsh_candidates(docs: DataFrame, spark: SparkSession,
     )
 
 
-MINHASH_LSH_ORACLE = f"""
+def minhash_lsh_oracle(max_bucket_size: int = 50) -> str:
+    """Mirror of minhash_lsh_candidates — the hot-bucket cap is a
+    parameter on both sides so a non-default cap cannot silently fork."""
+    return f"""
 WITH {_SHINGLES_CTE}, seeds AS (
     SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS seed
 ), h AS (
@@ -237,16 +243,20 @@ WITH {_SHINGLES_CTE}, seeds AS (
 ), capped AS (
     SELECT doc_id, band, band_sig FROM (
         SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS n FROM bands) t
-    WHERE n <= 50
+    WHERE n <= {max_bucket_size}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 
+
+# legacy constant form (default cap) for existing importers
+MINHASH_LSH_ORACLE = minhash_lsh_oracle()
+
 # ---------------------------------------------------------------- SimHash --
 
-def simhash(docs: DataFrame, spark: SparkSession) -> DataFrame:
+def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over whitespace tokens (with multiplicity): bit b is
     the sign of the count-weighted sum of ±1 token-hash bits.
 
@@ -309,31 +319,22 @@ def embedding_dedup(emb: DataFrame, min_cosine: float = 0.45,
     This EXACT form is the ground truth: all-pairs cosine, O(n²) by
     construction, so — like ``ann_lsh_recall`` — the audit is bounded to
     the deterministic ``vec_id < max_id`` subset (a no-op at the gate
-    corpus, a cost cap at larger sf). Norms are precomputed once per vector
-    (same float ops as `_cosine`, just not per pair, which cuts the pair
-    work 3×). The 100 TB path is :func:`embedding_dedup_lsh` — same rule
-    over LSH-bucketed candidates only, recall-tested against this form.
+    corpus, a cost cap at larger sf). The pair set comes from the SHARED
+    :func:`similarity.exact_strong_pairs` (one definition of the exact
+    cosine rule across the recall gates and this sweep). The 100 TB path
+    is :func:`embedding_dedup_lsh` — same rule over LSH-bucketed
+    candidates only, recall-tested against this form.
     """
-    from obadiah_spark.pipelines.similarity import _DOT
+    from obadiah_spark.pipelines.similarity import exact_strong_pairs
 
-    emb = emb.filter(F.col("vec_id") < max_id)
-    normed = emb.withColumn(
-        "_n", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))))
-    a = normed.select(F.col("vec_id").alias("a_id"),
-                      F.col("embedding").alias("a_emb"),
-                      F.col("_n").alias("_na"))
-    b = normed.select(F.col("vec_id").alias("vec_id"),
-                      F.col("embedding").alias("b_emb"),
-                      F.col("_n").alias("_nb"))
-    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
+    strong = exact_strong_pairs(emb, min_cosine, max_id)
     dup_of = (
-        b.crossJoin(a)
-        .filter(F.col("a_id") < F.col("vec_id"))
-        .filter(F.round(dot / (F.col("_na") * F.col("_nb")), 9) >= min_cosine)
-        .groupBy("vec_id").agg(F.min("a_id").alias("dup_of"))
+        strong.groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"))
     )
     return (
-        emb.select("vec_id").join(dup_of, "vec_id", "left")
+        emb.filter(F.col("vec_id") < max_id)
+        .select("vec_id").join(dup_of, "vec_id", "left")
         .select("vec_id", F.col("dup_of").isNotNull().alias("is_dup"),
                 "dup_of")
     )

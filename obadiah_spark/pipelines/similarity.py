@@ -127,6 +127,36 @@ def lsh_signatures(emb: DataFrame, tables: int = LSH_TABLES,
     )
 
 
+def exact_strong_pairs(emb: DataFrame, min_cosine: float,
+                       max_id: int) -> DataFrame:
+    """The exact ground-truth pair set: every (vec_a < vec_b) whose
+    round-9 cosine is >= min_cosine, bounded to ``vec_id < max_id``.
+
+    ONE definition of the exact rule, shared by :func:`ann_lsh_recall` and
+    the embedding-dedup family (dedup.embedding_dedup derives its dup_of
+    as min(vec_a) per vec_b over this set) — so the cosine convention
+    (norm precompute, rounding precision) cannot fork between them. Norms
+    are precomputed once per vector (same float ops as _cosine, just not
+    per pair); dot/norm products commute exactly in IEEE, so the pair set
+    is orientation-independent."""
+    emb = emb.filter(F.col("vec_id") < max_id)
+    normed = emb.withColumn(
+        "_n", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))))
+    ea = normed.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("emb_a"),
+                       F.col("_n").alias("_na"))
+    eb = normed.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("emb_b"),
+                       F.col("_n").alias("_nb"))
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    return (
+        ea.crossJoin(eb)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(dot / (F.col("_na") * F.col("_nb")), 9) >= min_cosine)
+        .select("vec_a", "vec_b")
+    )
+
+
 def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0,
                   tables: int = LSH_TABLES,
                   planes: int = LSH_PLANES) -> DataFrame:
@@ -175,24 +205,8 @@ def ann_lsh_recall(emb: DataFrame, min_cosine: float = 0.45,
     approximate operator exists to avoid), so the audit is bounded to the
     deterministic subset ``vec_id < max_id`` on BOTH sides — a no-op at the
     gate corpus size, a cost cap at larger sf."""
+    strong = exact_strong_pairs(emb, min_cosine, max_id)
     emb = emb.filter(F.col("vec_id") < max_id)
-    # norms precomputed once per vector (same float ops as _cosine, just not
-    # per pair): cosine = round(dot / (na * nb), 9) is bitwise-identical
-    normed = emb.withColumn(
-        "_n", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))))
-    ea = normed.select(F.col("vec_id").alias("vec_a"),
-                      F.col("embedding").alias("emb_a"),
-                      F.col("_n").alias("_na"))
-    eb = normed.select(F.col("vec_id").alias("vec_b"),
-                      F.col("embedding").alias("emb_b"),
-                      F.col("_n").alias("_nb"))
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    strong = (
-        ea.crossJoin(eb)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(dot / (F.col("_na") * F.col("_nb")), 9) >= min_cosine)
-        .select("vec_a", "vec_b")
-    )
     cand = (
         ann_lsh_pairs(emb, tables=RECALL_TABLES, planes=RECALL_PLANES)
         .select("vec_a", "vec_b").distinct()

@@ -34,7 +34,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
-        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))).alias("fingerprint"),
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))).alias("fingerprint"),
     )
     out = base.join(agg, "doc_id")
     avg_len = F.col("char_sum") / F.col("token_count")
@@ -74,7 +74,7 @@ WITH tok AS (
 ), base AS (
     SELECT doc_id,
            length(text) AS n_chars_measured,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '[ \t\n\r\x0B\f]+', ' ', 'g')))) AS fingerprint
     FROM documents
 )
 SELECT b.doc_id, token_count, distinct_tokens, subword_count, n_chars_measured,

@@ -29,6 +29,17 @@ State size is O(1) per open chain (the fold state before/after the tail plus
 the tail row); at 100 TB scale state is sharded by the grouping key across
 executors and RocksDB-backed; era close (see :func:`finalize_open_chains`)
 retires a whole era's keys.
+
+Ordering contract: rows WITHIN a micro-batch are sorted before folding;
+ACROSS batches the processor relies on the transport delivering
+capture-ordered batches (file replay and the batch_seq-ordered capture
+bronze both do). An event-time-earlier row that still arrives in a later
+batch — possible only on a disordered external feed, inside the watermark
+slack — is dropped with the same too-late contract the reference's
+reorderer applies beyond its slack, never chained backward. Full in-slack
+cross-batch reordering would hold such rows in a watermark-gated pending
+buffer inside the state row and flush them as the watermark passes; the
+hook is noted at the drop site.
 """
 
 from __future__ import annotations
@@ -129,6 +140,21 @@ def chain_events(key: tuple, pdfs: Iterator[pd.DataFrame], state
         emitted.append({**row, "rev": rev})
 
     for r in pdf.itertuples(index=False):
+        if tail is not None and r.microtimestamp < tail["microtimestamp"]:
+            # CROSS-BATCH STRAGGLER: an event-time-earlier row arriving in
+            # a later micro-batch. withWatermark only DROPS rows older
+            # than the watermark — it does not reorder across batches —
+            # so chaining this row forward would write a backward
+            # next_microtimestamp and corrupt event_no/fill. Both in-repo
+            # transports deliver capture-ordered batches (the file source
+            # replays files in order; the capture bronze is batch_seq-
+            # ordered), so this fires only on a disordered external feed —
+            # where the reference's reorderer applies the SAME contract
+            # beyond its slack: log-and-drop rather than corrupt
+            # (python/obadiah/capture.py reorderer). In-slack cross-batch
+            # reordering would need a watermark-gated pending buffer in
+            # state (future work, noted in the module docstring).
+            continue
         if tail is not None and tail["microtimestamp"] == r.microtimestamp:
             # cross-batch episode amendment: the later message replaces the
             # tail if newer by (local_timestamp, event_id)
@@ -202,19 +228,19 @@ def chain_stream(keyed):
     )
 
 
-def run_chain_stream(spark, events_dir: str, schema: str, checkpoint_dir: str,
-                     query_name: str = "level3_chain") -> pd.DataFrame:
-    """Drive a file-per-trigger stream through the executor-side chain and
-    return the materialized latest-wins level3 (update-mode upserts folded by
-    max ``rev`` per logical row)."""
+def _run_stream(spark, src_dir: str, schema: str, checkpoint_dir: str,
+                adapter, ts_col: str, query_name: str) -> pd.DataFrame:
+    """Shared driver for both chain runners: file-per-trigger stream →
+    watermark → keyed adapter → stateful chain → latest-wins fold of the
+    update-mode upserts (max ``rev`` per logical row)."""
     from obadiah_spark.streaming.reorder import with_reorder_watermark
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
+        .parquet(src_dir)
     )
-    stream = with_reorder_watermark(stream, "ts", "1 second")
-    out = chain_stream(keyed_stream(stream))
+    stream = with_reorder_watermark(stream, ts_col, "1 second")
+    out = chain_stream(adapter(stream))
     q = (
         out.writeStream.format("memory").queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
@@ -224,14 +250,21 @@ def run_chain_stream(spark, events_dir: str, schema: str, checkpoint_dir: str,
     )
     q.awaitTermination()
     ups = spark.table(query_name).toPandas()
-    latest = (
+    return (
         ups.sort_values("rev")
         .drop_duplicates(["pair_id", "era", "order_id", "microtimestamp"],
                          keep="last")
         .drop(columns=["rev"])
         .reset_index(drop=True)
     )
-    return latest
+
+
+def run_chain_stream(spark, events_dir: str, schema: str, checkpoint_dir: str,
+                     query_name: str = "level3_chain") -> pd.DataFrame:
+    """Drive a file-per-trigger stream through the executor-side chain and
+    return the materialized latest-wins level3."""
+    return _run_stream(spark, events_dir, schema, checkpoint_dir,
+                       keyed_stream, "ts", query_name)
 
 
 def finalize_open_chains(l3: pd.DataFrame) -> pd.DataFrame:
@@ -296,27 +329,5 @@ def run_payload_chain_stream(spark, framed_dir: str, schema: str,
                              ) -> pd.DataFrame:
     """File-per-trigger payload stream → executor-side chain → latest-wins
     level3 (the real-feed twin of :func:`run_chain_stream`)."""
-    from obadiah_spark.streaming.reorder import with_reorder_watermark
-
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(framed_dir)
-    )
-    stream = with_reorder_watermark(stream, "local_ts", "1 second")
-    out = chain_stream(payload_keyed_stream(stream))
-    q = (
-        out.writeStream.format("memory").queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    ups = spark.table(query_name).toPandas()
-    return (
-        ups.sort_values("rev")
-        .drop_duplicates(["pair_id", "era", "order_id", "microtimestamp"],
-                         keep="last")
-        .drop(columns=["rev"])
-        .reset_index(drop=True)
-    )
+    return _run_stream(spark, framed_dir, schema, checkpoint_dir,
+                       payload_keyed_stream, "local_ts", query_name)

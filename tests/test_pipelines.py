@@ -36,7 +36,7 @@ def test_minhash_candidates_cover_high_jaccard(spark):
     at these sizes the synthetic corpus has only identical-ish pairs)."""
     docs = spark.table("documents")
     exact = ngram_jaccard_pairs(docs, threshold=0.7).toPandas()
-    cand = minhash_lsh_candidates(docs, spark).toPandas()
+    cand = minhash_lsh_candidates(docs).toPandas()
     cset = {tuple(sorted(p)) for p in zip(cand.doc_a, cand.doc_b)}
     missed = [
         (a, b) for a, b in zip(exact.doc_a, exact.doc_b)

@@ -169,8 +169,8 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
 
     timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     timed("minhash_lsh_candidates",
-          lambda: dedup.minhash_lsh_candidates(docs, spark).count())
-    timed("simhash", lambda: dedup.simhash(docs, spark).count())
+          lambda: dedup.minhash_lsh_candidates(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs).count())
     timed("text_stats", lambda: text_stats(docs).count())
     return out
 
