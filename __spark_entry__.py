@@ -295,6 +295,13 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_pairs(spark.table("embeddings"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from obadiah_spark.pipelines.similarity import ann_ivf
+
+    _load(spark, sf_dir)
+    return ann_ivf(spark.table("embeddings"))
+
+
 def _q_ann_lsh_recall(spark, sf_dir):
     from obadiah_spark.pipelines.similarity import ann_lsh_recall
 
@@ -1013,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_period_freq": _q_trading_period_freq,
         "trading_strategy_freq": _q_trading_strategy_freq,
         "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "ann_ivf": _q_ann_ivf,
         "chain_audit": _q_chain_audit,
         "match_sequential": _q_match_sequential,
         "match_fill_exact": _q_match_fill_exact,
@@ -1035,11 +1043,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
         "epsilon_draws": _q_epsilon_draws,
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
         "data_overview": _q_data_overview,
         # ---- slot 51+: r5 driver-green, unchanged — rotate back in r7 ---
+        # (epsilon_draws_zigzag displaced by ann_ivf; its code path stays
+        # driver-covered via the trading_strategy_zigzag twin + epsilon_draws)
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_revenue_by_nation": _q_q5,
@@ -1150,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
     from obadiah_spark.pipelines.similarity import (
         ann_bruteforce_oracle,
+        ann_ivf_oracle,
         ann_lsh_recall_oracle,
     )
     from obadiah_spark.pipelines.text import TEXT_STATS_ORACLE
@@ -1179,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "ann_bruteforce": ann_bruteforce_oracle(),
+        "ann_ivf": ann_ivf_oracle(),
         # ann_lsh_pairs: intentionally no oracle (approximate operator);
         # its recall bound is gate-checked by ann_lsh_recall below
         "ann_lsh_recall": ann_lsh_recall_oracle(),

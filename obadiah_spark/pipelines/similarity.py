@@ -181,6 +181,134 @@ def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0,
     )
 
 
+# -------------------------------------------------------------- IVF ANN ----
+
+IVF_CELLS = 16
+IVF_STRIDE = 61
+IVF_PROBE = 4
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
+                  stride: int = IVF_STRIDE) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: every ``stride``-th vec_id,
+    the first ``n_cells`` of them, each centroid's vec_id doubling as its
+    cell id. Stands in for an offline k-means training pass — at 100 TB the
+    codebook is trained once on a sample and broadcast, exactly the shape
+    here; the engine-side contract is only "small deterministic
+    (cell, centroid) frame", so a trained codebook drops in unchanged."""
+    return (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("embedding").alias("c_emb"))
+    )
+
+
+def _rank_cells(df: DataFrame, cents: DataFrame, id_col: str,
+                emb_col: str) -> DataFrame:
+    """Rank the (broadcast, n_cells-row) codebook per input row by cosine —
+    the IVF coarse-quantization step: O(n x n_cells), never all-pairs."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col, "cell", _cosine(emb_col, "c_emb").alias("c_cos"))
+    w = W.partitionBy(id_col).orderBy(F.desc("c_cos"), "cell")
+    return scored.withColumn("cr", F.row_number().over(w))
+
+
+def ann_ivf(emb: DataFrame, n_queries: int = 10, k: int = 5,
+            n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+            stride: int = IVF_STRIDE) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid's cell,
+    probe each query's ``n_probe`` nearest cells, re-score the candidates
+    with exact cosine, keep top ``k``. Candidate generation is an equi-join
+    on ``cell`` — at scale the inverted lists bound the work, and the big
+    side is shuffled once on a key with ~n/n_cells fanout. Every step is
+    deterministic (round-9 cosine, cell-asc tiebreak), so the whole operator
+    is SQL-oracle-checkable; with ``n_probe >= n_cells`` it degenerates to
+    exactly :func:`ann_bruteforce` (pytest invariant)."""
+    cents = ivf_centroids(emb, n_cells, stride)
+    assign = (
+        _rank_cells(emb.select("vec_id", "embedding"), cents,
+                    "vec_id", "embedding")
+        .filter(F.col("cr") == 1).select("vec_id", "cell")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    probes = (
+        _rank_cells(q, cents, "q_id", "q_emb")
+        .filter(F.col("cr") <= n_probe).select("q_id", "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    ev = emb.select("vec_id", F.col("embedding").alias("emb_v"))
+    scored = (
+        cand.join(ev, "vec_id").join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", _cosine("emb_v", "q_emb").alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_ivf_oracle(n_queries: int = 10, k: int = 5,
+                   n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+                   stride: int = IVF_STRIDE) -> str:
+    """Same codebook / assignment / probe / re-score pipeline in DuckDB SQL;
+    cosines round to 9 dp at every ranking site so argmax ties agree."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c AS (
+    SELECT vec_id AS cell, emb AS c_emb FROM e
+    WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_cells}
+), ar AS (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.emb, c.c_emb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 9) DESC,
+               c.cell) AS cr
+    FROM e CROSS JOIN c
+), assign AS (
+    SELECT vec_id, cell FROM ar WHERE cr = 1
+), q AS (
+    SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {n_queries}
+), pr AS (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_dot_product(q.q_emb, c.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 9) DESC,
+               c.cell) AS cr
+    FROM q CROSS JOIN c
+), probes AS (
+    SELECT q_id, cell FROM pr WHERE cr <= {n_probe}
+), cand AS (
+    SELECT p.q_id, a.vec_id
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.q_id
+), d AS (
+    SELECT cand.q_id, cand.vec_id,
+           round(list_dot_product(ev.emb, eq.q_emb)
+                 / (sqrt(list_dot_product(ev.emb, ev.emb))
+                    * sqrt(list_dot_product(eq.q_emb, eq.q_emb))), 9) AS cosine
+    FROM cand
+    JOIN e ev ON ev.vec_id = cand.vec_id
+    JOIN q eq ON eq.q_id = cand.q_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM d
+) t WHERE rank <= {k}
+"""
+
+
 # Recall-metric parameterization: the testdata embeddings have no planted
 # near-duplicates (max pairwise cosine ~0.51 at sf0.01), and at cosine ~0.5
 # the default 12-plane signature collides with probability ~2% — fine for

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from obadiah_spark.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs  # noqa: E402
 from obadiah_spark.pipelines.multimodal import multimodal_features, pack_blobs  # noqa: E402
-from obadiah_spark.pipelines.similarity import ann_bruteforce, ann_lsh_pairs  # noqa: E402
+from obadiah_spark.pipelines.similarity import (  # noqa: E402
+    IVF_CELLS,
+    ann_bruteforce,
+    ann_ivf,
+    ann_lsh_pairs,
+)
 
 
 def test_lsh_recall_vs_bruteforce(spark):
@@ -28,6 +33,35 @@ def test_lsh_recall_vs_bruteforce(spark):
         return  # synthetic embeddings too uniform at this sf — nothing to check
     hits = sum(tuple(sorted((q, v))) in cand for q, v in zip(strong.q_id, strong.vec_id))
     assert hits / len(strong) >= 0.5, f"LSH recall too low: {hits}/{len(strong)}"
+
+
+def test_ivf_probe_all_equals_bruteforce(spark):
+    """With n_probe >= n_cells every cell is probed, so IVF must reduce to
+    the exact brute-force result bit-for-bit — the structural invariant that
+    the assignment/probe/re-score pipeline loses nothing except by *pruning*
+    (which probe-all disables)."""
+    import pandas as pd
+
+    emb = spark.table("embeddings")
+    bf = (ann_bruteforce(emb, n_queries=8, k=3).toPandas()
+          .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    ivf = (ann_ivf(emb, n_queries=8, k=3, n_probe=IVF_CELLS).toPandas()
+           .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bf, ivf)
+
+
+def test_ivf_default_probe_is_a_subset(spark):
+    """At the default n_probe the result is a (possibly pruned) subset of
+    brute-force pairs with identical cosines — IVF may miss neighbors in
+    unprobed cells but must never invent or mis-score one."""
+    emb = spark.table("embeddings")
+    bf = ann_bruteforce(emb, n_queries=8, k=50).toPandas()
+    exact = {(q, v): c for q, v, c in zip(bf.q_id, bf.vec_id, bf.cosine)}
+    ivf = ann_ivf(emb, n_queries=8, k=3).toPandas()
+    assert len(ivf) > 0
+    for q, v, c in zip(ivf.q_id, ivf.vec_id, ivf.cosine):
+        if (q, v) in exact:  # k=50 may still truncate below a weak candidate
+            assert exact[(q, v)] == c
 
 
 def test_minhash_candidates_cover_high_jaccard(spark):

@@ -38,7 +38,11 @@ ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
                  "embedding_dedup",
                  # recall metric re-derives the bounded exact side (the
                  # same crossJoin embedding_dedup itself is allowed)
-                 "embedding_dedup_lsh_recall"}
+                 "embedding_dedup_lsh_recall",
+                 # IVF coarse quantization: every vector ranked against the
+                 # broadcast n_cells(=16)-row codebook — O(n x n_cells),
+                 # not all-pairs; candidate generation is a cell equi-join
+                 "ann_ivf"}
 
 # annotated non-equi joins where BOTH sides are metadata-sized by
 # construction — reviewed, not a scale risk; a NEW name appearing here
@@ -93,8 +97,15 @@ def audit(name: str, df) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    keys = sys.argv[2:]
+    # foot-gun guard: `plan_audit.py some_key` (sf_dir omitted) must not
+    # audit every query against a data dir named "some_key" and overwrite
+    # PLANS.json with 79 error stubs
+    args = sys.argv[1:]
+    if args and not os.path.isdir(args[0]):
+        sf_dir, keys = "/root/testdata/sf0.001", args
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.001"
+        keys = args[1:]
 
     import __spark_entry__ as em
     from obadiah_spark.session import get_spark
