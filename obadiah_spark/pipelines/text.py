@@ -89,3 +89,71 @@ SELECT b.doc_id, token_count, distinct_tokens, subword_count, n_chars_measured,
        fingerprint
 FROM base b JOIN agg a ON a.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------- winnowing ------------
+# Local document fingerprinting by winnowing (Schleimer, Wilkerson, Aiken,
+# SIGMOD 2003): hash all character k-grams of the normalized text, slide a
+# window of WINNOW_WIN consecutive hashes, keep the minimum of each window,
+# dedupe. Guarantees: any shared substring of length >= WINNOW_K +
+# WINNOW_WIN - 1 yields a shared fingerprint (coverage), and an edit
+# perturbs only the fingerprints whose k-gram/window touches it (locality)
+# — both pytest-checked. Scale: the k-gram explode is map-side (|text| rows
+# per doc, each doc bounded), then ONE shuffle on doc_id for the per-doc
+# window + aggregation; no joins.
+
+WINNOW_K = 8
+WINNOW_WIN = 4
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowing summary: fingerprint count + order-insensitive md5
+    of the fingerprint set (sorted-concat), deterministic on both engines
+    (md5 hex sorts identically in ASCII)."""
+    from pyspark.sql.window import Window as W
+
+    t = F.lower(F.trim(F.regexp_replace(
+        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
+    grams = docs.select(F.col("doc_id"), t.alias("t")).select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
+            f" i -> substring(t, i, {WINNOW_K}))")).alias("pos", "g"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WIN - 1)
+    fps = (
+        grams.select("doc_id", "pos", F.md5("g").alias("h"))
+        .select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("fp")), "")).alias(
+            "fp_hash"),
+    )
+
+
+WINNOW_ORACLE = rf"""
+WITH d AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '[ \t\n\r\x0B\f]+', ' ', 'g'))) AS t
+    FROM documents
+), p AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(length(t) - {WINNOW_K - 1}, 1))) AS pos
+    FROM d
+), g AS (
+    SELECT doc_id, pos, md5(substr(t, CAST(pos AS INTEGER), {WINNOW_K})) AS h
+    FROM p
+), m AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_WIN - 1} FOLLOWING) AS fp
+    FROM g
+), s AS (
+    SELECT DISTINCT doc_id, fp FROM m
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       md5(string_agg(fp, '' ORDER BY fp)) AS fp_hash
+FROM s GROUP BY doc_id
+"""
