@@ -109,27 +109,28 @@ WINNOW_WIN = 4
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Per-doc winnowing summary: fingerprint count + order-insensitive md5
     of the fingerprint set (sorted-concat), deterministic on both engines
-    (md5 hex sorts identically in ASCII)."""
-    from pyspark.sql.window import Window as W
+    (md5 hex sorts identically in ASCII).
 
+    Winnowing is per-doc local, so the whole operator is ONE map-side
+    projection over array expressions — no explode, no shuffle, no window;
+    parallelism = input splits, the shape that holds at any scale. The
+    sliding min is `array_min(slice(hs, j, WIN))` per window start (tail
+    windows shorten, matching ROWS BETWEEN CURRENT AND WIN-1 FOLLOWING)."""
     t = F.lower(F.trim(F.regexp_replace(
         F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
-    grams = docs.select(F.col("doc_id"), t.alias("t")).select(
-        "doc_id",
-        F.posexplode(F.expr(
+    return (
+        docs.select(F.col("doc_id"), t.alias("t"))
+        .withColumn("hs", F.expr(
             f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
-            f" i -> substring(t, i, {WINNOW_K}))")).alias("pos", "g"),
-    )
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WIN - 1)
-    fps = (
-        grams.select("doc_id", "pos", F.md5("g").alias("h"))
-        .select("doc_id", F.min("h").over(w).alias("fp"))
-        .distinct()
-    )
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
-        F.md5(F.array_join(F.sort_array(F.collect_list("fp")), "")).alias(
-            "fp_hash"),
+            f" i -> md5(substring(t, i, {WINNOW_K})))"))
+        .withColumn("fps", F.expr(
+            f"array_sort(array_distinct(transform(sequence(1, size(hs)),"
+            f" j -> array_min(slice(hs, j, {WINNOW_WIN})))))"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.md5(F.array_join("fps", "")).alias("fp_hash"),
+        )
     )
 
 

@@ -156,7 +156,7 @@ def build_docs(spark, sf_dir: str, work: str, reps: int) -> str:
 def probe_docs(spark, docs_path: str) -> dict[str, float]:
     """Dedup/text family over a documents table read cold from parquet."""
     from obadiah_spark.pipelines import dedup
-    from obadiah_spark.pipelines.text import text_stats
+    from obadiah_spark.pipelines.text import text_stats, winnow_fingerprints
 
     docs = spark.read.parquet(docs_path)
     out: dict[str, float] = {}
@@ -172,6 +172,48 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
           lambda: dedup.minhash_lsh_candidates(docs).count())
     timed("simhash", lambda: dedup.simhash(docs).count())
     timed("text_stats", lambda: text_stats(docs).count())
+    timed("winnow_fingerprints",
+          lambda: winnow_fingerprints(docs).count())
+    return out
+
+
+def build_embs(spark, sf_dir: str, work: str, reps: int) -> str:
+    """Replicated embeddings for the ANN probe: vec_id offset per replica;
+    vectors repeat, which only densifies LSH buckets / IVF cells — the
+    conservative direction for a performance probe."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(work, f"embeddings_x{reps}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    parts = [emb.withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(k) * F.lit(1 << 32)).cast("long"))
+        for k in range(reps)]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe_embs(spark, emb_path: str) -> dict[str, float]:
+    """ANN family over an embeddings table read cold from parquet. The
+    brute-force form is deliberately absent — it is the O(n·q) baseline the
+    scale paths exist to avoid."""
+    from obadiah_spark.pipelines.similarity import ann_ivf, ann_lsh_pairs
+
+    emb = spark.read.parquet(emb_path)
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+
+    timed("ann_lsh_pairs", lambda: ann_lsh_pairs(emb).count())
+    timed("ann_ivf", lambda: ann_ivf(emb).count())
     return out
 
 
@@ -197,6 +239,8 @@ def main() -> None:
     d10 = probe_docs(spark, build_docs(spark, sf_dir, work, 10))
     r1.update(d1)
     r10.update(d10)
+    r1.update(probe_embs(spark, build_embs(spark, sf_dir, work, 1)))
+    r10.update(probe_embs(spark, build_embs(spark, sf_dir, work, 10)))
     exps = {k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2)
             for k in r1}
     print(json.dumps({"sf_base": sf_dir, "x1": r1, "x10": r10,
