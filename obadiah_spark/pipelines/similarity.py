@@ -259,9 +259,11 @@ def ann_ivf_oracle(n_queries: int = 10, k: int = 5,
                    n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
                    stride: int = IVF_STRIDE) -> str:
     """Same codebook / assignment / probe / re-score pipeline in DuckDB SQL;
-    cosines round to 9 dp at every ranking site so argmax ties agree."""
+    cosines round to 9 dp at every ranking site so argmax ties agree.
+    ``e`` is referenced five times — MATERIALIZED so the parquet scan+cast
+    runs once, not per reference."""
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), c AS (
     SELECT vec_id AS cell, emb AS c_emb FROM e

@@ -113,9 +113,16 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
     Winnowing is per-doc local, so the whole operator is ONE map-side
     projection over array expressions — no explode, no shuffle, no window;
-    parallelism = input splits, the shape that holds at any scale. The
-    sliding min is `array_min(slice(hs, j, WIN))` per window start (tail
-    windows shorten, matching ROWS BETWEEN CURRENT AND WIN-1 FOLLOWING)."""
+    parallelism = input splits. The sliding min is
+    `array_min(slice(hs, j, WIN))` per window start (tail windows shorten,
+    matching ROWS BETWEEN CURRENT AND WIN-1 FOLLOWING).
+
+    Memory bound: the hash array is O(|text|) 32-char strings PER ROW
+    (~80x the text bytes), so this form assumes bounded documents (web/
+    training-corpus scale, <~1 MB each). For unbounded single documents,
+    fall back to an explode + per-(doc, pos-range) window form that
+    streams k-gram rows through a shuffle instead of holding them in one
+    task's row buffer."""
     t = F.lower(F.trim(F.regexp_replace(
         F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
     return (

@@ -110,8 +110,15 @@ def main() -> int:
     import __spark_entry__ as em
     from obadiah_spark.session import get_spark
 
-    spark = get_spark("plan_audit")
     qs = em.queries()
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        print(f"unknown query key(s) {unknown} — a mistyped sf_dir lands "
+              f"here too (first arg must be an existing directory to be "
+              f"treated as one); known keys: {sorted(qs)[:8]}...",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("plan_audit")
     if keys:
         qs = {k: qs[k] for k in keys}
 

@@ -35,6 +35,31 @@ TS_COLS = ("microtimestamp", "next_microtimestamp", "price_microtimestamp",
            "local_timestamp", "era")
 
 
+def _timed(out: dict, name: str, fn) -> None:
+    t0 = time.perf_counter()
+    n = fn()
+    out[name] = round(time.perf_counter() - t0, 2)
+    print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+
+
+def _replicate(df, id_col: str, reps: int, salt_fn=None):
+    """k copies with ``id_col`` offset per replica (ids stay unique);
+    ``salt_fn(df, k)`` optionally perturbs each non-zero replica."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for k in range(reps):
+        rep = df.withColumn(
+            id_col, (F.col(id_col) + F.lit(k) * F.lit(1 << 32)).cast("long"))
+        if k and salt_fn is not None:
+            rep = salt_fn(rep, k)
+        parts.append(rep)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    return big
+
+
 def build_replicated(spark, sf_dir: str, work: str, reps: int) -> str:
     from pyspark.sql import functions as F
 
@@ -100,10 +125,7 @@ def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
     seed_checkpoint_cache(l3, 86400, read_checkpoints(spark, ckpt_path))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        n = fn()
-        out[name] = round(time.perf_counter() - t0, 2)
-        print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+        _timed(out, name, fn)
 
     timed("queues", lambda: queues(l3).count())
     timed("depth_summary", lambda: depth_summary_fold(l3).count())
@@ -136,20 +158,10 @@ def build_docs(spark, sf_dir: str, work: str, reps: int) -> str:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    parts = []
-    for k in range(reps):
-        rep = docs.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(k) * F.lit(1 << 32))
-            .cast("long"))
-        if k:
-            rep = rep.withColumn(
-                "text", F.concat(F.col("text"),
-                                 F.lit(f" replica-{k} salt")))
-        parts.append(rep)
-    big = parts[0]
-    for p in parts[1:]:
-        big = big.unionByName(p)
-    big.write.mode("overwrite").parquet(path)
+    salt = lambda df, k: df.withColumn(  # noqa: E731
+        "text", F.concat(F.col("text"), F.lit(f" replica-{k} salt")))
+    _replicate(docs, "doc_id", reps, salt).write.mode(
+        "overwrite").parquet(path)
     return path
 
 
@@ -162,10 +174,7 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        n = fn()
-        out[name] = round(time.perf_counter() - t0, 2)
-        print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+        _timed(out, name, fn)
 
     timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     timed("minhash_lsh_candidates",
@@ -187,13 +196,7 @@ def build_embs(spark, sf_dir: str, work: str, reps: int) -> str:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    parts = [emb.withColumn(
-        "vec_id", (F.col("vec_id") + F.lit(k) * F.lit(1 << 32)).cast("long"))
-        for k in range(reps)]
-    big = parts[0]
-    for p in parts[1:]:
-        big = big.unionByName(p)
-    big.write.mode("overwrite").parquet(path)
+    _replicate(emb, "vec_id", reps).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -207,10 +210,7 @@ def probe_embs(spark, emb_path: str) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        n = fn()
-        out[name] = round(time.perf_counter() - t0, 2)
-        print(f"# {name}: {out[name]:.2f}s rows={n}", file=sys.stderr)
+        _timed(out, name, fn)
 
     timed("ann_lsh_pairs", lambda: ann_lsh_pairs(emb).count())
     timed("ann_ivf", lambda: ann_ivf(emb).count())
