@@ -309,6 +309,13 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(spark.table("documents"))
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    from obadiah_spark.pipelines.text import winnow_pairs
+
+    _load(spark, sf_dir)
+    return winnow_pairs(spark.table("documents"))
+
+
 def _q_ann_lsh_recall(spark, sf_dir):
     from obadiah_spark.pipelines.similarity import ann_lsh_recall
 
@@ -1029,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
         "ann_ivf": _q_ann_ivf,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "chain_audit": _q_chain_audit,
         "match_sequential": _q_match_sequential,
         "match_fill_exact": _q_match_fill_exact,
@@ -1052,11 +1060,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
-        "data_overview": _q_data_overview,
         # ---- slot 51+: r5 driver-green, unchanged — rotate back in r7 ---
-        # (epsilon_draws + its zigzag twin displaced by ann_ivf /
-        # winnow_fingerprints; the epsilon state machine stays driver-covered
-        # via epsilon_draws_range + the trading_strategy family above)
+        # (epsilon_draws + zigzag twin and data_overview displaced by
+        # ann_ivf / winnow_fingerprints / winnow_pairs; the epsilon state
+        # machine stays driver-covered via epsilon_draws_range + the
+        # trading_strategy family, catalog.py via events_intervals/summary/
+        # staging_summary above)
+        "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
         "q1_pricing_summary": _q_q1,
@@ -1172,7 +1182,11 @@ def oracle_sql() -> dict[str, str]:
         ann_ivf_oracle,
         ann_lsh_recall_oracle,
     )
-    from obadiah_spark.pipelines.text import TEXT_STATS_ORACLE, WINNOW_ORACLE
+    from obadiah_spark.pipelines.text import (
+        TEXT_STATS_ORACLE,
+        WINNOW_ORACLE,
+        WINNOW_PAIRS_ORACLE,
+    )
     from obadiah_spark.synth import level3_cte, level3_matches_cte
 
     return {
@@ -1199,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "winnow_fingerprints": WINNOW_ORACLE,
+        "winnow_pairs": WINNOW_PAIRS_ORACLE,
         "ann_bruteforce": ann_bruteforce_oracle(),
         "ann_ivf": ann_ivf_oracle(),
         # ann_lsh_pairs: intentionally no oracle (approximate operator);

@@ -98,12 +98,50 @@ FROM base b JOIN agg a ON a.doc_id = b.doc_id
 # dedupe. Guarantees: any shared substring of length >= WINNOW_K +
 # WINNOW_WIN - 1 yields a shared fingerprint (coverage), and an edit
 # perturbs only the fingerprints whose k-gram/window touches it (locality)
-# — both pytest-checked. Scale: the k-gram explode is map-side (|text| rows
-# per doc, each doc bounded), then ONE shuffle on doc_id for the per-doc
-# window + aggregation; no joins.
+# — both pytest-checked. The per-doc selection is a pure map (array
+# expressions, no shuffle); only the pair form shuffles, once, on fp.
 
 WINNOW_K = 8
 WINNOW_WIN = 4
+WINNOW_PAIRS_CAP = 20      # drop fps shared by more docs (stop-gram analog)
+WINNOW_MIN_SHARED = 5      # candidate pair needs this many shared fps
+
+
+def winnow_fp_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps array<string>): the deduped, sorted winnowing
+    fingerprint set per document, computed in one map-side projection."""
+    t = F.lower(F.trim(F.regexp_replace(
+        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
+    return (
+        docs.select(F.col("doc_id"), t.alias("t"))
+        .withColumn("hs", F.expr(
+            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
+            f" i -> md5(substring(t, i, {WINNOW_K})))"))
+        .select("doc_id", F.expr(
+            f"array_sort(array_distinct(transform(sequence(1, size(hs)),"
+            f" j -> array_min(slice(hs, j, {WINNOW_WIN})))))").alias("fps"))
+    )
+
+
+def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) fingerprint rows via posexplode + per-doc sliding-min
+    window — one shuffle on doc_id, memory O(k-gram row) instead of
+    O(|text|) arrays. Same selection as :func:`winnow_fp_sets` (tail
+    windows shorten identically); the row form exists for consumers that
+    explode anyway (the pair join) and as the unbounded-document
+    fallback."""
+    from pyspark.sql.window import Window as W
+
+    t = F.lower(F.trim(F.regexp_replace(
+        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
+    grams = docs.select(F.col("doc_id"), t.alias("t")).select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
+            f" i -> md5(substring(t, i, {WINNOW_K})))")).alias("pos", "h"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WIN - 1)
+    return grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
 
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
@@ -123,25 +161,46 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     fall back to an explode + per-(doc, pos-range) window form that
     streams k-gram rows through a shuffle instead of holding them in one
     task's row buffer."""
-    t = F.lower(F.trim(F.regexp_replace(
-        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
-    return (
-        docs.select(F.col("doc_id"), t.alias("t"))
-        .withColumn("hs", F.expr(
-            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
-            f" i -> md5(substring(t, i, {WINNOW_K})))"))
-        .withColumn("fps", F.expr(
-            f"array_sort(array_distinct(transform(sequence(1, size(hs)),"
-            f" j -> array_min(slice(hs, j, {WINNOW_WIN})))))"))
-        .select(
-            "doc_id",
-            F.size("fps").cast("bigint").alias("n_fingerprints"),
-            F.md5(F.array_join("fps", "")).alias("fp_hash"),
-        )
+    return winnow_fp_sets(docs).select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join("fps", "")).alias("fp_hash"),
     )
 
 
-WINNOW_ORACLE = rf"""
+def winnow_pairs(docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
+                 max_bucket: int = WINNOW_PAIRS_CAP) -> DataFrame:
+    """Near-duplicate candidate pairs: documents sharing >= ``min_shared``
+    winnowing fingerprints. Fingerprints shared by more than ``max_bucket``
+    documents are dropped first (the stop-gram analog of minhash's
+    hot-bucket cap — on a small shared vocabulary almost every doc collides
+    on the commonest grams, and at any scale the cap bounds the self-join's
+    per-bucket fanout at max_bucket², never all-pairs).
+
+    The fingerprint rows come from the explode+window form, NOT by
+    exploding :func:`winnow_fp_sets`'s array column: when that array is
+    consumed by a Generate, Catalyst collapses the hs/fps projections and
+    inlines the k-gram-hash array into the sliding-min lambda, re-deriving
+    the whole array per window position — O(|text|²) md5 evaluations per
+    doc (measured: hangs at 50 docs). The pair path explodes to rows
+    anyway, so the per-doc window shuffle is the natural shape."""
+    s = _winnow_fp_rows(docs)
+    keep = (s.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") <= max_bucket).select("fp"))
+    a = s.join(keep, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
+    b = s.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# shared CTE prefix: per-doc fingerprint sets `s(doc_id, fp)`; `s` is
+# MATERIALIZED for the pairs oracle, which references it three times
+_WINNOW_SETS_CTES = rf"""
 WITH d AS (
     SELECT doc_id,
            lower(trim(regexp_replace(text, '[ \t\n\r\x0B\f]+', ' ', 'g'))) AS t
@@ -158,10 +217,24 @@ WITH d AS (
            min(h) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND {WINNOW_WIN - 1} FOLLOWING) AS fp
     FROM g
-), s AS (
+), s AS MATERIALIZED (
     SELECT DISTINCT doc_id, fp FROM m
-)
+)"""
+
+WINNOW_ORACLE = _WINNOW_SETS_CTES + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
        md5(string_agg(fp, '' ORDER BY fp)) AS fp_hash
 FROM s GROUP BY doc_id
+"""
+
+WINNOW_PAIRS_ORACLE = _WINNOW_SETS_CTES + rf"""
+, keep AS (
+    SELECT fp FROM s GROUP BY fp HAVING count(*) <= {WINNOW_PAIRS_CAP}
+), j AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM s a JOIN keep USING (fp)
+    JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM j GROUP BY doc_a, doc_b HAVING count(*) >= {WINNOW_MIN_SHARED}
 """

@@ -115,6 +115,24 @@ def test_winnow_locality(spark):
     assert abs(int(out.loc[0, "n_fingerprints"]) - int(out.loc[1, "n_fingerprints"])) <= 12
 
 
+def test_winnow_pairs_surface_planted_near_dup(spark):
+    """A planted near-dup pair (long shared substring, different padding)
+    must surface in winnow_pairs; unrelated docs must not pair with it at
+    the min_shared threshold."""
+    from obadiah_spark.pipelines.text import winnow_pairs
+
+    shared = " ".join(f"uncommon{i:03d}" for i in range(25))  # ~300 chars
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " + shared + " delta"),
+         (1, "epsilon zeta " + shared + " eta theta"),
+         (2, "totally different words " * 20)],
+        "doc_id bigint, text string")
+    pairs = winnow_pairs(docs).toPandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got, f"planted pair missing: {got}"
+    assert not any(2 in p for p in got), f"unrelated doc paired: {got}"
+
+
 def test_minhash_candidates_cover_high_jaccard(spark):
     """MinHash-LSH (16 hashes, 4x4 bands) must surface every pair with
     jaccard >= 0.7 (collision prob >= 1-(1-0.7^4)^4 ~ 0.77 per band set —
