@@ -316,6 +316,20 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(spark.table("documents"))
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    from obadiah_spark.pipelines.multimodal import pack_blobs, resize_images
+
+    _load(spark, sf_dir)
+    return resize_images(pack_blobs(spark.table("documents")))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from obadiah_spark.pipelines.multimodal import pack_blobs, sample_frames
+
+    _load(spark, sf_dir)
+    return sample_frames(pack_blobs(spark.table("documents")))
+
+
 def _q_ann_lsh_recall(spark, sf_dir):
     from obadiah_spark.pipelines.similarity import ann_lsh_recall
 
@@ -1037,6 +1051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "multimodal_resize": _q_multimodal_resize,
+        "frame_sample": _q_frame_sample,
         "chain_audit": _q_chain_audit,
         "match_sequential": _q_match_sequential,
         "match_fill_exact": _q_match_fill_exact,
@@ -1055,17 +1071,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
         "summary": _q_summary,
+        "crossed_books": _q_crossed_books,  # slot 51 at r6 cap — rotate back in r7
+        "order_book_takers": _q_order_book_takers,  # slot 52 — ditto
+        # ---- slot 51+: r5 driver-green — rotate back in r7 --------------
+        # (displaced by the five new r6 gate entries ann_ivf /
+        # winnow_fingerprints / winnow_pairs / multimodal_resize /
+        # frame_sample; the trading and epsilon state machines stay
+        # driver-covered via their *_range/*_freq twins in slots 23-27,
+        # whose oracles embed the full recursive replay; quality.py via
+        # chain_audit, order_book.py via order_book/order_book_ckpt, and
+        # catalog.py via events_intervals/summary/staging_summary above)
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        # ---- slot 51+: r5 driver-green, unchanged — rotate back in r7 ---
-        # (epsilon_draws + zigzag twin and data_overview displaced by
-        # ann_ivf / winnow_fingerprints / winnow_pairs; the epsilon state
-        # machine stays driver-covered via epsilon_draws_range + the
-        # trading_strategy family, catalog.py via events_intervals/summary/
-        # staging_summary above)
         "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
@@ -1176,7 +1194,11 @@ def oracle_sql() -> dict[str, str]:
         trading_strategy_zigzag_oracle_sql,
     )
     from obadiah_spark.pipelines import dedup
-    from obadiah_spark.pipelines.multimodal import MULTIMODAL_ORACLE
+    from obadiah_spark.pipelines.multimodal import (
+        MULTIMODAL_ORACLE,
+        resize_images_oracle,
+        sample_frames_oracle,
+    )
     from obadiah_spark.pipelines.similarity import (
         ann_bruteforce_oracle,
         ann_ivf_oracle,
@@ -1214,6 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_ORACLE,
         "winnow_fingerprints": WINNOW_ORACLE,
         "winnow_pairs": WINNOW_PAIRS_ORACLE,
+        "multimodal_resize": resize_images_oracle(),
+        "frame_sample": sample_frames_oracle(),
         "ann_bruteforce": ann_bruteforce_oracle(),
         "ann_ivf": ann_ivf_oracle(),
         # ann_lsh_pairs: intentionally no oracle (approximate operator);

@@ -77,3 +77,100 @@ SELECT doc_id,
        CAST(n_chars % 480 AS INT) AS height
 FROM documents
 """
+
+
+RESIZE_W = 224
+RESIZE_H = 224
+
+
+def resize_images(blobs: DataFrame, target_w: int = RESIZE_W,
+                  target_h: int = RESIZE_H) -> DataFrame:
+    """Resize plumbing: per-row metadata rewrite + a deterministic stand-in
+    for the resampled payload (md5 of payload ∥ ':WxH' — a real resampler
+    drops into the same mapInPandas slot; schema, batch shape, and scale
+    factors are the real contract). Map-side only, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        suffix = f":{target_w}x{target_h}".encode()
+        for pdf in batches:
+            src_w = pdf["meta"].map(lambda m: max(m["width"], 1))
+            src_h = pdf["meta"].map(lambda m: max(m["height"], 1))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": target_w,
+                "height": target_h,
+                "scale_x": (target_w / src_w).round(9),
+                "scale_y": (target_h / src_h).round(9),
+                "resized_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b) + suffix).hexdigest()),
+            })
+
+    return blobs.mapInPandas(
+        run, "doc_id bigint, width int, height int, "
+             "scale_x double, scale_y double, resized_md5 string")
+
+
+def resize_images_oracle(target_w: int = RESIZE_W,
+                         target_h: int = RESIZE_H) -> str:
+    return f"""
+SELECT doc_id,
+       CAST({target_w} AS INT) AS width,
+       CAST({target_h} AS INT) AS height,
+       round({target_w} / greatest(n_chars % 640, 1), 9) AS scale_x,
+       round({target_h} / greatest(n_chars % 480, 1), 9) AS scale_y,
+       md5(text || ':{target_w}x{target_h}') AS resized_md5
+FROM documents
+"""
+
+
+FRAME_BYTES = 16     # fake codec: one "frame" per 16 payload bytes
+FRAME_EVERY = 4      # sample every 4th frame
+
+
+def sample_frames(blobs: DataFrame, frame_bytes: int = FRAME_BYTES,
+                  every_n: int = FRAME_EVERY) -> DataFrame:
+    """Frame-sampling plumbing: fan each "video" payload out to its sampled
+    frame rows (frame count = ⌊bytes / frame_bytes⌋, indices 0, n, 2n, …).
+    The frame payload stand-in is md5(payload ∥ ':idx'); a real demuxer
+    drops into the same mapInPandas slot. Output cardinality is
+    data-dependent (the real contract of a frame sampler) and the pass is
+    map-side — the 100 TB shape: fan-out happens inside the task, no
+    shuffle, no driver involvement."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for idx in range(0, len(raw) // frame_bytes, every_n):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    hashes.append(hashlib.md5(
+                        raw + f":{idx}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_md5": pd.Series(hashes, dtype="object"),
+            })
+
+    return blobs.mapInPandas(
+        run, "doc_id bigint, frame_idx bigint, frame_md5 string")
+
+
+def sample_frames_oracle(frame_bytes: int = FRAME_BYTES,
+                         every_n: int = FRAME_EVERY) -> str:
+    """`unnest(generate_series(...))` fans out the same sampled indices;
+    generate_series is end-inclusive, hence the -1."""
+    return f"""
+WITH v AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) // {frame_bytes} AS n_frames
+    FROM documents
+), idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, {every_n}))
+               AS frame_idx
+    FROM v WHERE n_frames > 0
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM idx
+"""

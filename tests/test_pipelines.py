@@ -133,6 +133,28 @@ def test_winnow_pairs_surface_planted_near_dup(spark):
     assert not any(2 in p for p in got), f"unrelated doc paired: {got}"
 
 
+def test_resize_and_frame_sample_plumbing(spark):
+    """Resize keeps one row per blob with target dims; frame sampling fans
+    out ⌈n_frames / every_n⌉ rows per blob and drops sub-frame payloads —
+    the schema/batch/cardinality contract a real codec drops into."""
+    from obadiah_spark.pipelines.multimodal import (
+        FRAME_BYTES, FRAME_EVERY, pack_blobs, resize_images, sample_frames)
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 100, 100), (1, "y" * 7, 7), (2, "", 0)],
+        "doc_id bigint, text string, n_chars bigint")
+    blobs = pack_blobs(docs)
+    rs = resize_images(blobs).toPandas().set_index("doc_id")
+    assert len(rs) == 3 and (rs.width == 224).all()
+    assert rs.loc[0, "scale_x"] == round(224 / 100, 9)
+    fr = sample_frames(blobs).toPandas()
+    n0 = ((100 // FRAME_BYTES) + FRAME_EVERY - 1) // FRAME_EVERY
+    assert (fr.doc_id == 0).sum() == n0
+    assert not (fr.doc_id == 1).any()  # 7 bytes < one frame
+    assert not (fr.doc_id == 2).any()  # empty payload
+    assert fr.frame_idx.min() == 0 and fr.frame_idx.max() == 4
+
+
 def test_minhash_candidates_cover_high_jaccard(spark):
     """MinHash-LSH (16 hashes, 4x4 bands) must surface every pair with
     jaccard >= 0.7 (collision prob >= 1-(1-0.7^4)^4 ~ 0.77 per band set —
