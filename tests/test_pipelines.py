@@ -115,6 +115,30 @@ def test_winnow_locality(spark):
     assert abs(int(out.loc[0, "n_fingerprints"]) - int(out.loc[1, "n_fingerprints"])) <= 12
 
 
+def test_winnow_array_and_row_forms_agree(spark):
+    """The map-side array form (winnow_fp_sets) and the explode+window row
+    form (_winnow_fp_rows) are two implementations of ONE selection rule —
+    they must produce identical per-doc fingerprint sets, including tail
+    windows and sub-K docs."""
+    from pyspark.sql import functions as SF
+
+    from obadiah_spark.pipelines.text import _winnow_fp_rows, winnow_fp_sets
+
+    docs = spark.table("documents").limit(60).unionByName(
+        spark.createDataFrame(
+            [(9001, "tiny"), (9002, ""), (9003, "exactly8")],
+            "doc_id bigint, text string").withColumn(
+                "lang", SF.lit(None).cast("string")).withColumn(
+                "source", SF.lit(None).cast("string")).withColumn(
+                "n_chars", SF.length("text").cast("bigint")))
+    arr = {r["doc_id"]: tuple(r["fps"])
+           for r in winnow_fp_sets(docs).collect()}
+    rows = (_winnow_fp_rows(docs).groupBy("doc_id")
+            .agg(SF.sort_array(SF.collect_list("fp")).alias("fps")).collect())
+    row_sets = {r["doc_id"]: tuple(r["fps"]) for r in rows}
+    assert arr == row_sets
+
+
 def test_winnow_pairs_surface_planted_near_dup(spark):
     """A planted near-dup pair (long shared substring, different padding)
     must surface in winnow_pairs; unrelated docs must not pair with it at
