@@ -140,11 +140,16 @@ def sample_frames(blobs: DataFrame, frame_bytes: int = FRAME_BYTES,
             ids, idxs, hashes = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                # hash the payload ONCE, fork the streaming state per frame
+                # (bit-identical to md5(raw + suffix)) — re-hashing raw per
+                # frame would be O(n_frames x payload_bytes) per blob
+                base = hashlib.md5(raw)
                 for idx in range(0, len(raw) // frame_bytes, every_n):
+                    h = base.copy()
+                    h.update(f":{idx}".encode())
                     ids.append(doc_id)
                     idxs.append(idx)
-                    hashes.append(hashlib.md5(
-                        raw + f":{idx}".encode()).hexdigest())
+                    hashes.append(h.hexdigest())
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int64"),

@@ -34,7 +34,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
-        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))).alias("fingerprint"),
+        F.md5(_norm_text()).alias("fingerprint"),
     )
     out = base.join(agg, "doc_id")
     avg_len = F.col("char_sum") / F.col("token_count")
@@ -99,7 +99,9 @@ FROM base b JOIN agg a ON a.doc_id = b.doc_id
 # WINNOW_WIN - 1 yields a shared fingerprint (coverage), and an edit
 # perturbs only the fingerprints whose k-gram/window touches it (locality)
 # — both pytest-checked. The per-doc selection is a pure map (array
-# expressions, no shuffle); only the pair form shuffles, once, on fp.
+# expressions, no shuffle); the pair form additionally shuffles for the
+# per-doc window, the distinct, the fp-frequency cap + join, and the final
+# pair aggregate — all key-partitioned, none all-pairs.
 
 WINNOW_K = 8
 WINNOW_WIN = 4
@@ -107,16 +109,26 @@ WINNOW_PAIRS_CAP = 20      # drop fps shared by more docs (stop-gram analog)
 WINNOW_MIN_SHARED = 5      # candidate pair needs this many shared fps
 
 
+def _norm_text():
+    """The ONE whitespace-normalization expression (class must stay in
+    parity with the oracle CTEs and text_stats' fingerprint)."""
+    return F.lower(F.trim(F.regexp_replace(
+        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
+
+
+# the ONE k-gram hash-array expression (over a column named `t`), shared by
+# the array and row forms so the selection rule cannot fork
+_KGRAM_HASHES_EXPR = (
+    f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
+    f" i -> md5(substring(t, i, {WINNOW_K})))")
+
+
 def winnow_fp_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, fps array<string>): the deduped, sorted winnowing
     fingerprint set per document, computed in one map-side projection."""
-    t = F.lower(F.trim(F.regexp_replace(
-        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
     return (
-        docs.select(F.col("doc_id"), t.alias("t"))
-        .withColumn("hs", F.expr(
-            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
-            f" i -> md5(substring(t, i, {WINNOW_K})))"))
+        docs.select(F.col("doc_id"), _norm_text().alias("t"))
+        .withColumn("hs", F.expr(_KGRAM_HASHES_EXPR))
         .select("doc_id", F.expr(
             f"array_sort(array_distinct(transform(sequence(1, size(hs)),"
             f" j -> array_min(slice(hs, j, {WINNOW_WIN})))))").alias("fps"))
@@ -132,13 +144,9 @@ def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
     fallback."""
     from pyspark.sql.window import Window as W
 
-    t = F.lower(F.trim(F.regexp_replace(
-        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
-    grams = docs.select(F.col("doc_id"), t.alias("t")).select(
+    grams = docs.select(F.col("doc_id"), _norm_text().alias("t")).select(
         "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
-            f" i -> md5(substring(t, i, {WINNOW_K})))")).alias("pos", "h"),
+        F.posexplode(F.expr(_KGRAM_HASHES_EXPR)).alias("pos", "h"),
     )
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WIN - 1)
     return grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
@@ -187,8 +195,11 @@ def winnow_pairs(docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
     s = _winnow_fp_rows(docs)
     keep = (s.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") <= max_bucket).select("fp"))
+    # BOTH sides filter through keep: hot fps are by definition the most
+    # skewed join keys, and an unfiltered b side would shuffle every hot-fp
+    # row into one task just to be discarded by the probe
     a = s.join(keep, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
-    b = s.select(F.col("doc_id").alias("doc_b"), "fp")
+    b = s.join(keep, "fp").select(F.col("doc_id").alias("doc_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
