@@ -174,6 +174,59 @@ def _save_registry(bronze_path: str, registry: dict[int, str]) -> None:
         json.dump({str(k): v for k, v in registry.items()}, fh)
 
 
+# flush leaves live in a reserved batch_seq range streaming batch ids never
+# reach; everything below it is a per-batch leaf
+_FLUSH_BASE = 1 << 40
+
+
+def _existing_batch_seqs(bronze_path: str, subs: Iterable[str]) -> list[int]:
+    """All ``batch_seq=N`` leaf numbers already present under the bronze
+    subdirectories (local/NFS paths — same deployment assumption as the
+    JSON registry sidecar above; an object-store bronze would swap this
+    for a Hadoop-FS listing)."""
+    seqs: list[int] = []
+    for sub in subs:
+        try:
+            names = os.listdir(os.path.join(bronze_path, sub))
+        except OSError:
+            continue
+        for name in names:
+            if name.startswith("batch_seq="):
+                try:
+                    seqs.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+    return seqs
+
+
+def _resolve_seq_base(bronze_path: str, subs: Iterable[str],
+                      session_dir: str | None) -> int:
+    """Per-capture-session base added to streaming batch ids.
+
+    Restarting FROM the same checkpoint (``session_dir``) is the same
+    logical capture session: the persisted base is reused so a replayed
+    batch overwrites its own leaf (idempotent) and re-derives the same
+    ``event_id``s. A NEW session writing into an existing bronze path
+    (fresh checkpoint — streaming batch ids restart at 0) starts past
+    every existing leaf instead, so it can neither clobber earlier
+    sessions' bronze nor mint colliding event_ids."""
+    sidecar = (os.path.join(session_dir, "_capture_session.json")
+               if session_dir is not None else None)
+    if sidecar is not None:
+        try:
+            with open(sidecar) as fh:
+                return int(json.load(fh)["seq_base"])
+        except (OSError, ValueError, KeyError):
+            pass
+    base = max((s for s in _existing_batch_seqs(bronze_path, subs)
+                if s < _FLUSH_BASE), default=-1) + 1
+    if sidecar is not None:
+        os.makedirs(session_dir, exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump({"seq_base": base}, fh)
+    return base
+
+
 # --------------------------------------------------------------- the sink --
 
 BOOK_COLS = ["exchange_ts", "order_id", "price", "amount", "pair_id",
@@ -282,7 +335,8 @@ class CaptureSink:
     (bitfinex.py:84-95); ``flush()`` is the ``close()`` analogue."""
 
     def __init__(self, bronze_path: str, pair_id: int,
-                 min_save_count: int = 0) -> None:
+                 min_save_count: int = 0,
+                 session_dir: str | None = None) -> None:
         self.bronze_path = bronze_path
         self.pair_id = pair_id
         self.min_save_count = min_save_count
@@ -290,16 +344,28 @@ class CaptureSink:
         self._book_buf: list[pd.DataFrame] = []
         self._trade_buf: list[pd.DataFrame] = []
         self._buffered = 0
-        self._flush_no = 0
+        self._seq_base = _resolve_seq_base(
+            bronze_path, ("raw_book", "raw_trades", "_unrouted"), session_dir)
+        # flush counter continues past every flush leaf already on disk:
+        # an in-memory 0 would make a restarted session's first flush
+        # overwrite the previous session's first flush leaf — batches that
+        # are committed in the old checkpoint and will never replay
+        self._flush_no = max(
+            (s for s in _existing_batch_seqs(
+                bronze_path, ("raw_book", "raw_trades"))
+             if s >= _FLUSH_BASE), default=_FLUSH_BASE - 1) + 1 - _FLUSH_BASE
         self._spark: SparkSession | None = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self._spark = batch_df.sparkSession
-        # one partition per batch: makes monotonically_increasing_id a pure
-        # 0..n-1 wire sequence (no partition-id bits), so the
-        # (batch_seq << 33) + line_no event_id is collision-free across
-        # batches and ordered exactly like the wire. Capture batches are
-        # seconds of frames from one serial socket — never large.
+        batch_seq = self._seq_base + int(batch_id)
+        # one partition per batch: a single row_number window over
+        # (line_no, entry_no) then numbers the batch's payload entries
+        # 0..n-1 in wire order, so event_id = (batch_seq << 33) + entry_rank
+        # is collision-free across batches and sessions (batch_seq is
+        # session-offset) and ordered exactly like the wire. Capture
+        # batches are seconds of frames from one serial socket — never
+        # large.
         # persist: the registry probe and the three routed writes are
         # separate actions — without it each re-runs the wire parse AND
         # re-resolves current_timestamp, giving one batch's book/trade/
@@ -322,14 +388,14 @@ class CaptureSink:
             if subs:
                 _save_registry(self.bronze_path, self.registry)
             book, trades, unrouted = route_batch(
-                parsed, self.registry, self.pair_id, batch_seq=int(batch_id))
+                parsed, self.registry, self.pair_id, batch_seq=batch_seq)
             # quarantine writes immediately (never buffered: it exists so
             # no frame is ever only in driver memory for an unknown
-            # channel); batchId-keyed overwrite → idempotent under replay
+            # channel); batch_seq-keyed overwrite → idempotent under replay
             unrouted.write.mode("overwrite").parquet(
-                self._batch_dir("_unrouted", batch_id))
+                self._batch_dir("_unrouted", batch_seq))
             if self.min_save_count <= 0:
-                self._write(book, trades, batch_id)
+                self._write(book, trades, batch_seq)
                 return
             bp, tp = book.toPandas(), trades.toPandas()
             self._book_buf.append(bp)
@@ -340,19 +406,20 @@ class CaptureSink:
         finally:
             parsed.unpersist()
 
-    def _batch_dir(self, sub: str, batch_id: int) -> str:
+    def _batch_dir(self, sub: str, batch_seq: int) -> str:
         # Hive-style batch_seq=N leaf: readers of the table root discover
         # it as an extra int partition column; re-running the same batch
-        # OVERWRITES its own leaf → the write-per-batch path is idempotent
-        # (exactly-once effective) under foreachBatch's at-least-once replay
-        return os.path.join(self.bronze_path, sub, f"batch_seq={batch_id}")
+        # (same session → same session-offset batch_seq) OVERWRITES its own
+        # leaf → the write-per-batch path is idempotent (exactly-once
+        # effective) under foreachBatch's at-least-once replay
+        return os.path.join(self.bronze_path, sub, f"batch_seq={batch_seq}")
 
     def _write(self, book: DataFrame, trades: DataFrame,
-               batch_id: int) -> None:
+               batch_seq: int) -> None:
         book.write.mode("overwrite").parquet(
-            self._batch_dir("raw_book", batch_id))
+            self._batch_dir("raw_book", batch_seq))
         trades.write.mode("overwrite").parquet(
-            self._batch_dir("raw_trades", batch_id))
+            self._batch_dir("raw_trades", batch_seq))
 
     def flush(self) -> None:
         """Write out the driver-side buffer (min_save_count > 0 path).
@@ -368,10 +435,12 @@ class CaptureSink:
         break partition discovery for the whole bronze table if the two
         modes ever touched one path. Flush leaves use the reserved range
         ``batch_seq >= 1<<40`` (streaming batch ids never reach it), one
-        leaf per flush."""
+        leaf per flush; the counter resumes past leaves already on disk
+        (see ``__init__``), so a restarted session never overwrites a
+        prior session's flushes."""
         if not self._buffered or self._spark is None:
             return
-        leaf = (1 << 40) + self._flush_no
+        leaf = _FLUSH_BASE + self._flush_no
         self._flush_no += 1
         for buf, sub, schema in (
                 (self._book_buf, "raw_book", BOOK_SCHEMA),
@@ -410,7 +479,8 @@ def capture(spark: SparkSession, bronze_path: str, ckpt_path: str,
     else:
         lines = (spark.readStream.format("socket")
                  .option("host", host).option("port", int(port)).load())
-    sink = CaptureSink(bronze_path, pair_id, min_save_count)
+    sink = CaptureSink(bronze_path, pair_id, min_save_count,
+                       session_dir=ckpt_path)
     query = (
         lines.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt_path)
@@ -573,8 +643,9 @@ def route_bitstamp_batch(parsed: DataFrame, pair_id: int, era_us: int,
 
 class BitstampCaptureSink:
     """foreachBatch body for the bitstamp channels: era fold + routed
-    parquet appends (batchId-keyed overwrite — idempotent like the
-    Bitfinex sink).
+    parquet appends (session-offset batch_seq-keyed overwrite — idempotent
+    under replay like the Bitfinex sink, and clobber-free across capture
+    sessions).
 
     The era sidecar lives in the streaming CHECKPOINT directory, not the
     bronze table: a restart FROM the same checkpoint is the same logical
@@ -592,6 +663,14 @@ class BitstampCaptureSink:
         self.pair_id = pair_id
         self.era_dir = era_dir if era_dir is not None else bronze_path
         self.era_us: int | None = self._load_era()
+        # same session-offset contract as CaptureSink: a fresh checkpoint
+        # (new era after a gap) restarts streaming batch ids at 0 — without
+        # the base its batch_seq=0..N overwrites would clobber the prior
+        # era's bronze leaves
+        self._seq_base = _resolve_seq_base(
+            bronze_path,
+            ("transient_live_orders", "transient_live_trades", "_garbage"),
+            self.era_dir)
 
     def _era_path(self) -> str:
         return os.path.join(self.era_dir, "_era.json")
@@ -635,16 +714,17 @@ class BitstampCaptureSink:
                 # freeze _lts before the writes (the era probe does this
                 # on the unresolved path)
                 parsed.count()
+            batch_seq = self._seq_base + int(batch_id)
             orders, trades, garbage = route_bitstamp_batch(
                 parsed, self.pair_id, self.era_us or 0,
-                batch_seq=int(batch_id))
+                batch_seq=batch_seq)
             if self.era_us is not None:
                 orders.write.mode("overwrite").parquet(
-                    self._batch_dir("transient_live_orders", batch_id))
+                    self._batch_dir("transient_live_orders", batch_seq))
             trades.write.mode("overwrite").parquet(
-                self._batch_dir("transient_live_trades", batch_id))
+                self._batch_dir("transient_live_trades", batch_seq))
             garbage.write.mode("overwrite").parquet(
-                self._batch_dir("_garbage", batch_id))
+                self._batch_dir("_garbage", batch_seq))
         finally:
             parsed.unpersist()
 

@@ -254,3 +254,26 @@ def test_bitstamp_capture_socket_transport(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_bitstamp_fresh_session_never_clobbers_bronze(spark, tmp_path):
+    """A new capture session (fresh checkpoint/era dir — how a new era
+    opens after a gap) must not overwrite the prior era's transient
+    bronze leaves even though streaming batch ids restart at 0."""
+    lines = _wire_lines()
+    bronze = str(tmp_path / "bz")
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+    s1 = BitstampCaptureSink(bronze, pair_id=1,
+                             era_dir=str(tmp_path / "ck1"))
+    s1(df, 0)
+    p = os.path.join(bronze, "transient_live_orders")
+    n1 = spark.read.parquet(p).count()
+    assert n1 > 0
+
+    s2 = BitstampCaptureSink(bronze, pair_id=1,
+                             era_dir=str(tmp_path / "ck2"))
+    s2(df, 0)
+    full = spark.read.parquet(p)
+    assert full.count() == 2 * n1
+    assert full.select("event_id").distinct().count() == full.count()

@@ -287,3 +287,62 @@ def test_capture_replayed_batch_idempotent(spark, tmp_path):
         "event_id").distinct()
     full = spark.read.parquet(str(tmp_path / "bronze" / "raw_book"))
     assert full.select("event_id").distinct().count() == full.count()
+
+
+def test_capture_fresh_session_never_clobbers_bronze(spark, tmp_path):
+    """A NEW capture session (fresh checkpoint, batch ids restart at 0)
+    into an existing bronze path must not overwrite earlier sessions'
+    leaves, and event_ids must stay globally unique; a restart FROM the
+    same checkpoint must remain idempotent."""
+    from obadiah_spark.streaming.capture import CaptureSink
+
+    lines = _wire_lines()
+    bronze = str(tmp_path / "bronze")
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+    s1 = CaptureSink(bronze, pair_id=1, session_dir=str(tmp_path / "ck1"))
+    s1(df, 0)
+    per_batch = spark.read.parquet(bronze + "/raw_book").count()
+    s1(df, 1)
+    assert spark.read.parquet(bronze + "/raw_book").count() == 2 * per_batch
+
+    # restart from the SAME checkpoint: replayed batch 1 overwrites its
+    # own leaf (idempotent), nothing duplicates
+    s1r = CaptureSink(bronze, pair_id=1, session_dir=str(tmp_path / "ck1"))
+    s1r(df, 1)
+    assert spark.read.parquet(bronze + "/raw_book").count() == 2 * per_batch
+
+    # fresh checkpoint: batch ids restart at 0 but the session base moves
+    # past every existing leaf — prior bronze intact, event_ids disjoint
+    s2 = CaptureSink(bronze, pair_id=1, session_dir=str(tmp_path / "ck2"))
+    s2(df, 0)
+    book = spark.read.parquet(bronze + "/raw_book")
+    assert book.count() == 3 * per_batch
+    assert book.select("event_id").distinct().count() == book.count()
+
+
+def test_flush_counter_survives_restart(spark, tmp_path):
+    """flush() of a restarted session must append a NEW leaf, not
+    overwrite the previous session's first flush (those batches are
+    committed in the old checkpoint and will never replay)."""
+    from obadiah_spark.streaming.capture import CaptureSink
+
+    lines = _wire_lines()
+    bronze = str(tmp_path / "bronze")
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+    s1 = CaptureSink(bronze, pair_id=1, min_save_count=10**9,
+                     session_dir=str(tmp_path / "ck1"))
+    s1(df, 0)
+    s1.flush()
+    n1 = spark.read.parquet(bronze + "/raw_book").count()
+    assert n1 > 0
+
+    # process restart with a fresh checkpoint: new sink, same bronze
+    s2 = CaptureSink(bronze, pair_id=1, min_save_count=10**9,
+                     session_dir=str(tmp_path / "ck2"))
+    s2(df, 0)
+    s2.flush()
+    book = spark.read.parquet(bronze + "/raw_book")
+    assert book.count() == 2 * n1
+    assert book.select("event_id").distinct().count() == book.count()
