@@ -1017,70 +1017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (1) never driver-checked before round 6 ----------------------
-        "match_audit": _q_match_audit,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "reveal_episodes": _q_reveal_episodes,
-        "fix_aggressor_order": _q_fix_aggressor,
-        "bs_capture_orders": _q_bs_capture_orders,
-        "capture_trades": _q_capture_trades,
-        "episode_framing": _q_episode_framing,
-        "capture_raw_book": _q_capture_raw_book,
-        "cleanse_order": _q_cleanse_order,
-        "symbol_upsert": _q_symbol_upsert,
-        # -- (2) rotated out of r5's 50 (last driver row: r4) -------------
-        "move_audit": _q_move_audit,
-        "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
-        "staging_summary": _q_staging_summary,
-        "depth_chains": _q_depth_chains,
-        # -- (3) new or code-touched in round 6 ---------------------------
-        "get_events_freq": _q_get_events_freq,
-        "depth_summary_freq": _q_depth_summary_freq,
-        "queues_freq": _q_queues_freq,
-        "depth_summary_range": _q_depth_summary_range,
-        "queues_range": _q_queues_range,
-        "trading_period_range": _q_trading_period_range,
-        "trading_strategy_range": _q_trading_strategy_range,
-        "epsilon_draws_range": _q_epsilon_draws_range,
-        "trading_period_freq": _q_trading_period_freq,
-        "trading_strategy_freq": _q_trading_strategy_freq,
-        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
-        "ann_ivf": _q_ann_ivf,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,
-        "frame_sample": _q_frame_sample,
-        "chain_audit": _q_chain_audit,
-        "match_sequential": _q_match_sequential,
-        "match_fill_exact": _q_match_fill_exact,
-        "inferred_trades": _q_inferred_trades,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "fix_chain_integrity": _q_fix_chain_integrity,
-        "depth_summary": _q_depth_summary,
-        "queues": _q_queues,
-        # -- (4) stable core (r5 driver-green, unchanged) -----------------
-        "order_book": _q_order_book,
-        "order_book_ckpt": _q_order_book_ckpt,
-        "spread": _q_spread,
-        "depth_change": _q_depth_change,
-        "spread_periods": _q_spread_periods,
-        "get_events": _q_get_events,
-        "get_trades": _q_get_trades,
-        "events_intervals": _q_intervals,
-        "summary": _q_summary,
-        "crossed_books": _q_crossed_books,  # slot 51 at r6 cap — rotate back in r7
-        "order_book_takers": _q_order_book_takers,  # slot 52 — ditto
-        # ---- slot 51+: r5 driver-green — rotate back in r7 --------------
-        # (displaced by the five new r6 gate entries ann_ivf /
-        # winnow_fingerprints / winnow_pairs / multimodal_resize /
-        # frame_sample; the trading and epsilon state machines stay
-        # driver-covered via their *_range/*_freq twins in slots 23-27,
-        # whose oracles embed the full recursive replay; quality.py via
-        # chain_audit, order_book.py via order_book/order_book_ckpt, and
-        # catalog.py via events_intervals/summary/staging_summary above)
+        # -- (1) rotated out of r6's 50 (last driver row: r5) — the whole
+        #    33-entry r6 tail rotates back so no entry's driver row ages
+        #    past two rounds (VERDICT r6 task #1) ------------------------
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
@@ -1112,6 +1053,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_resample": _q_depth_resample,
         "merge_episodes": _q_merge_episodes,
         "merge_crossed_books": _q_merge_crossed_books,
+        # -- (2) new or code-touched in round 7 ---------------------------
+        "ann_ivf": _q_ann_ivf,                # trained k-means codebook
+        "winnow_fingerprints": _q_winnow_fingerprints,  # auto form dispatch
+        "winnow_pairs": _q_winnow_pairs,
+        "multimodal_resize": _q_multimodal_resize,
+        "frame_sample": _q_frame_sample,      # real BMP decode path
+        "move_audit": _q_move_audit,          # r6 bench-regression diagnosis
+        "bs_capture_orders": _q_bs_capture_orders,  # sink session bases
+        "capture_trades": _q_capture_trades,
+        "capture_raw_book": _q_capture_raw_book,
+        "episode_framing": _q_episode_framing,
+        "match_fill_exact": _q_match_fill_exact,  # incremental lifecycle
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "match_sequential": _q_match_sequential,
+        "inferred_trades": _q_inferred_trades,
+        # -- (3) oldest remaining r6-green rows head the filler slots -----
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "chain_audit": _q_chain_audit,
+        # ---- slot 51+: r6 driver-green, code unchanged — rotate back in
+        #      r8 (every entry below has a CORRECTNESS_r06 row, so nothing
+        #      here ages past the two-round bound before the next cap) ----
+        "reveal_episodes": _q_reveal_episodes,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "cleanse_order": _q_cleanse_order,
+        "symbol_upsert": _q_symbol_upsert,
+        "insert_era": _q_insert_era,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
+        "depth_chains": _q_depth_chains,
+        "get_events_freq": _q_get_events_freq,
+        "depth_summary_freq": _q_depth_summary_freq,
+        "queues_freq": _q_queues_freq,
+        "depth_summary_range": _q_depth_summary_range,
+        "queues_range": _q_queues_range,
+        "trading_period_range": _q_trading_period_range,
+        "trading_strategy_range": _q_trading_strategy_range,
+        "epsilon_draws_range": _q_epsilon_draws_range,
+        "trading_period_freq": _q_trading_period_freq,
+        "trading_strategy_freq": _q_trading_strategy_freq,
+        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "fix_chain_integrity": _q_fix_chain_integrity,
+        "depth_summary": _q_depth_summary,
+        "queues": _q_queues,
+        "order_book": _q_order_book,
+        "order_book_ckpt": _q_order_book_ckpt,
+        "spread": _q_spread,
+        "depth_change": _q_depth_change,
+        "spread_periods": _q_spread_periods,
+        "get_events": _q_get_events,
+        "get_trades": _q_get_trades,
+        "events_intervals": _q_intervals,
+        "summary": _q_summary,
     }
 
 

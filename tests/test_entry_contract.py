@@ -42,18 +42,37 @@ def test_no_orphan_oracles():
     assert not orphans, f"oracles without a query: {orphans}"
 
 
-def test_rotation_priority_sections_fit_the_driver_cap():
-    """The driver records only the first 50 entries; the never-checked and
-    previously-rotated sections must all be inside that window."""
+def _latest_correctness() -> tuple[str, dict]:
+    """The newest CORRECTNESS_r*.json at the repo root (the last driver
+    verdict available when the current ordering was authored)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no driver correctness files found"
+    with open(files[-1]) as fh:
+        return files[-1], json.load(fh)
+
+
+def test_rotation_age_bound():
+    """Driver-row age bound (VERDICT r6 task #1): the driver records only
+    the first 50 entries, so every entry PAST the cap must already have a
+    green row in the latest driver correctness file — otherwise its last
+    driver verification would age past two rounds before the next cap.
+
+    New entries (registered after the latest driver run) must sit inside
+    the 50-slot window so they get their first row immediately."""
     keys = list(entry.queries())
-    must_be_checked_this_round = [
-        # never driver-checked before r6 + rotated out of r5's 50
-        "match_audit", "repair_missing_fill", "reveal_episodes",
-        "fix_aggressor_order", "bs_capture_orders", "capture_trades",
-        "episode_framing", "capture_raw_book", "cleanse_order",
-        "symbol_upsert", "move_audit", "insert_era", "csv_roundtrip",
-        "move_events", "move_trades", "staging_summary", "depth_chains",
-    ]
     head = set(keys[:50])
-    late = [k for k in must_be_checked_this_round if k not in head]
-    assert not late, f"priority entries past the driver's 50-slot cap: {late}"
+    path, latest = _latest_correctness()
+    stale = []
+    for k in keys[50:]:
+        row = latest.get(k)
+        green = bool(row) and row.get("rows_match") and not row.get("err")
+        if not green:
+            stale.append(k)
+    assert not stale, (
+        f"entries past the driver's 50-slot cap without a green row in "
+        f"{os.path.basename(path)} (their driver verification would age "
+        f"past two rounds): {stale}")
