@@ -186,22 +186,100 @@ def ann_lsh_pairs(emb: DataFrame, min_cosine: float = 0.0,
 IVF_CELLS = 16
 IVF_STRIDE = 61
 IVF_PROBE = 4
+IVF_ITERS = 3
+IVF_TRAIN_STRIDE = 3
+
+_CAST_DOUBLE_ARR = "transform({col}, x -> CAST(x AS DOUBLE))"
 
 
-def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
-                  stride: int = IVF_STRIDE) -> DataFrame:
-    """Deterministic coarse-quantizer codebook: every ``stride``-th vec_id,
-    the first ``n_cells`` of them, each centroid's vec_id doubling as its
-    cell id. Stands in for an offline k-means training pass — at 100 TB the
-    codebook is trained once on a sample and broadcast, exactly the shape
-    here; the engine-side contract is only "small deterministic
-    (cell, centroid) frame", so a trained codebook drops in unchanged."""
+def ivf_seed_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
+                       stride: int = IVF_STRIDE) -> DataFrame:
+    """Iteration-0 codebook (the k-means seed): every ``stride``-th vec_id,
+    the first ``n_cells`` of them, each seed's vec_id doubling as its
+    stable cell id across training iterations."""
     return (
         emb.filter(F.col("vec_id") % stride == 0)
         .orderBy("vec_id").limit(n_cells)
         .select(F.col("vec_id").alias("cell"),
-                F.col("embedding").alias("c_emb"))
+                F.expr(_CAST_DOUBLE_ARR.format(col="embedding"))
+                .alias("c_emb"))
     )
+
+
+def _fold_mean_centroids(ex: DataFrame) -> DataFrame:
+    """Element-wise centroid means from exploded (cell, vec_id, pos, v)
+    rows, summed as a LEFT FOLD in vec_id order — not ``avg()``.
+
+    A plain ``avg`` sums in partition order, so the trained centroids
+    would differ in the last ulp run-to-run and engine-to-engine, and a
+    round-9 cosine on the argmax boundary could flip a cell assignment.
+    The sorted fold is bitwise reproducible on any partitioning and is
+    exactly DuckDB's ``list_reduce(list(v ORDER BY vec_id), ...)``, so
+    the gate hash covers the training pass itself (a left fold seeded
+    with 0.0 equals the seedless fold: 0.0 + v1 == v1 in IEEE)."""
+    per_dim = (
+        ex.groupBy("cell", "pos")
+        .agg(
+            (F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                    lambda s: s["v"]),
+                F.lit(0.0), lambda acc, v: acc + v)
+             / F.count(F.lit(1))).alias("m"))
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"]).alias("c_emb"))
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
+                  stride: int = IVF_STRIDE, iters: int = IVF_ITERS,
+                  train_stride: int = IVF_TRAIN_STRIDE) -> DataFrame:
+    """Trained coarse-quantizer codebook: ``iters`` fixed Lloyd's k-means
+    iterations (assign to argmax-cosine centroid, recompute element-wise
+    means; an emptied cell keeps its previous centroid) over the strided
+    training sample ``vec_id % train_stride == 0``, seeded by
+    :func:`ivf_seed_centroids`.
+
+    Every step is deterministic — strided sample, round-9 cosine with
+    cell-asc argmax tiebreak, fold-ordered means — so the identical
+    codebook is reproducible in DuckDB SQL (:func:`_ivf_codebook_ctes`)
+    and the ``ann_ivf`` gate hash covers training, not just search. At
+    100 TB this is the same offline shape: train on a bounded sample
+    (distributed — per iteration one broadcast join against n_cells
+    centroids and one element-wise shuffle of the SAMPLE only), broadcast
+    the resulting n_cells-row frame; ``iters=0`` degrades to the seed
+    codebook."""
+    cents = ivf_seed_centroids(emb, n_cells, stride)
+    sample = emb.filter(F.col("vec_id") % train_stride == 0).select(
+        "vec_id",
+        F.expr(_CAST_DOUBLE_ARR.format(col="embedding")).alias("s_emb"))
+    if iters > 0:
+        # the loop references `cents` twice per iteration (assignment +
+        # empty-cell fallback); checkpoint the tiny frame so the plan does
+        # not double per iteration
+        sample = sample.localCheckpoint(eager=False)
+    for _ in range(iters):
+        cents = cents.localCheckpoint(eager=False)
+        assigned = (
+            _rank_cells(sample, cents, "vec_id", "s_emb")
+            .filter(F.col("cr") == 1).select("vec_id", "cell")
+        )
+        ex = (
+            assigned.join(sample, "vec_id")
+            .select("cell", "vec_id",
+                    F.posexplode("s_emb").alias("pos", "v"))
+        )
+        trained = _fold_mean_centroids(ex)
+        cents = (
+            cents.withColumnRenamed("c_emb", "_prev")
+            .join(trained, "cell", "left")
+            .select("cell", F.coalesce("c_emb", "_prev").alias("c_emb"))
+        )
+    return cents
 
 
 def _rank_cells(df: DataFrame, cents: DataFrame, id_col: str,
@@ -216,16 +294,18 @@ def _rank_cells(df: DataFrame, cents: DataFrame, id_col: str,
 
 def ann_ivf(emb: DataFrame, n_queries: int = 10, k: int = 5,
             n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
-            stride: int = IVF_STRIDE) -> DataFrame:
+            stride: int = IVF_STRIDE, iters: int = IVF_ITERS,
+            train_stride: int = IVF_TRAIN_STRIDE) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid's cell,
     probe each query's ``n_probe`` nearest cells, re-score the candidates
     with exact cosine, keep top ``k``. Candidate generation is an equi-join
     on ``cell`` — at scale the inverted lists bound the work, and the big
     side is shuffled once on a key with ~n/n_cells fanout. Every step is
-    deterministic (round-9 cosine, cell-asc tiebreak), so the whole operator
+    deterministic (trained codebook included — see :func:`ivf_centroids`;
+    round-9 cosine, cell-asc tiebreak), so the whole operator
     is SQL-oracle-checkable; with ``n_probe >= n_cells`` it degenerates to
     exactly :func:`ann_bruteforce` (pytest invariant)."""
-    cents = ivf_centroids(emb, n_cells, stride)
+    cents = ivf_centroids(emb, n_cells, stride, iters, train_stride)
     assign = (
         _rank_cells(emb.select("vec_id", "embedding"), cents,
                     "vec_id", "embedding")
@@ -255,20 +335,67 @@ def ann_ivf(emb: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def _ivf_codebook_ctes(n_cells: int, stride: int, iters: int,
+                       train_stride: int) -> str:
+    """CTE chain reproducing :func:`ivf_centroids` bit-for-bit in DuckDB:
+    ``c0`` is the strided seed, each iteration assigns the training sample
+    to its argmax-cosine centroid (round 9, cell-asc tiebreak), recomputes
+    element-wise means with ``list_reduce`` over a vec_id-ORDERED list
+    (the same left fold as the Spark side), and keeps the previous
+    centroid for an emptied cell. The final codebook CTE is named ``c``."""
+    ctes = [f"""c0 AS (
+    SELECT vec_id AS cell, emb AS c_emb FROM e
+    WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_cells}
+)""", f"""s AS MATERIALIZED (
+    SELECT vec_id, emb AS s_emb FROM e WHERE vec_id % {train_stride} = 0
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""ta{i} AS (
+    SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                   round(list_dot_product(s.s_emb, c.c_emb)
+                         / (sqrt(list_dot_product(s.s_emb, s.s_emb))
+                            * sqrt(list_dot_product(c.c_emb, c.c_emb))), 9)
+                   DESC, c.cell) AS cr
+        FROM s CROSS JOIN {prev} c
+    ) t WHERE cr = 1
+)""")
+        ctes.append(f"""tx{i} AS (
+    SELECT a.cell, s.vec_id,
+           unnest(s.s_emb) AS v, generate_subscripts(s.s_emb, 1) AS pos
+    FROM ta{i} a JOIN s USING (vec_id)
+)""")
+        ctes.append(f"""tm{i} AS (
+    SELECT cell, pos,
+           list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / count(*) AS m
+    FROM tx{i} GROUP BY cell, pos
+)""")
+        ctes.append(f"""tc{i} AS (
+    SELECT cell, list(m ORDER BY pos) AS c_emb FROM tm{i} GROUP BY cell
+)""")
+        ctes.append(f"""c{i} AS (
+    SELECT p.cell, coalesce(t.c_emb, p.c_emb) AS c_emb
+    FROM {prev} p LEFT JOIN tc{i} t USING (cell)
+)""")
+    ctes.append(f"c AS (SELECT cell, c_emb FROM c{iters})")
+    return ", ".join(ctes)
+
+
 def ann_ivf_oracle(n_queries: int = 10, k: int = 5,
                    n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
-                   stride: int = IVF_STRIDE) -> str:
-    """Same codebook / assignment / probe / re-score pipeline in DuckDB SQL;
-    cosines round to 9 dp at every ranking site so argmax ties agree.
-    ``e`` is referenced five times — MATERIALIZED so the parquet scan+cast
-    runs once, not per reference."""
+                   stride: int = IVF_STRIDE, iters: int = IVF_ITERS,
+                   train_stride: int = IVF_TRAIN_STRIDE) -> str:
+    """Same codebook-training / assignment / probe / re-score pipeline in
+    DuckDB SQL; cosines round to 9 dp at every ranking site so argmax ties
+    agree. ``e`` is referenced five times — MATERIALIZED so the parquet
+    scan+cast runs once, not per reference."""
     return f"""
 WITH e AS MATERIALIZED (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-), c AS (
-    SELECT vec_id AS cell, emb AS c_emb FROM e
-    WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_cells}
-), ar AS (
+), {_ivf_codebook_ctes(n_cells, stride, iters, train_stride)}, ar AS (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
                round(list_dot_product(e.emb, c.c_emb)

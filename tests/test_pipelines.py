@@ -226,3 +226,25 @@ def test_embedding_dedup_lsh_recall(spark):
     assert approx <= exact          # no false positives (exact rescoring)
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+def test_ivf_trained_codebook_recall_not_worse(spark):
+    """The Lloyd's-trained codebook must recall at least as many true
+    brute-force neighbors as the raw stride seed it starts from (VERDICT
+    r6 task #2: 'trained codebook drops in' as a tested fact, not a
+    design note)."""
+    from obadiah_spark.pipelines.similarity import IVF_ITERS
+
+    emb = spark.table("embeddings")
+    k = 5
+    bf = ann_bruteforce(emb, n_queries=10, k=k).toPandas()
+    truth = set(zip(bf.q_id, bf.vec_id))
+
+    def recall(iters: int) -> float:
+        got = ann_ivf(emb, n_queries=10, k=k, iters=iters).toPandas()
+        hits = sum((q, v) in truth for q, v in zip(got.q_id, got.vec_id))
+        return hits / len(truth)
+
+    seed, trained = recall(0), recall(IVF_ITERS)
+    assert trained >= seed, f"trained {trained} < seed {seed}"
+    assert trained > 0
