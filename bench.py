@@ -26,6 +26,10 @@ reruns reproduce. First-pass timings are still reported verbatim under
 cost is visible, not hidden; the cold probes (``order_book_cold`` /
 ``order_book_ckpt_cold``) are intentionally single-run — cold IS what
 they measure.
+
+ORDER PROTOCOL (canonical, since round 8): queries run in sorted-key
+order, independent of the ``queries()`` registration order (which is the
+driver's rotation protocol and reshuffles every round).
 """
 
 from __future__ import annotations
@@ -99,8 +103,17 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # CANONICAL ORDER (since round 8): queries bench in sorted-key order,
+    # decoupled from the queries() dict order — that order is the driver's
+    # rotation protocol and reshuffles every round, and cross-query session
+    # state (JIT, GC, cache residue from different predecessors) made
+    # untouched queries swing 2x round-over-round when their predecessors
+    # changed (VERDICT r7 What's-wrong #3: exact_dedup 0.66->1.65 s with no
+    # code change). Sorted keys are stable under rotation, so
+    # round-over-round per-query comparison is like-for-like.
     first_pass: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name in sorted(qs):
+        fn = qs[name]
         t0 = time.perf_counter()
         n = len(fn(spark, sf_dir).collect())
         first_pass[name] = round(time.perf_counter() - t0, 3)
@@ -120,6 +133,7 @@ def main() -> None:
         "first_pass": first_pass,
         "first_pass_total_sec": round(sum(first_pass.values()), 3),
         "sf": sf,
+        "order": "sorted",  # canonical since r8 — decoupled from rotation
     }))
 
 

@@ -248,3 +248,22 @@ def test_ivf_trained_codebook_recall_not_worse(spark):
     seed, trained = recall(0), recall(IVF_ITERS)
     assert trained >= seed, f"trained {trained} < seed {seed}"
     assert trained > 0
+
+
+def test_ivf_precomputed_codebook_equals_in_query(spark, tmp_path):
+    """ann_ivf(codebook=...) — the train-once production path (VERDICT r7
+    task #2) — must produce exactly the in-query-training result, both for
+    an eagerly checkpointed codebook and for one round-tripped through
+    parquet."""
+    import pandas as pd
+
+    from obadiah_spark.pipelines.similarity import train_ivf_codebook
+
+    emb = spark.table("embeddings")
+    base = (ann_ivf(emb, n_queries=8, k=3).toPandas()
+            .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    for path in (None, str(tmp_path / "codebook")):
+        cb = train_ivf_codebook(emb, path=path)
+        got = (ann_ivf(emb, n_queries=8, k=3, codebook=cb).toPandas()
+               .sort_values(["q_id", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, got)
