@@ -295,11 +295,21 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_pairs(spark.table("embeddings"))
 
 
+# IVF codebooks are trained once per (session, corpus) and reused — the
+# materialize-once pattern (train_ivf_codebook); keyed on applicationId so
+# a cached checkpoint never leaks across SparkSessions.
+_IVF_CODEBOOKS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _q_ann_ivf(spark, sf_dir):
-    from obadiah_spark.pipelines.similarity import ann_ivf
+    from obadiah_spark.pipelines.similarity import ann_ivf, train_ivf_codebook
 
     _load(spark, sf_dir)
-    return ann_ivf(spark.table("embeddings"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(spark.table("embeddings"))
+    return ann_ivf(spark.table("embeddings"), codebook=cb)
 
 
 def _q_winnow_fingerprints(spark, sf_dir):
@@ -627,6 +637,29 @@ def _q_match_fill_exact(spark, sf_dir):
         F.col("side").alias("origination"), "exchange_trade_id",
     )
     return match_price_and_fill_exact(l3, trades)
+
+
+def _q_match_incremental(spark, sf_dir):
+    """I5+I6 scheduled-matching lifecycle replayed as a chunked batch loop
+    (reference bitfinex.pga_match, db/bitfinex_schema.sql:748-846): resume
+    from link state, 2-minute delay guard, bounded chunks — here 7-day
+    chunks across the synthetic month so the loop actually takes several
+    steps. The chunking is provably invisible in the link set
+    (operators/lifecycle.py module docstring), so the oracle is the
+    one-shot form bounded to newest − delay."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.lifecycle import incremental_match
+
+    l3 = _l3(spark, sf_dir)
+    trades = spark.table("matches").select(
+        "pair_id", "era",
+        F.col("microtimestamp").alias("trade_microtimestamp"),
+        "price", F.col("amount").alias("fill"),
+        F.col("side").alias("origination"), "exchange_trade_id",
+    )
+    return incremental_match(l3, trades,
+                             max_interval_us=7 * 86_400_000_000)
 
 
 def _q_inferred_trades(spark, sf_dir):
@@ -990,6 +1023,20 @@ def _match_sequential_oracle(inferred_sql: str, match_sql: str) -> str:
     return match_sql.replace("WITH ev AS", f"WITH {seq_trades}, ev AS", 1)
 
 
+def _match_incremental_oracle() -> str:
+    """Splice the link-stripped trades CTE (mirror of
+    _q_match_incremental) in as ``it_trades``."""
+    from obadiah_spark.operators.lifecycle import incremental_match_oracle_sql
+
+    it_trades = """it_trades AS (
+    SELECT pair_id, era, microtimestamp AS trade_microtimestamp, price,
+           amount AS fill, side AS origination, exchange_trade_id
+    FROM matches
+)"""
+    return incremental_match_oracle_sql().replace(
+        "WITH horizon AS", f"WITH {it_trades}, horizon AS", 1)
+
+
 def _match_sum_of_fills_oracle(match_sql: str) -> str:
     """Splice the trade-splitting CTE (mirror of _q_match_sum_of_fills) in as
     ``sof_trades``."""
@@ -1064,7 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_trades": _q_capture_trades,
         "capture_raw_book": _q_capture_raw_book,
         "episode_framing": _q_episode_framing,
-        "match_fill_exact": _q_match_fill_exact,  # incremental lifecycle
+        "match_incremental": _q_match_incremental,  # NEW r8: pga_match loop
+        "match_fill_exact": _q_match_fill_exact,
         "match_sum_of_fills": _q_match_sum_of_fills,
         "match_sequential": _q_match_sequential,
         "inferred_trades": _q_inferred_trades,
@@ -1279,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
         "match_audit": level3_matches_cte(MATCH_AUDIT_ORACLE_BODY),
         "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
+        "match_incremental": level3_matches_cte(_match_incremental_oracle()),
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
         "match_sequential": level3_cte(_match_sequential_oracle(
             inferred_trades_oracle_sql(), match_sequential_oracle_sql())),
