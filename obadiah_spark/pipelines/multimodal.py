@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio libraries, so the *decode* step is stubbed
-(``decode_image`` raises NotImplementedError unless PIL is importable) — but
-the Spark-side plumbing is real and oracle-checked: schema (binary + struct
-metadata), batch shape, deterministic feature extraction (byte length, md5,
-synthetic width/height). At 100 TB the pattern is: binary column stays
-columnar in parquet, features extract in one mapInPandas pass, no shuffle.
+Uncompressed BMP decodes for real — a strict pure-Python parser with a
+test-side encoder (round-trip + through-``extract_features`` pytest). The
+container has no image/audio libraries, so every COMPRESSED format's decode
+stays stubbed (``decode_image`` raises NotImplementedError unless PIL is
+importable) — but the Spark-side plumbing is real and oracle-checked:
+schema (binary + struct metadata), batch shape, deterministic feature
+extraction (byte length, md5, width/height — decoded when the payload is a
+real BMP, metadata-derived stand-ins otherwise). At 100 TB the pattern is:
+binary column stays columnar in parquet, features extract in one
+mapInPandas pass, no shuffle.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import hashlib
+import struct
 
 import pandas as pd
 
@@ -35,28 +40,96 @@ def pack_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """The genuinely-multimodal step — stubbed per environment constraints."""
+def _try_decode_bmp(raw: bytes) -> dict | None:
+    """Strict pure-Python decode of uncompressed 24/32-bit BITMAPINFOHEADER
+    BMPs (the one format needing zero dependencies). Returns None unless
+    the payload FULLY validates — magic, declared file size == actual
+    length, DIB size 40, planes 1, BI_RGB, pixel array in bounds — so a
+    text payload that merely starts with 'BM' can never take this path
+    (the declared-size check alone defeats it) and the gate's stand-in
+    payloads keep their metadata-derived features."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    file_size, _reserved, px_off = struct.unpack_from("<III", raw, 2)
+    if file_size != len(raw):
+        return None
+    dib, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", raw, 14)
+    if dib != 40 or planes != 1 or bpp not in (24, 32) or comp != 0:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    height = abs(h)
+    bytes_px = bpp // 8
+    stride = (w * bytes_px + 3) // 4 * 4
+    if px_off < 54 or px_off + stride * height > len(raw):
+        return None
+    rows = []
+    for r in range(height):
+        # h > 0 means bottom-up storage (the common case)
+        src = height - 1 - r if h > 0 else r
+        start = px_off + src * stride
+        rows.append(raw[start:start + w * bytes_px])
+    return {"width": w, "height": height, "bpp": bpp,
+            "pixels": b"".join(rows)}
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Build an uncompressed bottom-up 24-bit BMP from row-major top-down
+    BGR pixel bytes — the test-side inverse of :func:`_try_decode_bmp`."""
+    row = width * 3
+    if len(pixels) != row * height:
+        raise ValueError("pixels must be width*height*3 bytes")
+    pad = b"\x00" * ((row + 3) // 4 * 4 - row)
+    body = b"".join(
+        pixels[(height - 1 - r) * row:(height - r) * row] + pad
+        for r in range(height))
+    header = b"BM" + struct.pack("<III", 54 + len(body), 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_image(payload: bytes) -> dict:
+    """The genuinely-multimodal step. Uncompressed BMP decodes for real
+    (pure Python, :func:`_try_decode_bmp` — VERDICT r6 task #7); every
+    compressed format still needs a codec library the container doesn't
+    provide, so those stay an honest stub behind a PIL import-try."""
+    bmp = _try_decode_bmp(bytes(payload))
+    if bmp is not None:
+        return bmp
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "image decode requires PIL; container provides none (stub per driver brief)"
-        ) from exc
-    raise NotImplementedError("real decode path not exercised in this environment")
+            "non-BMP decode requires PIL; container provides none "
+            "(stub per driver brief)") from exc
+    raise NotImplementedError(
+        "non-BMP decode path not exercised in this environment")
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
+    """Arrow-batched feature extraction over the binary column. A payload
+    that strictly validates as an uncompressed BMP reports its REAL
+    decoded dimensions; anything else falls back to the metadata stand-in
+    (the magic check is O(1), so the non-image gate path pays nothing)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            widths, heights = [], []
+            for payload, m in zip(payloads, pdf["meta"]):
+                bmp = _try_decode_bmp(bytes(payload))
+                if bmp is not None:
+                    widths.append(bmp["width"])
+                    heights.append(bmp["height"])
+                else:
+                    widths.append(m["width"])
+                    heights.append(m["height"])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "byte_len": payloads.map(len).astype("int64"),
                 "payload_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
-                "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
             })
 
     return blobs.mapInPandas(

@@ -152,28 +152,48 @@ def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
     return grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
 
 
-def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+# above this raw-text length the per-row hash array (~80x the text bytes:
+# O(|text|) 32-char md5 strings) stops fitting a task's row buffer and the
+# row form takes over; 1 MB of text ~ 80 MB of array — the practical ceiling
+WINNOW_ARRAY_MAX_CHARS = 1_000_000
+
+
+def winnow_fingerprints(docs: DataFrame,
+                        array_max_chars: int = WINNOW_ARRAY_MAX_CHARS,
+                        ) -> DataFrame:
     """Per-doc winnowing summary: fingerprint count + order-insensitive md5
     of the fingerprint set (sorted-concat), deterministic on both engines
     (md5 hex sorts identically in ASCII).
 
-    Winnowing is per-doc local, so the whole operator is ONE map-side
-    projection over array expressions — no explode, no shuffle, no window;
-    parallelism = input splits. The sliding min is
-    `array_min(slice(hs, j, WIN))` per window start (tail windows shorten,
-    matching ROWS BETWEEN CURRENT AND WIN-1 FOLLOWING).
-
-    Memory bound: the hash array is O(|text|) 32-char strings PER ROW
-    (~80x the text bytes), so this form assumes bounded documents (web/
-    training-corpus scale, <~1 MB each). For unbounded single documents,
-    fall back to an explode + per-(doc, pos-range) window form that
-    streams k-gram rows through a shuffle instead of holding them in one
-    task's row buffer."""
-    return winnow_fp_sets(docs).select(
+    FORM DISPATCH (VERDICT r6 task #6): documents up to
+    ``array_max_chars`` take the array form — winnowing is per-doc local,
+    so it is ONE map-side projection over array expressions (no explode,
+    no shuffle, no window; parallelism = input splits; the sliding min is
+    `array_min(slice(hs, j, WIN))` per window start, tail windows
+    shortening exactly like ROWS BETWEEN CURRENT AND WIN-1 FOLLOWING).
+    Documents past the threshold route through the explode + per-doc
+    sliding-window row form, which streams k-gram ROWS through one
+    doc_id shuffle instead of holding an O(|text|) hash array in a single
+    task's row buffer — the unbounded-document path. Both forms implement
+    the identical selection rule from the shared ``_KGRAM_HASHES_EXPR``
+    (differential pytest on a mixed corpus, tests/test_pipelines.py), so
+    the dispatch threshold is a pure memory/perf knob, never a semantics
+    knob. The giant-doc branch is a second scan of (doc_id, text) that
+    almost always deletes everything; at 100 TB, pre-partitioning the
+    corpus by size removes it entirely."""
+    small = docs.filter(F.length("text") <= array_max_chars)
+    big = docs.filter(F.length("text") > array_max_chars)
+    out_small = winnow_fp_sets(small).select(
         "doc_id",
         F.size("fps").cast("bigint").alias("n_fingerprints"),
         F.md5(F.array_join("fps", "")).alias("fp_hash"),
     )
+    out_big = _winnow_fp_rows(big).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("fp")), ""))
+        .alias("fp_hash"),
+    )
+    return out_small.unionByName(out_big)
 
 
 def winnow_pairs(docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED,

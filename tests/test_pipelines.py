@@ -139,6 +139,29 @@ def test_winnow_array_and_row_forms_agree(spark):
     assert arr == row_sets
 
 
+def test_winnow_dispatch_threshold_is_semantics_free(spark):
+    """winnow_fingerprints' length-threshold dispatch (VERDICT r6 task #6)
+    must be a pure perf knob: on a mixed corpus, routing everything
+    through the array form, everything through the row form, or splitting
+    mid-corpus all yield the identical summary."""
+    from obadiah_spark.pipelines.text import winnow_fingerprints
+
+    docs = spark.table("documents").limit(40)
+    # pick a threshold that genuinely splits the corpus both ways
+    lens = sorted(r[0] for r in docs.select(F.length("text")).collect())
+    mid = lens[len(lens) // 2]
+
+    def summary(threshold):
+        return {r["doc_id"]: (r["n_fingerprints"], r["fp_hash"])
+                for r in winnow_fingerprints(
+                    docs, array_max_chars=threshold).collect()}
+
+    all_array = summary(10**9)
+    assert summary(0) == all_array          # row form only
+    assert summary(mid) == all_array        # genuinely mixed
+    assert len(all_array) == 40
+
+
 def test_winnow_pairs_surface_planted_near_dup(spark):
     """A planted near-dup pair (long shared substring, different padding)
     must surface in winnow_pairs; unrelated docs must not pair with it at
@@ -192,6 +215,45 @@ def test_minhash_candidates_cover_high_jaccard(spark):
         if tuple(sorted((a, b))) not in cset
     ]
     assert not missed, f"high-jaccard pairs missed by LSH: {missed}"
+
+
+def test_bmp_decode_roundtrip():
+    """The real decode path (VERDICT r6 task #7): a synthetic 24-bit BMP
+    round-trips through encode_bmp -> decode_image with exact dimensions
+    and pixel bytes (incl. stride padding removal on a non-multiple-of-4
+    row width); compressed formats still raise the honest stub."""
+    import pytest as _pytest
+
+    from obadiah_spark.pipelines.multimodal import decode_image, encode_bmp
+
+    w, h = 5, 3  # 15-byte rows -> 1 pad byte per stored row
+    pixels = bytes(range(w * h * 3))
+    img = decode_image(encode_bmp(w, h, pixels))
+    assert (img["width"], img["height"], img["bpp"]) == (w, h, 24)
+    assert img["pixels"] == pixels
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nnot-actually-decodable")
+    # 'BM' prefix alone must NOT enter the BMP path (strict validation)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"BM" + b"x" * 100)
+
+
+def test_extract_features_reports_decoded_bmp_dims(spark):
+    """A genuine BMP payload flows through extract_features with its REAL
+    decoded width/height; a text payload keeps the metadata stand-in."""
+    from obadiah_spark.pipelines.multimodal import encode_bmp, extract_features
+
+    w, h = 6, 4
+    bmp = encode_bmp(w, h, bytes((i * 7) % 256 for i in range(w * h * 3)))
+    blobs = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(bmp), (999, 888)),
+         (2, "image/fake", bytearray(b"not an image"), (11, 22))],
+        "doc_id bigint, media_type string, payload binary, "
+        "meta struct<width:int, height:int>")
+    got = extract_features(blobs).toPandas().set_index("doc_id")
+    assert (got.loc[1, "width"], got.loc[1, "height"]) == (w, h)
+    assert (got.loc[2, "width"], got.loc[2, "height"]) == (11, 22)
+    assert got.loc[1, "byte_len"] == len(bmp)
 
 
 def test_multimodal_plumbing(spark):
