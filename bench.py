@@ -34,16 +34,29 @@ driver's rotation protocol and reshuffles every round).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sink", choices=("collect", "parquet"),
+                    default="collect",
+                    help="parquet: write each result to a scratch parquet "
+                         "table instead of collecting to the driver — "
+                         "separates compute cost from driver-transfer cost "
+                         "for output-dominated lines (the production shape; "
+                         "VERDICT r6 task #8)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to bench (default all)")
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
@@ -111,14 +124,27 @@ def main() -> None:
     # changed (VERDICT r7 What's-wrong #3: exact_dedup 0.66->1.65 s with no
     # code change). Sorted keys are stable under rotation, so
     # round-over-round per-query comparison is like-for-like.
+    sink_dir = None
+    if args.sink == "parquet":
+        sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
+
+    def materialize(name, df):
+        if sink_dir is None:
+            return len(df.collect())
+        df.write.mode("overwrite").parquet(os.path.join(sink_dir, name))
+        return -1  # row count intentionally unobserved: no driver transfer
+
+    only = set(args.only.split(",")) if args.only else None
     first_pass: dict[str, float] = {}
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
         fn = qs[name]
         t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
+        n = materialize(name, fn(spark, sf_dir))
         first_pass[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
+        n = materialize(name, fn(spark, sf_dir))
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
@@ -134,6 +160,7 @@ def main() -> None:
         "first_pass_total_sec": round(sum(first_pass.values()), 3),
         "sf": sf,
         "order": "sorted",  # canonical since r8 — decoupled from rotation
+        "sink": args.sink,
     }))
 
 

@@ -156,13 +156,39 @@ def merge_crossed_books(l3: DataFrame, l1: DataFrame | None = None,
     )
 
 
-def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
+def fix_crossed_books(l3: DataFrame, max_iter: int = 3) -> DataFrame:
     """Q2: iterate merge_crossed_books to the uncrossed fixpoint; a period
     with NO next uncrossed episode (crossed through era end) is repaired by
-    deleting its still-alive crossed orders at the first crossed instant
-    (the reference's "eternal crossed orders" fix). Bounded driver-side
-    iterations — each pass is a full distributed transform, and crossed
-    periods are rare by assumption, so the loop converges in 1-2 passes."""
+    deleting its never-dying crossed orders — at the first crossed instant
+    (the reference's "eternal takers"/"eternal crossed orders" fixes,
+    db/obanalytics_schema.sql:1330-1404) AND at the era's last episode,
+    which restores the reference inner loop's ability to advance
+    ``v_crossed`` past a crossing whose first-instant participants all die
+    later while the book stays crossed to era end.
+
+    THE PASS BOUND IS 3, proven (VERDICT r6 task #5; each pass is one full
+    distributed transform, never a per-period loop):
+
+    1. A merge never creates a crossing: the order-book state is a function
+       of the latest event per order, so collapsing a window's events onto
+       ``next_uncrossed`` leaves every book from that instant on unchanged;
+       inside the window only resurrect-deaths remain, and REMOVING orders
+       from the (uncrossed-by-definition) pre-``first_crossed`` book cannot
+       cross it. Synthesized deletes likewise only remove orders. So the
+       set of crossed episodes never grows across passes.
+    2. Pass 1 merges away every period that has a next uncrossed episode,
+       and for every eternal period deletes all crossing orders alive at
+       the era's last episode — where "alive" necessarily means
+       alive-forever (an event after the last episode is a contradiction),
+       so the delete set is non-empty and removing every ``is_crossed`` /
+       non-maker participant uncrosses the era end.
+    3. Pass 2 therefore sees at most interior crossings of formerly-eternal
+       eras — now WITH a next uncrossed episode (the repaired era end) —
+       and merges them all; by (1) it creates none and no eternal periods
+       can reappear. Pass 3 observes the fixpoint and returns.
+
+    Exhausting ``max_iter`` without convergence is therefore a bug, and
+    raises rather than returning silently-crossed data."""
     from obadiah_spark.fold import spread_fold
     from obadiah_spark.operators.order_book import snapshot_multi
     from obadiah_spark.operators.quality import crossed_books
@@ -190,25 +216,39 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
         # every instant, and an unscoped filter would inject deletes into
         # unrelated pairs that merely happen to have a crossing order
         # alive at the same wall-clock instant
-        eternal = (cb.filter(F.col("next_uncrossed").isNull())
-                     .select("pair_id", "era",
-                             F.col("first_crossed").alias("at_ts"))
-                     .distinct())
+        et_periods = (cb.filter(F.col("next_uncrossed").isNull())
+                        .select("pair_id", "era", "first_crossed")
+                        .distinct())
         cb.unpersist()
-        if eternal.limit(1).count() == 0:
+        if et_periods.limit(1).count() == 0:
             continue
+        # probe BOTH the first crossed instant (reference fixes 1 and 3
+        # verbatim) and the era's last episode: at the last episode every
+        # live order is alive-forever, so the delete set there is provably
+        # non-empty for an eternal period — the progress guarantee behind
+        # the 3-pass bound (docstring point 2)
+        era_end = cur.groupBy("pair_id", "era").agg(
+            F.max("microtimestamp").alias("at_ts"))
+        eternal = (
+            et_periods.select("pair_id", "era",
+                              F.col("first_crossed").alias("at_ts"))
+            .unionByName(
+                et_periods.join(era_end, ["pair_id", "era"])
+                .select("pair_id", "era", "at_ts"))
+            .distinct())
         # "eternal takers" (reference fix 1: not is_maker, alive forever) and
         # "eternal crossed orders" (fix 3: is_crossed, alive forever) get a
-        # synthesized delete event at the first crossed instant. ONE
-        # distributed snapshot pass over all eternal instants (snapshot_multi
-        # broadcasts the tiny instants frame) — no per-instant scans, no
-        # driver-side collect of snapshot rows. At most one eternal period
-        # exists per (pair, era) (only the last crossed period of an era
-        # can lack a next uncrossed episode), so after the market-identity
-        # semi-join each (pair, era, order) gets at most ONE delete and the
-        # repoint join below cannot fan out.
+        # synthesized delete event at the probed instants. ONE distributed
+        # snapshot pass over all eternal instants (snapshot_multi broadcasts
+        # the tiny instants frame) — no per-instant scans, no driver-side
+        # collect of snapshot rows. An order eligible at both probed
+        # instants of its (pair, era) keeps only the EARLIEST delete
+        # (row_number below), so each chain gains at most one delete and
+        # the repoint join cannot fan out.
         tgt = {f.name: f.dataType for f in cur.select(*_L3_COLS).schema.fields}
         instants = eternal.select("at_ts").distinct()
+        w_del = W.partitionBy("pair_id", "era", "order_id").orderBy(
+            "microtimestamp")
         deletes = (
             snapshot_multi(cur, instants)
             .join(F.broadcast(eternal), ["at_ts", "pair_id", "era"],
@@ -225,6 +265,8 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
                 "price_microtimestamp", "price_event_no",
                 F.lit("deleted").alias("chain_state"), "era", "life_no",
             )
+            .withColumn("_r", F.row_number().over(w_del))
+            .filter(F.col("_r") == 1)
             .select([F.col(c).cast(tgt[c]).alias(c) for c in _L3_COLS])
             .localCheckpoint()
         )
@@ -254,7 +296,10 @@ def fix_crossed_books(l3: DataFrame, max_iter: int = 5) -> DataFrame:
              .otherwise(F.col("c.chain_state")).alias("chain_state"),
             "c.era", "c.life_no",
         ).unionByName(deletes.select(*_L3_COLS)).localCheckpoint()
-    return cur
+    raise RuntimeError(
+        f"fix_crossed_books did not reach the uncrossed fixpoint in "
+        f"{max_iter} passes — the proven bound is 3 (docstring), so this "
+        f"is a bug, not a data problem")
 
 
 def insert_level3_era(l3: DataFrame, new_era: str) -> DataFrame:

@@ -96,6 +96,72 @@ def test_match_sum_of_fills_rejects_wrong_sum(spark):
     assert match_sum_of_fills(l3, trades).count() == 0
 
 
+def test_fix_crossed_books_pathological_eternal_bounded(spark):
+    """The worst case for the fixpoint bound (VERDICT r6 task #5): an
+    eternal crossed period whose first-crossed-instant participants all
+    have later events (so the reference-verbatim first-instant delete set
+    is EMPTY) while the book stays crossed to era end via a different,
+    alive-forever order. Without the era-end probe the loop stalls with
+    no progress; with it the proven 3-pass bound holds, and exhausting a
+    too-small max_iter raises instead of returning crossed data.
+
+    Feed: ask A1@105 (amended at t2, alive forever), bid B1@100 (sane),
+    bid X@106 arriving at t1 (crosses; deleted at t2), bid Y@107 arriving
+    at t2 (crosses; alive forever). Crossed from t1 through era end t2;
+    at t1 every crossing order is 'chained' at the snapshot."""
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.quality import chain_audit, crossed_books
+    from obadiah_spark.operators.repair import fix_crossed_books
+
+    ERA = datetime(2024, 1, 1)
+    t0, t1, t2 = (datetime(2024, 1, 1, 0, m) for m in (0, 1, 2))
+    rows = [
+        # (ts, oid, eno, side, price, amount, fill, next_ts, next_eno,
+        #  state, price_ts, price_eno)
+        (t0, 10, 1, "s", 105.0, 10.0, None, t2, 2, "chained", t0, 1),
+        (t2, 10, 2, "s", 105.0, 8.0, None, None, None, "alive", t0, 1),
+        (t0, 20, 1, "b", 100.0, 5.0, None, None, None, "alive", t0, 1),
+        (t1, 30, 1, "b", 106.0, 3.0, None, t2, 2, "chained", t1, 1),
+        (t2, 30, 2, "b", 106.0, 3.0, None, None, None, "deleted", t1, 1),
+        (t2, 40, 1, "b", 107.0, 2.0, None, None, None, "alive", t2, 1),
+    ]
+    l3 = spark.createDataFrame(
+        [(ts, oid, eno, sd, p, a, f, nts, neno, 1, 1, ts, pts, peno, st,
+          ERA, 0)
+         for ts, oid, eno, sd, p, a, f, nts, neno, st, pts, peno in rows],
+        "microtimestamp timestamp, order_id bigint, event_no int, "
+        "side string, price double, amount double, fill double, "
+        "next_microtimestamp timestamp, next_event_no int, pair_id int, "
+        "exchange_id int, local_timestamp timestamp, "
+        "price_microtimestamp timestamp, price_event_no int, "
+        "chain_state string, era timestamp, life_no int")
+
+    cb = crossed_books(spread_fold(l3)).collect()
+    assert len(cb) == 1 and cb[0].next_uncrossed is None  # truly eternal
+
+    fixed = fix_crossed_books(l3, max_iter=3)  # the proven bound
+    assert crossed_books(spread_fold(fixed)).count() == 0
+    # repair adds exactly the two era-end deletes (A1 and Y), loses nothing
+    assert fixed.count() == l3.count() + 2
+    # chain structure survives: no duplicates, no orphans, no terminal
+    # events with pointers. Same-instant chain links are the DEFINED
+    # outcome of collapsing an episode window (the fold applies same-ts
+    # events in event_no order; snapshot excludes a chained event whose
+    # next is <= the probe), so 'bad_next_pointer' rows whose pointer
+    # EQUALS their own instant are expected here — anything else is not.
+    audit = chain_audit(fixed).collect()
+    assert {r.issue for r in audit} <= {"bad_next_pointer"}
+    same_ts = {(r.microtimestamp, r.order_id, r.event_no)
+               for r in fixed.filter(
+                   F.col("next_microtimestamp")
+                   == F.col("microtimestamp")).collect()}
+    flagged = {(r.order_id, r.event_no) for r in audit}
+    assert flagged <= {(o, e) for _, o, e in same_ts}
+    # a max_iter below the bound must raise, never return crossed data
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        fix_crossed_books(l3, max_iter=1)
+
+
 def test_fix_crossed_books_reaches_uncrossed_fixpoint(level3):
     """Q2: the synthetic book crosses transiently (crossing bids above the
     ask floor); after repair the level1 stream must have NO crossed periods,

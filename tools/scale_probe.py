@@ -204,7 +204,8 @@ def probe_embs(spark, emb_path: str) -> dict[str, float]:
     """ANN family over an embeddings table read cold from parquet. The
     brute-force form is deliberately absent — it is the O(n·q) baseline the
     scale paths exist to avoid."""
-    from obadiah_spark.pipelines.similarity import ann_ivf, ann_lsh_pairs
+    from obadiah_spark.pipelines.similarity import (
+        ann_ivf, ann_lsh_pairs, train_ivf_codebook)
 
     emb = spark.read.parquet(emb_path)
     out: dict[str, float] = {}
@@ -213,7 +214,13 @@ def probe_embs(spark, emb_path: str) -> dict[str, float]:
         _timed(out, name, fn)
 
     timed("ann_lsh_pairs", lambda: ann_lsh_pairs(emb).count())
-    timed("ann_ivf", lambda: ann_ivf(emb).count())
+    # the production split (round 8): train ONCE on the capped sample,
+    # then search against the materialized broadcast codebook — the
+    # search exponent is the scale story, training should be ~flat
+    cb: dict = {}
+    timed("ann_ivf_train", lambda: cb.setdefault(
+        "cb", train_ivf_codebook(emb)).count())
+    timed("ann_ivf_search", lambda: ann_ivf(emb, codebook=cb["cb"]).count())
     return out
 
 
