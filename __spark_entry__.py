@@ -1064,65 +1064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (1) rotated out of r6's 50 (last driver row: r5) — the whole
-        #    33-entry r6 tail rotates back so no entry's driver row ages
-        #    past two rounds (VERDICT r6 task #1) ------------------------
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        "trading_period": _q_trading_period,
-        "trading_strategy": _q_trading_strategy,
-        "trading_strategy_zigzag": _q_trading_strategy_zigzag,  # full oracle (extrema closed form)
-        "data_overview": _q_data_overview,
-        "epsilon_draws": _q_epsilon_draws,
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,  # full oracle (extrema closed form)
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q_q3,
-        "q5_revenue_by_nation": _q_q5,
-        "topk_orders_per_customer": _q_topk,
-        "sessionize_events": _q_sessionize,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
-        "text_stats": _q_text_stats,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only; bounded by ann_lsh_recall
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "embedding_dedup": _q_embedding_dedup,
-        "multimodal_features": _q_multimodal,
-        "get_depth": _q_get_depth,
-        "get_depth_freq": _q_get_depth_freq,
-        "get_spread_freq": _q_get_spread_freq,
-        "export_events": _q_export,
-        "book_by_episode": _q_book_by_episode,
-        "get_spread": _q_get_spread,
-        "spread_at": _q_spread_at,
-        "depth_resample": _q_depth_resample,
-        "merge_episodes": _q_merge_episodes,
-        "merge_crossed_books": _q_merge_crossed_books,
-        # -- (2) new or code-touched in round 7 ---------------------------
-        "ann_ivf": _q_ann_ivf,                # trained k-means codebook
-        "winnow_fingerprints": _q_winnow_fingerprints,  # auto form dispatch
-        "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,
-        "frame_sample": _q_frame_sample,      # real BMP decode path
-        "move_audit": _q_move_audit,          # r6 bench-regression diagnosis
-        "bs_capture_orders": _q_bs_capture_orders,  # sink session bases
-        "capture_trades": _q_capture_trades,
-        "capture_raw_book": _q_capture_raw_book,
-        "episode_framing": _q_episode_framing,
+        # -- (1) rotated out of r7's 50 (last driver row: r6) plus the one
+        #    never-checked newcomer — the whole 34-entry set heads the
+        #    window so no entry's driver row ages past two rounds ---------
         "match_incremental": _q_match_incremental,  # NEW r8: pga_match loop
-        "match_fill_exact": _q_match_fill_exact,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "match_sequential": _q_match_sequential,
-        "inferred_trades": _q_inferred_trades,
-        # -- (3) oldest remaining r6-green rows head the filler slots -----
-        "match_audit": _q_match_audit,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "chain_audit": _q_chain_audit,
-        # ---- slot 51+: r6 driver-green, code unchanged — rotate back in
-        #      r8 (every entry below has a CORRECTNESS_r06 row, so nothing
-        #      here ages past the two-round bound before the next cap) ----
         "reveal_episodes": _q_reveal_episodes,
         "fix_aggressor_order": _q_fix_aggressor,
         "cleanse_order": _q_cleanse_order,
@@ -1156,6 +1101,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
         "summary": _q_summary,
+        # -- (2) code-touched in round 8 ----------------------------------
+        "ann_ivf": _q_ann_ivf,                # capped training + codebook reuse
+        "winnow_fingerprints": _q_winnow_fingerprints,  # form dispatch
+        "winnow_pairs": _q_winnow_pairs,      # text.py touched
+        "multimodal_features": _q_multimodal,  # real BMP dims path
+        "multimodal_resize": _q_multimodal_resize,
+        "frame_sample": _q_frame_sample,
+        "merge_crossed_books": _q_merge_crossed_books,  # repair.py touched
+        "merge_episodes": _q_merge_episodes,
+        # -- (3) oldest remaining r7-green rows fill the window -----------
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
+        "trading_period": _q_trading_period,
+        "trading_strategy": _q_trading_strategy,
+        "trading_strategy_zigzag": _q_trading_strategy_zigzag,
+        "data_overview": _q_data_overview,
+        "epsilon_draws": _q_epsilon_draws,
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
+        # ---- slot 51+: r7 driver-green, code unchanged — rotate back in
+        #      r9 (every entry below has a CORRECTNESS_r07 row, so nothing
+        #      here ages past the two-round bound before the next cap) ----
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only; bounded by ann_lsh_recall
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "embedding_dedup": _q_embedding_dedup,
+        "get_depth": _q_get_depth,
+        "get_depth_freq": _q_get_depth_freq,
+        "get_spread_freq": _q_get_spread_freq,
+        "export_events": _q_export,
+        "book_by_episode": _q_book_by_episode,
+        "get_spread": _q_get_spread,
+        "spread_at": _q_spread_at,
+        "depth_resample": _q_depth_resample,
+        "move_audit": _q_move_audit,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
+        "capture_raw_book": _q_capture_raw_book,
+        "episode_framing": _q_episode_framing,
+        "match_fill_exact": _q_match_fill_exact,
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "match_sequential": _q_match_sequential,
+        "inferred_trades": _q_inferred_trades,
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "chain_audit": _q_chain_audit,
     }
 
 

@@ -83,6 +83,12 @@ def test_rotation_age_bound():
     for k in keys[50:]:
         row = union.get(k)
         green = bool(row) and row.get("rows_match") and not row.get("err")
+        if k in NO_ORACLE:
+            # by-design rows-only: the driver records err="no_oracle" with
+            # a bare spark row count; "ran and produced rows" is the
+            # strongest row such a key can have (its correctness bound is
+            # the oracle-backed companion metric)
+            green = bool(row) and row.get("spark_rows") is not None
         if not green:
             stale.append(k)
     assert not stale, (
