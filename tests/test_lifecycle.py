@@ -176,6 +176,42 @@ def test_step_is_pure_and_tiling(feed):
     assert s1 and s2 and not (s1 & s2)
 
 
+def test_match_job_incremental_arrival_and_replay(feed, tmp_path, spark):
+    """The foreachBatch runner (streaming/match_job.py): trades arriving
+    across micro-batches accumulate to EXACTLY the one-shot batch links
+    (the delay guard keeps every matched window final for in-order
+    feeds), and replaying a committed batch — foreachBatch's
+    at-least-once contract — changes neither store."""
+    from obadiah_spark.streaming.match_job import MatchJob, read_links
+
+    l3, trades = feed
+    job = MatchJob(lambda s: l3, str(tmp_path / "trades"),
+                   str(tmp_path / "links"),
+                   max_interval_us=MAX_INTERVAL_US)
+    batches = [
+        trades.filter(F.col("exchange_trade_id") <= 4),
+        trades.filter((F.col("exchange_trade_id") > 4)
+                      & (F.col("exchange_trade_id") <= 9)),
+        trades.filter(F.col("exchange_trade_id") > 9),
+    ]
+    for i, b in enumerate(batches):
+        job(b, i)
+    want = _links(incremental_match(l3, trades,
+                                    max_interval_us=MAX_INTERVAL_US))
+    assert _links(read_links(spark, str(tmp_path / "links"))) == want
+    n_trades = spark.read.parquet(str(tmp_path / "trades")).count()
+    assert n_trades == trades.count()
+    # at-least-once replay of the last committed batch: both stores
+    # idempotent (partition overwrite for trades, empty delta for links)
+    job(batches[-1], 2)
+    assert _links(read_links(spark, str(tmp_path / "links"))) == want
+    assert spark.read.parquet(str(tmp_path / "trades")).count() == n_trades
+    # the stream-finality invariant is enforced
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="horizon"):
+        MatchJob(lambda s: l3, "x", "y", delay_us=1_000_000)
+
+
 def test_terminates_across_empty_chunks(spark):
     """A chunk with no trades yields no links; the cursor must still
     advance (the reference delegates this to cron cadence — the batch
