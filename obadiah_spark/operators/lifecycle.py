@@ -147,7 +147,10 @@ def incremental_match_step(l3: DataFrame, trades: DataFrame,
     # events matter within [trade, trade + max_delay] of an extended trade
     l3_ext = l3.filter(_between_us("microtimestamp", ext_lo - 1,
                                    ext_hi + d_us))
-    i5_all = match_price_and_fill_exact(l3_ext, t_ext, max_delay_s)
+    # i5_all feeds both the keep-filter and the residual anti-join — cut
+    # lineage so the I5 joins and dedup windows evaluate once, not twice
+    i5_all = match_price_and_fill_exact(
+        l3_ext, t_ext, max_delay_s).localCheckpoint(eager=False)
     i5_keep = i5_all.filter(_between_us("trade_microtimestamp", lo_us, hi_us))
 
     residual = t_ext.join(
@@ -179,7 +182,8 @@ def incremental_match(l3: DataFrame, trades: DataFrame,
                       delay_us: int = DELAY_US,
                       max_interval_us: int = MAX_INTERVAL_US,
                       max_delay_s: int = 1, lookback_s: int = 60,
-                      max_steps: int = 10_000) -> DataFrame:
+                      max_steps: int = 10_000,
+                      cache_inputs: bool = True) -> DataFrame:
     """Drive :func:`incremental_match_step` to the current frame horizon —
     the whole ``pga_match`` lifecycle replayed as a bounded batch loop.
 
@@ -187,30 +191,49 @@ def incremental_match(l3: DataFrame, trades: DataFrame,
     pass the previous result as ``existing_links`` to resume after a
     restart — the frame rule picks up from the last linked trade, and a
     full replay over already-linked ground yields zero rows
-    (tests/test_lifecycle.py)."""
-    links: DataFrame | None = None
+    (tests/test_lifecycle.py).
+
+    The loop touches ``trades`` once per chunk (and the bounds once
+    total — chunk frames advance arithmetically off the cursor, which by
+    construction is >= every kept link, so the per-step linked-state
+    aggregate of :func:`match_frame` is redundant here). With
+    ``cache_inputs`` (default) the trades frame is materialized up front
+    so a computed/view-backed input isn't re-derived every chunk; pass
+    False when trades is a silver parquet table — then each chunk's time
+    filter reaches the scan as a pushed-down predicate and nothing is
+    pinned."""
+    if cache_inputs:
+        trades = trades.localCheckpoint(eager=True)
+    b = trades.agg(
+        F.min(F.unix_micros("trade_microtimestamp")).alias("mn"),
+        F.max(F.unix_micros("trade_microtimestamp")).alias("mx"),
+    ).collect()[0]
+    empty = None
+    if b.mn is None:
+        empty = True
     cursor: int | None = None
     if existing_links is not None:
-        last = existing_links.agg(
+        cursor = existing_links.agg(
             F.max(F.unix_micros("trade_microtimestamp"))).collect()[0][0]
-        cursor = last
-    for _ in range(max_steps):
-        frame = match_frame(trades, links, cursor, delay_us, max_interval_us)
-        if frame is None:
-            break
-        lo, hi = frame
-        step = incremental_match_step(l3, trades, lo, hi,
-                                      max_delay_s, lookback_s)
-        # cut lineage per chunk: the loop would otherwise stack one plan
-        # per step (verify-skill gotcha on multi-stage self-joins)
-        step = step.localCheckpoint(eager=True)
-        links = step if links is None else links.unionByName(step)
-        cursor = hi
-    else:
-        raise RuntimeError(f"incremental_match did not converge in "
-                           f"{max_steps} steps")
+    links: DataFrame | None = None
+    if not empty:
+        lo = cursor if cursor is not None else b.mn - 1
+        for _ in range(max_steps):
+            hi = min(b.mx - delay_us, lo + max_interval_us)
+            if hi <= lo:
+                break
+            step = incremental_match_step(l3, trades, lo, hi,
+                                          max_delay_s, lookback_s)
+            # cut lineage per chunk: the loop would otherwise stack one
+            # plan per step (verify-skill gotcha on multi-stage self-joins)
+            step = step.localCheckpoint(eager=True)
+            links = step if links is None else links.unionByName(step)
+            lo = hi
+        else:
+            raise RuntimeError(f"incremental_match did not converge in "
+                               f"{max_steps} steps")
     if links is None:
-        return incremental_match_step(l3, trades, 0, 0,
+        return incremental_match_step(l3, trades.limit(0), 0, 0,
                                       max_delay_s, lookback_s).limit(0)
     return links
 

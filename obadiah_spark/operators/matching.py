@@ -201,9 +201,14 @@ def match_sum_of_fills(l3: DataFrame, trades: DataFrame,
         .filter(F.col("set_size") <= max_set_size)
     )
     pk = ["pair_id", "era", "set_id"]
+    # mem is referenced six times below (the three _m() subset legs, the
+    # whole-set aggregate, and the final member join) — without a lineage
+    # cut each reference re-derives the whole 4-window set-id pipeline
+    # with its own shuffle (~24 window stages of pure overhead, measured
+    # 3 s fixed cost on an 8-trade input). Materialize it once.
     mem = t.select(*pk, "price", "origination", "set_size", "pos", "fill",
                    F.col("trade_microtimestamp").alias("ts"),
-                   "exchange_trade_id", "cum_fill")
+                   "exchange_trade_id", "cum_fill").localCheckpoint(eager=False)
 
     def _m(i: int):
         return mem.select(
