@@ -21,9 +21,9 @@ queries inherit cache-eviction/GC pressure from whatever ran before them
 (measured in round 5: spread_periods 11.2 s in-bench vs 4.3 s isolated,
 get_events 7.9 vs 3.1) — which poisons round-over-round comparison. The
 second consecutive run is a steady-state number that isolated spot
-reruns reproduce. First-pass timings are still reported verbatim under
-``first_pass`` (their sum under ``first_pass_total_sec``) so cold-path
-cost is visible, not hidden; the cold probes (``order_book_cold`` /
+reruns reproduce. Per-query first-pass timings stream to stderr and
+their sum is reported under ``first_pass_total_sec`` so cold-path cost
+is visible, not hidden; the cold probes (``order_book_cold`` /
 ``order_book_ckpt_cold``) are intentionally single-run — cold IS what
 they measure.
 
@@ -151,17 +151,20 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s (first {first_pass[name]:.3f}s) "
               f"rows={n}", file=sys.stderr)
 
+    # keep the blob compact: the driver's stdout capture truncated round
+    # 7's line mid-JSON (BENCH_r07.json parsed=None), and the per-query
+    # first-pass dict doubled its size — those numbers still stream to
+    # stderr per query, and the cold-path total stays in the blob
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
-        "first_pass": first_pass,
-        "first_pass_total_sec": round(sum(first_pass.values()), 3),
         "sf": sf,
         "order": "sorted",  # canonical since r8 — decoupled from rotation
         "sink": args.sink,
-    }))
+        "first_pass_total_sec": round(sum(first_pass.values()), 3),
+        "queries": timings,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
