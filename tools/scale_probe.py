@@ -176,13 +176,21 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
     def timed(name, fn):
         _timed(out, name, fn)
 
+    # force the computed column through an aggregate: a bare count() lets
+    # Catalyst prune map-side projections entirely (the winnow probe was
+    # timing a naked scan — round-8 finding), so each probe consumes one
+    # column that transitively needs the operator's real work
+    from pyspark.sql import functions as F
+
     timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     timed("minhash_lsh_candidates",
           lambda: dedup.minhash_lsh_candidates(docs).count())
-    timed("simhash", lambda: dedup.simhash(docs).count())
-    timed("text_stats", lambda: text_stats(docs).count())
-    timed("winnow_fingerprints",
-          lambda: winnow_fingerprints(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs)
+          .agg(F.max("simhash")).collect())
+    timed("text_stats", lambda: text_stats(docs)
+          .agg(F.max("quality_score"), F.max("fingerprint")).collect())
+    timed("winnow_fingerprints", lambda: winnow_fingerprints(docs)
+          .agg(F.max("fp_hash")).collect())
     return out
 
 
