@@ -705,6 +705,74 @@ def _q_match_sequential(spark, sf_dir):
     return match_sequential(l3, t, offset=1)
 
 
+def _q_match_sweep(spark, sf_dir):
+    """bitstamp.pga_match tolerance x offset sweep (reference
+    db/bitstamp_schema.sql:1840-1850) with matched state threaded between
+    grid cells. Closed loop: the inferred trades (which know their buy/sell
+    ORDER ids) forget their event links; a deterministic per-trade-id-bucket
+    amount perturbation makes the wider tolerance cells productive (bucket 1
+    needs tol 0.01, bucket 2 needs tol 1.0), and offset 2 picks up inferred
+    pairs whose two events are not lead-1-adjacent. The gate grid is
+    trimmed to 3 tolerances x 2 offsets (the production default is the
+    reference's 5 x 4 — same mechanics, more cells)."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+    from obadiah_spark.operators.matching import inferred_trades
+
+    l3 = _l3(spark, sf_dir)
+    t = inferred_trades(l3).select(
+        "pair_id",
+        F.date_trunc("week", "microtimestamp").alias("era"),
+        (F.col("buy_order_id").cast("bigint") * 1000000000000
+         + F.col("buy_event_no").cast("bigint") * 100000000
+         + F.col("sell_order_id").cast("bigint") * 10000
+         + F.col("sell_event_no").cast("bigint")).alias("exchange_trade_id"),
+        F.col("microtimestamp").alias("trade_microtimestamp"),
+        "amount", "price",
+        F.col("side").alias("trade_type"),
+        "buy_order_id", "sell_order_id",
+    )
+    b = F.col("exchange_trade_id") % 3
+    t = t.withColumn(
+        "amount",
+        F.col("amount") + F.when(b == 1, F.lit(0.001))
+                           .when(b == 2, F.lit(0.1))
+                           .otherwise(F.lit(0.0)))
+    return bitstamp_match_sweep(l3, t, tolerances=(0.0001, 0.01, 1.0),
+                                max_offset=2)
+
+
+def _match_sweep_oracle() -> str:
+    """Splice the perturbed closed-loop trades (mirror of _q_match_sweep)
+    in as ``sweep_trades`` ahead of the generated sweep CTE chain."""
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep_oracle_sql
+    from obadiah_spark.operators.matching import inferred_trades_oracle_sql
+
+    sweep_trades = f"""sweep_trades AS (
+    WITH it AS ({inferred_trades_oracle_sql()}),
+    base AS (
+        SELECT pair_id, date_trunc('week', microtimestamp) AS era,
+               CAST(buy_order_id AS BIGINT) * 1000000000000
+               + CAST(buy_event_no AS BIGINT) * 100000000
+               + CAST(sell_order_id AS BIGINT) * 10000
+               + CAST(sell_event_no AS BIGINT) AS exchange_trade_id,
+               microtimestamp AS trade_microtimestamp, amount, price,
+               side AS trade_type, buy_order_id, sell_order_id
+        FROM it)
+    SELECT pair_id, era, exchange_trade_id, trade_microtimestamp,
+           amount + CASE exchange_trade_id % 3
+                    WHEN 1 THEN CAST(0.001 AS DOUBLE)
+                    WHEN 2 THEN CAST(0.1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS amount,
+           price, trade_type, buy_order_id, sell_order_id
+    FROM base
+)"""
+    sweep_sql = bitstamp_match_sweep_oracle_sql((0.0001, 0.01, 1.0), 2)
+    return sweep_sql.replace("WITH sweep_pairs_o1 AS",
+                             f"WITH {sweep_trades},\nsweep_pairs_o1 AS", 1)
+
+
 def _q_match_sum_of_fills(spark, sf_dir):
     """I6 closed loop: split every trade into 2 (even ids) or 3 (odd ids)
     adjacent same-price pieces placed just before the fill event, then
@@ -1029,7 +1097,8 @@ def _match_sequential_oracle(inferred_sql: str, match_sql: str) -> str:
            side AS trade_type, buy_order_id, sell_order_id
     FROM it
 )"""
-    return match_sql.replace("WITH ev AS", f"WITH {seq_trades}, ev AS", 1)
+    return match_sql.replace("WITH seq_pairs AS",
+                             f"WITH {seq_trades}, seq_pairs AS", 1)
 
 
 def _match_incremental_oracle() -> str:
@@ -1119,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "merge_crossed_books": _q_merge_crossed_books,  # repair.py touched
         "merge_episodes": _q_merge_episodes,
+        "match_sweep": _q_match_sweep,        # NEW r8: bitstamp pga_match sweep
+        "match_sequential": _q_match_sequential,  # output schema widened r8
         # -- (3) oldest remaining r7-green rows fill the window -----------
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
@@ -1126,11 +1197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,
         "data_overview": _q_data_overview,
-        "epsilon_draws": _q_epsilon_draws,
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
         # ---- slot 51+: r7 driver-green, code unchanged — rotate back in
         #      r9 (every entry below has a CORRECTNESS_r07 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "epsilon_draws": _q_epsilon_draws,
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_revenue_by_nation": _q_q5,
@@ -1160,7 +1231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "episode_framing": _q_episode_framing,
         "match_fill_exact": _q_match_fill_exact,
         "match_sum_of_fills": _q_match_sum_of_fills,
-        "match_sequential": _q_match_sequential,
         "inferred_trades": _q_inferred_trades,
         "match_audit": _q_match_audit,
         "repair_missing_fill": _q_repair_missing_fill,
@@ -1340,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
         "match_sequential": level3_cte(_match_sequential_oracle(
             inferred_trades_oracle_sql(), match_sequential_oracle_sql())),
+        "match_sweep": level3_cte(_match_sweep_oracle()),
         "match_sum_of_fills": level3_matches_cte(
             _match_sum_of_fills_oracle(match_sum_of_fills_oracle_sql())),
         "data_overview": level3_cte(DATA_OVERVIEW_ORACLE_BODY),

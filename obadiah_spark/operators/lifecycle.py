@@ -69,8 +69,12 @@ from pyspark.sql.window import Window as W
 from obadiah_spark.operators.matching import (
     match_fill_exact_oracle_sql,
     match_price_and_fill_exact,
+    match_sequential,
+    match_sequential_body_sql,
+    match_sequential_pairs_sql,
     match_sum_of_fills,
     match_sum_of_fills_oracle_sql,
+    sequential_event_pairs,
 )
 
 # reference defaults: p_delay '00:02:00', p_max_interval '02:00:00'
@@ -290,3 +294,167 @@ SELECT pair_id, exchange_trade_id, trade_microtimestamp,
 FROM i6_grouped
 WHERE _gts <= (SELECT hi FROM horizon)
 """
+
+
+# reference bitstamp.pga_match sweep grid (db/bitstamp_schema.sql:1840-1850):
+# tolerance OUTER loop over these percentages, offset INNER loop 1..MAX_OFFSET
+SWEEP_TOLERANCES = (0.0001, 0.001, 0.01, 0.1, 1.0)
+SWEEP_MAX_OFFSET = 4
+
+
+def _claimed_events(matches: DataFrame) -> DataFrame:
+    """(pair_id, era, microtimestamp, order_id, event_no) of every event a
+    match claims — the recompute-and-return stand-in for the reference's
+    live_orders trade_id backfill (an event linked to a trade may not link
+    again). The key includes microtimestamp — the full level3 identity —
+    because (order_id, event_no) repeats across reincarnation lives; a
+    claim on one life must not block the other."""
+    return (
+        matches.select(
+            "pair_id", "era",
+            F.col("buy_microtimestamp").alias("microtimestamp"),
+            F.col("buy_order_id").alias("order_id"),
+            F.col("buy_event_no").alias("event_no"))
+        .unionByName(matches.select(
+            "pair_id", "era",
+            F.col("sell_microtimestamp").alias("microtimestamp"),
+            F.col("sell_order_id").alias("order_id"),
+            F.col("sell_event_no").alias("event_no")))
+    )
+
+
+def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
+                         tolerances: tuple[float, ...] = SWEEP_TOLERANCES,
+                         max_offset: int = SWEEP_MAX_OFFSET,
+                         claimed: DataFrame | None = None,
+                         cache_inputs: bool = True) -> DataFrame:
+    """The ``bitstamp.pga_match`` sequential-matching sweep (reference
+    db/bitstamp_schema.sql:1773-1861): for each tolerance percentage (outer)
+    and event offset 1..max_offset (inner), run
+    ``match_trades_to_sequential_events`` (I10, :func:`match_sequential`)
+    over the still-unmatched trades, excluding events claimed by earlier
+    cells — the reference threads this state through live_trades UPDATEs
+    (matched trades leave ``unmatched_trades``) and the live_orders trade_id
+    backfill (claimed events fail ``trade_id is null``); here both are
+    derived from the accumulated result frame.
+
+    Returns one row per matched trade: the I10 link columns plus
+    (tolerance, sweep_offset) provenance — which grid cell matched it.
+    A trade matches in at most one cell; an event is claimed by at most one
+    trade across the whole sweep. The claimed-event exclusion is applied
+    AFTER the lead window (claimed events still occupy positions in the
+    event stream), exactly the reference's filter placement.
+
+    ``claimed`` seeds the exclusion set with events matched by PREVIOUS
+    runs — the resume path: the reference re-runs the sweep every few
+    minutes over [last matched event, era end]; a caller replays that by
+    filtering ``l3``/``trades`` to the window (plain filters — the repo
+    convention) and passing the prior links' :func:`_claimed_events`.
+    Re-running over already-matched ground is then a no-op
+    (tests/test_lifecycle.py idempotency test).
+
+    The reference's full pga_match also UPSERTS ``inferred_trades`` (I9)
+    first; that phase is the separately-gated :func:`inferred_trades` — a
+    deployment composes I9 → promote → this sweep, the same composition the
+    gate's closed loop performs. Orchestration (pgagent cadence, advisory
+    locks) is out of scope per SURVEY §2.6.
+
+    Scale: the expensive part — the per-offset lead-window over the full
+    event stream — runs ONCE per offset (``sequential_event_pairs``,
+    checkpointed), not once per grid cell: a 5×4 grid costs 4 windows plus
+    20 cheap equi-joins against broadcast-size state frames. Each cell's
+    result is checkpointed, so the threaded state (anti-join frames) stays
+    a union of tiny in-memory leaves and the logical plan depth is bounded
+    per cell, not cumulative across the grid.
+    """
+    if not tolerances or max_offset < 1:
+        raise ValueError("sweep grid is empty")
+    if cache_inputs:
+        trades = trades.localCheckpoint(eager=True)
+    pairs = {off: sequential_event_pairs(l3, off).localCheckpoint(eager=True)
+             for off in range(1, max_offset + 1)}
+    out: DataFrame | None = None
+    for tol in tolerances:
+        for off in range(1, max_offset + 1):
+            cl = claimed
+            un = trades
+            if out is not None:
+                new_cl = _claimed_events(out)
+                cl = new_cl if cl is None else cl.unionByName(new_cl)
+                un = trades.join(
+                    out.select("pair_id", "exchange_trade_id"),
+                    ["pair_id", "exchange_trade_id"], "left_anti")
+            p = pairs[off]
+            if cl is not None:
+                cl = cl.distinct()
+                p = p.join(
+                    F.broadcast(cl),
+                    ["pair_id", "era", "microtimestamp", "order_id",
+                     "event_no"], "left_anti")
+                cl2 = cl.select(
+                    "pair_id", "era",
+                    F.col("microtimestamp").alias("n_microtimestamp"),
+                    F.col("order_id").alias("n_order_id"),
+                    F.col("event_no").alias("n_event_no"))
+                p = p.join(
+                    F.broadcast(cl2),
+                    ["pair_id", "era", "n_microtimestamp", "n_order_id",
+                     "n_event_no"], "left_anti")
+            m = (
+                match_sequential(l3, un, tol, off, pairs=p)
+                .withColumn("tolerance", F.lit(float(tol)))
+                .withColumn("sweep_offset", F.lit(off))
+                .localCheckpoint(eager=True)
+            )
+            out = m if out is None else out.unionByName(m)
+    assert out is not None
+    return out
+
+
+def bitstamp_match_sweep_oracle_sql(
+        tolerances: tuple[float, ...] = SWEEP_TOLERANCES,
+        max_offset: int = SWEEP_MAX_OFFSET,
+        trades_cte: str = "sweep_trades") -> str:
+    """One-statement DuckDB mirror of :func:`bitstamp_match_sweep`: the grid
+    unrolls into chained CTEs — ``sweep_pairs_o{k}`` materialized once per
+    offset (the Spark checkpoint), then per cell i: ``m_i`` (one
+    :func:`match_sequential_body_sql` over the not-yet-matched trades
+    ``u_i`` with claimed-event exclusion ``c_i``), running union ``acc_i``,
+    and the next cell's state ``u_{i+1}``/``c_{i+1}`` derived from it."""
+    ctes = [f"sweep_pairs_o{k} AS MATERIALIZED (\n"
+            f"{match_sequential_pairs_sql(k)}\n)"
+            for k in range(1, max_offset + 1)]
+    ctes.append(f"u_0 AS (SELECT * FROM {trades_cte})")
+    ctes.append("""c_0 AS (
+    SELECT CAST(NULL AS INTEGER) AS pair_id, CAST(NULL AS TIMESTAMP) AS era,
+           CAST(NULL AS TIMESTAMP) AS microtimestamp,
+           CAST(NULL AS BIGINT) AS order_id, CAST(NULL AS INTEGER) AS event_no
+    WHERE FALSE)""")
+    finals = []
+    i = 0
+    for tol in tolerances:
+        for off in range(1, max_offset + 1):
+            body = match_sequential_body_sql(
+                tol, f"u_{i}", f"sweep_pairs_o{off}", f"c_{i}")
+            ctes.append(f"m_{i} AS MATERIALIZED (\n{body}\n)")
+            if i == 0:
+                ctes.append("acc_0 AS (SELECT * FROM m_0)")
+            else:
+                ctes.append(f"acc_{i} AS (SELECT * FROM acc_{i - 1} "
+                            f"UNION ALL SELECT * FROM m_{i})")
+            ctes.append(f"""u_{i + 1} AS (
+    SELECT t.* FROM {trades_cte} t
+    WHERE NOT EXISTS (SELECT 1 FROM acc_{i} a
+        WHERE a.pair_id = t.pair_id
+          AND a.exchange_trade_id = t.exchange_trade_id))""")
+            ctes.append(f"""c_{i + 1} AS (
+    SELECT pair_id, era, buy_microtimestamp AS microtimestamp,
+           buy_order_id AS order_id, buy_event_no AS event_no
+    FROM acc_{i}
+    UNION ALL
+    SELECT pair_id, era, sell_microtimestamp, sell_order_id, sell_event_no
+    FROM acc_{i})""")
+            finals.append(f"SELECT *, CAST({tol} AS DOUBLE) AS tolerance, "
+                          f"{off} AS sweep_offset FROM m_{i}")
+            i += 1
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)

@@ -419,50 +419,12 @@ JOIN mem m ON m.pair_id = s.pair_id AND m.era = s.era
 """
 
 
-def match_sequential(l3: DataFrame, trades: DataFrame,
-                     tolerance_pct: float = 0.0001, offset: int = 1,
-                     period_s: int | None = None) -> DataFrame:
-    """I10 ``bitstamp.match_trades_to_sequential_events``: link a trade that
-    knows its buy/sell ORDER ids (but not the events) to a pair of adjacent
-    opposite-side events in the sequential event stream (reference
-    db/bitstamp_schema.sql:1288-1372).
-
-    ``trades`` columns: (pair_id, era, exchange_trade_id,
-    trade_microtimestamp, amount, price, trade_type ('b' = taker bought),
-    buy_order_id, sell_order_id).
-
-    Mechanics, mirroring the reference CTE for CTE:
-    - candidate event pairs = (event, lead(event, offset)) over the full
-      per-(pair, era) event stream ordered by (microtimestamp, order_id,
-      event_no) (the reference orders by microtimestamp alone — ties broken
-      arbitrarily; the tie-break makes both engines pick the same pair),
-      keeping only opposite-side pairs where neither event is an order
-      creation;
-    - join to trades on {event order ids} = {trade's buy/sell order ids}
-      (both orientations — two equi-joins, unioned);
-    - both events must carry a non-NULL F7 match rule
-      (:func:`match_rule`, tolerance = tolerance_pct × trade price);
-    - aggressor-direction check: the maker (opposite of the taker side) must
-      have the OLDER price_microtimestamp; ties go to the bid maker — the
-      same deterministic refinement as :func:`inferred_trades` (the
-      reference uses strict inequalities and drops ties);
-    - an event may not participate in two trades (anti-join on the pair's
-      second event, reference ``matches`` CTE), then one event pair per
-      trade via row_number.
-
-    Scale: all joins are per (pair, era); no cross product. With
-    ``period_s`` set the sequential-neighbor lookup is period-parallel: row
-    numbers are assigned per (pair, era, period) partition, a prefix sum
-    over the TINY per-period count table turns them into exact global
-    positions, and ``lead(offset)`` becomes an equi-join on
-    ``gpos + offset`` — identical output to the unsplit window for any
-    offset (split-equality pytest), with parallelism = #periods instead of
-    one reducer per era. The join evaluates the event projection twice, so
-    it wins only when eras are reducer-breakingly large AND ``l3`` is a
-    cheap scan (the silver parquet), not a derived lineage — hence the
-    default keeps the single-pass per-era window, the same call-site
-    escape hatch as the other period-decomposed operators.
-    """
+def sequential_event_pairs(l3: DataFrame, offset: int = 1,
+                           period_s: int | None = None) -> DataFrame:
+    """The (event, lead(event, offset)) candidate-pair frame of
+    :func:`match_sequential`, tolerance-independent — build once per
+    offset and reuse across a tolerance sweep. See match_sequential for
+    the per-era window vs period-parallel (``period_s``) trade-offs."""
     is_del = F.col("chain_state") == "deleted"
     ev0 = l3.select(
         "pair_id", "era", "microtimestamp", "order_id", "event_no",
@@ -510,10 +472,64 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
             & (ev1._gpos == nxt.x_gpos),
             "left",
         ).drop("x_pair", "x_era", "x_gpos", "_gpos")
-    ev = ev.filter(
+    return ev.filter(
         (F.col("side") != F.col("n_side"))
         & F.col("is_fillish") & F.col("n_is_fillish")
     )
+
+
+def match_sequential(l3: DataFrame, trades: DataFrame,
+                     tolerance_pct: float = 0.0001, offset: int = 1,
+                     period_s: int | None = None,
+                     pairs: DataFrame | None = None) -> DataFrame:
+    """I10 ``bitstamp.match_trades_to_sequential_events``: link a trade that
+    knows its buy/sell ORDER ids (but not the events) to a pair of adjacent
+    opposite-side events in the sequential event stream (reference
+    db/bitstamp_schema.sql:1288-1372).
+
+    ``trades`` columns: (pair_id, era, exchange_trade_id,
+    trade_microtimestamp, amount, price, trade_type ('b' = taker bought),
+    buy_order_id, sell_order_id).
+
+    Mechanics, mirroring the reference CTE for CTE:
+    - candidate event pairs = (event, lead(event, offset)) over the full
+      per-(pair, era) event stream ordered by (microtimestamp, order_id,
+      event_no) (the reference orders by microtimestamp alone — ties broken
+      arbitrarily; the tie-break makes both engines pick the same pair),
+      keeping only opposite-side pairs where neither event is an order
+      creation;
+    - join to trades on {event order ids} = {trade's buy/sell order ids}
+      (both orientations — two equi-joins, unioned);
+    - both events must carry a non-NULL F7 match rule
+      (:func:`match_rule`, tolerance = tolerance_pct × trade price);
+    - aggressor-direction check: the maker (opposite of the taker side) must
+      have the OLDER price_microtimestamp; ties go to the bid maker — the
+      same deterministic refinement as :func:`inferred_trades` (the
+      reference uses strict inequalities and drops ties);
+    - an event may not participate in two trades (anti-join on the pair's
+      second event, reference ``matches`` CTE), then one event pair per
+      trade via row_number.
+
+    Scale: all joins are per (pair, era); no cross product. With
+    ``period_s`` set the sequential-neighbor lookup is period-parallel: row
+    numbers are assigned per (pair, era, period) partition, a prefix sum
+    over the TINY per-period count table turns them into exact global
+    positions, and ``lead(offset)`` becomes an equi-join on
+    ``gpos + offset`` — identical output to the unsplit window for any
+    offset (split-equality pytest), with parallelism = #periods instead of
+    one reducer per era. The join evaluates the event projection twice, so
+    it wins only when eras are reducer-breakingly large AND ``l3`` is a
+    cheap scan (the silver parquet), not a derived lineage — hence the
+    default keeps the single-pass per-era window, the same call-site
+    escape hatch as the other period-decomposed operators.
+
+    ``pairs`` injects a precomputed :func:`sequential_event_pairs` frame —
+    it depends on (l3, offset) only, so a tolerance sweep
+    (lifecycle.bitstamp_match_lifecycle) builds it once per offset instead
+    of once per (tolerance, offset) sweep.
+    """
+    ev = pairs if pairs is not None else sequential_event_pairs(
+        l3, offset, period_s)
     # both orientations as ONE equi-join: explode each trade into its two
     # (first event, second event) order-id orientations and join once.
     # Semantically identical to the union of the buy-first and sell-first
@@ -567,12 +583,12 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
     # orientation, so this is a small frame
     proposed = proposed.localCheckpoint()
     seconds = proposed.select(
-        "pair_id", "era",
+        F.col("pair_id").alias("x_pair"), F.col("era").alias("x_era"),
         F.col("n_order_id").alias("x_oid"), F.col("n_event_no").alias("x_eno"),
     ).distinct()
     dedup = proposed.join(
         seconds,
-        (proposed.pair_id == seconds.pair_id) & (proposed.era == seconds.era)
+        (proposed.pair_id == seconds.x_pair) & (proposed.era == seconds.x_era)
         & (proposed.order_id == seconds.x_oid)
         & (proposed.event_no == seconds.x_eno),
         "left_anti",
@@ -582,9 +598,9 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
     return (
         dedup.withColumn("r", F.row_number().over(w_t)).filter("r = 1")
         .select(
-            "pair_id", "exchange_trade_id", "trade_microtimestamp",
+            "pair_id", "era", "exchange_trade_id", "trade_microtimestamp",
             F.col("t_amount").alias("amount"), F.col("t_price").alias("price"),
-            "trade_type",
+            "trade_type", "buy_order_id", "sell_order_id",
             F.when(F.col("ev_is_buy"), F.col("microtimestamp"))
              .otherwise(F.col("n_microtimestamp")).alias("buy_microtimestamp"),
             F.when(F.col("ev_is_buy"), F.col("event_no"))
@@ -601,11 +617,11 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
     )
 
 
-def match_sequential_oracle_sql(tolerance_pct: float = 0.0001,
-                                offset: int = 1,
-                                trades_cte: str = "seq_trades") -> str:
-    """DuckDB mirror of :func:`match_sequential`; expects a CTE named
-    ``trades_cte`` with the trades-input columns already defined."""
+def match_sequential_pairs_sql(offset: int = 1, source: str = "level3") -> str:
+    """The ``sequential_event_pairs`` frame as a standalone DuckDB query —
+    the (event, lead(event, offset)) candidate pairs. Tolerance-independent;
+    a sweep oracle materializes one per offset (mirror of the Spark side's
+    per-offset ``localCheckpoint``)."""
     return f"""
 WITH ev AS (
     SELECT pair_id, era, microtimestamp, order_id, event_no, side, amount,
@@ -621,20 +637,50 @@ WITH ev AS (
            lead(price_microtimestamp, {offset}) OVER m AS n_pts,
            lead(chain_state = 'deleted', {offset}) OVER m AS n_is_del,
            lead(chain_state = 'deleted' OR event_no > 1, {offset}) OVER m AS n_is_fillish
-    FROM level3
+    FROM {source}
     WINDOW m AS (PARTITION BY pair_id, era
                  ORDER BY microtimestamp, order_id, event_no)
-), pairs_ev AS (
-    SELECT * FROM ev
-    WHERE side <> n_side AND is_fillish AND n_is_fillish
-), cand AS (
+)
+SELECT * FROM ev
+WHERE side <> n_side AND is_fillish AND n_is_fillish
+"""
+
+
+def match_sequential_body_sql(tolerance_pct: float, trades_cte: str,
+                              pairs_cte: str,
+                              exclude_cte: str | None = None) -> str:
+    """One :func:`match_sequential` evaluation as a standalone DuckDB query
+    reading candidate pairs from ``pairs_cte`` (a
+    :func:`match_sequential_pairs_sql` result visible in an outer scope) and
+    trades from ``trades_cte``. ``exclude_cte``, when given, names an outer
+    (pair_id, era, order_id, event_no) frame of already-claimed events —
+    pairs touching one are skipped, the reference's ``trade_id is null AND
+    n_trade_id is null`` filter (db/bitstamp_schema.sql:1320-1321) applied
+    AFTER the lead window, so claimed events still occupy stream positions."""
+    excl = ""
+    if exclude_cte is not None:
+        # claim key = the FULL level3 identity incl. microtimestamp —
+        # (order_id, event_no) repeats across reincarnation lives
+        excl = f"""
+      AND NOT EXISTS (SELECT 1 FROM {exclude_cte} c
+            WHERE c.pair_id = e.pair_id AND c.era = e.era
+              AND c.microtimestamp = e.microtimestamp
+              AND c.order_id = e.order_id AND c.event_no = e.event_no)
+      AND NOT EXISTS (SELECT 1 FROM {exclude_cte} c
+            WHERE c.pair_id = e.pair_id AND c.era = e.era
+              AND c.microtimestamp = e.n_microtimestamp
+              AND c.order_id = e.n_order_id AND c.event_no = e.n_event_no)"""
+    return f"""
+WITH cand AS (
     SELECT e.*, t.exchange_trade_id, t.trade_microtimestamp,
            t.amount AS t_amount, t.price AS t_price, t.trade_type,
+           t.buy_order_id, t.sell_order_id,
            e.order_id = t.buy_order_id AS ev_is_buy
-    FROM pairs_ev e JOIN {trades_cte} t
+    FROM {pairs_cte} e JOIN {trades_cte} t
       ON e.pair_id = t.pair_id AND e.era = t.era
      AND ((e.order_id = t.buy_order_id AND e.n_order_id = t.sell_order_id)
        OR (e.order_id = t.sell_order_id AND e.n_order_id = t.buy_order_id))
+    WHERE TRUE{excl}
 ), proposed AS (
     SELECT *,
            CASE WHEN t_amount = fill THEN 0
@@ -668,8 +714,9 @@ WITH ev AS (
         WHERE i.pair_id = o.pair_id AND i.era = o.era
           AND i.n_order_id = o.order_id AND i.n_event_no = o.event_no)
 )
-SELECT pair_id, exchange_trade_id, trade_microtimestamp,
+SELECT pair_id, era, exchange_trade_id, trade_microtimestamp,
        t_amount AS amount, t_price AS price, trade_type,
+       buy_order_id, sell_order_id,
        CASE WHEN ev_is_buy THEN microtimestamp ELSE n_microtimestamp END AS buy_microtimestamp,
        CASE WHEN ev_is_buy THEN event_no ELSE n_event_no END AS buy_event_no,
        CASE WHEN ev_is_buy THEN mr ELSE n_mr END AS buy_match_rule,
@@ -681,6 +728,24 @@ FROM (SELECT *, row_number() OVER (
           ORDER BY microtimestamp, order_id, event_no) AS r
       FROM no_reuse) z
 WHERE r = 1
+"""
+
+
+def match_sequential_oracle_sql(tolerance_pct: float = 0.0001,
+                                offset: int = 1,
+                                trades_cte: str = "seq_trades") -> str:
+    """DuckDB mirror of one :func:`match_sequential` call; expects a CTE
+    named ``trades_cte`` with the trades-input columns already defined.
+    Composed from :func:`match_sequential_pairs_sql` +
+    :func:`match_sequential_body_sql` (nested WITH inside a CTE body is
+    lexically scoped in DuckDB, so the body's own CTEs see ``seq_pairs``)."""
+    return f"""
+WITH seq_pairs AS (
+{match_sequential_pairs_sql(offset)}
+), seq_result AS (
+{match_sequential_body_sql(tolerance_pct, trades_cte, "seq_pairs")}
+)
+SELECT * FROM seq_result
 """
 
 

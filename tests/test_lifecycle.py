@@ -264,3 +264,127 @@ def test_lookback_precondition_holds_on_gate_fabric(spark, level3):
     )
     max_dur = runs.agg(F.max("dur")).collect()[0][0] or 0
     assert max_dur + 1_000_000 <= 60 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# bitstamp pga_match sweep (tolerance x offset grid over I10)
+# ---------------------------------------------------------------------------
+# The gate corpus exercises the tolerance progression but its inferred pairs
+# are all lead-1-adjacent and share no events, so offset>1 matching and the
+# cross-cell claimed-event exclusion never fire there. This fixture makes
+# both load-bearing: trade 100 and trade 200 want the SAME event pair at
+# different tolerances (200 must be blocked — the reference's
+# live_orders.trade_id backfill), and trade 300's two events have an
+# order_created event between them (matchable only at offset 2).
+
+# (order_id, t, event_no, side, amount, fill, pts)
+SWEEP_EVENTS = [
+    (10, 1.0, 2, "s", 0.0, 5.0, 0.5),
+    (20, 1.1, 2, "b", 0.0, 5.0, 0.8),
+    (30, 2.0, 2, "s", 0.0, 7.0, 1.5),
+    (40, 2.1, 1, "b", 3.0, 0.0, 2.05),  # order_created: not fillish, but
+    (50, 2.2, 2, "b", 0.0, 7.0, 1.8),   # occupies a stream position
+    # reincarnation: orders 10/20 live again with the SAME (order_id,
+    # event_no) at later microtimestamps — a claim on life 1 must not
+    # block life 2 (the claim key includes microtimestamp)
+    (10, 3.0, 2, "s", 0.0, 4.0, 2.5),
+    (20, 3.1, 2, "b", 0.0, 4.0, 2.8),
+]
+# (trade_id, t_sec, amount, price, type, buy_oid, sell_oid)
+SWEEP_TRADES = [
+    (100, 1.2, 5.0, 100.0, "b", 20, 10),   # exact -> cell (0.0001, off 1)
+    (200, 1.3, 5.05, 100.0, "b", 20, 10),  # within 0.1 of the same events:
+                                           # must be BLOCKED by 100's claim
+    (300, 2.3, 7.0, 100.0, "b", 50, 30),   # exact but lead-2 -> (0.0001, 2)
+    (400, 3.2, 4.05, 100.0, "b", 20, 10),  # matches lives-2 of 10/20 at the
+                                           # 0.1 cell AFTER life 1 was claimed
+]
+SWEEP_GRID = dict(tolerances=(0.0001, 0.1), max_offset=2)
+
+
+def _sweep_frames(spark, trade_ids=None):
+    l3 = spark.createDataFrame(
+        [(1, ERA, _ts(t), oid, eno, side, a, f, _ts(pts), "active")
+         for oid, t, eno, side, a, f, pts in SWEEP_EVENTS],
+        "pair_id int, era timestamp, microtimestamp timestamp, "
+        "order_id bigint, event_no int, side string, amount double, "
+        "fill double, price_microtimestamp timestamp, chain_state string",
+    )
+    rows = [r for r in SWEEP_TRADES
+            if trade_ids is None or r[0] in trade_ids]
+    trades = spark.createDataFrame(
+        [(1, ERA, tid, _ts(t), a, p, ty, bo, so)
+         for tid, t, a, p, ty, bo, so in rows],
+        "pair_id int, era timestamp, exchange_trade_id bigint, "
+        "trade_microtimestamp timestamp, amount double, price double, "
+        "trade_type string, buy_order_id bigint, sell_order_id bigint",
+    )
+    return l3, trades
+
+
+def test_sweep_offsets_tolerances_and_claim_exclusion(spark):
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+
+    l3, trades = _sweep_frames(spark)
+    out = bitstamp_match_sweep(l3, trades, **SWEEP_GRID)
+    got = {r.exchange_trade_id: (r.tolerance, r.sweep_offset,
+                                 r.buy_order_id, r.sell_order_id)
+           for r in out.collect()}
+    # 100 exact at the tightest cell; 300 only at offset 2; 200 blocked
+    # because 100 claimed both events of its only candidate pair; 400
+    # matches the REINCARNATED lives of 10/20 in a later cell — 100's
+    # claim on life 1 must not over-exclude life 2
+    assert got == {100: (0.0001, 1, 20, 10), 300: (0.0001, 2, 50, 30),
+                   400: (0.1, 1, 20, 10)}
+
+
+def test_sweep_blocked_trade_matches_when_alone(spark):
+    """Negative control: absent the earlier claim, trade 200 DOES match its
+    pair at the 0.1 tolerance cell — proving the exclusion (not the rule
+    codes) is what blocks it in the full sweep."""
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+
+    l3, trades = _sweep_frames(spark, trade_ids={200})
+    out = bitstamp_match_sweep(l3, trades, **SWEEP_GRID)
+    got = [(r.exchange_trade_id, r.tolerance, r.sweep_offset)
+           for r in out.collect()]
+    assert got == [(200, 0.1, 1)]
+
+
+def test_sweep_resume_is_idempotent(spark):
+    """Re-running over already-matched ground (prior links' claimed events
+    seeded, matched trades removed) yields zero new links — the resume
+    contract of the scheduled job."""
+    from obadiah_spark.operators.lifecycle import (
+        _claimed_events, bitstamp_match_sweep)
+
+    l3, trades = _sweep_frames(spark)
+    first = bitstamp_match_sweep(l3, trades, **SWEEP_GRID)
+    rest = trades.join(first.select("pair_id", "exchange_trade_id"),
+                       ["pair_id", "exchange_trade_id"], "left_anti")
+    again = bitstamp_match_sweep(l3, rest, claimed=_claimed_events(first),
+                                 **SWEEP_GRID)
+    assert again.count() == 0
+
+
+def test_sweep_oracle_parity_on_exclusion_fixture(spark):
+    """DuckDB runs the generated chained-CTE sweep oracle over the SAME
+    fixture — cross-engine parity where the claimed-event exclusion and
+    offset-2 matching actually fire (the sf0.01 gate corpus never
+    exercises either)."""
+    import duckdb
+
+    from obadiah_spark.operators.lifecycle import (
+        bitstamp_match_sweep, bitstamp_match_sweep_oracle_sql)
+
+    l3, trades = _sweep_frames(spark)
+    out = bitstamp_match_sweep(l3, trades, **SWEEP_GRID)
+    cols = sorted(out.columns)
+    con = duckdb.connect()
+    con.register("level3", l3.toPandas())
+    con.register("sweep_trades", trades.toPandas())
+    sql = bitstamp_match_sweep_oracle_sql(**SWEEP_GRID)
+    oracle = con.execute(sql).fetch_df()
+    got = sorted(map(tuple, out.select(*cols).toPandas().itertuples(index=False)))
+    want = sorted(map(tuple, oracle[cols].itertuples(index=False)))
+    assert got == want
