@@ -933,6 +933,46 @@ def _q_bs_capture_orders(spark, sf_dir):
     return capture_transient_orders(spark.sql(BS_TRANSIENT_SQL))
 
 
+def _q_era_reassign(spark, sf_dir):
+    """The era-reassignment opener of bitstamp.pga_capture_transient
+    (reference db/bitstamp_schema.sql:1615-1618): events stamped with a
+    FUTURE era (reconnect races) move to the latest era at or before their
+    microtimestamp. The fabric corrupts every order_id%7==1 row one week
+    forward; the registry is the uncorrupted (pair, week) set, so the
+    repair must restore exactly those rows."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.sources.bitstamp import (
+        BS_TRANSIENT_SQL, reassign_transient_eras)
+
+    _load(spark, sf_dir)
+    t = spark.sql(BS_TRANSIENT_SQL)
+    eras = t.select("pair_id", "era").distinct()
+    corrupted = t.withColumn(
+        "era",
+        F.when(F.col("order_id") % 7 == 1,
+               F.col("era") + F.expr("INTERVAL 7 DAYS"))
+         .otherwise(F.col("era")))
+    return reassign_transient_eras(corrupted, eras)
+
+
+def _era_reassign_oracle() -> str:
+    """Corrupted fabric + registry CTEs around the reassignment oracle
+    (mirror of _q_era_reassign)."""
+    from obadiah_spark.sources.bitstamp import (
+        BS_TRANSIENT_SQL, reassign_transient_eras_oracle_sql)
+
+    return f"""
+WITH bs_base AS ({BS_TRANSIENT_SQL}),
+bs_eras AS (SELECT DISTINCT pair_id, era FROM bs_base),
+bs_transient AS (
+    SELECT * REPLACE (CASE WHEN order_id % 7 = 1
+                           THEN era + INTERVAL 7 DAY ELSE era END AS era)
+    FROM bs_base)
+{reassign_transient_eras_oracle_sql()}
+"""
+
+
 def _q_capture_trades(spark, sf_dir):
     """I4: transient bitfinex trades (with retransmission duplicates) →
     canonical matches projection with per-pair precision rounding."""
@@ -1190,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_episodes": _q_merge_episodes,
         "match_sweep": _q_match_sweep,        # NEW r8: bitstamp pga_match sweep
         "match_sequential": _q_match_sequential,  # output schema widened r8
+        "era_reassign": _q_era_reassign,      # NEW r8: pga_capture_transient opener
         # -- (3) oldest remaining r7-green rows fill the window -----------
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
@@ -1435,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "reveal_episodes": level3_cte(reveal_episodes_oracle_sql(
             f"rev_trades AS ({inferred_trades_oracle_sql()})")),
         "bs_capture_orders": capture_transient_orders_oracle_sql(),
+        "era_reassign": _era_reassign_oracle(),
         "capture_trades": level3_cte(capture_transient_trades_oracle_sql()),
         "episode_framing": frame_episodes_oracle_sql(),
         "capture_raw_book": capture_raw_book_oracle_sql(),

@@ -612,3 +612,48 @@ def assign_eras_by_gap(framed: DataFrame, threshold_s: float = 2.0,
             w.rowsBetween(W.unboundedPreceding, W.currentRow))
     ).select("pair_id", "episode_timestamp", "era")
     return framed.join(eras, ["pair_id", "episode_timestamp"])
+
+
+def reassign_transient_eras(transient: DataFrame, eras: DataFrame) -> DataFrame:
+    """The first statement of ``bitstamp.pga_capture_transient`` (reference
+    db/bitstamp_schema.sql:1615-1618): after a reconnect Bitstamp sometimes
+    delivers events stamped with the NEW era but timestamped inside the
+    previous one (``era > microtimestamp``); reassign them to the latest
+    known era at or before their microtimestamp.
+
+    ``eras`` is the (pair_id, era) registry — metadata-sized, so it folds
+    into a sorted per-pair array and broadcasts: one map-side pass over the
+    transient stream, zero shuffles. Deviation, documented: when a pair has
+    NO era at or before the event (a malformed registry), the reference's
+    UPDATE would write NULL; we keep the original era — the row stays
+    visibly misassigned instead of losing its partition key.
+    """
+    eras_arr = eras.groupBy("pair_id").agg(
+        F.sort_array(F.collect_set("era")).alias("_eras"))
+    fixed = F.array_max(F.filter(
+        F.col("_eras"), lambda x: x <= F.col("microtimestamp")))
+    cols = transient.columns
+    return (
+        transient.join(F.broadcast(eras_arr), "pair_id", "left")
+        .withColumn(
+            "era",
+            F.when(F.col("era") <= F.col("microtimestamp"), F.col("era"))
+             .otherwise(F.coalesce(fixed, F.col("era"))))
+        .select(*cols)
+    )
+
+
+def reassign_transient_eras_oracle_sql(transient_cte: str = "bs_transient",
+                                       eras_cte: str = "bs_eras") -> str:
+    """DuckDB mirror of :func:`reassign_transient_eras` (correlated as-of
+    max over the registry)."""
+    return f"""
+SELECT order_id, amount, event, order_type, datetime, microtimestamp,
+       local_timestamp, pair_id, price,
+       CASE WHEN era <= microtimestamp THEN era
+            ELSE coalesce((SELECT max(e.era) FROM {eras_cte} e
+                           WHERE e.pair_id = t.pair_id
+                             AND e.era <= t.microtimestamp), era) END AS era,
+       event_id
+FROM {transient_cte} t
+"""

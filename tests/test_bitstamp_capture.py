@@ -277,3 +277,39 @@ def test_bitstamp_fresh_session_never_clobbers_bronze(spark, tmp_path):
     full = spark.read.parquet(p)
     assert full.count() == 2 * n1
     assert full.select("event_id").distinct().count() == full.count()
+
+
+def test_reassign_transient_eras_restores_and_falls_back(spark):
+    """Era reassignment (pga_capture_transient opener): future-stamped rows
+    move to the as-of era; rows whose pair has no era at or before the
+    event keep their (wrong) era rather than going NULL — the documented
+    deviation."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.sources.bitstamp import reassign_transient_eras
+
+    w1, w2 = datetime(2024, 1, 1), datetime(2024, 1, 8)
+    rows = [
+        # (event_id, pair, ts, era) — era column possibly misassigned
+        (1, 1, datetime(2024, 1, 3), w1),    # correct: untouched
+        (2, 1, datetime(2024, 1, 9), w2),    # correct: untouched
+        (3, 1, datetime(2024, 1, 4), w2),    # future-stamped -> back to w1
+        (4, 1, datetime(2024, 1, 10), datetime(2024, 1, 15)),  # unknown
+        # future era, as-of exists -> w2
+        (5, 2, datetime(2024, 1, 5), w2),    # pair 2 NOT in registry:
+        # era > ts but no as-of era -> kept as-is (fallback)
+    ]
+    t = spark.createDataFrame(
+        rows, "event_id int, pair_id int, microtimestamp timestamp, "
+              "era timestamp")
+    eras = spark.createDataFrame([(1, w1), (1, w2)],
+                                 "pair_id int, era timestamp")
+    got = {r.event_id: r.era for r in reassign_transient_eras(t, eras).collect()}
+    assert got == {1: w1, 2: w2, 3: w1, 4: w2, 5: w2}
+    # zero-shuffle contract: the plan is a broadcast join over a map-side
+    # projection — no Exchange on the transient side
+    plan = reassign_transient_eras(t, eras)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -144,7 +144,41 @@ def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
               l3, at,
               live=snapshot_from_silver(l3, ckpt_path, at,
                                         only_makers=True)).count())
+    timed("match_sweep", lambda: _match_sweep(l3).count())
     return out
+
+
+def _match_sweep(l3):
+    """The gate's trimmed bitstamp pga_match sweep over the probe silver:
+    inferred closed-loop trades (links forgotten, amounts bucket-perturbed
+    so all three tolerance cells are productive), 3 tolerances x 2 offsets.
+    Full-stream operator — expect exponent ~1 in events, dominated by the
+    two per-offset lead windows (built once, reused across cells)."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+    from obadiah_spark.operators.matching import inferred_trades
+
+    t = inferred_trades(l3).select(
+        "pair_id",
+        F.date_trunc("week", "microtimestamp").alias("era"),
+        (F.col("buy_order_id").cast("bigint") * 1000000000000
+         + F.col("buy_event_no").cast("bigint") * 100000000
+         + F.col("sell_order_id").cast("bigint") * 10000
+         + F.col("sell_event_no").cast("bigint")).alias("exchange_trade_id"),
+        F.col("microtimestamp").alias("trade_microtimestamp"),
+        "amount", "price",
+        F.col("side").alias("trade_type"),
+        "buy_order_id", "sell_order_id",
+    )
+    b = F.col("exchange_trade_id") % 3
+    t = t.withColumn(
+        "amount",
+        F.col("amount") + F.when(b == 1, F.lit(0.001))
+                           .when(b == 2, F.lit(0.1))
+                           .otherwise(F.lit(0.0)))
+    return bitstamp_match_sweep(l3, t, tolerances=(0.0001, 0.01, 1.0),
+                                max_offset=2)
 
 
 def build_docs(spark, sf_dir: str, work: str, reps: int) -> str:
