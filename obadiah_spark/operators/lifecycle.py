@@ -302,7 +302,7 @@ SWEEP_TOLERANCES = (0.0001, 0.001, 0.01, 0.1, 1.0)
 SWEEP_MAX_OFFSET = 4
 
 
-def _claimed_events(matches: DataFrame) -> DataFrame:
+def claimed_events(matches: DataFrame) -> DataFrame:
     """(pair_id, era, microtimestamp, order_id, event_no) of every event a
     match claims — the recompute-and-return stand-in for the reference's
     live_orders trade_id backfill (an event linked to a trade may not link
@@ -349,7 +349,7 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
     runs — the resume path: the reference re-runs the sweep every few
     minutes over [last matched event, era end]; a caller replays that by
     filtering ``l3``/``trades`` to the window (plain filters — the repo
-    convention) and passing the prior links' :func:`_claimed_events`.
+    convention) and passing the prior links' :func:`claimed_events`.
     Re-running over already-matched ground is then a no-op
     (tests/test_lifecycle.py idempotency test).
 
@@ -379,7 +379,7 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
             cl = claimed
             un = trades
             if out is not None:
-                new_cl = _claimed_events(out)
+                new_cl = claimed_events(out)
                 cl = new_cl if cl is None else cl.unionByName(new_cl)
                 un = trades.join(
                     out.select("pair_id", "exchange_trade_id"),

@@ -96,3 +96,64 @@ class MatchJob:
             delay_us=self.delay_us, max_interval_us=self.max_interval_us,
             max_delay_s=self.max_delay_s, lookback_s=self.lookback_s)
         new.write.mode("append").parquet(self.links_store)
+
+
+class BitstampMatchJob:
+    """foreachBatch body for the BITSTAMP ``pga_match`` sweep (reference
+    db/bitstamp_schema.sql:1773-1861): land the micro-batch of
+    order-id-aware trades, resume from the last matched EVENT (the
+    reference's ``v_start = max(microtimestamp) where trade_id is not
+    null``), run the tolerance x offset grid over the still-unmatched
+    trades, append the new links.
+
+    Resume semantics mirror the reference exactly: the sweep window starts
+    at the last matched event — events and trades before it are never
+    rescanned, so per-run work is bounded by the unmatched tail since the
+    last match, not by history. (Consequence, same as the reference: a
+    trade whose events all precede the resume cursor is never retried.)
+    Claimed events from prior runs seed the exclusion set, so replaying a
+    committed batch — foreachBatch's at-least-once contract — appends
+    zero rows (the sweep's idempotency test).
+    """
+
+    def __init__(self, l3_reader: Callable[..., DataFrame],
+                 trades_store: str, links_store: str,
+                 tolerances: tuple[float, ...] | None = None,
+                 max_offset: int | None = None) -> None:
+        from obadiah_spark.operators.lifecycle import (
+            SWEEP_MAX_OFFSET, SWEEP_TOLERANCES)
+
+        self.l3_reader = l3_reader
+        self.trades_store = trades_store
+        self.links_store = links_store
+        self.tolerances = tolerances or SWEEP_TOLERANCES
+        self.max_offset = max_offset or SWEEP_MAX_OFFSET
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from obadiah_spark.operators.lifecycle import (
+            bitstamp_match_sweep, claimed_events)
+
+        spark = batch_df.sparkSession
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(self.trades_store))
+        trades = spark.read.parquet(self.trades_store).drop("_batch_id")
+        l3 = self.l3_reader(spark)
+        links = read_links(spark, self.links_store)
+        claimed = None
+        if links is not None:
+            cursor = links.agg(F.max(F.greatest(
+                "buy_microtimestamp", "sell_microtimestamp"))).collect()[0][0]
+            if cursor is not None:
+                l3 = l3.filter(F.col("microtimestamp") >= cursor)
+                trades = trades.filter(
+                    F.col("trade_microtimestamp") >= cursor)
+            trades = trades.join(
+                links.select("pair_id", "exchange_trade_id").distinct(),
+                ["pair_id", "exchange_trade_id"], "left_anti")
+            claimed = claimed_events(links)
+        new = bitstamp_match_sweep(l3, trades, self.tolerances,
+                                   self.max_offset, claimed=claimed)
+        new.write.mode("append").parquet(self.links_store)

@@ -356,13 +356,13 @@ def test_sweep_resume_is_idempotent(spark):
     seeded, matched trades removed) yields zero new links — the resume
     contract of the scheduled job."""
     from obadiah_spark.operators.lifecycle import (
-        _claimed_events, bitstamp_match_sweep)
+        claimed_events, bitstamp_match_sweep)
 
     l3, trades = _sweep_frames(spark)
     first = bitstamp_match_sweep(l3, trades, **SWEEP_GRID)
     rest = trades.join(first.select("pair_id", "exchange_trade_id"),
                        ["pair_id", "exchange_trade_id"], "left_anti")
-    again = bitstamp_match_sweep(l3, rest, claimed=_claimed_events(first),
+    again = bitstamp_match_sweep(l3, rest, claimed=claimed_events(first),
                                  **SWEEP_GRID)
     assert again.count() == 0
 
@@ -388,3 +388,36 @@ def test_sweep_oracle_parity_on_exclusion_fixture(spark):
     got = sorted(map(tuple, out.select(*cols).toPandas().itertuples(index=False)))
     want = sorted(map(tuple, oracle[cols].itertuples(index=False)))
     assert got == want
+
+
+def test_bitstamp_match_job_resume_and_replay(spark, tmp_path):
+    """The bitstamp foreachBatch runner: links accumulate across
+    micro-batches with the resume cursor at the last matched EVENT, a
+    trade whose candidate events precede the cursor stays unmatched (the
+    reference's v_start semantics), and replaying a committed batch
+    appends zero links."""
+    from obadiah_spark.streaming.match_job import (
+        BitstampMatchJob, read_links)
+
+    l3, trades = _sweep_frames(spark)
+    job = BitstampMatchJob(lambda s: l3, str(tmp_path / "bs_trades"),
+                           str(tmp_path / "bs_links"), **SWEEP_GRID)
+    # batch 0: trades 100 (matches) and 200 (blocked by 100's event claim)
+    job(trades.filter(F.col("exchange_trade_id") <= 200), 0)
+    links = read_links(spark, str(tmp_path / "bs_links"))
+    assert {r.exchange_trade_id for r in links.collect()} == {100}
+    # batch 1: resume cursor = 100's latest event; 300/400 match, and 200
+    # (still in the store, still within the window by timestamp) stays
+    # unmatched — its only candidate pair starts BEFORE the cursor
+    job(trades.filter(F.col("exchange_trade_id") > 200), 1)
+    links = read_links(spark, str(tmp_path / "bs_links"))
+    got = {r.exchange_trade_id: (r.tolerance, r.sweep_offset)
+           for r in links.collect()}
+    assert got == {100: (0.0001, 1), 300: (0.0001, 2), 400: (0.1, 1)}
+    # at-least-once replay of the committed batch: zero new links, the
+    # trades store overwrites its own partition
+    n = spark.read.parquet(str(tmp_path / "bs_trades")).count()
+    job(trades.filter(F.col("exchange_trade_id") > 200), 1)
+    links2 = read_links(spark, str(tmp_path / "bs_links"))
+    assert links2.count() == links.count()
+    assert spark.read.parquet(str(tmp_path / "bs_trades")).count() == n
