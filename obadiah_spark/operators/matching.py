@@ -525,8 +525,8 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
 
     ``pairs`` injects a precomputed :func:`sequential_event_pairs` frame —
     it depends on (l3, offset) only, so a tolerance sweep
-    (lifecycle.bitstamp_match_lifecycle) builds it once per offset instead
-    of once per (tolerance, offset) sweep.
+    (lifecycle.bitstamp_match_sweep) builds it once per offset instead
+    of once per (tolerance, offset) cell.
     """
     ev = pairs if pairs is not None else sequential_event_pairs(
         l3, offset, period_s)
