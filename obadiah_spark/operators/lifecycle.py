@@ -187,7 +187,8 @@ def incremental_match(l3: DataFrame, trades: DataFrame,
                       max_interval_us: int = MAX_INTERVAL_US,
                       max_delay_s: int = 1, lookback_s: int = 60,
                       max_steps: int = 10_000,
-                      cache_inputs: bool = True) -> DataFrame:
+                      cache_inputs: bool = True,
+                      parallelism: int = 4) -> DataFrame:
     """Drive :func:`incremental_match_step` to the current frame horizon —
     the whole ``pga_match`` lifecycle replayed as a bounded batch loop.
 
@@ -197,48 +198,68 @@ def incremental_match(l3: DataFrame, trades: DataFrame,
     full replay over already-linked ground yields zero rows
     (tests/test_lifecycle.py).
 
-    The loop touches ``trades`` once per chunk (and the bounds once
-    total — chunk frames advance arithmetically off the cursor, which by
+    The chunk frames advance arithmetically off the cursor (which by
     construction is >= every kept link, so the per-step linked-state
-    aggregate of :func:`match_frame` is redundant here). With
-    ``cache_inputs`` (default) the trades frame is materialized up front
-    so a computed/view-backed input isn't re-derived every chunk; pass
-    False when trades is a silver parquet table — then each chunk's time
-    filter reaches the scan as a pushed-down predicate and nothing is
-    pinned."""
+    aggregate of :func:`match_frame` is redundant here) — they are known
+    up front, and the tiling proof (module docstring) makes the steps
+    INDEPENDENT: a backlog replay therefore submits up to ``parallelism``
+    chunk jobs concurrently from driver threads (Spark schedules
+    concurrent jobs from one session fairly), instead of serializing a
+    month of bounded jobs end to end. The live scheduled job
+    (streaming/match_job.py) still advances one frame per micro-batch —
+    the cadence is the point there; the thread pool is the batch-replay
+    path. Results are unioned in frame order, so the output is
+    bit-identical to the serial loop (pytest: chunk-size invariance).
+
+    With ``cache_inputs`` (default) the trades frame is materialized up
+    front so a computed/view-backed input isn't re-derived every chunk;
+    pass False when trades is a silver parquet table — then each chunk's
+    time filter reaches the scan as a pushed-down predicate and nothing
+    is pinned."""
     if cache_inputs:
         trades = trades.localCheckpoint(eager=True)
     b = trades.agg(
         F.min(F.unix_micros("trade_microtimestamp")).alias("mn"),
         F.max(F.unix_micros("trade_microtimestamp")).alias("mx"),
     ).collect()[0]
-    empty = None
-    if b.mn is None:
-        empty = True
     cursor: int | None = None
     if existing_links is not None:
         cursor = existing_links.agg(
             F.max(F.unix_micros("trade_microtimestamp"))).collect()[0][0]
-    links: DataFrame | None = None
-    if not empty:
+    frames: list[tuple[int, int]] = []
+    if b.mn is not None:
         lo = cursor if cursor is not None else b.mn - 1
-        for _ in range(max_steps):
+        while len(frames) <= max_steps:
             hi = min(b.mx - delay_us, lo + max_interval_us)
             if hi <= lo:
                 break
-            step = incremental_match_step(l3, trades, lo, hi,
-                                          max_delay_s, lookback_s)
-            # cut lineage per chunk: the loop would otherwise stack one
-            # plan per step (verify-skill gotcha on multi-stage self-joins)
-            step = step.localCheckpoint(eager=True)
-            links = step if links is None else links.unionByName(step)
+            frames.append((lo, hi))
             lo = hi
-        else:
+        if len(frames) > max_steps:
             raise RuntimeError(f"incremental_match did not converge in "
                                f"{max_steps} steps")
-    if links is None:
+    if not frames:
         return incremental_match_step(l3, trades.limit(0), 0, 0,
                                       max_delay_s, lookback_s).limit(0)
+
+    def run(frame: tuple[int, int]) -> DataFrame:
+        # cut lineage per chunk: unioning raw steps would stack one plan
+        # per chunk (verify-skill gotcha on multi-stage self-joins); the
+        # eager checkpoint is also what each worker thread blocks on
+        return incremental_match_step(
+            l3, trades, *frame, max_delay_s, lookback_s
+        ).localCheckpoint(eager=True)
+
+    if parallelism > 1 and len(frames) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            steps = list(pool.map(run, frames))
+    else:
+        steps = [run(f) for f in frames]
+    links = steps[0]
+    for step in steps[1:]:
+        links = links.unionByName(step)
     return links
 
 
