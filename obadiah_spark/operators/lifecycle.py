@@ -392,8 +392,17 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
         raise ValueError("sweep grid is empty")
     if cache_inputs:
         trades = trades.localCheckpoint(eager=True)
-    pairs = {off: sequential_event_pairs(l3, off).localCheckpoint(eager=True)
-             for off in range(1, max_offset + 1)}
+    # the per-offset lead-window frames are independent of each other and
+    # of the grid state — materialize them as concurrent jobs (the cells
+    # themselves are sequentially dependent by the reference's semantics:
+    # each cell's exclusion state is every earlier cell's claims)
+    from concurrent.futures import ThreadPoolExecutor
+
+    offsets = range(1, max_offset + 1)
+    with ThreadPoolExecutor(max_workers=min(4, max_offset)) as pool:
+        pairs = dict(zip(offsets, pool.map(
+            lambda off: sequential_event_pairs(l3, off)
+            .localCheckpoint(eager=True), offsets)))
     out: DataFrame | None = None
     for tol in tolerances:
         for off in range(1, max_offset + 1):
