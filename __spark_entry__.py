@@ -1237,10 +1237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,
-        "data_overview": _q_data_overview,
         # ---- slot 51+: r7 driver-green, code unchanged — rotate back in
         #      r9 (every entry below has a CORRECTNESS_r07 row, so nothing
-        #      here ages past the two-round bound before the next cap) ----
+        #      here ages past the two-round bound before the next cap;
+        #      data_overview/epsilon_draws{,_zigzag} were displaced here by
+        #      the three late-r8 window entries above) ----
+        "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
         "q1_pricing_summary": _q_q1,

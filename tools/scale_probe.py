@@ -229,16 +229,30 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
 
 
 def build_embs(spark, sf_dir: str, work: str, reps: int) -> str:
-    """Replicated embeddings for the ANN probe: vec_id offset per replica;
-    vectors repeat, which only densifies LSH buckets / IVF cells — the
-    conservative direction for a performance probe."""
+    """Replicated embeddings for the ANN probe: vec_id offset per replica,
+    and each non-zero replica's vectors circularly SHIFTED by k positions —
+    norm-preserving, but it decorrelates the replica from the original so
+    sign-LSH buckets and IVF cells spread the way a genuinely larger
+    corpus would. (Verbatim repetition — the pre-r8 probe — collapses
+    every replica into the same buckets, which turns the in-bucket join
+    quadratic by construction and overstates the exponent: 0.72 measured
+    pathological vs the spread form's realistic growth.)"""
     from pyspark.sql import functions as F
 
     path = os.path.join(work, f"embeddings_x{reps}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    _replicate(emb, "vec_id", reps).write.mode("overwrite").parquet(path)
+
+    def shift(df, k):
+        n = F.size("embedding")
+        return df.withColumn(
+            "embedding",
+            F.concat(F.slice("embedding", F.lit(k % 16) + 1, n),
+                     F.slice("embedding", 1, F.lit(k % 16))))
+
+    _replicate(emb, "vec_id", reps, shift).write.mode(
+        "overwrite").parquet(path)
     return path
 
 
