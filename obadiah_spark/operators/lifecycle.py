@@ -348,7 +348,8 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
                          tolerances: tuple[float, ...] = SWEEP_TOLERANCES,
                          max_offset: int = SWEEP_MAX_OFFSET,
                          claimed: DataFrame | None = None,
-                         cache_inputs: bool = True) -> DataFrame:
+                         cache_inputs: bool = True,
+                         period_s: int | None = None) -> DataFrame:
     """The ``bitstamp.pga_match`` sequential-matching sweep (reference
     db/bitstamp_schema.sql:1773-1861): for each tolerance percentage (outer)
     and event offset 1..max_offset (inner), run
@@ -386,7 +387,10 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
     20 cheap equi-joins against broadcast-size state frames. Each cell's
     result is checkpointed, so the threaded state (anti-join frames) stays
     a union of tiny in-memory leaves and the logical plan depth is bounded
-    per cell, not cumulative across the grid.
+    per cell, not cumulative across the grid. ``period_s`` passes through
+    to :func:`sequential_event_pairs` — the period-parallel neighbor
+    lookup for reducer-breakingly large eras (same opt-in and same
+    split-equality guarantee as :func:`match_sequential`).
     """
     if not tolerances or max_offset < 1:
         raise ValueError("sweep grid is empty")
@@ -401,7 +405,7 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
     offsets = range(1, max_offset + 1)
     with ThreadPoolExecutor(max_workers=min(4, max_offset)) as pool:
         pairs = dict(zip(offsets, pool.map(
-            lambda off: sequential_event_pairs(l3, off)
+            lambda off: sequential_event_pairs(l3, off, period_s)
             .localCheckpoint(eager=True), offsets)))
     out: DataFrame | None = None
     for tol in tolerances:

@@ -421,3 +421,19 @@ def test_bitstamp_match_job_resume_and_replay(spark, tmp_path):
     links2 = read_links(spark, str(tmp_path / "bs_links"))
     assert links2.count() == links.count()
     assert spark.read.parquet(str(tmp_path / "bs_trades")).count() == n
+
+
+def test_sweep_period_split_equals_unsplit(spark):
+    """period_s passes through to the pair builds: the period-parallel
+    neighbor lookup must not change the sweep result (the fixture's events
+    span >3 s, so period_s=1 actually splits the stream)."""
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+
+    l3, trades = _sweep_frames(spark)
+    base = bitstamp_match_sweep(l3, trades, **SWEEP_GRID)
+    split = bitstamp_match_sweep(l3, trades, period_s=1, **SWEEP_GRID)
+    key = lambda df: sorted(  # noqa: E731
+        (r.exchange_trade_id, r.tolerance, r.sweep_offset,
+         r.buy_microtimestamp, r.sell_microtimestamp)
+        for r in df.collect())
+    assert key(base) == key(split)
