@@ -89,22 +89,66 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + dib + body
 
 
+def _try_decode_ppm(raw: bytes) -> dict | None:
+    """Strict pure-Python decode of binary PPM (P6, maxval <= 255) — the
+    second zero-dependency real decode path. Returns None unless the
+    header parses AND the pixel array length matches exactly, so
+    arbitrary text starting with 'P6' cannot take this path."""
+    if len(raw) < 10 or raw[:2] != b"P6":
+        return None
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens, with '#' comments allowed between them; ONE whitespace byte
+    # after maxval, then the binary pixel array
+    i, fields = 2, []
+    while len(fields) < 3:
+        while i < len(raw) and raw[i:i + 1].isspace():
+            i += 1
+        if raw[i:i + 1] == b"#":
+            while i < len(raw) and raw[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j:j + 1].isspace():
+            j += 1
+        if j == i or not raw[i:j].isdigit():
+            return None
+        fields.append(int(raw[i:j]))
+        i = j
+    i += 1  # the single whitespace byte terminating the header
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        return None
+    if len(raw) - i != w * h * 3:
+        return None
+    return {"width": w, "height": h, "bpp": 24, "pixels": raw[i:]}
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Build a binary P6 PPM from row-major RGB bytes — the test-side
+    inverse of :func:`_try_decode_ppm`."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
 def decode_image(payload: bytes) -> dict:
-    """The genuinely-multimodal step. Uncompressed BMP decodes for real
-    (pure Python, :func:`_try_decode_bmp` — VERDICT r6 task #7); every
-    compressed format still needs a codec library the container doesn't
-    provide, so those stay an honest stub behind a PIL import-try."""
-    bmp = _try_decode_bmp(bytes(payload))
-    if bmp is not None:
-        return bmp
+    """The genuinely-multimodal step. Uncompressed BMP and binary PPM
+    decode for real (pure Python, :func:`_try_decode_bmp` /
+    :func:`_try_decode_ppm` — VERDICT r6 task #7); every compressed
+    format still needs a codec library the container doesn't provide, so
+    those stay an honest stub behind a PIL import-try."""
+    raw = bytes(payload)
+    decoded = _try_decode_bmp(raw) or _try_decode_ppm(raw)
+    if decoded is not None:
+        return decoded
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "non-BMP decode requires PIL; container provides none "
+            "non-BMP/PPM decode requires PIL; container provides none "
             "(stub per driver brief)") from exc
     raise NotImplementedError(
-        "non-BMP decode path not exercised in this environment")
+        "non-BMP/PPM decode path not exercised in this environment")
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
@@ -117,7 +161,8 @@ def extract_features(blobs: DataFrame) -> DataFrame:
             payloads = pdf["payload"]
             widths, heights = [], []
             for payload, m in zip(payloads, pdf["meta"]):
-                bmp = _try_decode_bmp(bytes(payload))
+                b = bytes(payload)
+                bmp = _try_decode_bmp(b) or _try_decode_ppm(b)
                 if bmp is not None:
                     widths.append(bmp["width"])
                     heights.append(bmp["height"])

@@ -437,3 +437,17 @@ def test_sweep_period_split_equals_unsplit(spark):
          r.buy_microtimestamp, r.sell_microtimestamp)
         for r in df.collect())
     assert key(base) == key(split)
+
+
+def test_sweep_full_reference_grid(spark):
+    """The production-default grid (the reference's 5 tolerances x 4
+    offsets) runs end to end; on this fixture the extra cells are sterile,
+    so every trade lands in the same cell as under the trimmed gate grid —
+    cell PRIORITY, not grid size, decides placement."""
+    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+
+    l3, trades = _sweep_frames(spark)
+    out = bitstamp_match_sweep(l3, trades)  # defaults: 5 x 4
+    got = {r.exchange_trade_id: (r.tolerance, r.sweep_offset)
+           for r in out.collect()}
+    assert got == {100: (0.0001, 1), 300: (0.0001, 2), 400: (0.1, 1)}

@@ -238,6 +238,35 @@ def test_bmp_decode_roundtrip():
         decode_image(b"BM" + b"x" * 100)
 
 
+def test_ppm_decode_roundtrip_and_dispatch():
+    """The second real decode path: binary P6 PPM round-trips through
+    encode_ppm -> decode_image (incl. header comments), strict validation
+    rejects P6-prefixed garbage, and format dispatch picks the right
+    decoder per payload."""
+    import pytest as _pytest
+
+    from obadiah_spark.pipelines.multimodal import (
+        _try_decode_ppm, decode_image, encode_bmp, encode_ppm)
+
+    w, h = 4, 3
+    pixels = bytes((i * 11) % 256 for i in range(w * h * 3))
+    img = decode_image(encode_ppm(w, h, pixels))
+    assert (img["width"], img["height"], img["bpp"]) == (w, h, 24)
+    assert img["pixels"] == pixels
+    # comments between header tokens are legal PPM
+    commented = b"P6\n# made by a test\n4 3\n255\n" + pixels
+    assert _try_decode_ppm(commented)["pixels"] == pixels
+    # strict: 'P6' prefix alone, or a truncated pixel array, never decodes
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"P6 but not really an image at all........")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"P6\n4 3\n255\n" + pixels[:-1])
+    # dispatch: the BMP encoding of the same pixels decodes via the BMP
+    # path to identical dimensions (pixel order differs: BMP is BGR)
+    bmp = decode_image(encode_bmp(w, h, pixels))
+    assert (bmp["width"], bmp["height"]) == (w, h)
+
+
 def test_extract_features_reports_decoded_bmp_dims(spark):
     """A genuine BMP payload flows through extract_features with its REAL
     decoded width/height; a text payload keeps the metadata stand-in."""
