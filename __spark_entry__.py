@@ -707,7 +707,7 @@ def _q_match_sequential(spark, sf_dir):
 
 def _q_match_sweep(spark, sf_dir):
     """bitstamp.pga_match tolerance x offset sweep (reference
-    db/bitstamp_schema.sql:1840-1850) with matched state threaded between
+    db/bitstamp_schema.sql:1849-1857) with matched state threaded between
     grid cells. Closed loop: the inferred trades (which know their buy/sell
     ORDER ids) forget their event links; a deterministic per-trade-id-bucket
     amount perturbation makes the wider tolerance cells productive (bucket 1

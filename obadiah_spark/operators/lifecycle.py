@@ -317,7 +317,7 @@ WHERE _gts <= (SELECT hi FROM horizon)
 """
 
 
-# reference bitstamp.pga_match sweep grid (db/bitstamp_schema.sql:1840-1850):
+# reference bitstamp.pga_match sweep grid (db/bitstamp_schema.sql:1849-1857):
 # tolerance OUTER loop over these percentages, offset INNER loop 1..MAX_OFFSET
 SWEEP_TOLERANCES = (0.0001, 0.001, 0.01, 0.1, 1.0)
 SWEEP_MAX_OFFSET = 4
@@ -351,7 +351,7 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
                          cache_inputs: bool = True,
                          period_s: int | None = None) -> DataFrame:
     """The ``bitstamp.pga_match`` sequential-matching sweep (reference
-    db/bitstamp_schema.sql:1773-1861): for each tolerance percentage (outer)
+    db/bitstamp_schema.sql:1780-1861): for each tolerance percentage (outer)
     and event offset 1..max_offset (inner), run
     ``match_trades_to_sequential_events`` (I10, :func:`match_sequential`)
     over the still-unmatched trades, excluding events claimed by earlier

@@ -655,7 +655,7 @@ def match_sequential_body_sql(tolerance_pct: float, trades_cte: str,
     trades from ``trades_cte``. ``exclude_cte``, when given, names an outer
     (pair_id, era, order_id, event_no) frame of already-claimed events —
     pairs touching one are skipped, the reference's ``trade_id is null AND
-    n_trade_id is null`` filter (db/bitstamp_schema.sql:1320-1321) applied
+    n_trade_id is null`` filter (db/bitstamp_schema.sql:1319-1320) applied
     AFTER the lead window, so claimed events still occupy stream positions."""
     excl = ""
     if exclude_cte is not None:

@@ -100,7 +100,7 @@ class MatchJob:
 
 class BitstampMatchJob:
     """foreachBatch body for the BITSTAMP ``pga_match`` sweep (reference
-    db/bitstamp_schema.sql:1773-1861): land the micro-batch of
+    db/bitstamp_schema.sql:1780-1861): land the micro-batch of
     order-id-aware trades, resume from the last matched EVENT (the
     reference's ``v_start = max(microtimestamp) where trade_id is not
     null``), run the tolerance x offset grid over the still-unmatched
