@@ -443,11 +443,24 @@ def test_sweep_full_reference_grid(spark):
     """The production-default grid (the reference's 5 tolerances x 4
     offsets) runs end to end; on this fixture the extra cells are sterile,
     so every trade lands in the same cell as under the trimmed gate grid —
-    cell PRIORITY, not grid size, decides placement."""
-    from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
+    cell PRIORITY, not grid size, decides placement. The generated
+    20-cell chained-CTE oracle must agree (the gate only exercises the
+    generator at 3x2, so a bug specific to deeper offset chains would
+    otherwise go unchecked)."""
+    import duckdb
+
+    from obadiah_spark.operators.lifecycle import (
+        bitstamp_match_sweep, bitstamp_match_sweep_oracle_sql)
 
     l3, trades = _sweep_frames(spark)
     out = bitstamp_match_sweep(l3, trades)  # defaults: 5 x 4
     got = {r.exchange_trade_id: (r.tolerance, r.sweep_offset)
            for r in out.collect()}
     assert got == {100: (0.0001, 1), 300: (0.0001, 2), 400: (0.1, 1)}
+    con = duckdb.connect()
+    con.register("level3", l3.toPandas())
+    con.register("sweep_trades", trades.toPandas())
+    oracle = con.execute(bitstamp_match_sweep_oracle_sql()).fetch_df()
+    want = {int(r.exchange_trade_id): (r.tolerance, int(r.sweep_offset))
+            for r in oracle.itertuples()}
+    assert got == want
