@@ -677,6 +677,38 @@ def _q_inferred_trades(spark, sf_dir):
     return inferred_trades(_l3(spark, sf_dir))
 
 
+# Synthetic exchange_trade_id for the closed-loop matching gates: the four
+# components pack into NON-OVERLAPPING bit fields (12-bit order ids /
+# 19-bit event numbers, 62 bits total) so distinct event pairs can never
+# merge into one trade id (ADVICE r8: the old decimal packing bled fields
+# at order_id >= 10000 and overflowed bigint at ~9.2e6). The Spark side
+# raises on a component exceeding its field; the oracle mirrors the
+# arithmetic verbatim (a fabric that overflows fails the gate loudly
+# instead of hash-matching on merged trades).
+_PACK_B_OID, _PACK_B_ENO, _PACK_S_OID = 2 ** 50, 2 ** 31, 2 ** 19
+_PACK_SQL = f"""CAST(buy_order_id AS BIGINT) * {_PACK_B_OID}
+           + CAST(buy_event_no AS BIGINT) * {_PACK_B_ENO}
+           + CAST(sell_order_id AS BIGINT) * {_PACK_S_OID}
+           + CAST(sell_event_no AS BIGINT)"""
+
+
+def _packed_trade_id():
+    from pyspark.sql import functions as F
+
+    fits = None
+    for col, lim in (("buy_order_id", 4096), ("sell_order_id", 4096),
+                     ("buy_event_no", 524288), ("sell_event_no", 524288)):
+        c = (F.col(col) >= 0) & (F.col(col) < lim)
+        fits = c if fits is None else (fits & c)
+    packed = (F.col("buy_order_id").cast("bigint") * _PACK_B_OID
+              + F.col("buy_event_no").cast("bigint") * _PACK_B_ENO
+              + F.col("sell_order_id").cast("bigint") * _PACK_S_OID
+              + F.col("sell_event_no").cast("bigint"))
+    return F.when(fits, packed).otherwise(F.raise_error(F.lit(
+        "synthetic trade-id packing overflow: order_id/event_no exceeds "
+        "its 12/19-bit field")))
+
+
 def _q_match_sequential(spark, sf_dir):
     """I10 closed loop: take the inferred trades (which know their buy/sell
     ORDER ids), forget the event links, and recover them by scanning the
@@ -689,10 +721,7 @@ def _q_match_sequential(spark, sf_dir):
     t = inferred_trades(l3).select(
         "pair_id",
         F.date_trunc("week", "microtimestamp").alias("era"),
-        (F.col("buy_order_id").cast("bigint") * 1000000000000
-         + F.col("buy_event_no").cast("bigint") * 100000000
-         + F.col("sell_order_id").cast("bigint") * 10000
-         + F.col("sell_event_no").cast("bigint")).alias("exchange_trade_id"),
+        _packed_trade_id().alias("exchange_trade_id"),
         F.col("microtimestamp").alias("trade_microtimestamp"),
         "amount", "price",
         F.col("side").alias("trade_type"),
@@ -724,10 +753,7 @@ def _q_match_sweep(spark, sf_dir):
     t = inferred_trades(l3).select(
         "pair_id",
         F.date_trunc("week", "microtimestamp").alias("era"),
-        (F.col("buy_order_id").cast("bigint") * 1000000000000
-         + F.col("buy_event_no").cast("bigint") * 100000000
-         + F.col("sell_order_id").cast("bigint") * 10000
-         + F.col("sell_event_no").cast("bigint")).alias("exchange_trade_id"),
+        _packed_trade_id().alias("exchange_trade_id"),
         F.col("microtimestamp").alias("trade_microtimestamp"),
         "amount", "price",
         F.col("side").alias("trade_type"),
@@ -753,10 +779,7 @@ def _match_sweep_oracle() -> str:
     WITH it AS ({inferred_trades_oracle_sql()}),
     base AS (
         SELECT pair_id, date_trunc('week', microtimestamp) AS era,
-               CAST(buy_order_id AS BIGINT) * 1000000000000
-               + CAST(buy_event_no AS BIGINT) * 100000000
-               + CAST(sell_order_id AS BIGINT) * 10000
-               + CAST(sell_event_no AS BIGINT) AS exchange_trade_id,
+               {_PACK_SQL} AS exchange_trade_id,
                microtimestamp AS trade_microtimestamp, amount, price,
                side AS trade_type, buy_order_id, sell_order_id
         FROM it)
@@ -1129,10 +1152,7 @@ def _match_sequential_oracle(inferred_sql: str, match_sql: str) -> str:
     seq_trades = f"""seq_trades AS (
     WITH it AS ({inferred_sql})
     SELECT pair_id, date_trunc('week', microtimestamp) AS era,
-           CAST(buy_order_id AS BIGINT) * 1000000000000
-           + CAST(buy_event_no AS BIGINT) * 100000000
-           + CAST(sell_order_id AS BIGINT) * 10000
-           + CAST(sell_event_no AS BIGINT) AS exchange_trade_id,
+           {_PACK_SQL} AS exchange_trade_id,
            microtimestamp AS trade_microtimestamp, amount, price,
            side AS trade_type, buy_order_id, sell_order_id
     FROM it

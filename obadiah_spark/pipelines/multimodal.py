@@ -1,9 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched ``mapInPandas`` UDFs.
 
-Uncompressed BMP decodes for real — a strict pure-Python parser with a
-test-side encoder (round-trip + through-``extract_features`` pytest). The
-container has no image/audio libraries, so every COMPRESSED format's decode
+Uncompressed BMP, binary PPM, and 8-bit PNG (stdlib zlib inflate + the
+five scanline filters) decode for real — strict pure-Python parsers with
+test-side encoders (round-trip + through-``extract_features`` pytest),
+plus header-only dims parsers for feature extraction. The container has
+no image/audio libraries, so the remaining COMPRESSED formats' decode
 stays stubbed (``decode_image`` raises NotImplementedError unless PIL is
 importable) — but the Spark-side plumbing is real and oracle-checked:
 schema (binary + struct metadata), batch shape, deterministic feature
@@ -19,6 +21,7 @@ from collections.abc import Iterator
 
 import hashlib
 import struct
+import zlib
 
 import pandas as pd
 
@@ -40,14 +43,14 @@ def pack_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _try_decode_bmp(raw: bytes) -> dict | None:
-    """Strict pure-Python decode of uncompressed 24/32-bit BITMAPINFOHEADER
-    BMPs (the one format needing zero dependencies). Returns None unless
-    the payload FULLY validates — magic, declared file size == actual
-    length, DIB size 40, planes 1, BI_RGB, pixel array in bounds — so a
-    text payload that merely starts with 'BM' can never take this path
-    (the declared-size check alone defeats it) and the gate's stand-in
-    payloads keep their metadata-derived features."""
+def _bmp_header(raw: bytes) -> dict | None:
+    """Header-only strict validation of uncompressed 24/32-bit
+    BITMAPINFOHEADER BMPs — every check :func:`_try_decode_bmp` applies is
+    header-derived (magic, declared file size == actual length, DIB size
+    40, planes 1, BI_RGB, pixel array in bounds), so a payload passing
+    here is guaranteed to fully decode, with ZERO pixel copying. Feature
+    extraction calls this; full decode callers get the pixels on top
+    (ADVICE r8: dims-only readers shouldn't pay O(pixels) Python work)."""
     if len(raw) < 54 or raw[:2] != b"BM":
         return None
     file_size, _reserved, px_off = struct.unpack_from("<III", raw, 2)
@@ -63,13 +66,29 @@ def _try_decode_bmp(raw: bytes) -> dict | None:
     stride = (w * bytes_px + 3) // 4 * 4
     if px_off < 54 or px_off + stride * height > len(raw):
         return None
+    return {"width": w, "height": height, "bpp": bpp, "_h": h,
+            "_px_off": px_off, "_stride": stride, "_bytes_px": bytes_px}
+
+
+def _try_decode_bmp(raw: bytes) -> dict | None:
+    """Strict pure-Python decode of uncompressed 24/32-bit BITMAPINFOHEADER
+    BMPs (the one format needing zero dependencies). Returns None unless
+    the payload FULLY validates (see :func:`_bmp_header`) — so a text
+    payload that merely starts with 'BM' can never take this path (the
+    declared-size check alone defeats it) and the gate's stand-in payloads
+    keep their metadata-derived features."""
+    hd = _bmp_header(raw)
+    if hd is None:
+        return None
+    w, height, h = hd["width"], hd["height"], hd["_h"]
+    px_off, stride, bytes_px = hd["_px_off"], hd["_stride"], hd["_bytes_px"]
     rows = []
     for r in range(height):
         # h > 0 means bottom-up storage (the common case)
         src = height - 1 - r if h > 0 else r
         start = px_off + src * stride
         rows.append(raw[start:start + w * bytes_px])
-    return {"width": w, "height": height, "bpp": bpp,
+    return {"width": w, "height": height, "bpp": hd["bpp"],
             "pixels": b"".join(rows)}
 
 
@@ -89,11 +108,11 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + dib + body
 
 
-def _try_decode_ppm(raw: bytes) -> dict | None:
-    """Strict pure-Python decode of binary PPM (P6, maxval <= 255) — the
-    second zero-dependency real decode path. Returns None unless the
-    header parses AND the pixel array length matches exactly, so
-    arbitrary text starting with 'P6' cannot take this path."""
+def _ppm_header(raw: bytes) -> dict | None:
+    """Header-only strict validation of binary PPM (P6) — parses the ASCII
+    header and checks the pixel-array length exactly, without slicing the
+    pixels out (the slice in :func:`_try_decode_ppm` copies the whole
+    array; dims-only readers skip it)."""
     if len(raw) < 10 or raw[:2] != b"P6":
         return None
     # header = magic, width, height, maxval as whitespace-separated ASCII
@@ -120,7 +139,178 @@ def _try_decode_ppm(raw: bytes) -> dict | None:
         return None
     if len(raw) - i != w * h * 3:
         return None
-    return {"width": w, "height": h, "bpp": 24, "pixels": raw[i:]}
+    return {"width": w, "height": h, "bpp": 24, "_px_off": i}
+
+
+def _try_decode_ppm(raw: bytes) -> dict | None:
+    """Strict pure-Python decode of binary PPM (P6, maxval <= 255) — the
+    second zero-dependency real decode path. Returns None unless the
+    header parses AND the pixel array length matches exactly, so
+    arbitrary text starting with 'P6' cannot take this path."""
+    hd = _ppm_header(raw)
+    if hd is None:
+        return None
+    return {"width": hd["width"], "height": hd["height"], "bpp": 24,
+            "pixels": raw[hd["_px_off"]:]}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CH = {0: 1, 2: 3, 6: 4}  # greyscale / truecolor / truecolor+alpha
+
+
+def _png_walk(raw: bytes, collect: bool) -> dict | None:
+    """Strict PNG container walk: signature, IHDR first (8-bit depth,
+    color type 0/2/6, no interlace), every chunk CRC-verified, at least
+    one IDAT, IEND flush with the payload end. ``collect`` gathers the
+    concatenated IDAT stream for full decode; False is the header-only
+    mode (no data copied, no decompression)."""
+    if len(raw) < len(_PNG_SIG) + 25 or not raw.startswith(_PNG_SIG):
+        return None
+    i, hdr, idat, seen_idat = len(_PNG_SIG), None, [] if collect else None, False
+    while True:
+        if i + 8 > len(raw):
+            return None
+        (length,) = struct.unpack_from(">I", raw, i)
+        ctype = raw[i + 4:i + 8]
+        end = i + 8 + length
+        if end + 4 > len(raw):
+            return None
+        if zlib.crc32(raw[i + 4:end]) != struct.unpack_from(">I", raw, end)[0]:
+            return None
+        if hdr is None:
+            if ctype != b"IHDR" or length != 13:
+                return None
+            w, h, depth, color, comp, filt, inter = struct.unpack_from(
+                ">IIBBBBB", raw, i + 8)
+            if (depth != 8 or color not in _PNG_CH or comp or filt or inter
+                    or w <= 0 or h <= 0):
+                return None
+            hdr = {"width": w, "height": h, "color": color}
+        elif ctype == b"IDAT":
+            seen_idat = True
+            if collect:
+                idat.append(raw[i + 8:end])
+        elif ctype == b"IEND":
+            if length != 0 or end + 4 != len(raw) or not seen_idat:
+                return None
+            if collect:
+                hdr["idat"] = b"".join(idat)
+            return hdr
+        i = end + 4
+
+
+def _png_header(raw: bytes) -> dict | None:
+    """Header-only strict PNG validation (container walk + CRCs, no
+    decompression) — dims readers pay O(chunk walk), not O(pixels)."""
+    return _png_walk(raw, collect=False)
+
+
+def _try_decode_png(raw: bytes) -> dict | None:
+    """Strict pure-Python PNG decode — stdlib ``zlib`` inflate + the five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) — for 8-bit
+    greyscale/RGB/RGBA non-interlaced images. Returns None unless the
+    container fully validates AND the inflated stream is exactly
+    ``height * (1 + width*channels)`` bytes (so arbitrary bytes behind a
+    PNG signature cannot take this path). The dominant real-corpus format
+    now decodes with zero dependencies (VERDICT r8 task #6)."""
+    hd = _png_walk(raw, collect=True)
+    if hd is None:
+        return None
+    try:
+        dec = zlib.decompress(hd["idat"])
+    except zlib.error:
+        return None
+    w, h, ch = hd["width"], hd["height"], _PNG_CH[hd["color"]]
+    stride = w * ch
+    if len(dec) != h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for r in range(h):
+        ft = dec[pos]
+        row = bytearray(dec[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out[r * stride:(r + 1) * stride] = row
+        prev = row
+    return {"width": w, "height": h, "bpp": ch * 8, "pixels": bytes(out)}
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               color: int = 2, filter_type: int = 0) -> bytes:
+    """Build a valid PNG from row-major 8-bit pixel bytes — the test-side
+    inverse of :func:`_try_decode_png`. ``filter_type`` applies one fixed
+    filter to every scanline (exercises the decoder's filter paths)."""
+    ch = _PNG_CH[color]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError("pixels must be width*height*channels bytes")
+    scan = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        row = bytearray(pixels[r * stride:(r + 1) * stride])
+        filt = bytearray(stride)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            if filter_type == 0:
+                filt[x] = row[x]
+            elif filter_type == 1:
+                filt[x] = (row[x] - a) & 0xFF
+            elif filter_type == 2:
+                filt[x] = (row[x] - prev[x]) & 0xFF
+            elif filter_type == 3:
+                filt[x] = (row[x] - ((a + prev[x]) >> 1)) & 0xFF
+            elif filter_type == 4:
+                b, c = prev[x], (prev[x - ch] if x >= ch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[x] = (row[x] - pr) & 0xFF
+            else:
+                raise ValueError("filter_type must be 0..4")
+        scan.append(filter_type)
+        scan.extend(filt)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b""))
+
+
+def image_dims(raw: bytes) -> dict | None:
+    """Header-only (width, height) of a strictly-validating payload, or
+    None — the cheap path for feature extraction: no pixel bytes are
+    copied or filtered, so a dims read is O(header) for BMP/PPM and
+    O(chunk walk) for PNG."""
+    hd = _bmp_header(raw) or _ppm_header(raw) or _png_header(raw)
+    return ({"width": hd["width"], "height": hd["height"]}
+            if hd is not None else None)
 
 
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
@@ -132,37 +322,39 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_image(payload: bytes) -> dict:
-    """The genuinely-multimodal step. Uncompressed BMP and binary PPM
-    decode for real (pure Python, :func:`_try_decode_bmp` /
-    :func:`_try_decode_ppm` — VERDICT r6 task #7); every compressed
-    format still needs a codec library the container doesn't provide, so
+    """The genuinely-multimodal step. Uncompressed BMP, binary PPM, and
+    8-bit non-interlaced PNG decode for real (pure Python,
+    :func:`_try_decode_bmp` / :func:`_try_decode_ppm` /
+    :func:`_try_decode_png`); the remaining compressed formats (JPEG,
+    WebP, ...) need a codec library the container doesn't provide, so
     those stay an honest stub behind a PIL import-try."""
     raw = bytes(payload)
-    decoded = _try_decode_bmp(raw) or _try_decode_ppm(raw)
+    decoded = _try_decode_bmp(raw) or _try_decode_ppm(raw) or _try_decode_png(raw)
     if decoded is not None:
         return decoded
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "non-BMP/PPM decode requires PIL; container provides none "
+            "non-BMP/PPM/PNG decode requires PIL; container provides none "
             "(stub per driver brief)") from exc
     raise NotImplementedError(
-        "non-BMP/PPM decode path not exercised in this environment")
+        "non-BMP/PPM/PNG decode path not exercised in this environment")
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column. A payload
-    that strictly validates as an uncompressed BMP reports its REAL
-    decoded dimensions; anything else falls back to the metadata stand-in
-    (the magic check is O(1), so the non-image gate path pays nothing)."""
+    that strictly validates as a BMP/PPM/PNG reports its REAL dimensions
+    — via the header-only parsers, so dims cost O(header) and no pixel
+    bytes are copied or defiltered (ADVICE r8); anything else falls back
+    to the metadata stand-in (the magic check is O(1), so the non-image
+    gate path pays nothing)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             widths, heights = [], []
             for payload, m in zip(payloads, pdf["meta"]):
-                b = bytes(payload)
-                bmp = _try_decode_bmp(b) or _try_decode_ppm(b)
+                bmp = image_dims(bytes(payload))
                 if bmp is not None:
                     widths.append(bmp["width"])
                     heights.append(bmp["height"])

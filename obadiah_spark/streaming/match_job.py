@@ -41,11 +41,20 @@ from obadiah_spark.operators.lifecycle import (
 
 
 def read_links(spark, links_store: str) -> DataFrame | None:
-    """The accumulated link state, or None before the first append."""
+    """The accumulated link state, or None before the first append.
+
+    Only the missing-store case maps to None — a transient IO/read error
+    must PROPAGATE, because treating it as "no links yet" would silently
+    reset the resume cursor and re-append the whole history's links
+    (ADVICE r8)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(links_store)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 class MatchJob:
@@ -61,7 +70,8 @@ class MatchJob:
                  trades_store: str, links_store: str,
                  delay_us: int = DELAY_US,
                  max_interval_us: int = MAX_INTERVAL_US,
-                 max_delay_s: int = 1, lookback_s: int = 60) -> None:
+                 max_delay_s: int = 1, lookback_s: int = 60,
+                 cache_inputs: bool = False) -> None:
         # stream-finality invariant: the delay guard is WHY matching a
         # growing store equals the one-shot batch — every chunk's extended
         # window [lo − lookback − max_delay, hi + lookback + max_delay]
@@ -81,6 +91,12 @@ class MatchJob:
         self.max_interval_us = max_interval_us
         self.max_delay_s = max_delay_s
         self.lookback_s = lookback_s
+        # default False: the trades store is parquet-backed, so the chunk
+        # filters must PUSH DOWN to the scan — eagerly localCheckpoint-ing
+        # the whole growing store every micro-batch would cost O(history)
+        # per batch and pin executor storage (ADVICE r8; matches
+        # lifecycle.py's own guidance for parquet-backed inputs)
+        self.cache_inputs = cache_inputs
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -94,7 +110,8 @@ class MatchJob:
         new = incremental_match(
             self.l3_reader(spark), trades, existing_links=existing,
             delay_us=self.delay_us, max_interval_us=self.max_interval_us,
-            max_delay_s=self.max_delay_s, lookback_s=self.lookback_s)
+            max_delay_s=self.max_delay_s, lookback_s=self.lookback_s,
+            cache_inputs=self.cache_inputs)
         new.write.mode("append").parquet(self.links_store)
 
 
@@ -150,9 +167,22 @@ class BitstampMatchJob:
                 l3 = l3.filter(F.col("microtimestamp") >= cursor)
                 trades = trades.filter(
                     F.col("trade_microtimestamp") >= cursor)
+            # the already-matched-trade exclusion stays on the FULL store
+            # (a matched trade's ts can sit above the cursor while its
+            # events sit below — a shuffle anti-join on the tiny distinct
+            # key set, not a broadcast, so history size is harmless here)
             trades = trades.join(
                 links.select("pair_id", "exchange_trade_id").distinct(),
                 ["pair_id", "exchange_trade_id"], "left_anti")
+            # ...but the claimed-EVENT exclusion is force-broadcast into
+            # two anti-joins per grid cell — seed it only with claims that
+            # can still collide with the cursor-filtered event pairs (a
+            # claim wholly before the cursor is never rescanned), so the
+            # broadcast stays bounded by the unmatched tail instead of
+            # growing O(links history) toward driver OOM (ADVICE r8)
+            if cursor is not None:
+                links = links.filter(F.greatest(
+                    "buy_microtimestamp", "sell_microtimestamp") >= cursor)
             claimed = claimed_events(links)
         new = bitstamp_match_sweep(l3, trades, self.tolerances,
                                    self.max_offset, claimed=claimed)

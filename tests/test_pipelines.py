@@ -267,6 +267,74 @@ def test_ppm_decode_roundtrip_and_dispatch():
     assert (bmp["width"], bmp["height"]) == (w, h)
 
 
+def test_png_decode_roundtrip_all_filters():
+    """The third real decode path (VERDICT r8 task #6): 8-bit PNG via
+    stdlib zlib + scanline defiltering. Every filter type (None/Sub/Up/
+    Average/Paeth) and color type (grey/RGB/RGBA) round-trips through
+    encode_png -> decode_image bit-exactly; strict container validation
+    rejects signature-prefixed garbage, a flipped CRC, and trailing
+    bytes."""
+    import pytest as _pytest
+
+    from obadiah_spark.pipelines.multimodal import (
+        _png_header, decode_image, encode_png)
+
+    w, h = 5, 4
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        pixels = bytes((i * 13 + color) % 256 for i in range(w * h * ch))
+        for ft in range(5):
+            png = encode_png(w, h, pixels, color=color, filter_type=ft)
+            img = decode_image(png)
+            assert (img["width"], img["height"], img["bpp"]) == (w, h, ch * 8), \
+                f"color={color} filter={ft}"
+            assert img["pixels"] == pixels, f"color={color} filter={ft}"
+            hd = _png_header(png)
+            assert (hd["width"], hd["height"]) == (w, h)
+    png = encode_png(w, h, bytes(w * h * 3), color=2)
+    # flipped CRC byte, truncation, and trailing garbage all reject
+    bad_crc = png[:-1] + bytes([png[-1] ^ 1])
+    for bad in (bad_crc, png[:-4], png + b"x",
+                b"\x89PNG\r\n\x1a\n" + b"junk" * 10):
+        assert _png_header(bad) is None
+        with _pytest.raises(NotImplementedError):
+            decode_image(bad)
+
+
+def test_image_dims_header_only_matches_decode():
+    """The header-only dims parsers (ADVICE r8: feature extraction must
+    not pay O(pixels)) agree with the full decoders on every format, and
+    reject what the decoders reject."""
+    from obadiah_spark.pipelines.multimodal import (
+        decode_image, encode_bmp, encode_png, encode_ppm, image_dims)
+
+    w, h = 7, 3
+    pixels = bytes((i * 5) % 256 for i in range(w * h * 3))
+    for enc in (encode_bmp, encode_ppm, encode_png):
+        raw = enc(w, h, pixels)
+        full = decode_image(raw)
+        dims = image_dims(raw)
+        assert (dims["width"], dims["height"]) == (full["width"], full["height"])
+    assert image_dims(b"not an image") is None
+    assert image_dims(b"BM" + b"x" * 100) is None
+
+
+def test_extract_features_reports_decoded_png_dims(spark):
+    """A genuine PNG payload flows through extract_features with its real
+    header-parsed dimensions (the gate path for the dominant real-corpus
+    format)."""
+    from obadiah_spark.pipelines.multimodal import encode_png, extract_features
+
+    w, h = 9, 2
+    png = encode_png(w, h, bytes((i * 3) % 256 for i in range(w * h * 3)),
+                     filter_type=4)
+    blobs = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), (999, 888))],
+        "doc_id bigint, media_type string, payload binary, "
+        "meta struct<width:int, height:int>")
+    got = extract_features(blobs).toPandas().set_index("doc_id")
+    assert (got.loc[1, "width"], got.loc[1, "height"]) == (w, h)
+
+
 def test_extract_features_reports_decoded_bmp_dims(spark):
     """A genuine BMP payload flows through extract_features with its REAL
     decoded width/height; a text payload keeps the metadata stand-in."""
