@@ -381,6 +381,16 @@ def _q_multimodal(spark, sf_dir):
     return multimodal_features(_docs(spark, sf_dir))
 
 
+def _q_codec_roundtrip(spark, sf_dir):
+    """Real encode -> strict decode round-trip of all three pure-Python
+    codecs (BMP / PPM / PNG x all five scanline filters) over per-doc
+    pixel bytes; the oracle predicts dims + pixel md5 without running a
+    codec, so the hash covers byte-exactness of every decode."""
+    from obadiah_spark.pipelines.multimodal import codec_roundtrip
+
+    return codec_roundtrip(_docs(spark, sf_dir))
+
+
 def _q_trading_period(spark, sf_dir):
     from obadiah_spark.operators.trading import trading_period_fold
 
@@ -403,6 +413,33 @@ def _q_trading_strategy(spark, sf_dir):
     # phi is a LOG-RETURN (reference src/base.h:151): 1 bps commission per
     # leg — proportionate to the synthetic book's ~50 bps price range
     return trading_strategy(mid, phi=0.0001, rho=0.0)
+
+
+# rho for the interest-bearing gate: at 5e-8/s the accrued interest over
+# the synthetic month's position durations is commensurate with the 1 bps
+# commission, so the rho machinery measurably reshapes the position set
+# (18 -> 13 positions at sf0.01 vs rho=0, including re-anchor extensions)
+# rather than being a no-op term the hash can't see.
+STRATEGY_RHO = 5e-8
+
+
+def _q_trading_strategy_rho(spark, sf_dir):
+    """T2 with interest (rho > 0) x mid mode — the one parameter
+    interaction the rho=0 gates can't exercise (VERDICT r8 task #4): the
+    reference browser exposes interest.rate() directly
+    (shiny/obadiah-browser/server.R:271), and the engine's interest terms
+    (src/position_discovery.h:36-40) change tracker re-anchoring,
+    extension, and both close conditions."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.fold import spread_fold
+    from obadiah_spark.operators.trading import trading_strategy
+
+    mid = spread_fold(_l3(spark, sf_dir)).select(
+        "pair_id", "era", "microtimestamp",
+        ((F.col("best_bid_price") + F.col("best_ask_price")) / 2).alias("bid_price"),
+    ).withColumn("ask_price", F.col("bid_price"))
+    return trading_strategy(mid, phi=0.0001, rho=STRATEGY_RHO)
 
 
 def _q_trading_strategy_freq(spark, sf_dir):
@@ -1202,10 +1239,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (1) rotated out of r7's 50 (last driver row: r6) plus the one
-        #    never-checked newcomer — the whole 34-entry set heads the
-        #    window so no entry's driver row ages past two rounds ---------
-        "match_incremental": _q_match_incremental,  # NEW r8: pga_match loop
+        # -- (1) rotated out of r8's 50 (last driver row: r7) — the whole
+        #    36-entry tail heads the window so no entry's driver row ages
+        #    past two rounds --------------------------------------------
+        "data_overview": _q_data_overview,
+        "epsilon_draws": _q_epsilon_draws,
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_pairs": _q_ann_lsh,  # value-level oracle since r9 (planes as VALUES CTE)
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "embedding_dedup": _q_embedding_dedup,
+        "get_depth": _q_get_depth,
+        "get_depth_freq": _q_get_depth_freq,
+        "get_spread_freq": _q_get_spread_freq,
+        "export_events": _q_export,
+        "book_by_episode": _q_book_by_episode,
+        "get_spread": _q_get_spread,
+        "spread_at": _q_spread_at,
+        "depth_resample": _q_depth_resample,
+        "move_audit": _q_move_audit,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
+        "capture_raw_book": _q_capture_raw_book,
+        "episode_framing": _q_episode_framing,
+        "match_fill_exact": _q_match_fill_exact,
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "inferred_trades": _q_inferred_trades,
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "chain_audit": _q_chain_audit,
+        # -- (2) new or code-touched in round 9 ---------------------------
+        "trading_strategy_rho": _q_trading_strategy_rho,  # NEW r9: interest x mid
+        "codec_roundtrip": _q_codec_roundtrip,  # NEW r9: BMP/PPM/PNG gate
+        "match_sequential": _q_match_sequential,  # bit-field trade-id packing
+        "match_sweep": _q_match_sweep,            # bit-field packing + full grid
+        "multimodal_features": _q_multimodal,     # header-only dims path
+        # -- (3) filler: the oldest r8-green rows re-verify early, easing
+        #    the round-10 window ----------------------------------------
+        "match_incremental": _q_match_incremental,
         "reveal_episodes": _q_reveal_episodes,
         "fix_aggressor_order": _q_fix_aggressor,
         "cleanse_order": _q_cleanse_order,
@@ -1214,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
+        # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
+        #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
+        #      here ages past the two-round bound before the next cap) ----
         "staging_summary": _q_staging_summary,
         "depth_chains": _q_depth_chains,
         "get_events_freq": _q_get_events_freq,
@@ -1239,65 +1323,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
         "summary": _q_summary,
-        # -- (2) code-touched in round 8 ----------------------------------
-        "ann_ivf": _q_ann_ivf,                # capped training + codebook reuse
-        "winnow_fingerprints": _q_winnow_fingerprints,  # form dispatch
-        "winnow_pairs": _q_winnow_pairs,      # text.py touched
-        "multimodal_features": _q_multimodal,  # real BMP dims path
+        "ann_ivf": _q_ann_ivf,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "multimodal_resize": _q_multimodal_resize,
         "frame_sample": _q_frame_sample,
-        "merge_crossed_books": _q_merge_crossed_books,  # repair.py touched
+        "merge_crossed_books": _q_merge_crossed_books,
         "merge_episodes": _q_merge_episodes,
-        "match_sweep": _q_match_sweep,        # NEW r8: bitstamp pga_match sweep
-        "match_sequential": _q_match_sequential,  # output schema widened r8
-        "era_reassign": _q_era_reassign,      # NEW r8: pga_capture_transient opener
-        # -- (3) oldest remaining r7-green rows fill the window -----------
+        "era_reassign": _q_era_reassign,
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,
-        # ---- slot 51+: r7 driver-green, code unchanged — rotate back in
-        #      r9 (every entry below has a CORRECTNESS_r07 row, so nothing
-        #      here ages past the two-round bound before the next cap;
-        #      data_overview/epsilon_draws{,_zigzag} were displaced here by
-        #      the three late-r8 window entries above) ----
-        "data_overview": _q_data_overview,
-        "epsilon_draws": _q_epsilon_draws,
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q_q3,
-        "q5_revenue_by_nation": _q_q5,
-        "topk_orders_per_customer": _q_topk,
-        "sessionize_events": _q_sessionize,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
-        "text_stats": _q_text_stats,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,  # approximate: rows-only; bounded by ann_lsh_recall
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "embedding_dedup": _q_embedding_dedup,
-        "get_depth": _q_get_depth,
-        "get_depth_freq": _q_get_depth_freq,
-        "get_spread_freq": _q_get_spread_freq,
-        "export_events": _q_export,
-        "book_by_episode": _q_book_by_episode,
-        "get_spread": _q_get_spread,
-        "spread_at": _q_spread_at,
-        "depth_resample": _q_depth_resample,
-        "move_audit": _q_move_audit,
-        "bs_capture_orders": _q_bs_capture_orders,
-        "capture_trades": _q_capture_trades,
-        "capture_raw_book": _q_capture_raw_book,
-        "episode_framing": _q_episode_framing,
-        "match_fill_exact": _q_match_fill_exact,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "inferred_trades": _q_inferred_trades,
-        "match_audit": _q_match_audit,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "chain_audit": _q_chain_audit,
     }
 
 
@@ -1381,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from obadiah_spark.pipelines import dedup
     from obadiah_spark.pipelines.multimodal import (
+        CODEC_ROUNDTRIP_ORACLE,
         MULTIMODAL_ORACLE,
         resize_images_oracle,
         sample_frames_oracle,
@@ -1388,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.pipelines.similarity import (
         ann_bruteforce_oracle,
         ann_ivf_oracle,
+        ann_lsh_pairs_oracle_sql,
         ann_lsh_recall_oracle,
     )
     from obadiah_spark.pipelines.text import (
@@ -1428,15 +1468,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ann_ivf_oracle(),
         # ann_lsh_pairs: intentionally no oracle (approximate operator);
         # its recall bound is gate-checked by ann_lsh_recall below
+        # dim=64 is the TESTDATA.md embeddings contract (all sf dirs); the
+        # plane weights are emitted into the SQL as a VALUES CTE, so DuckDB
+        # recomputes signatures + buckets + cosines from scratch
+        "ann_lsh_pairs": ann_lsh_pairs_oracle_sql(64),
         "ann_lsh_recall": ann_lsh_recall_oracle(),
         "embedding_dedup": dedup.embedding_dedup_oracle(),
         "embedding_dedup_lsh_recall": dedup.embedding_dedup_lsh_recall_oracle(),
         "multimodal_features": MULTIMODAL_ORACLE,
+        "codec_roundtrip": CODEC_ROUNDTRIP_ORACLE,
         "trading_period": level3_cte(trading_period_v0_oracle()),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag
         # entries additionally hash-check against a closed-form extrema oracle
         "trading_strategy": level3_cte(trading_strategy_mid_oracle_sql(phi=0.0001)),
+        "trading_strategy_rho": level3_cte(trading_strategy_mid_oracle_sql(
+            phi=0.0001, rho=STRATEGY_RHO)),
         "trading_strategy_freq": level3_cte(grid_sample_l3_sql(
             trading_strategy_mid_oracle_sql(phi=0.0001), GET_FREQ_S)),
         "epsilon_draws": level3_cte(epsilon_draws_mid_oracle_sql(epsilon=0.0005)),

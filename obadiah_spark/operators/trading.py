@@ -648,14 +648,24 @@ def _mid_range_cte(start: str, end: str) -> str:
 
 def trading_strategy_mid_oracle_sql(phi: float, rho: float = 0.0,
                                     mid_cte: str | None = None) -> str:
-    """Recursive-CTE replay of _discover_positions in mid mode (rho=0).
+    """Recursive-CTE replay of _discover_positions in mid mode.
 
     ``mid_cte`` substitutes the mid-price source (the range overload
-    passes :func:`_mid_range_cte`)."""
+    passes :func:`_mid_range_cte`).
+
+    rho > 0 (VERDICT r8 task #4) adds the per-second interest term
+    ``rho * |Δt|`` to every tracker comparison, mirroring the engine
+    (reference src/position_discovery.h:36-40) operation-for-operation:
+    interest is ``rho * (µs₂ − µs₁) / 1e6`` (multiply before divide, the
+    engine's own order), and every price comparison becomes the ln-form
+    the engine uses (``_ld``). The rho = 0 branch keeps the original
+    direct-comparison text verbatim — ln-form and direct-form agree
+    except at ln-rounding ties the gate fabric never produces, and the
+    rho = 0 gates are hash-anchored to the original text."""
     from obadiah_spark.operators.depth import SPREAD_L1_CTES
 
     if rho != 0.0:
-        raise NotImplementedError("mid oracle covers the gate's rho=0 path")
+        return _trading_strategy_mid_rho_sql(phi, rho, mid_cte)
     comm = repr(2.0 * max(float(phi), 0.0))
     mid = mid_cte if mid_cte is not None else _MID_CTE
     return f"""
@@ -718,6 +728,133 @@ WITH RECURSIVE {SPREAD_L1_CTES}, {mid}, step AS (
                (s.mode = 2 AND NOT x_exts AND ln(m.p) - ln(x_sl1p) > {comm}) AS x_cl,
                (s.mode = 2 AND NOT x_exts AND NOT x_cl
                 AND ln(m.p) - ln(s.ex_p) > {comm}) AS x_cns
+        FROM step s JOIN mid m
+          ON m.pair_id = s.pair_id AND m.era = s.era AND m.rn = s.rn + 1
+    )
+), last_state AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pair_id, era
+                                     ORDER BY rn DESC) AS rr
+        FROM step) WHERE rr = 1
+), positions AS (
+    SELECT pair_id, era, e_op AS op, e_ot AS ot, e_cp AS cp, e_ct AS ct
+    FROM step WHERE e_op IS NOT NULL
+    UNION ALL
+    SELECT pair_id, era,
+           CASE WHEN mode = 1 THEN sl_p ELSE ss_p END,
+           CASE WHEN mode = 1 THEN sl_t ELSE ss_t END,
+           ex_p, ex_t
+    FROM last_state WHERE mode <> 0
+)
+SELECT pair_id, era, ot AS opened_at, op AS open_price,
+       ct AS closed_at, cp AS close_price,
+       CASE WHEN op > cp THEN (op - cp) / op * 10000
+            ELSE (cp - op) / op * 10000 END AS bps_return,
+       CASE WHEN epoch_us(ct) > epoch_us(ot)
+            THEN exp(abs(ln(op) - ln(cp))
+                     / ((epoch_us(ct) - epoch_us(ot)) / 1e6)) - 1
+            ELSE CAST('infinity' AS DOUBLE) END AS rate,
+       abs(ln(op) - ln(cp)) AS log_return
+FROM positions
+"""
+
+
+def _trading_strategy_mid_rho_sql(phi: float, rho: float,
+                                  mid_cte: str | None = None) -> str:
+    """The interest-bearing replay (rho > 0): same state machine as the
+    rho = 0 template, with ``i_sl`` / ``i_ss`` / ``i_ex`` interest columns
+    (rho * elapsed seconds since each tracker's timestamp) entering every
+    engine comparison exactly as src/position_discovery.cpp:28-241 does —
+    tracked extremes now DECAY (a tracker re-anchors when the log-move
+    since it fails to outrun interest), extensions and closes race the
+    accrued interest, and the close-no-reopen branches fire when interest
+    alone exceeds what commission leaves of the retracement."""
+    from obadiah_spark.operators.depth import SPREAD_L1_CTES
+
+    comm = repr(2.0 * max(float(phi), 0.0))
+    r = repr(max(float(rho), 0.0))
+    mid = mid_cte if mid_cte is not None else _MID_CTE
+    return f"""
+WITH RECURSIVE {SPREAD_L1_CTES}, {mid}, step AS (
+    SELECT pair_id, era, rn, 0 AS mode,
+           p AS sl_p, ts AS sl_t, p AS ss_p, ts AS ss_t,
+           CAST(NULL AS DOUBLE) AS ex_p, CAST(NULL AS TIMESTAMP) AS ex_t,
+           CAST(NULL AS DOUBLE) AS e_op, CAST(NULL AS TIMESTAMP) AS e_ot,
+           CAST(NULL AS DOUBLE) AS e_cp, CAST(NULL AS TIMESTAMP) AS e_ct
+    FROM mid WHERE rn = 1
+    UNION ALL
+    SELECT pair_id, era, mrn,
+           CASE WHEN x_ol OR x_cl THEN 1 WHEN x_os OR x_cs THEN 2
+                WHEN x_cnl OR x_cns THEN 0 ELSE mode END AS mode,
+           -- sl: reset on open-short / close-from-long / es-extend;
+           -- interest-decayed min-track in short mode (x_sl1) and
+           -- pre-position; frozen in long
+           CASE WHEN x_os OR x_cs OR x_cnl OR x_exts THEN mp
+                WHEN mode = 2 THEN x_sl1p
+                WHEN mode = 0 AND NOT x_ol AND ln(mp) - ln(sl_p) < i_sl THEN mp
+                ELSE sl_p END AS sl_p,
+           CASE WHEN x_os OR x_cs OR x_cnl OR x_exts THEN mt
+                WHEN mode = 2 THEN x_sl1t
+                WHEN mode = 0 AND NOT x_ol AND ln(mp) - ln(sl_p) < i_sl THEN mt
+                ELSE sl_t END AS sl_t,
+           -- ss: mirror image
+           CASE WHEN x_ol OR x_cl OR x_cns OR x_extl THEN mp
+                WHEN mode = 1 THEN x_ss1p
+                WHEN mode = 0 AND NOT x_os AND ln(ss_p) - ln(mp) < i_ss THEN mp
+                ELSE ss_p END AS ss_p,
+           CASE WHEN x_ol OR x_cl OR x_cns OR x_extl THEN mt
+                WHEN mode = 1 THEN x_ss1t
+                WHEN mode = 0 AND NOT x_os AND ln(ss_p) - ln(mp) < i_ss THEN mt
+                ELSE ss_t END AS ss_t,
+           -- ex: the open position's running extreme (el in long, es in short)
+           CASE WHEN x_ol OR x_cl OR x_os OR x_cs OR x_extl OR x_exts THEN mp
+                WHEN x_cnl OR x_cns THEN CAST(NULL AS DOUBLE)
+                ELSE ex_p END AS ex_p,
+           CASE WHEN x_ol OR x_cl OR x_os OR x_cs OR x_extl OR x_exts THEN mt
+                WHEN x_cnl OR x_cns THEN CAST(NULL AS TIMESTAMP)
+                ELSE ex_t END AS ex_t,
+           CASE WHEN x_cs OR x_cnl THEN sl_p WHEN x_cl OR x_cns THEN ss_p END AS e_op,
+           CASE WHEN x_cs OR x_cnl THEN sl_t WHEN x_cl OR x_cns THEN ss_t END AS e_ot,
+           CASE WHEN x_cs OR x_cnl OR x_cl OR x_cns THEN ex_p END AS e_cp,
+           CASE WHEN x_cs OR x_cnl OR x_cl OR x_cns THEN ex_t END AS e_ct
+    FROM (
+        SELECT s.*, m.rn AS mrn, m.p AS mp, m.ts AS mt,
+               -- interest accrued on each tracker since it anchored
+               -- (reference Interest: rho * Δt seconds; multiply-then-
+               -- divide in the engine's own operation order)
+               {r} * (epoch_us(m.ts) - epoch_us(s.sl_t)) / 1e6 AS i_sl,
+               {r} * (epoch_us(m.ts) - epoch_us(s.ss_t)) / 1e6 AS i_ss,
+               {r} * (epoch_us(m.ts) - epoch_us(s.ex_t)) / 1e6 AS i_ex,
+               -- in-step helper updates (short-mode sl re-anchor, long-mode
+               -- ss re-anchor — the engine updates these BEFORE testing
+               -- close conditions, which then use the updated tracker)
+               CASE WHEN s.mode = 2 AND ln(m.p) - ln(s.sl_p) < i_sl
+                    THEN m.p ELSE s.sl_p END AS x_sl1p,
+               CASE WHEN s.mode = 2 AND ln(m.p) - ln(s.sl_p) < i_sl
+                    THEN m.ts ELSE s.sl_t END AS x_sl1t,
+               CASE WHEN s.mode = 1 AND ln(s.ss_p) - ln(m.p) < i_ss
+                    THEN m.p ELSE s.ss_p END AS x_ss1p,
+               CASE WHEN s.mode = 1 AND ln(s.ss_p) - ln(m.p) < i_ss
+                    THEN m.ts ELSE s.ss_t END AS x_ss1t,
+               -- transition flags (position_discovery.cpp branch
+               -- conditions, interest-bearing forms)
+               (s.mode = 0 AND ln(m.p) - ln(s.sl_p) > i_sl + {comm}) AS x_ol,
+               (s.mode = 0 AND NOT x_ol
+                AND ln(s.ss_p) - ln(m.p) > i_ss + {comm}) AS x_os,
+               (s.mode = 1 AND ln(m.p) - ln(s.ex_p) > i_ex) AS x_extl,
+               (s.mode = 1 AND NOT x_extl
+                AND ln(x_ss1p) - ln(m.p)
+                    > {r} * (epoch_us(m.ts) - epoch_us(x_ss1t)) / 1e6
+                      + {comm}) AS x_cs,
+               (s.mode = 1 AND NOT x_extl AND NOT x_cs
+                AND i_ex > {comm} - (ln(s.ex_p) - ln(m.p))) AS x_cnl,
+               (s.mode = 2 AND ln(s.ex_p) - ln(m.p) > i_ex) AS x_exts,
+               (s.mode = 2 AND NOT x_exts
+                AND ln(m.p) - ln(x_sl1p)
+                    > {r} * (epoch_us(m.ts) - epoch_us(x_sl1t)) / 1e6
+                      + {comm}) AS x_cl,
+               (s.mode = 2 AND NOT x_exts AND NOT x_cl
+                AND i_ex > {comm} - (ln(m.p) - ln(s.ex_p))) AS x_cns
         FROM step s JOIN mid m
           ON m.pair_id = s.pair_id AND m.era = s.era AND m.rn = s.rn + 1
     )

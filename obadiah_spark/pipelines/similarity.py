@@ -127,6 +127,57 @@ def lsh_signatures(emb: DataFrame, tables: int = LSH_TABLES,
     )
 
 
+def ann_lsh_pairs_oracle_sql(dim: int, min_cosine: float = 0.0,
+                             tables: int = LSH_TABLES,
+                             planes: int = LSH_PLANES) -> str:
+    """Value-level DuckDB oracle for :func:`ann_lsh_pairs` (VERDICT r8
+    task #3): the md5-seeded ±1 plane weights are DATA, not randomness, so
+    they emit as a VALUES CTE (one bitstring per (table, plane), expanded
+    to ±1.0 by list_transform) and DuckDB recomputes signatures, bucket
+    pairs, and exact cosines from scratch. Sign agreement is exact on this
+    fabric: list_dot_product reproduces the numpy projections bitwise and
+    the smallest |projection| margin is ~3e-6 (tests pin the margin), so
+    the > 0 threshold cannot flip between engines."""
+    w = _plane_weights(dim, tables, planes)
+    rows = ",\n        ".join(
+        "({}, {}, '{}')".format(
+            t, p, "".join("1" if x > 0 else "0" for x in w[t, p]))
+        for t in range(tables) for p in range(planes))
+    return f"""
+WITH planes AS (
+    SELECT tbl, plane,
+           list_transform(generate_series(1, {dim}),
+                          i -> CASE WHEN bits[i] = '1'
+                               THEN CAST(1.0 AS DOUBLE)
+                               ELSE CAST(-1.0 AS DOUBLE) END) AS w
+    FROM (VALUES
+        {rows}) AS v(tbl, plane, bits)
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), sig AS (
+    SELECT vec_id, tbl,
+           string_agg(CASE WHEN list_dot_product(emb, w) > 0
+                      THEN '1' ELSE '0' END, '' ORDER BY plane) AS sig
+    FROM e CROSS JOIN planes
+    GROUP BY vec_id, tbl
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+                         AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(ea.emb, eb.emb)
+             / (sqrt(list_dot_product(ea.emb, ea.emb))
+                * sqrt(list_dot_product(eb.emb, eb.emb))), 9) AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round(list_dot_product(ea.emb, eb.emb)
+            / (sqrt(list_dot_product(ea.emb, ea.emb))
+               * sqrt(list_dot_product(eb.emb, eb.emb))), 9) >= {min_cosine!r}
+"""
+
+
 def exact_strong_pairs(emb: DataFrame, min_cosine: float,
                        max_id: int) -> DataFrame:
     """The exact ground-truth pair set: every (vec_a < vec_b) whose

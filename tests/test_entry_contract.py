@@ -14,9 +14,9 @@ import __spark_entry__ as entry
 # Approximate-by-design operators whose output is intentionally not
 # SQL-reproducible; each MUST have a gate-checked companion metric bounding
 # it (listed as the value, which must itself be oracle-backed).
-NO_ORACLE = {
-    "ann_lsh_pairs": "ann_lsh_recall",
-}
+# Empty since r9: ann_lsh_pairs (the last member) got a value-level oracle
+# by emitting its md5-seeded plane weights as a VALUES CTE.
+NO_ORACLE: dict[str, str] = {}
 
 
 def test_every_query_is_oracle_backed():

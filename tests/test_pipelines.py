@@ -8,6 +8,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from obadiah_spark.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs  # noqa: E402
@@ -265,6 +266,28 @@ def test_ppm_decode_roundtrip_and_dispatch():
     # path to identical dimensions (pixel order differs: BMP is BGR)
     bmp = decode_image(encode_bmp(w, h, pixels))
     assert (bmp["width"], bmp["height"]) == (w, h)
+
+
+def test_lsh_projection_sign_margin():
+    """The ann_lsh_pairs oracle recomputes signatures in DuckDB; the two
+    engines agree on every `projection > 0` bit only while no projection
+    sits within float-summation noise of zero. Pin the margin: the
+    smallest |projection| on the gate corpus must exceed 1e-9 (measured
+    ~3e-6), so an embeddings-fabric change that erodes it fails HERE with
+    a diagnosis instead of as an opaque gate hash mismatch."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from obadiah_spark.pipelines.similarity import (
+        LSH_PLANES, LSH_TABLES, _plane_weights)
+
+    pdf = duckdb.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) e "
+        f"FROM '{SF_DIR}/embeddings.parquet'").fetchdf()
+    E = np.stack(pdf["e"].to_numpy())
+    w = _plane_weights(E.shape[1], LSH_TABLES, LSH_PLANES)
+    margin = min(abs(E @ w[t].T).min() for t in range(LSH_TABLES))
+    assert margin > 1e-9, f"LSH sign margin collapsed to {margin}"
 
 
 def test_png_decode_roundtrip_all_filters():
