@@ -771,16 +771,26 @@ def _q_match_sequential(spark, sf_dir):
     return match_sequential(l3, t, offset=1)
 
 
+# Per-bucket amount perturbations for the sweep gate: bucket k's delta
+# needs tolerance cell k to match (|delta| < tolerance_pct, the F7 rule-1
+# bound with the price factored out), so EVERY tolerance column of the
+# reference's 5-cell set is productive, not just the exact one.
+_SWEEP_DELTAS = (0.0, 0.0005, 0.005, 0.05, 0.5)
+
+
 def _q_match_sweep(spark, sf_dir):
     """bitstamp.pga_match tolerance x offset sweep (reference
     db/bitstamp_schema.sql:1849-1857) with matched state threaded between
-    grid cells. Closed loop: the inferred trades (which know their buy/sell
-    ORDER ids) forget their event links; a deterministic per-trade-id-bucket
-    amount perturbation makes the wider tolerance cells productive (bucket 1
-    needs tol 0.01, bucket 2 needs tol 1.0), and offset 2 picks up inferred
-    pairs whose two events are not lead-1-adjacent. The gate grid is
-    trimmed to 3 tolerances x 2 offsets (the production default is the
-    reference's 5 x 4 — same mechanics, more cells)."""
+    grid cells, at the reference's FULL 5-tolerance x 4-offset grid
+    (promoted from 3x2 in r9). Closed loop: the inferred trades (which
+    know their buy/sell ORDER ids) forget their event links; a
+    deterministic per-trade-id-bucket amount perturbation (one bucket per
+    tolerance, _SWEEP_DELTAS) makes the tolerance columns productive (4 of
+    5 at sf0.01 — bucket occupancy over the 11 inferred trades is fabric
+    luck). Offsets >= 2 run but match nothing at gate scale: the inferred
+    pairs are all lead-1-adjacent, so the offset-1 cells exhaust every
+    trade — per-cell offset semantics are pinned by the planted-pair 5x4
+    fixture pytest (tests/test_lifecycle.py) instead."""
     from pyspark.sql import functions as F
 
     from obadiah_spark.operators.lifecycle import bitstamp_match_sweep
@@ -796,14 +806,12 @@ def _q_match_sweep(spark, sf_dir):
         F.col("side").alias("trade_type"),
         "buy_order_id", "sell_order_id",
     )
-    b = F.col("exchange_trade_id") % 3
-    t = t.withColumn(
-        "amount",
-        F.col("amount") + F.when(b == 1, F.lit(0.001))
-                           .when(b == 2, F.lit(0.1))
-                           .otherwise(F.lit(0.0)))
-    return bitstamp_match_sweep(l3, t, tolerances=(0.0001, 0.01, 1.0),
-                                max_offset=2)
+    b = F.col("exchange_trade_id") % 5
+    delta = F.lit(0.0)
+    for k, d in enumerate(_SWEEP_DELTAS[1:], start=1):
+        delta = F.when(b == k, F.lit(d)).otherwise(delta)
+    t = t.withColumn("amount", F.col("amount") + delta)
+    return bitstamp_match_sweep(l3, t)
 
 
 def _match_sweep_oracle() -> str:
@@ -821,14 +829,20 @@ def _match_sweep_oracle() -> str:
                side AS trade_type, buy_order_id, sell_order_id
         FROM it)
     SELECT pair_id, era, exchange_trade_id, trade_microtimestamp,
-           amount + CASE exchange_trade_id % 3
-                    WHEN 1 THEN CAST(0.001 AS DOUBLE)
-                    WHEN 2 THEN CAST(0.1 AS DOUBLE)
+           amount + CASE exchange_trade_id % 5
+                    WHEN 1 THEN CAST({_SWEEP_DELTAS[1]!r} AS DOUBLE)
+                    WHEN 2 THEN CAST({_SWEEP_DELTAS[2]!r} AS DOUBLE)
+                    WHEN 3 THEN CAST({_SWEEP_DELTAS[3]!r} AS DOUBLE)
+                    WHEN 4 THEN CAST({_SWEEP_DELTAS[4]!r} AS DOUBLE)
                     ELSE CAST(0 AS DOUBLE) END AS amount,
            price, trade_type, buy_order_id, sell_order_id
     FROM base
 )"""
-    sweep_sql = bitstamp_match_sweep_oracle_sql((0.0001, 0.01, 1.0), 2)
+    from obadiah_spark.operators.lifecycle import (
+        SWEEP_MAX_OFFSET, SWEEP_TOLERANCES)
+
+    sweep_sql = bitstamp_match_sweep_oracle_sql(SWEEP_TOLERANCES,
+                                                SWEEP_MAX_OFFSET)
     return sweep_sql.replace("WITH sweep_pairs_o1 AS",
                              f"WITH {sweep_trades},\nsweep_pairs_o1 AS", 1)
 

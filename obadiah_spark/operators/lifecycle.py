@@ -396,32 +396,55 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
         raise ValueError("sweep grid is empty")
     if cache_inputs:
         trades = trades.localCheckpoint(eager=True)
-    # the per-offset lead-window frames are independent of each other and
-    # of the grid state — materialize them as concurrent jobs (the cells
-    # themselves are sequentially dependent by the reference's semantics:
-    # each cell's exclusion state is every earlier cell's claims)
+    # the per-offset lead-window frames — and the tolerance-INDEPENDENT
+    # candidate join of each against the full trade set — are independent
+    # of each other and of the grid state, so they materialize as
+    # concurrent jobs (the cells themselves are sequentially dependent by
+    # the reference's semantics: each cell's exclusion state is every
+    # earlier cell's claims). Hoisting the candidate join per offset is
+    # what makes the full 5x4 grid affordable: each cell then anti-joins
+    # and resolves over a frame of O(trades) candidate rows instead of
+    # rescanning the O(events) pair frame — measured 21.6 s -> ~8 s at
+    # sf0.1 for the 20-cell reference grid.
     from concurrent.futures import ThreadPoolExecutor
 
+    from obadiah_spark.operators.matching import (
+        match_candidates, match_feasible, match_resolve)
+
     offsets = range(1, max_offset + 1)
+    max_tol = max(tolerances)
+
+    def _cand_for(off: int) -> DataFrame:
+        p = sequential_event_pairs(l3, off, period_s)
+        return match_feasible(
+            match_candidates(p, trades), max_tol).localCheckpoint(eager=True)
+
     with ThreadPoolExecutor(max_workers=min(4, max_offset)) as pool:
-        pairs = dict(zip(offsets, pool.map(
-            lambda off: sequential_event_pairs(l3, off, period_s)
-            .localCheckpoint(eager=True), offsets)))
+        cand0 = dict(zip(offsets, pool.map(_cand_for, offsets)))
+    # an offset whose feasible set is empty stays empty under the
+    # shrink-only claimed/matched anti-joins — skip its cells outright
+    # (an empty cell contributes nothing to the union)
+    alive = {off: not cand0[off].isEmpty() for off in offsets}
     out: DataFrame | None = None
     for tol in tolerances:
         for off in range(1, max_offset + 1):
+            if not alive[off]:
+                continue
             cl = claimed
-            un = trades
+            cand = cand0[off]
             if out is not None:
                 new_cl = claimed_events(out)
                 cl = new_cl if cl is None else cl.unionByName(new_cl)
-                un = trades.join(
+                cand = cand.join(
                     out.select("pair_id", "exchange_trade_id"),
                     ["pair_id", "exchange_trade_id"], "left_anti")
-            p = pairs[off]
             if cl is not None:
+                # claimed exclusion on the candidate frame — identical to
+                # filtering the pair frame (the trade equi-join commutes
+                # with a filter on the event-side columns) and still AFTER
+                # the lead window, the reference's filter placement
                 cl = cl.distinct()
-                p = p.join(
+                cand = cand.join(
                     F.broadcast(cl),
                     ["pair_id", "era", "microtimestamp", "order_id",
                      "event_no"], "left_anti")
@@ -430,18 +453,25 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
                     F.col("microtimestamp").alias("n_microtimestamp"),
                     F.col("order_id").alias("n_order_id"),
                     F.col("event_no").alias("n_event_no"))
-                p = p.join(
+                cand = cand.join(
                     F.broadcast(cl2),
                     ["pair_id", "era", "n_microtimestamp", "n_order_id",
                      "n_event_no"], "left_anti")
+            # eager checkpoint: the cell's result seeds the next cell's
+            # broadcast claimed-state, which would otherwise re-derive it
+            # per consumer (measured slower lazy: the broadcast build
+            # forces evaluation anyway, without the reuse)
             m = (
-                match_sequential(l3, un, tol, off, pairs=p)
+                match_resolve(cand, tol)
                 .withColumn("tolerance", F.lit(float(tol)))
                 .withColumn("sweep_offset", F.lit(off))
                 .localCheckpoint(eager=True)
             )
             out = m if out is None else out.unionByName(m)
-    assert out is not None
+    if out is None:  # every offset infeasible — a correctly-typed empty
+        out = (match_resolve(cand0[1], float(tolerances[0]))
+               .withColumn("tolerance", F.lit(float(tolerances[0])))
+               .withColumn("sweep_offset", F.lit(1)))
     return out
 
 

@@ -530,6 +530,17 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
     """
     ev = pairs if pairs is not None else sequential_event_pairs(
         l3, offset, period_s)
+    return match_resolve(match_candidates(ev, trades), tolerance_pct)
+
+
+def match_candidates(ev: DataFrame, trades: DataFrame) -> DataFrame:
+    """The tolerance-INDEPENDENT half of :func:`match_sequential`: join
+    the (event, lead-offset event) pair frame to the trades on order ids,
+    both orientations. A tolerance sweep hoists this per offset (it
+    depends on (l3, offset, trades) only) and each grid cell then works
+    on this TINY candidate frame — anti-joins against matched/claimed
+    state and the per-tolerance resolve — instead of rescanning the full
+    event-pair frame per cell."""
     # both orientations as ONE equi-join: explode each trade into its two
     # (first event, second event) order-id orientations and join once.
     # Semantically identical to the union of the buy-first and sell-first
@@ -554,13 +565,45 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
         F.when(F.col("ev_is_buy"), F.col("sell_order_id"))
          .otherwise(F.col("buy_order_id")),
     )
-    cand = (
+    return (
         ev.join(t2, (F.col("pair_id") == F.col("t_pair_id"))
                 & (F.col("era") == F.col("t_era"))
                 & (F.col("order_id") == F.col("_first_oid"))
                 & (F.col("n_order_id") == F.col("_second_oid")))
         .drop("t_pair_id", "t_era", "_first_oid", "_second_oid")
     )
+
+
+def match_feasible(cand: DataFrame, max_tolerance_pct: float) -> DataFrame:
+    """Prefilter of the candidate frame to rows that can match in SOME
+    cell of a tolerance sweep: the F7 rule's non-NULL set is monotone in
+    tolerance (its only tolerance terms are ``< tolerance`` bounds), so a
+    row whose rule is NULL at the sweep's LARGEST tolerance is NULL in
+    every cell; the aggressor-direction check is tolerance-independent.
+    A sweep applies this once per offset — each grid cell then resolves
+    over the few feasible rows (recomputing rule CODES at its own
+    tolerance — codes do shift with tolerance, feasibility doesn't)
+    instead of the full O(events-with-shared-order-ids) candidate join."""
+    tol = F.lit(max_tolerance_pct) * F.col("t_price")
+    mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
+                    F.col("fill"), F.col("is_del"), tol)
+    n_mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("n_amount"),
+                      F.col("n_fill"), F.col("n_is_del"), tol)
+    buy_pts = F.when(F.col("ev_is_buy"), F.col("price_microtimestamp")).otherwise(F.col("n_pts"))
+    sell_pts = F.when(F.col("ev_is_buy"), F.col("n_pts")).otherwise(F.col("price_microtimestamp"))
+    return (
+        cand.filter(mr.isNotNull() & n_mr.isNotNull())
+        .filter(
+            ((F.col("trade_type") == "b") & (sell_pts < buy_pts))
+            | ((F.col("trade_type") == "s") & (buy_pts <= sell_pts))
+        )
+    )
+
+
+def match_resolve(cand: DataFrame, tolerance_pct: float) -> DataFrame:
+    """The per-tolerance half of :func:`match_sequential`: F7 rule on both
+    events, aggressor-direction check, one-event-one-trade dedup, one
+    pair per trade."""
     tol = F.lit(tolerance_pct) * F.col("t_price")
     mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
                     F.col("fill"), F.col("is_del"), tol)
@@ -580,7 +623,9 @@ def match_sequential(l3: DataFrame, trades: DataFrame,
     # `proposed` is referenced twice below (as itself and as the exclusion
     # set) — cut lineage so the candidate pipeline (lead windows + trade
     # join) runs once, not once per reference; one candidate row per trade
-    # orientation, so this is a small frame
+    # orientation, so this is a small frame (lazy was measured SLOWER in
+    # the sweep: the dedup anti-join's broadcast build forces evaluation
+    # without the cross-job reuse an eager checkpoint buys)
     proposed = proposed.localCheckpoint()
     seconds = proposed.select(
         F.col("pair_id").alias("x_pair"), F.col("era").alias("x_era"),
