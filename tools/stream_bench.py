@@ -1,0 +1,224 @@
+"""Measured throughput of the streaming path (VERDICT r8 task #7): the
+capture → chain → level1 pipeline replayed from files at $SPARK_GRAFT_SF_DIR
+(default sf0.1), reporting rows/s and per-micro-batch latency for each
+stage. Results go into SCALE.md §6.
+
+Stages (each a real Structured Streaming query, file-per-trigger replay —
+the deterministic stand-in for the socket transport, same code path from
+parse onward):
+
+1. ``capture``  — synthetic bitfinex wire-JSON lines (generated at a
+   volume proportional to the sf events table) → ``streaming/capture.py``
+   parse → route → bronze sinks.
+2. ``chain``    — the sf events table in 16 file-chunks →
+   ``streaming/chain.py`` applyInPandasWithState event chaining
+   (update-mode upserts into a memory sink).
+3. ``level1``   — the silver level3 parquet → ``streaming/spread.py``
+   foreachBatch episode fold to the level1 stream.
+
+Prints one JSON line per stage and a final summary line:
+{"stage": ..., "rows_in": N, "wall_sec": S, "rows_per_sec": R,
+ "n_batches": B, "batch_ms": {"p50": ..., "max": ...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def _batch_durations(query) -> list[float]:
+    """triggerExecution ms per completed micro-batch (recentProgress keeps
+    the last ~100 — enough for the 16-64 batches replayed here)."""
+    out = []
+    for p in query.recentProgress:
+        d = p.get("durationMs", {}).get("triggerExecution")
+        if d is not None and p.get("numInputRows", 0) > 0:
+            out.append(float(d))
+    return out
+
+
+def _report(stage: str, rows_in: int, wall: float, durs: list[float]) -> dict:
+    durs = sorted(durs)
+    rec = {
+        "stage": stage,
+        "rows_in": rows_in,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(rows_in / wall) if wall > 0 else None,
+        "n_batches": len(durs),
+        "batch_ms": {
+            "p50": round(durs[len(durs) // 2]) if durs else None,
+            "max": round(durs[-1]) if durs else None,
+        },
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _pin_mtimes(d: str) -> None:
+    """File streams replay in mtime order; same-ms ties reorder batches
+    (verify-skill gotcha) — pin strictly increasing mtimes."""
+    t = time.time()
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, f), (t + 10 * i, t + 10 * i))
+
+
+def bench_capture(spark, work: str, n_lines: int) -> dict:
+    """Wire-JSON replay through the full capture sink (parse → route →
+    registry → bronze parquet appends)."""
+    import json as _json
+
+    from obadiah_spark.streaming.capture import capture
+
+    src = os.path.join(work, "wire")
+    os.makedirs(src)
+    per_file = max(1, n_lines // 16)
+    line_no = 0
+    for fi in range(16):
+        rows = []
+        if fi == 0:
+            rows += [
+                _json.dumps({"event": "info", "version": 2}),
+                _json.dumps({"event": "subscribed", "channel": "book",
+                             "chanId": 17, "prec": "R0"}),
+                _json.dumps({"event": "subscribed", "channel": "trades",
+                             "chanId": 29}),
+            ]
+        for _ in range(per_file):
+            line_no += 1
+            ts = 1_700_000_000_000 + line_no * 50
+            if line_no % 37 == 5:        # zero-price close
+                rows.append(_json.dumps([17, [line_no % 900, 0.0, 1.0], ts]))
+            elif line_no % 11 == 3:      # tu trade
+                rows.append(_json.dumps(
+                    [29, "tu", [line_no, ts, 0.25, 100.0 + line_no % 13]]))
+            else:                        # book update
+                rows.append(_json.dumps(
+                    [17, [line_no % 900, 100.0 + line_no % 7, 2.0], ts]))
+        with open(os.path.join(src, f"{fi:03d}.txt"), "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+    _pin_mtimes(src)
+    bronze = os.path.join(work, "bronze")
+    t0 = time.perf_counter()
+    q = capture(spark, bronze, os.path.join(work, "cap_ckpt"), pair_id=1,
+                files_dir=src, max_files_per_trigger=1)
+    q.processAllAvailable()
+    durs = _batch_durations(q)
+    q.stop()
+    q.capture_sink.flush()
+    wall = time.perf_counter() - t0
+    return _report("capture", line_no, wall, durs)
+
+
+def bench_chain(spark, work: str, sf_dir: str) -> dict:
+    """The sf events table through the executor-side stateful chain."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.streaming.chain import chain_stream, keyed_stream
+    from obadiah_spark.streaming.reorder import with_reorder_watermark
+
+    src = os.path.join(work, "events")
+    (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+     .repartitionByRange(16, "ts")
+     .sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(src))
+    # one file per micro-batch, replayed in ts order
+    flat = os.path.join(work, "events_flat")
+    os.makedirs(flat)
+    n = 0
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(src, f), os.path.join(flat, f"{n:03d}.parquet"))
+            n += 1
+    _pin_mtimes(flat)
+    rows_in = spark.read.parquet(flat).count()
+    t0 = time.perf_counter()
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    stream = with_reorder_watermark(stream, "ts", "1 second")
+    out = chain_stream(keyed_stream(stream))
+    q = (out.writeStream.format("memory").queryName("sb_chain")
+         .option("checkpointLocation", os.path.join(work, "chain_ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    durs = _batch_durations(q)
+    n_out = spark.table("sb_chain").count()
+    wall = time.perf_counter() - t0
+    rec = _report("chain", rows_in, wall, durs)
+    rec["rows_out"] = n_out
+    return rec
+
+
+def bench_level1(spark, work: str, sf_dir: str) -> dict:
+    """Silver level3 through the streaming episode fold to level1."""
+    import __spark_entry__ as em
+    from obadiah_spark.fold import _SpreadFolder
+    from obadiah_spark.streaming.spread import StreamingFold
+
+    src = os.path.join(work, "l3_chunks")
+    # 16 time-range chunks: the fold's state machines need their events
+    # in time order across micro-batches (range part numbering IS range
+    # order, so the flat dir replays chronologically)
+    (em._l3(spark, sf_dir)
+     .repartitionByRange(16, "microtimestamp")
+     .sortWithinPartitions("microtimestamp")
+     .write.mode("overwrite").parquet(src))
+    flat = os.path.join(work, "l3_flat")
+    os.makedirs(flat)
+    n = 0
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(src, f), os.path.join(flat, f"{n:03d}.parquet"))
+            n += 1
+    _pin_mtimes(flat)
+    df = spark.read.parquet(flat)
+    rows_in = df.count()
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    t0 = time.perf_counter()
+    acc = StreamingFold(_SpreadFolder)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _i: acc.process_batch(b.toPandas()))
+         .option("checkpointLocation", os.path.join(work, "l1_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    durs = _batch_durations(q)
+    out = acc.flush()
+    wall = time.perf_counter() - t0
+    rec = _report("level1", rows_in, wall, durs)
+    rec["rows_out"] = len(out)
+    return rec
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from obadiah_spark.session import get_spark
+
+    spark = get_spark("stream_bench")
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        stages = [
+            bench_capture(spark, work, n_events),
+            bench_chain(spark, work, sf_dir),
+            bench_level1(spark, work, sf_dir),
+        ]
+        print(json.dumps({"metric": "stream_bench", "sf_dir": sf_dir,
+                          "stages": {s["stage"]: s for s in stages}}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
