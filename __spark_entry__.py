@@ -391,6 +391,23 @@ def _q_codec_roundtrip(spark, sf_dir):
     return codec_roundtrip(_docs(spark, sf_dir))
 
 
+def _q_lang_id_ngram(spark, sf_dir):
+    """Cavnar-Trenkle character-trigram language ID (LLM-pipeline
+    extension; the reference has no language operator). Profiles are
+    literal rows shared verbatim with the DuckDB oracle."""
+    from obadiah_spark.pipelines.langid import lang_id_ngram
+
+    return lang_id_ngram(_docs(spark, sf_dir))
+
+
+def _q_tokenize_regex(spark, sf_dir):
+    """GPT-2-style regex pre-tokenizer counts (the real "BPE-ish" token
+    counter next to text_stats' ceil(len/4) approximation)."""
+    from obadiah_spark.pipelines.tokenize import tokenize_regex
+
+    return tokenize_regex(_docs(spark, sf_dir))
+
+
 def _q_trading_period(spark, sf_dir):
     from obadiah_spark.operators.trading import trading_period_fold
 
@@ -1295,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) new or code-touched in round 9 ---------------------------
         "trading_strategy_rho": _q_trading_strategy_rho,  # NEW r9: interest x mid
         "codec_roundtrip": _q_codec_roundtrip,  # NEW r9: BMP/PPM/PNG gate
+        "lang_id_ngram": _q_lang_id_ngram,      # NEW r9: n-gram language ID
+        "tokenize_regex": _q_tokenize_regex,    # NEW r9: regex pre-tokenizer
         "match_sequential": _q_match_sequential,  # bit-field trade-id packing
         "match_sweep": _q_match_sweep,            # bit-field packing + full grid
         "multimodal_features": _q_multimodal,     # header-only dims path
@@ -1307,11 +1326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_upsert": _q_symbol_upsert,
         "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
         # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
         #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
         "staging_summary": _q_staging_summary,
         "depth_chains": _q_depth_chains,
         "get_events_freq": _q_get_events_freq,
@@ -1444,11 +1463,13 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh_pairs_oracle_sql,
         ann_lsh_recall_oracle,
     )
+    from obadiah_spark.pipelines import langid
     from obadiah_spark.pipelines.text import (
         TEXT_STATS_ORACLE,
         WINNOW_ORACLE,
         WINNOW_PAIRS_ORACLE,
     )
+    from obadiah_spark.pipelines.tokenize import TOKENIZE_REGEX_ORACLE
     from obadiah_spark.synth import level3_cte, level3_matches_cte
 
     return {
@@ -1474,6 +1495,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dedup.MINHASH_LSH_ORACLE,
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
+        "lang_id_ngram": langid.lang_id_ngram_oracle_sql(),
+        "tokenize_regex": TOKENIZE_REGEX_ORACLE,
         "winnow_fingerprints": WINNOW_ORACLE,
         "winnow_pairs": WINNOW_PAIRS_ORACLE,
         "multimodal_resize": resize_images_oracle(),
