@@ -391,6 +391,14 @@ def _q_codec_roundtrip(spark, sf_dir):
     return codec_roundtrip(_docs(spark, sf_dir))
 
 
+def _q_jpeg_roundtrip(spark, sf_dir):
+    """Baseline-JPEG encode→decode gate on the analytically-predictable
+    flat-block subset (the general lossy path is PSNR-tested in pytest)."""
+    from obadiah_spark.pipelines.multimodal import jpeg_roundtrip
+
+    return jpeg_roundtrip(_docs(spark, sf_dir))
+
+
 def _q_lang_id_ngram(spark, sf_dir):
     """Cavnar-Trenkle character-trigram language ID (LLM-pipeline
     extension; the reference has no language operator). Profiles are
@@ -1314,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": _q_codec_roundtrip,  # NEW r9: BMP/PPM/PNG gate
         "lang_id_ngram": _q_lang_id_ngram,      # NEW r9: n-gram language ID
         "tokenize_regex": _q_tokenize_regex,    # NEW r9: regex pre-tokenizer
+        "jpeg_roundtrip": _q_jpeg_roundtrip,    # NEW r9: baseline JPEG codec
         "match_sequential": _q_match_sequential,  # bit-field trade-id packing
         "match_sweep": _q_match_sweep,            # bit-field packing + full grid
         "multimodal_features": _q_multimodal,     # header-only dims path
@@ -1325,10 +1334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleanse_order": _q_cleanse_order,
         "symbol_upsert": _q_symbol_upsert,
         "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
         # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
         #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "csv_roundtrip": _q_csv_roundtrip,
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
         "staging_summary": _q_staging_summary,
@@ -1453,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.pipelines import dedup
     from obadiah_spark.pipelines.multimodal import (
         CODEC_ROUNDTRIP_ORACLE,
+        JPEG_ROUNDTRIP_ORACLE,
         MULTIMODAL_ORACLE,
         resize_images_oracle,
         sample_frames_oracle,
@@ -1514,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_lsh_recall": dedup.embedding_dedup_lsh_recall_oracle(),
         "multimodal_features": MULTIMODAL_ORACLE,
         "codec_roundtrip": CODEC_ROUNDTRIP_ORACLE,
+        "jpeg_roundtrip": JPEG_ROUNDTRIP_ORACLE,
         "trading_period": level3_cte(trading_period_v0_oracle()),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched ``mapInPandas`` UDFs.
 
-Uncompressed BMP, binary PPM, and 8-bit PNG (stdlib zlib inflate + the
-five scanline filters) decode for real — strict pure-Python parsers with
-test-side encoders (round-trip + through-``extract_features`` pytest),
-plus header-only dims parsers for feature extraction. The container has
-no image/audio libraries, so the remaining COMPRESSED formats' decode
+Uncompressed BMP, binary PPM, 8-bit PNG (stdlib zlib inflate + the five
+scanline filters), and baseline JPEG (grayscale / 4:4:4 — marker walk,
+canonical huffman, dequant, numpy IDCT; :mod:`.jpeg`) decode for real —
+strict pure-Python parsers with test-side encoders (round-trip +
+through-``extract_features`` pytest), plus header-only dims parsers for
+feature extraction. The container has no image/audio libraries, so the
+remaining formats' decode (progressive/subsampled JPEG, WebP, ...)
 stays stubbed (``decode_image`` raises NotImplementedError unless PIL is
 importable) — but the Spark-side plumbing is real and oracle-checked:
 schema (binary + struct metadata), batch shape, deterministic feature
@@ -306,9 +308,12 @@ def encode_png(width: int, height: int, pixels: bytes,
 def image_dims(raw: bytes) -> dict | None:
     """Header-only (width, height) of a strictly-validating payload, or
     None — the cheap path for feature extraction: no pixel bytes are
-    copied or filtered, so a dims read is O(header) for BMP/PPM and
-    O(chunk walk) for PNG."""
-    hd = _bmp_header(raw) or _ppm_header(raw) or _png_header(raw)
+    copied or filtered, so a dims read is O(header) for BMP/PPM,
+    O(chunk walk) for PNG, and O(marker walk) for JPEG."""
+    from obadiah_spark.pipelines.jpeg import jpeg_header
+
+    hd = (_bmp_header(raw) or _ppm_header(raw) or _png_header(raw)
+          or jpeg_header(raw))
     return ({"width": hd["width"], "height": hd["height"]}
             if hd is not None else None)
 
@@ -322,24 +327,27 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_image(payload: bytes) -> dict:
-    """The genuinely-multimodal step. Uncompressed BMP, binary PPM, and
-    8-bit non-interlaced PNG decode for real (pure Python,
-    :func:`_try_decode_bmp` / :func:`_try_decode_ppm` /
-    :func:`_try_decode_png`); the remaining compressed formats (JPEG,
-    WebP, ...) need a codec library the container doesn't provide, so
-    those stay an honest stub behind a PIL import-try."""
+    """The genuinely-multimodal step. Uncompressed BMP, binary PPM, 8-bit
+    non-interlaced PNG, and baseline JPEG (grayscale / 4:4:4 — huffman +
+    IDCT, :mod:`.jpeg`) decode for real in pure Python + numpy; the
+    remaining formats (progressive/subsampled JPEG, WebP, ...) need a
+    codec library the container doesn't provide, so those stay an honest
+    stub behind a PIL import-try."""
+    from obadiah_spark.pipelines.jpeg import jpeg_decode
+
     raw = bytes(payload)
-    decoded = _try_decode_bmp(raw) or _try_decode_ppm(raw) or _try_decode_png(raw)
+    decoded = (_try_decode_bmp(raw) or _try_decode_ppm(raw)
+               or _try_decode_png(raw) or jpeg_decode(raw))
     if decoded is not None:
         return decoded
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "non-BMP/PPM/PNG decode requires PIL; container provides none "
-            "(stub per driver brief)") from exc
+            "non-BMP/PPM/PNG/JPEG decode requires PIL; container provides "
+            "none (stub per driver brief)") from exc
     raise NotImplementedError(
-        "non-BMP/PPM/PNG decode path not exercised in this environment")
+        "non-BMP/PPM/PNG/JPEG decode path not exercised in this environment")
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
@@ -426,6 +434,58 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
         .mapInPandas(run, "doc_id bigint, fmt string, width int, "
                           "height int, px_md5 string")
     )
+
+
+def jpeg_roundtrip(docs: DataFrame) -> DataFrame:
+    """Value-level gate for the baseline JPEG codec (:mod:`.jpeg`): per
+    ASCII document, build a 16x8 grayscale image of two FLAT 8x8 blocks
+    whose values are the first two text bytes, encode it as a real
+    baseline JPEG (markers, huffman entropy coding, FDCT), and decode it
+    back through the full decoder (huffman decode + dequant + IDCT).
+    With the gate quant table's DC step of 8 a flat block's DCT has one
+    nonzero coefficient, 8*(v-128), which requantizes losslessly — so the
+    decoded pixels are analytically predictable and the oracle emits
+    md5(repeat(byte1,8) || repeat(byte2,8), repeated for 8 rows) WITHOUT
+    running a codec. A hash match therefore proves the whole
+    encode→decode pipeline (marker framing, huffman tables, bit IO,
+    dequant, IDCT, level shift) is byte-exact on this subset. The lossy
+    general path is PSNR-tested in tests/test_jpeg.py. Map-side only."""
+    from obadiah_spark.pipelines.jpeg import encode_jpeg, jpeg_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                raw = text.encode("utf-8")[:2]
+                px = bytes((list(raw[:1]) * 8 + list(raw[1:2]) * 8) * 8)
+                img = jpeg_decode(encode_jpeg(16, 8, px, channels=1))
+                if img is None or (img["width"], img["height"]) != (16, 8):
+                    raise AssertionError(
+                        f"jpeg round-trip diverged for doc {doc_id}")
+                rows.append((doc_id, img["width"], img["height"],
+                             hashlib.md5(img["pixels"]).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "px_md5"])
+
+    return (
+        docs.filter((F.length("text") == F.octet_length("text"))
+                    & (F.length("text") >= 2))
+        .select("doc_id", "text")
+        .mapInPandas(run, "doc_id bigint, width int, height int, "
+                          "px_md5 string")
+    )
+
+
+JPEG_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       md5(repeat(repeat(substring(text, 1, 1), 8)
+                  || repeat(substring(text, 2, 1), 8), 8)) AS px_md5
+FROM documents
+WHERE length(text) = octet_length(encode(text)) AND length(text) >= 2
+"""
 
 
 CODEC_ROUNDTRIP_ORACLE = """

@@ -1,0 +1,104 @@
+"""Baseline JPEG codec tests: the gate (jpeg_roundtrip) covers the
+analytically-exact flat-block subset; here we test the general machinery
+it can't — lossy PSNR on real content, 4:4:4 color, non-multiple-of-8
+dims, restart markers, strictness, and dims-header agreement."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+from obadiah_spark.pipelines.jpeg import (  # noqa: E402
+    GATE_QTABLE,
+    encode_jpeg,
+    jpeg_decode,
+    jpeg_header,
+)
+from obadiah_spark.pipelines.multimodal import decode_image, image_dims  # noqa: E402
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+def test_flat_blocks_roundtrip_exactly():
+    """DC step 8 + flat blocks -> the requantization is lossless, so the
+    decode must return the input bytes bit-for-bit (the gate's premise)."""
+    for va, vb in ((0, 255), (107, 201), (128, 127)):
+        px = bytes(([va] * 8 + [vb] * 8) * 8)
+        img = jpeg_decode(encode_jpeg(16, 8, px, channels=1))
+        assert img is not None
+        assert (img["width"], img["height"], img["bpp"]) == (16, 8, 8)
+        assert img["pixels"] == px, (va, vb)
+
+
+def test_grayscale_psnr_nonmultiple_dims():
+    rng = np.random.RandomState(7)
+    w, h = 29, 17
+    base = np.linspace(0, 255, w * h).reshape(h, w)
+    orig = np.clip(base + rng.randint(-12, 13, (h, w)), 0, 255).astype(np.uint8)
+    blob = encode_jpeg(w, h, orig.tobytes(), channels=1,
+                       qtable=np.full((8, 8), 4.0))
+    img = jpeg_decode(blob)
+    assert img is not None and (img["width"], img["height"]) == (w, h)
+    dec = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w)
+    assert _psnr(dec, orig) > 38, _psnr(dec, orig)
+
+
+def test_color_444_psnr():
+    w, h = 24, 16
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([xs * 10 % 256, ys * 10 % 256, (xs + ys) * 5 % 256],
+                   axis=-1).astype(np.uint8)
+    blob = encode_jpeg(w, h, rgb.tobytes(), channels=3,
+                       qtable=np.full((8, 8), 2.0))
+    img = jpeg_decode(blob)
+    assert img is not None and img["bpp"] == 24
+    dec = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert _psnr(dec, rgb) > 40, _psnr(dec, rgb)
+
+
+def test_restart_markers_do_not_change_pixels():
+    w, h = 32, 16
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    orig = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+    ref = None
+    for ri in (0, 1, 3):
+        blob = encode_jpeg(w, h, orig.tobytes(), channels=1,
+                           qtable=np.full((8, 8), 2.0), restart_interval=ri)
+        img = jpeg_decode(blob)
+        assert img is not None, f"restart_interval={ri}"
+        if ref is None:
+            ref = img["pixels"]
+        else:
+            assert img["pixels"] == ref, f"restart_interval={ri} diverged"
+
+
+def test_strictness():
+    px = bytes(range(128))
+    blob = encode_jpeg(16, 8, px, channels=1)
+    assert jpeg_decode(b"definitely not a jpeg") is None
+    assert jpeg_decode(blob[:-5]) is None       # truncated entropy/EOI
+    assert jpeg_decode(blob + b"xx") is None    # trailing garbage
+    assert jpeg_decode(blob[2:]) is None        # missing SOI
+    assert jpeg_header(b"\xff\xd8\xff") is None
+    # progressive SOF (0xC2) must be rejected, not misdecoded
+    prog = bytearray(blob)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert jpeg_decode(bytes(prog)) is None
+
+
+def test_dims_header_matches_decode_and_feature_path():
+    px = bytes(([9] * 8 + [200] * 8) * 8)
+    blob = encode_jpeg(16, 8, px, channels=1, qtable=GATE_QTABLE)
+    hd = jpeg_header(blob)
+    img = jpeg_decode(blob)
+    assert (hd["width"], hd["height"]) == (img["width"], img["height"])
+    # the multimodal chains pick JPEG up
+    assert image_dims(blob) == {"width": 16, "height": 8}
+    assert decode_image(blob)["pixels"] == px
