@@ -399,6 +399,24 @@ def _q_jpeg_roundtrip(spark, sf_dir):
     return jpeg_roundtrip(_docs(spark, sf_dir))
 
 
+def _q_wav_roundtrip(spark, sf_dir):
+    """RIFF/WAV PCM encode→strict-parse gate (real audio leg of the
+    multimodal family); features are integer arithmetic the oracle
+    reproduces exactly."""
+    from obadiah_spark.pipelines.audio import wav_roundtrip
+
+    return wav_roundtrip(_docs(spark, sf_dir))
+
+
+def _q_mjpeg_sample(spark, sf_dir):
+    """Motion-JPEG container walk + real per-frame huffman/IDCT decode of
+    every 2nd frame (video leg; unsampled frames skipped by length
+    prefix, never decoded)."""
+    from obadiah_spark.pipelines.video import mjpeg_sample
+
+    return mjpeg_sample(_docs(spark, sf_dir))
+
+
 def _q_lang_id_ngram(spark, sf_dir):
     """Cavnar-Trenkle character-trigram language ID (LLM-pipeline
     extension; the reference has no language operator). Profiles are
@@ -1323,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": _q_lang_id_ngram,      # NEW r9: n-gram language ID
         "tokenize_regex": _q_tokenize_regex,    # NEW r9: regex pre-tokenizer
         "jpeg_roundtrip": _q_jpeg_roundtrip,    # NEW r9: baseline JPEG codec
+        "wav_roundtrip": _q_wav_roundtrip,      # NEW r9: RIFF/WAV audio leg
+        "mjpeg_sample": _q_mjpeg_sample,        # NEW r9: real video frames
         "match_sequential": _q_match_sequential,  # bit-field trade-id packing
         "match_sweep": _q_match_sweep,            # bit-field packing + full grid
         "multimodal_features": _q_multimodal,     # header-only dims path
@@ -1332,11 +1352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reveal_episodes": _q_reveal_episodes,
         "fix_aggressor_order": _q_fix_aggressor,
         "cleanse_order": _q_cleanse_order,
-        "symbol_upsert": _q_symbol_upsert,
-        "insert_era": _q_insert_era,
         # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
         #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "symbol_upsert": _q_symbol_upsert,
+        "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
@@ -1474,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh_recall_oracle,
     )
     from obadiah_spark.pipelines import langid
+    from obadiah_spark.pipelines.audio import WAV_ROUNDTRIP_ORACLE
+    from obadiah_spark.pipelines.video import mjpeg_sample_oracle_sql
     from obadiah_spark.pipelines.text import (
         TEXT_STATS_ORACLE,
         WINNOW_ORACLE,
@@ -1525,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": MULTIMODAL_ORACLE,
         "codec_roundtrip": CODEC_ROUNDTRIP_ORACLE,
         "jpeg_roundtrip": JPEG_ROUNDTRIP_ORACLE,
+        "wav_roundtrip": WAV_ROUNDTRIP_ORACLE,
+        "mjpeg_sample": mjpeg_sample_oracle_sql(),
         "trading_period": level3_cte(trading_period_v0_oracle()),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag
