@@ -600,10 +600,18 @@ def match_feasible(cand: DataFrame, max_tolerance_pct: float) -> DataFrame:
     )
 
 
-def match_resolve(cand: DataFrame, tolerance_pct: float) -> DataFrame:
+def match_resolve(cand: DataFrame, tolerance_pct: float,
+                  checkpoint_proposed: bool = True) -> DataFrame:
     """The per-tolerance half of :func:`match_sequential`: F7 rule on both
     events, aggressor-direction check, one-event-one-trade dedup, one
-    pair per trade."""
+    pair per trade.
+
+    ``checkpoint_proposed=False`` skips the internal eager checkpoint of
+    the proposed frame — correct either way (the frame is merely
+    evaluated twice); pass False when ``cand`` is already a checkpointed
+    leaf plus cheap broadcast anti-joins (the sweep's shape since the
+    candidate hoist), where re-evaluation is cheaper than a per-cell
+    materialization job."""
     tol = F.lit(tolerance_pct) * F.col("t_price")
     mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
                     F.col("fill"), F.col("is_del"), tol)
@@ -624,9 +632,11 @@ def match_resolve(cand: DataFrame, tolerance_pct: float) -> DataFrame:
     # set) — cut lineage so the candidate pipeline (lead windows + trade
     # join) runs once, not once per reference; one candidate row per trade
     # orientation, so this is a small frame (lazy was measured SLOWER in
-    # the sweep: the dedup anti-join's broadcast build forces evaluation
-    # without the cross-job reuse an eager checkpoint buys)
-    proposed = proposed.localCheckpoint()
+    # the r8 sweep, where `proposed` sat on the full pair-frame pipeline;
+    # after the r9 candidate hoist the sweep passes checkpoint_proposed=
+    # False — see the docstring)
+    if checkpoint_proposed:
+        proposed = proposed.localCheckpoint()
     seconds = proposed.select(
         F.col("pair_id").alias("x_pair"), F.col("era").alias("x_era"),
         F.col("n_order_id").alias("x_oid"), F.col("n_event_no").alias("x_eno"),
