@@ -115,10 +115,12 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
     mono PCM WAV whose samples are (byte - 128) of the first
     ``WAV_SAMPLE_CAP`` text bytes, encode it, strictly re-parse it with
     the real RIFF walk, and emit integer features of the DECODED samples
-    (count, sum of squares, peak |value|). Integer PCM round-trips
-    losslessly, so the oracle predicts every column from the text alone —
-    a hash match proves the encoder layout and the strict parser agree
-    byte-for-byte. Map-side only, no shuffle."""
+    (count, sum of squares, peak |value|, zero crossings — the last is
+    ORDER-sensitive, so it pins the decoded sample sequence, not just its
+    multiset). Integer PCM round-trips losslessly, so the oracle predicts
+    every column from the text alone — a hash match proves the encoder
+    layout and the strict parser agree byte-for-byte. Map-side only, no
+    shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -133,12 +135,14 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
                     raise AssertionError(
                         f"wav round-trip diverged for doc {doc_id}")
                 s = dec["samples"][:, 0].astype(np.int64)
+                nonneg = s >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
                 rows.append((doc_id, dec["n_samples"], dec["sample_rate"],
                              dec["channels"], dec["bits"],
-                             int((s * s).sum()), int(np.abs(s).max())))
+                             int((s * s).sum()), int(np.abs(s).max()), zc))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "n_samples", "sample_rate", "channels", "bits",
-                "sum_sq", "peak"])
+                "sum_sq", "peak", "zero_crossings"])
 
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
@@ -146,7 +150,8 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(run, "doc_id bigint, n_samples bigint, "
                           "sample_rate bigint, channels bigint, "
-                          "bits bigint, sum_sq bigint, peak bigint")
+                          "bits bigint, sum_sq bigint, peak bigint, "
+                          "zero_crossings bigint")
     )
 
 
@@ -156,8 +161,12 @@ WITH t AS (
     FROM documents
     WHERE length(text) = octet_length(encode(text)) AND length(text) >= 1
 ), s AS (
-    SELECT doc_id, ascii(substring(t, pos, 1)) - 128 AS v
+    SELECT doc_id, pos, ascii(substring(t, pos, 1)) - 128 AS v
     FROM t, unnest(range(1, length(t) + 1)) AS u(pos)
+), s2 AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+    FROM s
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_samples,
@@ -165,6 +174,8 @@ SELECT doc_id,
        CAST(1 AS BIGINT) AS channels,
        CAST(16 AS BIGINT) AS bits,
        CAST(sum(v * v) AS BIGINT) AS sum_sq,
-       CAST(max(abs(v)) AS BIGINT) AS peak
-FROM s GROUP BY doc_id
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM s2 GROUP BY doc_id
 """
