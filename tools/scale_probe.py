@@ -225,6 +225,25 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
           .agg(F.max("quality_score"), F.max("fingerprint")).collect())
     timed("winnow_fingerprints", lambda: winnow_fingerprints(docs)
           .agg(F.max("fp_hash")).collect())
+    # round-9 additions: language ID (two keyed shuffles), the regex
+    # pre-tokenizer (pure map), and the codec gates (mapInPandas, no
+    # shuffle — their exponent measures Python decode throughput)
+    from obadiah_spark.pipelines.audio import wav_roundtrip
+    from obadiah_spark.pipelines.langid import lang_id_ngram
+    from obadiah_spark.pipelines.multimodal import jpeg_roundtrip
+    from obadiah_spark.pipelines.tokenize import tokenize_regex
+    from obadiah_spark.pipelines.video import mjpeg_sample
+
+    timed("lang_id_ngram", lambda: lang_id_ngram(docs)
+          .agg(F.max("best_score")).collect())
+    timed("tokenize_regex", lambda: tokenize_regex(docs)
+          .agg(F.max("bpe_token_count")).collect())
+    timed("jpeg_roundtrip", lambda: jpeg_roundtrip(docs)
+          .agg(F.max("px_md5")).collect())
+    timed("wav_roundtrip", lambda: wav_roundtrip(docs)
+          .agg(F.max("sum_sq")).collect())
+    timed("mjpeg_sample", lambda: mjpeg_sample(docs)
+          .agg(F.max("px_md5")).collect())
     return out
 
 
@@ -281,8 +300,10 @@ def probe_embs(spark, emb_path: str) -> dict[str, float]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/obadiah_scale_probe"
+    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    docs_only = "--docs-only" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    work = args[1] if len(args) > 1 else "/tmp/obadiah_scale_probe"
     os.makedirs(work, exist_ok=True)
 
     from obadiah_spark.session import get_spark
@@ -290,6 +311,15 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
     spark = get_spark("scale_probe")
     import __spark_entry__ as em
+
+    if docs_only:  # just the documents-table family (fast re-probe)
+        d1 = probe_docs(spark, build_docs(spark, sf_dir, work, 1))
+        d10 = probe_docs(spark, build_docs(spark, sf_dir, work, 10))
+        exps = {k: round(math.log10(max(d10[k], 1e-3) / max(d1[k], 1e-3)), 2)
+                for k in d1}
+        print(json.dumps({"sf_base": sf_dir, "x1": d1, "x10": d10,
+                          "scaling_exponent_log10": exps}))
+        return
 
     p1 = build_replicated(spark, sf_dir, work, 1)
     p10 = build_replicated(spark, sf_dir, work, 10)
