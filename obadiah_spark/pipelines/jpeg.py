@@ -3,10 +3,11 @@
 Decoder: strict marker walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI),
 canonical huffman entropy decode with byte-unstuffing and restart-marker
 handling, dequantization, 2-D IDCT (numpy, two 8x8 matmuls per block
-batch), level shift, plane assembly, and JFIF YCbCr->RGB for 3-component
-images. Supported subset: 8-bit baseline, grayscale or 4:4:4 (no chroma
-subsampling), non-progressive. Anything else — and any malformed stream —
-returns None, keeping the strict-or-None contract of the other codecs in
+batch), level shift, plane assembly with chroma upsampling, and JFIF
+YCbCr->RGB for 3-component images. Supported subset: 8-bit baseline,
+grayscale, 4:4:4, or 4:2:0 (the dominant real-world trio),
+non-progressive. Anything else — and any malformed stream — returns
+None, keeping the strict-or-None contract of the other codecs in
 :mod:`.multimodal` (arbitrary bytes can never "accidentally" decode).
 
 Encoder (test/gate side): FDCT + quantize + canonical huffman with
@@ -45,12 +46,14 @@ _A = np.array([[(math.sqrt(0.5) if u == 0 else 1.0) / 2.0
 
 
 def _idct2(blocks: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) spatial samples."""
-    return np.einsum("ux,nuv,vy->nxy", _A, blocks, _A, optimize=True)
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) spatial samples:
+    out[n,x,y] = sum_uv A[u,x] c[n,u,v] A[v,y], as two broadcast matmuls
+    (einsum would recompute its contraction path on every call)."""
+    return _A.T @ blocks @ _A
 
 
 def _fdct2(blocks: np.ndarray) -> np.ndarray:
-    return np.einsum("ux,nxy,vy->nuv", _A, blocks, _A, optimize=True)
+    return _A @ blocks @ _A.T
 
 
 # ------------------------------------------------------------------ huffman
@@ -192,9 +195,14 @@ def jpeg_header(raw: bytes) -> dict | None:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:  # only 4:4:4 / grayscale (no subsampling)
-                    return None
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            # supported layouts: grayscale, 4:4:4 (all 1x1), and 4:2:0
+            # (luma 2x2, chroma 1x1) — the dominant real-world trio
+            hvs = [(c["h"], c["v"]) for c in comps]
+            if not (hvs == [(1, 1)] or hvs == [(1, 1)] * 3
+                    or hvs == [(2, 2), (1, 1), (1, 1)]):
+                return None
             return {"width": w, "height": h, "ncomp": ncomp, "comps": comps,
                     "sof_end": pos + 2 + seglen}
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -290,9 +298,14 @@ def jpeg_decode(raw: bytes) -> dict | None:
         return None
 
     w, h, ncomp = hd["width"], hd["height"], hd["ncomp"]
-    bx, by = (w + 7) // 8, (h + 7) // 8
-    nmcu = bx * by
-    coefs = [np.zeros((nmcu, 8, 8)) for _ in range(ncomp)]
+    comps = hd["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = mcux * mcuy
+    per_mcu = [c["h"] * c["v"] for c in comps]
+    coefs = [np.zeros((nmcu * per_mcu[ci], 8, 8)) for ci in range(ncomp)]
     br = _BitReader(raw, data_pos)
     pred = [0] * ncomp
     for m in range(nmcu):
@@ -303,36 +316,37 @@ def jpeg_decode(raw: bytes) -> dict | None:
             pred = [0] * ncomp
         for ci in range(ncomp):
             dct, act, qt = comp_tabs[ci]
-            blk = np.zeros(64)
-            t = _huff_decode(br, dct)
-            if t is None or t > 11:
-                return None
-            if t:
-                v = br.receive(t)
-                if v is None:
+            for b in range(per_mcu[ci]):
+                blk = np.zeros(64)
+                t = _huff_decode(br, dct)
+                if t is None or t > 11:
                     return None
-                pred[ci] += _extend(v, t)
-            blk[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, act)
-                if rs is None:
-                    return None
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    return None
-                v = br.receive(s)
-                if v is None:
-                    return None
-                blk[ZIGZAG[k]] = _extend(v, s)
-                k += 1
-            coefs[ci][m] = blk.reshape(8, 8) * qt
+                if t:
+                    v = br.receive(t)
+                    if v is None:
+                        return None
+                    pred[ci] += _extend(v, t)
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, act)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    v = br.receive(s)
+                    if v is None:
+                        return None
+                    blk[ZIGZAG[k]] = _extend(v, s)
+                    k += 1
+                coefs[ci][m * per_mcu[ci] + b] = blk.reshape(8, 8) * qt
     br.align()
     # nothing but EOI may follow the entropy data
     end = br.pos
@@ -342,12 +356,24 @@ def jpeg_decode(raw: bytes) -> dict | None:
         return None
 
     planes = []
-    for ci in range(ncomp):
+    for ci, c in enumerate(comps):
         sp = _idct2(coefs[ci]) + 128.0
-        plane = np.zeros((by * 8, bx * 8))
-        for m in range(nmcu):
-            yy, xx = divmod(m, bx)
-            plane[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] = sp[m]
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for idx in range(len(sp)):
+            m, b = divmod(idx, per_mcu[ci])
+            my, mx = divmod(m, mcux)
+            byy, bxx = divmod(b, c["h"])  # within-MCU: left-to-right rows
+            ry = (my * c["v"] + byy) * 8
+            rx = (mx * c["h"] + bxx) * 8
+            plane[ry:ry + 8, rx:rx + 8] = sp[idx]
+        # crop to the component's own resolution, then upsample to full
+        # frame by pixel replication (JFIF nearest-neighbor)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        if c["v"] != vmax or c["h"] != hmax:
+            plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+                hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])
     if ncomp == 1:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -409,17 +435,66 @@ GATE_QTABLE = np.full((8, 8), 16.0)
 GATE_QTABLE[0, 0] = 8.0
 
 
+def _pad_to(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Edge-replicate ``plane`` out to (rows, cols)."""
+    r, c = plane.shape
+    if r < rows:
+        plane = np.vstack([plane, np.repeat(plane[-1:, :], rows - r, axis=0)])
+    if c < cols:
+        plane = np.hstack([plane, np.repeat(plane[:, -1:], cols - c, axis=1)])
+    return plane
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
+                  pred: int, dc_enc: dict, ac_enc: dict) -> int:
+    """FDCT + quantize + huffman one 8x8 block; returns the new DC pred."""
+    coef = _fdct2((block - 128.0)[None])[0]
+    q = np.round(coef / qt).astype(int)
+    diff = int(q[0, 0]) - pred
+    t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+    length, code = dc_enc[t]
+    bw.put(code, length)
+    if t:
+        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    zzc = q.reshape(64)[ZIGZAG]
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zzc[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zzc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        length, code = ac_enc[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_enc[0x00]  # EOB
+        bw.put(code, length)
+    return int(q[0, 0])
+
+
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
-                qtable: np.ndarray = None, restart_interval: int = 0) -> bytes:
+                qtable: np.ndarray = None, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Baseline JPEG encode of row-major 8-bit pixels (grayscale for
-    channels=1, RGB for channels=3, written 4:4:4). The default quant
-    table is :data:`GATE_QTABLE`. ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every that-many MCUs (exercising the
-    decoder's restart path)."""
+    channels=1, RGB for channels=3). ``subsampling`` is "444" or "420"
+    (2x2-mean chroma downsample, MCU-interleaved 4Y+Cb+Cr — the dominant
+    real-world layout). The default quant table is :data:`GATE_QTABLE`.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that-many MCUs (exercising the decoder's restart path)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixels must be width*height*channels bytes")
+    if subsampling not in ("444", "420") or (
+            subsampling == "420" and channels != 3):
+        raise ValueError("subsampling must be 444, or 420 with channels=3")
     qt = GATE_QTABLE if qtable is None else np.asarray(qtable, dtype=float)
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width,
                                                         channels).astype(float)
@@ -430,7 +505,24 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                   128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
     else:
         planes = [arr[..., 0]]
-    bx, by = (width + 7) // 8, (height + 7) // 8
+    if subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # 2x2-mean chroma downsample (pad odd dims by edge replication
+        # first so every 2x2 cell is full)
+        for ci in (1, 2):
+            p = _pad_to(planes[ci], (height + 1) // 2 * 2,
+                        (width + 1) // 2 * 2)
+            planes[ci] = (p[0::2, 0::2] + p[0::2, 1::2]
+                          + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    else:
+        samp = [(1, 1)] * channels
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # pad each component plane to its MCU-covered extent
+    for ci, (sh, sv) in enumerate(samp):
+        planes[ci] = _pad_to(planes[ci], mcuy * sv * 8, mcux * sh * 8)
 
     dc_bits, dc_vals, ac_bits, ac_vals = _flat_tables()
     dc_enc = _enc_table(dc_bits, dc_vals)
@@ -441,8 +533,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     zz[:] = np.round(qt.reshape(64)[ZIGZAG]).astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(zz)
     sof = struct.pack(">BHHB", 8, height, width, channels)
-    for ci in range(channels):
-        sof += bytes((ci + 1, 0x11, 0))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes((ci + 1, (sh << 4) | sv, 0))
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
         seg = bytes([tc << 4]) + bytes(bits) + vals
@@ -458,55 +550,22 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     bw = _BitWriter()
     pred = [0] * channels
     rst = 0
-    for m in range(bx * by):
+    for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             bw.flush()
             out += bw.out + bytes((0xFF, 0xD0 + rst))
             rst = (rst + 1) % 8
             bw = _BitWriter()
             pred = [0] * channels
-        yy, xx = divmod(m, bx)
-        for ci in range(channels):
-            plane = planes[ci]
-            block = np.zeros((8, 8))
-            ys, xs = yy * 8, xx * 8
-            tile = plane[ys:min(ys + 8, height), xs:min(xs + 8, width)]
-            # edge replication for partial blocks
-            block[:tile.shape[0], :tile.shape[1]] = tile
-            if tile.shape[0] < 8:
-                block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
-            if tile.shape[1] < 8:
-                block[:, tile.shape[1]:] = block[:, tile.shape[1] - 1:tile.shape[1]]
-            coef = _fdct2((block - 128.0)[None])[0]
-            q = np.round(coef / qt).astype(int)
-            diff = int(q[0, 0]) - pred[ci]
-            pred[ci] = int(q[0, 0])
-            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
-            length, code = dc_enc[t]
-            bw.put(code, length)
-            if t:
-                v = diff if diff > 0 else diff + (1 << t) - 1
-                bw.put(v, t)
-            zzc = q.reshape(64)[ZIGZAG]
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zzc[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zzc[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_enc[0xF0]
-                    bw.put(code, length)
-                    run -= 16
-                s = v.bit_length() if v > 0 else (-v).bit_length()
-                length, code = ac_enc[(run << 4) | s]
-                bw.put(code, length)
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                length, code = ac_enc[0x00]  # EOB
-                bw.put(code, length)
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for b in range(sh * sv):
+                byy, bxx = divmod(b, sh)
+                ys = (my * sv + byy) * 8
+                xs = (mx * sh + bxx) * 8
+                block = planes[ci][ys:ys + 8, xs:xs + 8]
+                pred[ci] = _encode_block(bw, block, qt, pred[ci],
+                                         dc_enc, ac_enc)
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)

@@ -62,6 +62,37 @@ def test_color_444_psnr():
     assert _psnr(dec, rgb) > 40, _psnr(dec, rgb)
 
 
+def test_420_subsampled_roundtrip():
+    """4:2:0 (the dominant real-world layout): encoder downsamples chroma
+    2x2-mean and interleaves 4Y+Cb+Cr per MCU; decoder reassembles and
+    replicates chroma back up. Luma must survive at full fidelity; the
+    chroma loss is bounded (smooth gradients -> ~subsampling error only)."""
+    for (w, h) in ((24, 16), (19, 13)):  # incl. non-MCU-multiple dims
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        rgb = np.stack([xs * 9 % 256, ys * 11 % 256, (xs + ys) * 4 % 256],
+                       axis=-1).astype(np.uint8)
+        blob = encode_jpeg(w, h, rgb.tobytes(), channels=3,
+                           qtable=np.full((8, 8), 2.0), subsampling="420")
+        hd = jpeg_header(blob)
+        assert (hd["comps"][0]["h"], hd["comps"][0]["v"]) == (2, 2)
+        assert (hd["comps"][1]["h"], hd["comps"][1]["v"]) == (1, 1)
+        img = jpeg_decode(blob)
+        assert img is not None and (img["width"], img["height"]) == (w, h)
+        dec = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        assert _psnr(dec, rgb) > 33, (w, h, _psnr(dec, rgb))
+        # luma plane specifically survives near-losslessly at quant step 2
+        wts = np.array([0.299, 0.587, 0.114])
+        y_in = rgb.astype(float) @ wts
+        y_out = dec.astype(float) @ wts
+        assert _psnr(y_out, y_in) > 39, _psnr(y_out, y_in)
+    # 420 grayscale is rejected at the encoder
+    try:
+        encode_jpeg(8, 8, bytes(64), channels=1, subsampling="420")
+        raise AssertionError("420 grayscale should be rejected")
+    except ValueError:
+        pass
+
+
 def test_restart_markers_do_not_change_pixels():
     w, h = 32, 16
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
