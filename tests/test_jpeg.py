@@ -124,6 +124,30 @@ def test_strictness():
     assert jpeg_decode(bytes(prog)) is None
 
 
+def test_pil_interop_if_available():
+    """Our encoder emits spec-valid baseline JPEG — where PIL exists, it
+    must decode our files and agree with our decoder within rounding
+    (different IDCT/upsample implementations may differ by a few LSB).
+    The build container has no PIL, so this skips there; it documents and
+    pins the interop claim wherever a full environment runs the suite."""
+    import pytest
+
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    w, h = 24, 16
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([xs * 10 % 256, ys * 10 % 256, (xs + ys) * 5 % 256],
+                   axis=-1).astype(np.uint8)
+    for sub in ("444", "420"):
+        blob = encode_jpeg(w, h, rgb.tobytes(), channels=3,
+                           qtable=np.full((8, 8), 2.0), subsampling=sub)
+        theirs = np.asarray(pil.open(io.BytesIO(blob)).convert("RGB"))
+        ours = np.frombuffer(jpeg_decode(blob)["pixels"],
+                             dtype=np.uint8).reshape(h, w, 3)
+        assert _psnr(theirs, ours) > 35, (sub, _psnr(theirs, ours))
+
+
 def test_dims_header_matches_decode_and_feature_path():
     px = bytes(([9] * 8 + [200] * 8) * 8)
     blob = encode_jpeg(16, 8, px, channels=1, qtable=GATE_QTABLE)
