@@ -464,3 +464,43 @@ def test_sweep_full_reference_grid(spark):
     want = {int(r.exchange_trade_id): (r.tolerance, int(r.sweep_offset))
             for r in oracle.itertuples()}
     assert got == want
+
+
+def test_read_links_distinguishes_missing_from_broken(spark, tmp_path):
+    """ADVICE r8 pin: a MISSING links store means "no links yet" (None),
+    but a store that exists and fails to read must RAISE — mapping a
+    transient read error to None would silently reset the resume cursor
+    and re-append the whole history's links on the next batch."""
+    import pytest
+
+    from obadiah_spark.streaming.match_job import read_links
+
+    assert read_links(spark, str(tmp_path / "nope")) is None
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception) as exc_info:
+        df = read_links(spark, str(broken))
+        if df is not None:  # schema inference may defer the failure
+            df.collect()
+    assert exc_info.value is not None
+
+
+def test_trade_id_packing_guard(spark):
+    """ADVICE r8 pin: the synthetic trade-id bit fields refuse values that
+    would bleed into a neighboring field instead of silently colliding."""
+    import pytest
+
+    import __spark_entry__ as em
+
+    ok = spark.createDataFrame(
+        [(4095, 524287, 4095, 524287)],
+        "buy_order_id int, buy_event_no int, sell_order_id int, "
+        "sell_event_no int")
+    (ok.select(em._packed_trade_id().alias("tid")).collect())
+    bad = spark.createDataFrame(
+        [(4096, 0, 0, 0)],
+        "buy_order_id int, buy_event_no int, sell_order_id int, "
+        "sell_event_no int")
+    with pytest.raises(Exception, match="packing overflow"):
+        bad.select(em._packed_trade_id().alias("tid")).collect()
