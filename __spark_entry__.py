@@ -312,6 +312,20 @@ def _q_ann_ivf(spark, sf_dir):
     return ann_ivf(spark.table("embeddings"), codebook=cb)
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (Jegou et al. 2011): coarse probes + asymmetric-distance
+    scan over 4x4-bit PQ codes + bounded exact re-rank — the memory-bound
+    100 TB similarity path. Reuses the session's trained coarse codebook."""
+    from obadiah_spark.pipelines.similarity import ann_ivfpq, train_ivf_codebook
+
+    _load(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(spark.table("embeddings"))
+    return ann_ivfpq(spark.table("embeddings"), codebook=cb)
+
+
 def _spread_docs(spark):
     """The test corpus is ONE parquet split, which would serialize the
     winnowers' map-side k-gram hashing onto a single core (measured 4.4 s
@@ -1343,18 +1357,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,    # NEW r9: baseline JPEG codec
         "wav_roundtrip": _q_wav_roundtrip,      # NEW r9: RIFF/WAV audio leg
         "mjpeg_sample": _q_mjpeg_sample,        # NEW r9: real video frames
+        "ann_ivfpq": _q_ann_ivfpq,              # NEW r9: product quantization
         "match_sequential": _q_match_sequential,  # bit-field trade-id packing
         "match_sweep": _q_match_sweep,            # bit-field packing + full grid
         "multimodal_features": _q_multimodal,     # header-only dims path
         # -- (3) filler: the oldest r8-green rows re-verify early, easing
         #    the round-10 window ----------------------------------------
         "match_incremental": _q_match_incremental,
-        "reveal_episodes": _q_reveal_episodes,
         "fix_aggressor_order": _q_fix_aggressor,
         "cleanse_order": _q_cleanse_order,
         # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
         #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "reveal_episodes": _q_reveal_episodes,
         "symbol_upsert": _q_symbol_upsert,
         "insert_era": _q_insert_era,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -1490,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
     from obadiah_spark.pipelines.similarity import (
         ann_bruteforce_oracle,
         ann_ivf_oracle,
+        ann_ivfpq_oracle,
         ann_lsh_pairs_oracle_sql,
         ann_lsh_recall_oracle,
     )
@@ -1535,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": sample_frames_oracle(),
         "ann_bruteforce": ann_bruteforce_oracle(),
         "ann_ivf": ann_ivf_oracle(),
+        "ann_ivfpq": ann_ivfpq_oracle(),
         # ann_lsh_pairs: intentionally no oracle (approximate operator);
         # its recall bound is gate-checked by ann_lsh_recall below
         # dim=64 is the TESTDATA.md embeddings contract (all sf dirs); the

@@ -538,6 +538,265 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+# ------------------------------------------------------------- IVF-PQ ----
+# Product quantization (Jegou, Douze, Schmid, TPAMI 2011) on top of the
+# IVF coarse quantizer: the memory-bound 100 TB path. Vectors are encoded
+# ONCE as PQ_M sub-codes (one byte each — a 64-dim float vector compresses
+# 64x), queries scan candidates with an asymmetric-distance (ADC) lookup
+# table of PQ_M x PQ_KSUB precomputed sub-distances, and only the top
+# ``rerank*k`` ADC candidates pay an exact re-score. Every step is
+# deterministic — seed sub-codebooks from the same stride-sampled vectors
+# as the IVF seeds (the offline k-means slot, same argument as
+# IVF_TRAIN_MAX: training must be O(1) in corpus size), L2^2 from three
+# dot products rounded to 9 dp, m-ordered left-fold ADC sums — so the
+# whole operator hash-checks against DuckDB.
+PQ_DIM = 64       # embeddings column width (driver testdata contract)
+PQ_M = 4          # subspaces of PQ_DIM / PQ_M dims each
+PQ_KSUB = 16      # sub-centroids per subspace (4-bit codes)
+# Exact re-score depth = rerank * k ADC survivors. 16 is tuned to the
+# testdata's worst case: these embeddings are UNIFORM random (no planted
+# cluster structure), which is adversarial for PQ — the ADC error is
+# comparable to the whole cosine spread, so a deep-ish re-rank recovers
+# most of the IVF probe ceiling (measured: recall 0.43/0.60 ceiling at
+# rerank=16, 0.53 at 32; 3-iter Lloyd sub-training lifts ADC by only
+# ~0.03 here, which is why the sub-codebooks stay stride-seeded). On a
+# real corpus with manifold structure the ADC ordering is far tighter
+# and rerank can drop.
+PQ_RERANK = 16
+
+
+def _l2sq(a: str, b: str):
+    """||a - b||^2 via three dot products (the one array-fold primitive
+    both engines already agree on bit-for-bit), rounded to 9 dp so argmin
+    ties break identically cross-engine."""
+    daa = F.expr(_DOT.format(a=a, b=a))
+    dbb = F.expr(_DOT.format(a=b, b=b))
+    dab = F.expr(_DOT.format(a=a, b=b))
+    return F.round(daa + dbb - 2 * dab, 9)
+
+
+def _subvectors(df: DataFrame, id_col: str, emb_col: str,
+                m: int = PQ_M, dim: int = PQ_DIM) -> DataFrame:
+    """(id, m, sv): the m-th contiguous subvector of each embedding."""
+    sub = dim // m
+    pieces = F.array(*[
+        F.struct(F.lit(mm).alias("m"),
+                 F.slice(F.col(emb_col), mm * sub + 1, sub).alias("sv"))
+        for mm in range(m)])
+    return df.select(id_col, F.explode(pieces).alias("p")).select(
+        id_col, F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+
+
+def pq_subcodebooks(emb: DataFrame, stride: int = IVF_STRIDE,
+                    m: int = PQ_M, ksub: int = PQ_KSUB,
+                    dim: int = PQ_DIM) -> DataFrame:
+    """(m, j, sc): sub-codebooks seeded from the first ``ksub``
+    stride-sampled vectors (j = rank of the seed's vec_id) — the
+    deterministic stand-in for an offline per-subspace k-means, O(1) in
+    corpus size by the same argument as the IVF codebook cap."""
+    w = W.orderBy("vec_id")
+    seeds = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id").limit(ksub)
+        .select(F.expr(_CAST_DOUBLE_ARR.format(col="embedding")).alias("emb"),
+                (F.row_number().over(w) - 1).alias("j"), "vec_id")
+    )
+    return _subvectors(seeds, "j", "emb", m, dim).select(
+        "m", "j", F.col("sv").alias("sc"))
+
+
+def pq_encode(emb: DataFrame, subcb: DataFrame, m: int = PQ_M,
+              dim: int = PQ_DIM) -> DataFrame:
+    """(vec_id, m, code): nearest sub-centroid per subspace (L2, j-asc
+    tiebreak). One broadcast join against the m x ksub codebook + one
+    per-(vec, subspace) argmin — the encode pass is a single shuffle-free
+    scan at scale, run ONCE per corpus."""
+    sv = _subvectors(
+        emb.select("vec_id",
+                   F.expr(_CAST_DOUBLE_ARR.format(col="embedding"))
+                   .alias("emb")),
+        "vec_id", "emb", m, dim)
+    scored = sv.join(F.broadcast(subcb), "m").select(
+        "vec_id", "m", "j", _l2sq("sv", "sc").alias("d"))
+    w = W.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("j"))
+    return (scored.withColumn("r", F.row_number().over(w))
+            .filter("r = 1").select("vec_id", "m", F.col("j").alias("code")))
+
+
+def ann_ivfpq(emb: DataFrame, n_queries: int = 10, k: int = 5,
+              n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+              stride: int = IVF_STRIDE, iters: int = IVF_ITERS,
+              train_stride: int = IVF_TRAIN_STRIDE,
+              train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
+              ksub: int = PQ_KSUB, rerank: int = PQ_RERANK,
+              dim: int = PQ_DIM,
+              codebook: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ ANN: coarse-probe the IVF cells, rank the candidates by the
+    ADC lookup-table distance over their PQ codes, exact-re-score only the
+    ``rerank*k`` ADC survivors. With ``n_probe >= n_cells`` and a
+    ``rerank`` covering the corpus it degenerates to exactly
+    :func:`ann_bruteforce` (pytest invariant). Output schema matches
+    ``ann_ivf``: (q_id, vec_id, cosine, rank)."""
+    cents = codebook if codebook is not None else ivf_centroids(
+        emb, n_cells, stride, iters, train_stride, train_max)
+    assign = (
+        _rank_cells(emb.select("vec_id", "embedding"), cents,
+                    "vec_id", "embedding")
+        .filter(F.col("cr") == 1).select("vec_id", "cell")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    probes = (
+        _rank_cells(q, cents, "q_id", "q_emb")
+        .filter(F.col("cr") <= n_probe).select("q_id", "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    subcb = pq_subcodebooks(emb, stride, m, ksub, dim)
+    codes = pq_encode(emb, subcb, m, dim)
+    # ADC lookup table: distance from each query subvector to every
+    # sub-centroid — m x ksub rows per query, broadcast everywhere
+    lut = _subvectors(
+        q.select(F.col("q_id"),
+                 F.expr(_CAST_DOUBLE_ARR.format(col="q_emb")).alias("emb")),
+        "q_id", "emb", m, dim).join(F.broadcast(subcb), "m").select(
+        "q_id", "m", F.col("j").alias("code"), _l2sq("sv", "sc").alias("d"))
+    # m-ordered left-fold sum (4 doubles — a groupBy sum would add in
+    # partition order and drift in the last ulp engine-to-engine)
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("m", "d"))),
+                        lambda s: s["d"]),
+            F.lit(0.0), lambda acc, v: acc + v), 9).alias("adc"))
+    )
+    wa = W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    survivors = (adc.withColumn("ar", F.row_number().over(wa))
+                 .filter(F.col("ar") <= rerank * k)
+                 .select("q_id", "vec_id"))
+    ev = emb.select("vec_id", F.col("embedding").alias("emb_v"))
+    scored = (
+        survivors.join(ev, "vec_id").join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", _cosine("emb_v", "q_emb").alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_ivfpq_oracle(n_queries: int = 10, k: int = 5,
+                     n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+                     stride: int = IVF_STRIDE, iters: int = IVF_ITERS,
+                     train_stride: int = IVF_TRAIN_STRIDE,
+                     train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
+                     ksub: int = PQ_KSUB, rerank: int = PQ_RERANK,
+                     dim: int = PQ_DIM) -> str:
+    """The full IVF-PQ pipeline in DuckDB: same coarse codebook CTEs as
+    ``ann_ivf``, sub-codebooks as slices of the rank-ordered seed vectors,
+    L2^2 via three list_dot_products rounded 9 dp, ADC sums as m-ordered
+    list_reduce folds."""
+    sub = dim // m
+    slices = " UNION ALL ".join(
+        f"SELECT {mm} AS m, j, emb[{mm * sub + 1}:{(mm + 1) * sub}] AS sc "
+        f"FROM seeds" for mm in range(m))
+    qslices = " UNION ALL ".join(
+        f"SELECT q_id, {mm} AS m, q_emb[{mm * sub + 1}:{(mm + 1) * sub}] "
+        f"AS sv FROM q" for mm in range(m))
+    vslices = " UNION ALL ".join(
+        f"SELECT vec_id, {mm} AS m, emb[{mm * sub + 1}:{(mm + 1) * sub}] "
+        f"AS sv FROM e" for mm in range(m))
+
+    def l2(a, b):
+        return (f"round(list_dot_product({a}, {a}) "
+                f"+ list_dot_product({b}, {b}) "
+                f"- 2 * list_dot_product({a}, {b}), 9)")
+
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), {_ivf_codebook_ctes(n_cells, stride, iters, train_stride, train_max)}, ar AS (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.emb, c.c_emb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 9) DESC,
+               c.cell) AS cr
+    FROM e CROSS JOIN c
+), assign AS (
+    SELECT vec_id, cell FROM ar WHERE cr = 1
+), q AS MATERIALIZED (
+    SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {n_queries}
+), pr AS (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_dot_product(q.q_emb, c.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 9) DESC,
+               c.cell) AS cr
+    FROM q CROSS JOIN c
+), probes AS (
+    SELECT q_id, cell FROM pr WHERE cr <= {n_probe}
+), cand AS (
+    SELECT p.q_id, a.vec_id
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.q_id
+), seeds AS MATERIALIZED (
+    SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM (
+        SELECT vec_id, emb FROM e WHERE vec_id % {stride} = 0
+        ORDER BY vec_id LIMIT {ksub})
+), subcb AS MATERIALIZED ({slices}
+), vsv AS ({vslices}
+), codes AS MATERIALIZED (
+    SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, s.j AS code,
+               row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+                   {l2('v.sv', 's.sc')} ASC, s.j ASC) AS r
+        FROM vsv v JOIN subcb s USING (m)
+    ) t WHERE r = 1
+), qsv AS ({qslices}
+), lut AS (
+    SELECT qs.q_id, qs.m, s.j AS code, {l2('qs.sv', 's.sc')} AS d
+    FROM qsv qs JOIN subcb s USING (m)
+), adc AS (
+    SELECT cand.q_id, cand.vec_id,
+           round(list_reduce(list(l.d ORDER BY l.m), (x, y) -> x + y), 9)
+           AS adc
+    FROM cand
+    JOIN codes co ON co.vec_id = cand.vec_id
+    JOIN lut l ON l.q_id = cand.q_id AND l.m = co.m AND l.code = co.code
+    GROUP BY cand.q_id, cand.vec_id
+), survivors AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc ASC, vec_id ASC) AS ar
+        FROM adc
+    ) t WHERE ar <= {rerank * k}
+), d AS (
+    SELECT s.q_id, s.vec_id,
+           round(list_dot_product(ev.emb, eq.q_emb)
+                 / (sqrt(list_dot_product(ev.emb, ev.emb))
+                    * sqrt(list_dot_product(eq.q_emb, eq.q_emb))), 9) AS cosine
+    FROM survivors s
+    JOIN e ev ON ev.vec_id = s.vec_id
+    JOIN q eq ON eq.q_id = s.q_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM d
+) t WHERE rank <= {k}
+"""
+
+
 # Recall-metric parameterization: the testdata embeddings have no planted
 # near-duplicates (max pairwise cosine ~0.51 at sf0.01), and at cosine ~0.5
 # the default 12-plane signature collides with probability ~2% — fine for

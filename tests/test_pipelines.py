@@ -449,3 +449,42 @@ def test_ivf_precomputed_codebook_equals_in_query(spark, tmp_path):
         got = (ann_ivf(emb, n_queries=8, k=3, codebook=cb).toPandas()
                .sort_values(["q_id", "rank"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(base, got)
+
+
+def test_ivfpq_probe_all_rerank_all_equals_bruteforce(spark):
+    """With every cell probed and a re-rank depth covering the whole
+    corpus, IVF-PQ's ADC stage prunes nothing and the exact re-score must
+    reproduce brute force bit-for-bit — the quantization may only ever
+    change WHICH candidates reach the re-score, never their scores."""
+    import pandas as pd
+
+    from obadiah_spark.pipelines.similarity import IVF_CELLS, ann_ivfpq
+
+    emb = spark.table("embeddings")
+    n = emb.count()
+    bf = (ann_bruteforce(emb, n_queries=6, k=3).toPandas()
+          .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    pq = (ann_ivfpq(emb, n_queries=6, k=3, n_probe=IVF_CELLS,
+                    rerank=(n // 3) + 1).toPandas()
+          .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bf, pq, check_dtype=False)
+
+
+def test_ivfpq_recall_vs_ivf_flat_ceiling(spark):
+    """At the default settings the PQ path must recover most of what the
+    IVF probes can see at all (the flat exact re-score of every probed
+    candidate is the ceiling — probe misses are the coarse quantizer's
+    doing, not PQ's). Uniform random embeddings are PQ's adversarial
+    case, hence a relative bound, not an absolute one."""
+    from obadiah_spark.pipelines.similarity import ann_ivfpq
+
+    emb = spark.table("embeddings")
+    bf = ann_bruteforce(emb, n_queries=10, k=3).toPandas()
+    truth = {(q, v) for q, v in zip(bf.q_id, bf.vec_id)}
+    ivf = ann_ivf(emb, n_queries=10, k=3).toPandas()
+    ceiling = len(truth & {(q, v) for q, v in zip(ivf.q_id, ivf.vec_id)})
+    pq = ann_ivfpq(emb, n_queries=10, k=3).toPandas()
+    got = len(truth & {(q, v) for q, v in zip(pq.q_id, pq.vec_id)})
+    assert ceiling > 0, "IVF ceiling vacuous — probe config broken"
+    assert got >= ceiling * 2 / 3, (
+        f"IVF-PQ recovers {got}/{ceiling} of the IVF-flat ceiling")

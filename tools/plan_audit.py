@@ -42,7 +42,12 @@ ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
                  # IVF coarse quantization: every vector ranked against the
                  # broadcast n_cells(=16)-row codebook — O(n x n_cells),
                  # not all-pairs; candidate generation is a cell equi-join
-                 "ann_ivf"}
+                 "ann_ivf",
+                 # IVF-PQ adds the same bounded pattern twice more: the
+                 # m x ksub(=64)-row sub-codebook broadcast into the
+                 # per-subspace encode, and the 16-row coarse codebook as
+                 # in ann_ivf; the candidate/ADC joins are equi-joins
+                 "ann_ivfpq"}
 
 # annotated non-equi joins where BOTH sides are metadata-sized by
 # construction — reviewed, not a scale risk; a NEW name appearing here
