@@ -312,6 +312,14 @@ def _q_ann_ivf(spark, sf_dir):
     return ann_ivf(spark.table("embeddings"), codebook=cb)
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Keyword extraction: top terms per doc by (tf DESC, df ASC, term) —
+    the TF-IDF ordering without libm, integer-exact cross-engine."""
+    from obadiah_spark.pipelines.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def _q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ ANN (Jegou et al. 2011): coarse probes + asymmetric-distance
     scan over 4x4-bit PQ codes + bounded exact re-rank — the memory-bound
@@ -1358,17 +1366,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_roundtrip": _q_wav_roundtrip,      # NEW r9: RIFF/WAV audio leg
         "mjpeg_sample": _q_mjpeg_sample,        # NEW r9: real video frames
         "ann_ivfpq": _q_ann_ivfpq,              # NEW r9: product quantization
+        "tfidf_top_terms": _q_tfidf_top_terms,  # NEW r9: keyword extraction
         "match_sequential": _q_match_sequential,  # bit-field trade-id packing
         "match_sweep": _q_match_sweep,            # bit-field packing + full grid
         "multimodal_features": _q_multimodal,     # header-only dims path
         # -- (3) filler: the oldest r8-green rows re-verify early, easing
         #    the round-10 window ----------------------------------------
         "match_incremental": _q_match_incremental,
-        "fix_aggressor_order": _q_fix_aggressor,
         "cleanse_order": _q_cleanse_order,
         # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
         #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "fix_aggressor_order": _q_fix_aggressor,
         "reveal_episodes": _q_reveal_episodes,
         "symbol_upsert": _q_symbol_upsert,
         "insert_era": _q_insert_era,
@@ -1516,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         TEXT_STATS_ORACLE,
         WINNOW_ORACLE,
         WINNOW_PAIRS_ORACLE,
+        tfidf_top_terms_oracle,
     )
     from obadiah_spark.pipelines.tokenize import TOKENIZE_REGEX_ORACLE
     from obadiah_spark.synth import level3_cte, level3_matches_cte
@@ -1545,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_ORACLE,
         "lang_id_ngram": langid.lang_id_ngram_oracle_sql(),
         "tokenize_regex": TOKENIZE_REGEX_ORACLE,
+        "tfidf_top_terms": tfidf_top_terms_oracle(),
         "winnow_fingerprints": WINNOW_ORACLE,
         "winnow_pairs": WINNOW_PAIRS_ORACLE,
         "multimodal_resize": resize_images_oracle(),

@@ -9,7 +9,7 @@ exploded tokens; shuffles once on doc_id, map-side combinable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # intersects the synthetic vocabulary; order matters nowhere
@@ -268,4 +268,65 @@ WINNOW_PAIRS_ORACLE = _WINNOW_SETS_CTES + rf"""
 )
 SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM j GROUP BY doc_a, doc_b HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+# ------------------------------------------------- keyword extraction ------
+# TF-IDF-style top terms WITHOUT libm: instead of tf*log(N/df) — whose
+# floating log would have to agree bit-for-bit across engines — terms rank
+# lexicographically by (tf DESC, df ASC, term ASC). For a fixed doc this
+# induces the same ordering as tf * idf whenever tf dominates (and a
+# deterministic, integer-exact one everywhere), so the gate hash covers the
+# whole extraction. Stopwords drop out naturally: their df is corpus-wide,
+# so any content term with equal tf outranks them; the explicit STOPWORDS
+# filter removes the degenerate case of a doc made mostly of them.
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``k`` characteristic terms per document by (tf DESC, df ASC,
+    term ASC) — integer arithmetic end-to-end.
+
+    Scale: one (doc, term) groupBy (map-side combinable), one term-keyed
+    groupBy for document frequency, one equi-join on term (fanout = 1 row
+    per (doc, term) — bounded), one per-doc window. No all-pairs, no
+    Python."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("term"))
+    tok = tok.filter(~F.col("term").isin(*STOPWORDS) & (F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+def tfidf_top_terms_oracle(k: int = TFIDF_TOP_K) -> str:
+    stop = ", ".join("'%s'" % s for s in STOPWORDS)
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(lower(trim(regexp_replace(text,
+               '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g'))), ' ')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok
+    WHERE term NOT IN ({stop}) AND term <> ''
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, rank FROM (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           CAST(row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS BIGINT) AS rank
+    FROM tf t JOIN df d USING (term)
+) x WHERE rank <= {k}
 """

@@ -114,3 +114,27 @@ def test_tokenize_regex_char_coverage(spark):
            .where("bpe_char_sum <> n_norm")
            .count())
     assert bad == 0
+
+
+def test_tfidf_top_terms_planted_keywords(spark):
+    """A term frequent in ONE doc but rare corpus-wide must outrank terms
+    that are equally frequent in the doc but common everywhere — the
+    defining TF-IDF property, here via the (tf DESC, df ASC, term)
+    ordering."""
+    from obadiah_spark.pipelines.text import tfidf_top_terms
+
+    common = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(0, f"zyzzyva zyzzyva {common} {common}"),
+         (1, f"{common} {common} {common}"),
+         (2, f"{common} quokka quokka {common}")],
+        "doc_id bigint, text string")
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df))
+    assert sorted(by_doc[0])[0][1] == "zyzzyva"   # tf=2, df=1 wins
+    assert sorted(by_doc[2])[0][1] == "quokka"
+    # doc 1 has only common terms: rank-1 is the lexicographically first
+    # of the equal-(tf, df) trio
+    assert sorted(by_doc[1])[0][1] == "alpha"
