@@ -244,6 +244,10 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
           .agg(F.max("sum_sq")).collect())
     timed("mjpeg_sample", lambda: mjpeg_sample(docs)
           .agg(F.max("px_md5")).collect())
+    from obadiah_spark.pipelines.text import tfidf_top_terms
+
+    timed("tfidf_top_terms", lambda: tfidf_top_terms(docs)
+          .agg(F.max("term"), F.max("df")).collect())
     return out
 
 
