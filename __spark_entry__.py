@@ -312,6 +312,15 @@ def _q_ann_ivf(spark, sf_dir):
     return ann_ivf(spark.table("embeddings"), codebook=cb)
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the verified
+    shingle-Jaccard pairs (min-label propagation, O(diameter) rounds);
+    cluster_id = smallest member doc_id, singletons included."""
+    from obadiah_spark.pipelines.dedup import dup_clusters
+
+    return dup_clusters(_docs(spark, sf_dir))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Keyword extraction: top terms per doc by (tf DESC, df ASC, term) —
     the TF-IDF ordering without libm, integer-exact cross-engine."""
@@ -1367,16 +1376,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_sample": _q_mjpeg_sample,        # NEW r9: real video frames
         "ann_ivfpq": _q_ann_ivfpq,              # NEW r9: product quantization
         "tfidf_top_terms": _q_tfidf_top_terms,  # NEW r9: keyword extraction
+        "dup_clusters": _q_dup_clusters,        # NEW r9: connected components
         "match_sequential": _q_match_sequential,  # bit-field trade-id packing
         "match_sweep": _q_match_sweep,            # bit-field packing + full grid
         "multimodal_features": _q_multimodal,     # header-only dims path
         # -- (3) filler: the oldest r8-green rows re-verify early, easing
         #    the round-10 window ----------------------------------------
         "match_incremental": _q_match_incremental,
-        "cleanse_order": _q_cleanse_order,
         # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
         #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
         #      here ages past the two-round bound before the next cap) ----
+        "cleanse_order": _q_cleanse_order,
         "fix_aggressor_order": _q_fix_aggressor,
         "reveal_episodes": _q_reveal_episodes,
         "symbol_upsert": _q_symbol_upsert,
@@ -1556,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": langid.lang_id_ngram_oracle_sql(),
         "tokenize_regex": TOKENIZE_REGEX_ORACLE,
         "tfidf_top_terms": tfidf_top_terms_oracle(),
+        "dup_clusters": dedup.dup_clusters_oracle(),
         "winnow_fingerprints": WINNOW_ORACLE,
         "winnow_pairs": WINNOW_PAIRS_ORACLE,
         "multimodal_resize": resize_images_oracle(),

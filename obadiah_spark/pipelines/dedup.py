@@ -441,3 +441,90 @@ SELECT 'embedding_dedup_lsh_recall' AS metric,
        TRUE AS {flag}
 FROM dup
 """
+
+
+# --------------------------------------------- duplicate clustering --------
+# Connected components over the verified near-dup pairs — the step that
+# turns pairwise dedup into "keep one representative per cluster". The
+# engine runs min-label propagation: every vertex repeatedly adopts the
+# smallest label among itself and its neighbors, converging in O(graph
+# diameter) rounds; near-dup graphs are unions of small quasi-cliques, so
+# the diameter — and the round count — is tiny in practice. Each round is
+# ONE key-partitioned shuffle over the edge list; the per-round
+# convergence check is a driver-side scalar (documented, same class as
+# the resume-cursor reads). At true web scale the alternating
+# large-star/small-star algorithm (Kiveris et al., SoCC 2014) halves the
+# round count; min-label propagation is its textbook special case and
+# keeps the oracle exact.
+CC_MAX_ROUNDS = 50  # >= any plausible near-dup component diameter
+
+
+def dup_clusters(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — cluster_id is the smallest
+    doc_id reachable through :func:`ngram_jaccard_pairs` edges at
+    ``threshold``; singleton docs form their own cluster."""
+    edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    # both directions once, reused every round
+    e = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    e = e.localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ROUNDS):
+        msgs = (
+            e.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(msgs, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_min", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {CC_MAX_ROUNDS} rounds")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+    )
+
+
+def dup_clusters_oracle(threshold: float = 0.05) -> str:
+    """Recursive-CTE reachability closure: cluster_id = min reachable
+    doc_id. Components are tiny (near-dup quasi-cliques), so the closure
+    is small even though it enumerates (doc, reachable) pairs."""
+    return f"""
+WITH RECURSIVE pairs AS (
+    {ngram_jaccard_oracle(threshold)}
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), lab AS (
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+), sizes AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM lab GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM lab JOIN sizes USING (cluster_id)
+"""

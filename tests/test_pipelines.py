@@ -488,3 +488,29 @@ def test_ivfpq_recall_vs_ivf_flat_ceiling(spark):
     assert ceiling > 0, "IVF ceiling vacuous — probe config broken"
     assert got >= ceiling * 2 / 3, (
         f"IVF-PQ recovers {got}/{ceiling} of the IVF-flat ceiling")
+
+
+def test_dup_clusters_path_component(spark):
+    """A path-shaped component (a-b, b-c, c-d share shingles pairwise-
+    adjacently but not end-to-end) must still collapse to ONE cluster —
+    the transitive closure the propagation rounds exist for — and an
+    unrelated doc stays a singleton."""
+    from obadiah_spark.pipelines.dedup import dup_clusters
+
+    # 8-char shingles; adjacent docs share a long run, ends don't
+    seg = ["alpha bravo charlie delta echo",
+           "foxtrot golf hotel india juliet",
+           "kilo lima mike november oscar",
+           "papa quebec romeo sierra tango"]
+    docs = spark.createDataFrame(
+        [(0, seg[0] + " " + seg[1]),
+         (1, seg[1] + " " + seg[2]),
+         (2, seg[2] + " " + seg[3]),
+         (3, seg[3] + " uniform victor whiskey xray yankee"),
+         (9, "zulu " * 12)],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dup_clusters(docs, threshold=0.05).collect()}
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id \
+        == out[3].cluster_id == 0
+    assert out[0].cluster_size == 4
+    assert out[9].cluster_id == 9 and out[9].cluster_size == 1
