@@ -367,17 +367,15 @@ def _q_winnow_pairs(spark, sf_dir):
 
 
 def _q_multimodal_resize(spark, sf_dir):
-    from obadiah_spark.pipelines.multimodal import pack_blobs, resize_images
+    """REAL resize since r10: decode (BMP/PPM/PNG fabric) -> area
+    resample -> PPM re-encode round trip; the oracle recomputes the
+    resampled bytes analytically (integer box factors)."""
+    from obadiah_spark.pipelines.multimodal import (
+        RESIZE_GATE_H, RESIZE_GATE_W, pack_image_blobs, resize_images)
 
     _load(spark, sf_dir)
-    return resize_images(pack_blobs(spark.table("documents")))
-
-
-def _q_frame_sample(spark, sf_dir):
-    from obadiah_spark.pipelines.multimodal import pack_blobs, sample_frames
-
-    _load(spark, sf_dir)
-    return sample_frames(pack_blobs(spark.table("documents")))
+    return resize_images(pack_image_blobs(spark.table("documents")),
+                         RESIZE_GATE_W, RESIZE_GATE_H)
 
 
 def _q_ann_lsh_recall(spark, sf_dir):
@@ -1327,65 +1325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (1) rotated out of r8's 50 (last driver row: r7) — the whole
-        #    36-entry tail heads the window so no entry's driver row ages
-        #    past two rounds --------------------------------------------
-        "data_overview": _q_data_overview,
-        "epsilon_draws": _q_epsilon_draws,
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q_q3,
-        "q5_revenue_by_nation": _q_q5,
-        "topk_orders_per_customer": _q_topk,
-        "sessionize_events": _q_sessionize,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
-        "text_stats": _q_text_stats,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,  # value-level oracle since r9 (planes as VALUES CTE)
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "embedding_dedup": _q_embedding_dedup,
-        "get_depth": _q_get_depth,
-        "get_depth_freq": _q_get_depth_freq,
-        "get_spread_freq": _q_get_spread_freq,
-        "export_events": _q_export,
-        "book_by_episode": _q_book_by_episode,
-        "get_spread": _q_get_spread,
-        "spread_at": _q_spread_at,
-        "depth_resample": _q_depth_resample,
-        "move_audit": _q_move_audit,
-        "bs_capture_orders": _q_bs_capture_orders,
-        "capture_trades": _q_capture_trades,
-        "capture_raw_book": _q_capture_raw_book,
-        "episode_framing": _q_episode_framing,
-        "match_fill_exact": _q_match_fill_exact,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "inferred_trades": _q_inferred_trades,
-        "match_audit": _q_match_audit,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "chain_audit": _q_chain_audit,
-        # -- (2) new or code-touched in round 9 ---------------------------
-        "trading_strategy_rho": _q_trading_strategy_rho,  # NEW r9: interest x mid
-        "codec_roundtrip": _q_codec_roundtrip,  # NEW r9: BMP/PPM/PNG gate
-        "lang_id_ngram": _q_lang_id_ngram,      # NEW r9: n-gram language ID
-        "tokenize_regex": _q_tokenize_regex,    # NEW r9: regex pre-tokenizer
-        "jpeg_roundtrip": _q_jpeg_roundtrip,    # NEW r9: baseline JPEG codec
-        "wav_roundtrip": _q_wav_roundtrip,      # NEW r9: RIFF/WAV audio leg
-        "mjpeg_sample": _q_mjpeg_sample,        # NEW r9: real video frames
-        "ann_ivfpq": _q_ann_ivfpq,              # NEW r9: product quantization
-        "tfidf_top_terms": _q_tfidf_top_terms,  # NEW r9: keyword extraction
-        "dup_clusters": _q_dup_clusters,        # NEW r9: connected components
-        "match_sequential": _q_match_sequential,  # bit-field trade-id packing
-        "match_sweep": _q_match_sweep,            # bit-field packing + full grid
-        "multimodal_features": _q_multimodal,     # header-only dims path
-        # -- (3) filler: the oldest r8-green rows re-verify early, easing
-        #    the round-10 window ----------------------------------------
-        "match_incremental": _q_match_incremental,
-        # ---- slot 51+: r8 driver-green, code unchanged — rotate back in
-        #      r10 (every entry below has a CORRECTNESS_r08 row, so nothing
-        #      here ages past the two-round bound before the next cap) ----
+        # -- (1) rotated out of r9's 50 (last driver row: r8) — this
+        #    45-entry tail heads the window so no entry's driver row ages
+        #    past two rounds. (frame_sample was RETIRED in r10: its
+        #    fan-out-cardinality contract moved into the real
+        #    mjpeg_sample gate, freeing one slot.) ------------------------
         "cleanse_order": _q_cleanse_order,
         "fix_aggressor_order": _q_fix_aggressor,
         "reveal_episodes": _q_reveal_episodes,
@@ -1422,8 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,
-        "frame_sample": _q_frame_sample,
+        "multimodal_resize": _q_multimodal_resize,  # REAL resampling in r10
         "merge_crossed_books": _q_merge_crossed_books,
         "merge_episodes": _q_merge_episodes,
         "era_reassign": _q_era_reassign,
@@ -1432,6 +1375,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,
+        # -- (2) code-touched in round 10 (r9-green, but their modules
+        #    changed this round) ----------------------------------------
+        "mjpeg_sample": _q_mjpeg_sample,    # data-dependent fan-out in r10
+        "wav_roundtrip": _q_wav_roundtrip,  # +pos_weighted order pin (r10)
+        "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: alloc cap (r10)
+        "codec_roundtrip": _q_codec_roundtrip,  # PNG bounded inflate (r10)
+        "dup_clusters": _q_dup_clusters,    # alternating-star path (r10)
+        # ---- slot 51+: r9 driver-green (CORRECTNESS_r09 rows), code
+        #      unchanged this round — rotate back into the window in r11 --
+        "data_overview": _q_data_overview,
+        "epsilon_draws": _q_epsilon_draws,
+        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_pairs": _q_ann_lsh,  # value-level oracle since r9 (planes as VALUES CTE)
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "embedding_dedup": _q_embedding_dedup,
+        "get_depth": _q_get_depth,
+        "get_depth_freq": _q_get_depth_freq,
+        "get_spread_freq": _q_get_spread_freq,
+        "export_events": _q_export,
+        "book_by_episode": _q_book_by_episode,
+        "get_spread": _q_get_spread,
+        "spread_at": _q_spread_at,
+        "depth_resample": _q_depth_resample,
+        "move_audit": _q_move_audit,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
+        "capture_raw_book": _q_capture_raw_book,
+        "episode_framing": _q_episode_framing,
+        "match_fill_exact": _q_match_fill_exact,
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "inferred_trades": _q_inferred_trades,
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "chain_audit": _q_chain_audit,
+        "trading_strategy_rho": _q_trading_strategy_rho,
+        "lang_id_ngram": _q_lang_id_ngram,
+        "tokenize_regex": _q_tokenize_regex,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "match_sequential": _q_match_sequential,
+        "match_sweep": _q_match_sweep,
+        "multimodal_features": _q_multimodal,
+        "match_incremental": _q_match_incremental,
     }
 
 
@@ -1519,7 +1516,6 @@ def oracle_sql() -> dict[str, str]:
         JPEG_ROUNDTRIP_ORACLE,
         MULTIMODAL_ORACLE,
         resize_images_oracle,
-        sample_frames_oracle,
     )
     from obadiah_spark.pipelines.similarity import (
         ann_bruteforce_oracle,
@@ -1570,12 +1566,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": WINNOW_ORACLE,
         "winnow_pairs": WINNOW_PAIRS_ORACLE,
         "multimodal_resize": resize_images_oracle(),
-        "frame_sample": sample_frames_oracle(),
         "ann_bruteforce": ann_bruteforce_oracle(),
         "ann_ivf": ann_ivf_oracle(),
         "ann_ivfpq": ann_ivfpq_oracle(),
-        # ann_lsh_pairs: intentionally no oracle (approximate operator);
-        # its recall bound is gate-checked by ann_lsh_recall below
         # dim=64 is the TESTDATA.md embeddings contract (all sf dirs); the
         # plane weights are emitted into the SQL as a VALUES CTE, so DuckDB
         # recomputes signatures + buckets + cosines from scratch

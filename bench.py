@@ -176,22 +176,32 @@ def main() -> None:
     if not args.no_variance and only is None:
         import subprocess
         slowest = sorted(first_pass, key=lambda k: -timings[k])[:5]
+        # WATCHLIST: lines close to the 2x-of-anchor allowance get an
+        # isolated probe every round regardless of rank, so a breach on a
+        # noisy driver run is attributable (VERDICT r9 task #5 —
+        # depth_chains sat at 1.87x of its r2 anchor on untouched code).
+        for watched in ("depth_chains", "chain_audit"):
+            if watched in timings and watched not in slowest:
+                slowest.append(watched)
         for name in slowest:
-            probe = tempfile.mktemp(suffix=".json")
+            fd, probe = tempfile.mkstemp(suffix=".json")
+            os.close(fd)
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--only", name, "--probe-out", probe,
                  "--sink", args.sink],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL).returncode
-            if rc == 0 and os.path.exists(probe):
+            iso = None
+            if rc == 0 and os.path.exists(probe) and os.path.getsize(probe):
                 with open(probe) as fh:
                     iso = json.load(fh).get(name)
+            if os.path.exists(probe):
                 os.unlink(probe)
-                if iso is not None:
-                    variance[name] = {"in_bench": timings[name],
-                                      "isolated": iso}
-                    print(f"# variance {name}: in_bench={timings[name]:.3f}s "
-                          f"isolated={iso:.3f}s", file=sys.stderr)
+            if iso is not None:
+                variance[name] = {"in_bench": timings[name],
+                                  "isolated": iso}
+                print(f"# variance {name}: in_bench={timings[name]:.3f}s "
+                      f"isolated={iso:.3f}s", file=sys.stderr)
 
     # OUTPUT PROTOCOL (fixed in round 9 — VERDICT r8 task #1): the driver
     # keeps only the TAIL of stdout, and the full 86-entry per-query dict

@@ -608,10 +608,11 @@ def match_resolve(cand: DataFrame, tolerance_pct: float,
 
     ``checkpoint_proposed=False`` skips the internal eager checkpoint of
     the proposed frame — correct either way (the frame is merely
-    evaluated twice); pass False when ``cand`` is already a checkpointed
-    leaf plus cheap broadcast anti-joins (the sweep's shape since the
-    candidate hoist), where re-evaluation is cheaper than a per-cell
-    materialization job."""
+    evaluated twice). Every call site, including the sweep, keeps the
+    default True: the post-hoist A/B at sf0.1 measured eager 17.7–20.3 s
+    vs lazy 19.3–21.1 s across the full grid (SCALE.md §7), so the
+    per-cell materialization job wins even on a checkpointed-leaf
+    candidate frame. The parameter records the knob and the measurement."""
     tol = F.lit(tolerance_pct) * F.col("t_price")
     mr = match_rule(F.col("t_amount"), F.col("t_price"), F.col("amount"),
                     F.col("fill"), F.col("is_del"), tol)
@@ -631,10 +632,9 @@ def match_resolve(cand: DataFrame, tolerance_pct: float,
     # `proposed` is referenced twice below (as itself and as the exclusion
     # set) — cut lineage so the candidate pipeline (lead windows + trade
     # join) runs once, not once per reference; one candidate row per trade
-    # orientation, so this is a small frame (lazy was measured SLOWER in
-    # the r8 sweep, where `proposed` sat on the full pair-frame pipeline;
-    # after the r9 candidate hoist the sweep passes checkpoint_proposed=
-    # False — see the docstring)
+    # orientation, so this is a small frame (lazy was measured SLOWER both
+    # pre-hoist (r8) and post-hoist (r9 A/B, SCALE.md §7), so eager stays
+    # the default everywhere — see the docstring)
     if checkpoint_proposed:
         proposed = proposed.localCheckpoint()
     seconds = proposed.select(

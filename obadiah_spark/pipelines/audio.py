@@ -115,9 +115,13 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
     mono PCM WAV whose samples are (byte - 128) of the first
     ``WAV_SAMPLE_CAP`` text bytes, encode it, strictly re-parse it with
     the real RIFF walk, and emit integer features of the DECODED samples
-    (count, sum of squares, peak |value|, zero crossings — the last is
-    ORDER-sensitive, so it pins the decoded sample sequence, not just its
-    multiset). Integer PCM round-trips losslessly, so the oracle predicts
+    (count, sum of squares, peak |value|, zero crossings, and a
+    position-weighted sum ``sum((pos+1) * sample)``). The LAST column is
+    what pins the decoded sample ORDER on this fabric: ASCII bytes are
+    32..126, so every sample is negative and zero_crossings is
+    identically 0 here (kept because it is the standard audio feature and
+    non-vacuous on 16-bit corpora); swapping any two unequal samples
+    changes pos_weighted. Integer PCM round-trips losslessly, so the oracle predicts
     every column from the text alone — a hash match proves the encoder
     layout and the strict parser agree byte-for-byte. Map-side only, no
     shuffle."""
@@ -137,12 +141,14 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
                 s = dec["samples"][:, 0].astype(np.int64)
                 nonneg = s >= 0
                 zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                pw = int((np.arange(1, len(s) + 1, dtype=np.int64) * s).sum())
                 rows.append((doc_id, dec["n_samples"], dec["sample_rate"],
                              dec["channels"], dec["bits"],
-                             int((s * s).sum()), int(np.abs(s).max()), zc))
+                             int((s * s).sum()), int(np.abs(s).max()), zc,
+                             pw))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "n_samples", "sample_rate", "channels", "bits",
-                "sum_sq", "peak", "zero_crossings"])
+                "sum_sq", "peak", "zero_crossings", "pos_weighted"])
 
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
@@ -151,7 +157,7 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
         .mapInPandas(run, "doc_id bigint, n_samples bigint, "
                           "sample_rate bigint, channels bigint, "
                           "bits bigint, sum_sq bigint, peak bigint, "
-                          "zero_crossings bigint")
+                          "zero_crossings bigint, pos_weighted bigint")
     )
 
 
@@ -164,7 +170,7 @@ WITH t AS (
     SELECT doc_id, pos, ascii(substring(t, pos, 1)) - 128 AS v
     FROM t, unnest(range(1, length(t) + 1)) AS u(pos)
 ), s2 AS (
-    SELECT doc_id, v,
+    SELECT doc_id, pos, v,
            lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
     FROM s
 )
@@ -176,6 +182,7 @@ SELECT doc_id,
        CAST(sum(v * v) AS BIGINT) AS sum_sq,
        CAST(max(abs(v)) AS BIGINT) AS peak,
        CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
-                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(sum(pos * v) AS BIGINT) AS pos_weighted
 FROM s2 GROUP BY doc_id
 """

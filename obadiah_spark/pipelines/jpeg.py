@@ -31,6 +31,11 @@ import struct
 
 import numpy as np
 
+# upper bound on width*height the decoder will allocate for — SOF dims
+# go up to 64k x 64k (4.3 G pixels) and the coefficient arrays are sized
+# from them before any entropy data validates
+MAX_DECODE_PIXELS = 1 << 26  # 67 M pixels ~= 8192 x 8192
+
 # zigzag index -> (row, col) linear position, T.81 figure A.6
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -298,6 +303,12 @@ def jpeg_decode(raw: bytes) -> dict | None:
         return None
 
     w, h, ncomp = hd["width"], hd["height"], hd["ncomp"]
+    # Allocation guard: SOF dims are attacker-controlled (up to 64k x 64k)
+    # and the coefficient arrays below are sized from them BEFORE any
+    # entropy data validates — cap the pixel count so a 20-byte header
+    # cannot demand a multi-GiB allocation on an executor.
+    if w * h > MAX_DECODE_PIXELS:
+        return None
     comps = hd["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

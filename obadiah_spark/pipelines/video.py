@@ -1,10 +1,10 @@
 """A minimal motion-JPEG container + REAL frame sampling — the video leg
-of the multimodal family. ``sample_frames`` in :mod:`.multimodal` proves
-the fan-out plumbing with a deterministic fake codec; this module makes
-the decode itself real: a length-prefixed container of genuine baseline
+of the multimodal family: a length-prefixed container of genuine baseline
 JPEG frames (``MJPG`` magic, frame count, per-frame uint32 length), a
 strict unpacker, and a sampler that huffman-decodes every k-th frame
-through :mod:`.jpeg`.
+through :mod:`.jpeg`. Since round 10 the per-doc frame count is
+data-dependent, so this single gate also carries the fan-out cardinality
+contract that the retired fake-codec ``frame_sample`` gate used to prove.
 
 Scale posture: per-payload work in one mapInPandas pass, frame fan-out is
 a per-row yield — no shuffle; sampling every k-th frame means decode cost
@@ -59,29 +59,35 @@ def mjpeg_unpack(raw: bytes, only: set[int] | None = None) -> list | None:
     return out if pos == len(raw) else None
 
 
-# gate parameters: 4 flat-block 8x8 grayscale frames per doc, sample
-# every 2nd frame (frames 0 and 2)
-MJPEG_FRAMES = 4
+# gate parameters: per doc, min(length(text), MJPEG_MAX_FRAMES) flat-block
+# 8x8 grayscale frames; sample every 2nd (frames 0, 2, ...). The frame
+# count is DATA-DEPENDENT, so the gate also asserts the fan-out
+# cardinality contract of a frame sampler (output rows vary per input
+# row) — this subsumed and retired the fake-codec `frame_sample` gate in
+# round 10.
+MJPEG_MAX_FRAMES = 8
 MJPEG_EVERY = 2
 
 
-def mjpeg_sample(docs: DataFrame, n_frames: int = MJPEG_FRAMES,
+def mjpeg_sample(docs: DataFrame, max_frames: int = MJPEG_MAX_FRAMES,
                  every: int = MJPEG_EVERY) -> DataFrame:
-    """Value-level video gate: per ASCII document, pack ``n_frames`` real
-    baseline-JPEG frames (frame i = a flat 8x8 block of text byte i —
-    analytically lossless under the gate quant table), then sample every
-    ``every``-th frame: container walk, length-prefix skip of unsampled
-    frames, full huffman+IDCT decode of sampled ones. One output row per
-    sampled frame with the decoded pixel md5; the oracle predicts it from
-    the text alone, so a hash match proves container layout, the strict
-    walk, and the per-frame decode end-to-end."""
+    """Value-level video gate: per ASCII document, pack
+    ``min(len(text), max_frames)`` real baseline-JPEG frames (frame i = a
+    flat 8x8 block of text byte i — analytically lossless under the gate
+    quant table), then sample every ``every``-th frame: container walk,
+    length-prefix skip of unsampled frames, full huffman+IDCT decode of
+    sampled ones. One output row per sampled frame with the decoded pixel
+    md5 — a data-dependent fan-out, the real contract of a frame sampler.
+    The oracle predicts every row from the text alone, so a hash match
+    proves container layout, the strict walk, the per-frame decode, AND
+    the fan-out cardinality end-to-end."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        want = set(range(0, n_frames, every))
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                raw = text.encode("utf-8")[:n_frames]
+                raw = text.encode("utf-8")[:max_frames]
+                want = set(range(0, len(raw), every))
                 frames = [encode_jpeg(8, 8, bytes([b] * 64), channels=1)
                           for b in raw]
                 blob = mjpeg_pack(frames)
@@ -101,23 +107,29 @@ def mjpeg_sample(docs: DataFrame, n_frames: int = MJPEG_FRAMES,
 
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
-                    & (F.length("text") >= n_frames))
+                    & (F.length("text") >= 1))
         .select("doc_id", "text")
         .mapInPandas(run, "doc_id bigint, frame_no int, px_md5 string")
     )
 
 
-def mjpeg_sample_oracle_sql(n_frames: int = MJPEG_FRAMES,
+def mjpeg_sample_oracle_sql(max_frames: int = MJPEG_MAX_FRAMES,
                             every: int = MJPEG_EVERY) -> str:
-    sampled = ", ".join(f"({i})" for i in range(0, n_frames, every))
+    """``generate_series`` fans out the sampled indices per doc (it is
+    end-inclusive, hence the -1); the frame count is data-dependent."""
     return f"""
-WITH fr(frame_no) AS (
-    VALUES {sampled}
+WITH v AS (
+    SELECT doc_id, text, least(length(text), {max_frames}) AS n_frames
+    FROM documents
+    WHERE length(text) = octet_length(encode(text)) AND length(text) >= 1
+), idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, {every}))
+               AS frame_no
+    FROM v
 )
-SELECT d.doc_id,
-       CAST(fr.frame_no AS INT) AS frame_no,
-       md5(repeat(substring(d.text, fr.frame_no + 1, 1), 64)) AS px_md5
-FROM documents d CROSS JOIN fr
-WHERE length(d.text) = octet_length(encode(d.text))
-  AND length(d.text) >= {n_frames}
+SELECT doc_id,
+       CAST(frame_no AS INT) AS frame_no,
+       md5(repeat(substring(text, frame_no + 1, 1), 64)) AS px_md5
+FROM idx
 """

@@ -60,6 +60,45 @@ def test_mjpeg_pack_walk_and_selective_decode():
         assert img["pixels"] == bytes([vals[fno]] * 64)
 
 
+def test_mjpeg_sample_fanout_cardinality(spark):
+    """The contract absorbed from the retired frame_sample gate (r10):
+    rows per doc = ceil(min(len(text), MAX_FRAMES) / every) — output
+    cardinality is data-dependent, and sampled indices are 0, 2, ..."""
+    import math
+
+    from obadiah_spark.pipelines.video import (
+        MJPEG_EVERY, MJPEG_MAX_FRAMES, mjpeg_sample)
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "abc"), (2, "x"), (3, "")],
+        "doc_id bigint, text string")
+    out = mjpeg_sample(docs).toPandas()
+
+    def expect(n):
+        return math.ceil(min(n, MJPEG_MAX_FRAMES) / MJPEG_EVERY)
+
+    counts = out.groupby("doc_id").size().to_dict()
+    assert counts == {0: expect(10), 1: expect(3), 2: expect(1)}  # 3: empty
+    assert set(out[out.doc_id == 0].frame_no) == {0, 2, 4, 6}
+
+
+def test_wav_pos_weighted_pins_sample_order(spark):
+    """ADVICE r9: on the ASCII gate fabric every sample is negative, so
+    zero_crossings is identically 0 — pos_weighted is the order pin:
+    same byte multiset, different order => different value."""
+    from obadiah_spark.pipelines.audio import wav_roundtrip
+
+    docs = spark.createDataFrame([(0, "ab"), (1, "ba")],
+                                 "doc_id bigint, text string")
+    out = wav_roundtrip(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "sum_sq"] == out.loc[1, "sum_sq"]
+    assert (out.zero_crossings == 0).all()
+    a, b = ord("a") - 128, ord("b") - 128
+    assert out.loc[0, "pos_weighted"] == 1 * a + 2 * b
+    assert out.loc[1, "pos_weighted"] == 1 * b + 2 * a
+    assert out.loc[0, "pos_weighted"] != out.loc[1, "pos_weighted"]
+
+
 def test_mjpeg_strictness():
     frames = [encode_jpeg(8, 8, bytes([7] * 64), channels=1)]
     blob = mjpeg_pack(frames)

@@ -181,26 +181,57 @@ def test_winnow_pairs_surface_planted_near_dup(spark):
     assert not any(2 in p for p in got), f"unrelated doc paired: {got}"
 
 
-def test_resize_and_frame_sample_plumbing(spark):
-    """Resize keeps one row per blob with target dims; frame sampling fans
-    out ⌈n_frames / every_n⌉ rows per blob and drops sub-frame payloads —
-    the schema/batch/cardinality contract a real codec drops into."""
-    from obadiah_spark.pipelines.multimodal import (
-        FRAME_BYTES, FRAME_EVERY, pack_blobs, resize_images, sample_frames)
+def test_resize_real_and_fallback_paths(spark):
+    """resize_images is REAL since r10: image payloads decode through the
+    codec dispatch and area-resample (block mean, half-up rounding); the
+    PPM re-encode leg must round-trip byte-exact (asserted inside the
+    operator); non-image payloads keep the documented stand-in hash with
+    decoded = false."""
+    import hashlib
 
+    import numpy as np
+
+    from obadiah_spark.pipelines.multimodal import (
+        pack_blobs, pack_image_blobs, resize_images)
+
+    text = "".join(chr(32 + (i * 7) % 95) for i in range(120))
     docs = spark.createDataFrame(
-        [(0, "x" * 100, 100), (1, "y" * 7, 7), (2, "", 0)],
+        [(0, text, len(text)), (1, text, len(text)), (2, "tiny", 4)],
         "doc_id bigint, text string, n_chars bigint")
-    blobs = pack_blobs(docs)
-    rs = resize_images(blobs).toPandas().set_index("doc_id")
-    assert len(rs) == 3 and (rs.width == 224).all()
-    assert rs.loc[0, "scale_x"] == round(224 / 100, 9)
-    fr = sample_frames(blobs).toPandas()
-    n0 = ((100 // FRAME_BYTES) + FRAME_EVERY - 1) // FRAME_EVERY
-    assert (fr.doc_id == 0).sum() == n0
-    assert not (fr.doc_id == 1).any()  # 7 bytes < one frame
-    assert not (fr.doc_id == 2).any()  # empty payload
-    assert fr.frame_idx.min() == 0 and fr.frame_idx.max() == 4
+    rs = (resize_images(pack_image_blobs(docs), 2, 2)
+          .toPandas().set_index("doc_id"))
+    # doc 2 is shorter than one source image -> filtered out of the fabric
+    assert sorted(rs.index) == [0, 1] and rs.decoded.all()
+    assert (rs.width == 2).all() and (rs.height == 2).all()
+    assert rs.loc[0, "src_w"] == 4 and rs.loc[1, "src_w"] == 6
+    # doc 0 (4x4 BMP): expected = half-up-rounded mean of each 2x2 cell
+    raw = np.frombuffer(text.encode()[:48], np.uint8).reshape(4, 4, 3)
+    exp = np.floor(raw.astype(np.float64).reshape(2, 2, 2, 2, 3)
+                   .mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    assert rs.loc[0, "resized_md5"] == hashlib.md5(exp.tobytes()).hexdigest()
+    # fallback: pack_blobs payloads are text bytes, not images
+    fb = resize_images(pack_blobs(docs), 2, 2).toPandas()
+    assert len(fb) == 3 and not fb.decoded.any()
+
+
+def test_area_resample_general_ratio():
+    """The non-integer-factor path: box weights partition unity, constant
+    images stay constant, and total brightness is conserved."""
+    import numpy as np
+
+    from obadiah_spark.pipelines.multimodal import _box_weights, area_resample
+
+    for src, dst in [(7, 3), (5, 2), (4, 6), (3, 3)]:
+        w = _box_weights(src, dst)
+        assert np.allclose(w.sum(axis=1), 1.0)       # rows: convex combos
+        assert np.allclose(w.sum(axis=0), dst / src)  # mass conservation
+    img = np.full((7, 5, 3), 200, np.uint8)
+    out = area_resample(img, 3, 2)
+    assert out.shape == (2, 3, 3) and (out == 200).all()
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 7, 1), dtype=np.uint8)
+    out = area_resample(img, 3, 3)  # 9->3 exact, 7->3 fractional
+    assert abs(float(out.mean()) - float(img.mean())) < 1.5
 
 
 def test_minhash_candidates_cover_high_jaccard(spark):
