@@ -446,31 +446,34 @@ FROM dup
 # --------------------------------------------- duplicate clustering --------
 # Connected components over the verified near-dup pairs — the step that
 # turns pairwise dedup into "keep one representative per cluster". The
-# engine runs min-label propagation: every vertex repeatedly adopts the
-# smallest label among itself and its neighbors, converging in O(graph
-# diameter) rounds; near-dup graphs are unions of small quasi-cliques, so
-# the diameter — and the round count — is tiny in practice. Each round is
-# ONE key-partitioned shuffle over the edge list; the per-round
-# convergence check is a driver-side scalar (documented, same class as
-# the resume-cursor reads). At true web scale the alternating
-# large-star/small-star algorithm (Kiveris et al., SoCC 2014) halves the
-# round count; min-label propagation is its textbook special case and
-# keeps the oracle exact.
-CC_MAX_ROUNDS = 50  # >= any plausible near-dup component diameter
+# engine runs min-label propagation ACCELERATED BY POINTER JUMPING: every
+# round each vertex first adopts the smallest label among itself and its
+# neighbors (one key-partitioned shuffle over the static, checkpointed
+# edge list), then follows its own label one hop (l <- l∘l, a narrow
+# self-join of the label frame) — so a length-L chain collapses in
+# O(log L) rounds, not O(L). Labels are monotone non-increasing and
+# always name a reachable vertex, so the fixpoint is exactly "label =
+# component minimum" — identical output (and oracle) to plain
+# propagation. This is the same O(log n)-round class as the alternating
+# large-star/small-star algorithm (Kiveris et al., SoCC 2014) but keeps
+# the edge frame immutable (alternating-star rewrites the EDGE set every
+# round — two edge-sized shuffles/round and a harder convergence test);
+# the per-round convergence check here is a driver-side scalar
+# (documented, same class as the resume-cursor reads).
+CC_MAX_ROUNDS = 50  # log2-scale bound now: 2^50 vertices, i.e. never
 
 
-def dup_clusters(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
-    """(doc_id, cluster_id, cluster_size) — cluster_id is the smallest
-    doc_id reachable through :func:`ngram_jaccard_pairs` edges at
-    ``threshold``; singleton docs form their own cluster."""
-    edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
-    # both directions once, reused every round
+def connected_components(vertices: DataFrame,
+                         edges: DataFrame) -> DataFrame:
+    """``vertices (doc_id)`` x ``edges (src, dst — one direction)`` ->
+    ``(doc_id, label)`` where label is the smallest doc_id in the
+    component. See the module comment for the algorithm; the r10
+    pointer-jumping step removed the old diameter > CC_MAX_ROUNDS failure
+    mode (path-graph pytest at diameter 120)."""
     e = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-    e = e.localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(CC_MAX_ROUNDS):
         msgs = (
@@ -478,11 +481,20 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new = (
+        prop = (
             labels.join(msgs, "doc_id", "left")
             .select("doc_id",
                     F.least(F.col("label"),
                             F.coalesce("nbr_min", "label")).alias("label"))
+        )
+        # pointer jump: follow the adopted label one hop (labels always
+        # name vertices, so the lookup side is the same frame)
+        hop = prop.select(F.col("doc_id").alias("l_key"),
+                          F.col("label").alias("l_label"))
+        new = (
+            prop.join(hop, prop.label == hop.l_key, "left")
+            .select("doc_id",
+                    F.coalesce("l_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -493,9 +505,21 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    else:
+    else:  # pragma: no cover - 2^CC_MAX_ROUNDS vertices cannot exist
         raise RuntimeError(
-            f"dup_clusters did not converge in {CC_MAX_ROUNDS} rounds")
+            f"connected_components did not converge in {CC_MAX_ROUNDS} "
+            f"rounds")
+    return labels
+
+
+def dup_clusters(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — cluster_id is the smallest
+    doc_id reachable through :func:`ngram_jaccard_pairs` edges at
+    ``threshold``; singleton docs form their own cluster."""
+    edges = (ngram_jaccard_pairs(docs, threshold)
+             .select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    labels = connected_components(docs.select("doc_id"), edges)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
     return (

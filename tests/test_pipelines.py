@@ -545,3 +545,21 @@ def test_dup_clusters_path_component(spark):
         == out[3].cluster_id == 0
     assert out[0].cluster_size == 4
     assert out[9].cluster_id == 9 and out[9].cluster_size == 1
+
+
+def test_connected_components_long_path(spark):
+    """VERDICT r9 task #8: a path graph with diameter 120 (>
+    CC_MAX_ROUNDS) must converge — pointer jumping collapses a length-L
+    chain in O(log L) propagation rounds, where the old pure min-label
+    loop needed L rounds and raised RuntimeError past 50."""
+    from obadiah_spark.pipelines.dedup import connected_components
+
+    n = 121  # vertices 0..120 in a single chain + 2 singletons
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(500,), (501,)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    labels = {r.doc_id: r.label for r in
+              connected_components(vertices, edges).collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[500] == 500 and labels[501] == 501
