@@ -189,7 +189,7 @@ def jpeg_header(raw: bytes) -> dict | None:
         if seglen < 2 or pos + 2 + seglen > len(raw):
             return None
         seg = raw[pos + 4:pos + 2 + seglen]
-        if marker == 0xC0:  # SOF0 baseline
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(seg) < 6:
                 return None
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -209,10 +209,11 @@ def jpeg_header(raw: bytes) -> dict | None:
                     or hvs == [(2, 2), (1, 1), (1, 1)]):
                 return None
             return {"width": w, "height": h, "ncomp": ncomp, "comps": comps,
+                    "progressive": marker == 0xC2,
                     "sof_end": pos + 2 + seglen}
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame type
+            return None  # unsupported frame type (non-huffman / lossless)
         if marker == 0xDA:  # hit SOS before any SOF
             return None
         pos += 2 + seglen

@@ -220,6 +220,87 @@ def test_parse_frames_classification(spark):
     parsed.unpersist()
 
 
+def test_parse_frames_jvm_lane_differential(spark):
+    """r10 hybrid parse: the JVM fast lane (flat book updates through
+    from_json) must reproduce the per-line Python parser bit-for-bit, and
+    every ambiguous corner (quoted rts, bool rts, float chan, nulls in
+    payload) must land on whichever lane gives the Python answer."""
+    from obadiah_spark.streaming.capture import _parse_one
+
+    lines = [
+        '[17, [100, 99.5, 2.0], 1700000000000]',     # canonical update
+        '[17,[200,0.0,1.0],1700000000001]',           # no spaces
+        '[ -3 , [ 1e3 , -2.5E-2 , 7 ] ]',             # signs/exponents, no rts
+        '[17, [1,2,3,4,5], 12]',                      # oversized payload
+        '[17, [], 12]',                               # empty payload
+        '[17, [1,2]]',                                # short payload
+        '[17, [1,null,3], 12]',                       # null member -> garbage
+        '[29, "tu", [5, 1700000000000, 0.25, 100.0]]',
+        '[17, "hb", 5]',
+        '{"event":"subscribed","chanId":4,"channel":"book"}',
+        '[17, [[1,2,3],[4,5,6]], 99]',                # snapshot
+        '[42, [1, "abc", 2.0], 123]',                 # quoted member
+        'not json',
+        '[17, [1,2,3], "123"]',   # quoted rts: Python says rts None
+        '[17, [1,2,3], true]',    # bool rts: Python says rts 1
+        '[17.9, [1,2,3], 12]',    # float chan: Python truncates to 17
+        '[17, [1,2,,3], 12]',     # regex-passing but invalid JSON
+    ]
+    df = (spark.createDataFrame([(ln,) for ln in lines], "value string")
+          .coalesce(1))  # single partition => line_no is 0..n-1
+    got = sorted((tuple(r) for r in parse_frames(df).collect()), key=repr)
+    exp = []
+    for no, ln in enumerate(lines):
+        exp.extend(_parse_one(ln, no))
+    exp = sorted(exp, key=repr)
+    assert got == exp
+
+
+def test_parse_bitstamp_frames_jvm_lane_differential(spark):
+    """Same contract for the bitstamp dict shapes: JVM lane == Python
+    parser, with every divergence corner routed to the Python lane."""
+    from obadiah_spark.streaming.capture import (
+        _bs_parse_one, parse_bitstamp_frames)
+
+    d_order = {"microtimestamp": "1700000000123456", "datetime":
+               "1700000000.12", "amount_str": "0.25", "price_str":
+               "30000.5", "id": 42, "order_type": 0}
+    d_trade = {"microtimestamp": "1700000000123457", "amount_str": "0.1",
+               "price_str": "30001.0", "id": 7, "buy_order_id": 42,
+               "sell_order_id": 43, "type": 1}
+    lines = [
+        json.dumps({"event": "order_created",
+                    "channel": "live_orders_btcusd", "data": d_order}),
+        json.dumps({"event": "order_deleted", "channel": "c",
+                    "data": {**d_order, "id": "42"}}),   # quoted id
+        json.dumps({"event": "trade", "channel": "live_trades_btcusd",
+                    "data": d_trade}),
+        json.dumps({"event": "bts:subscription_succeeded",
+                    "channel": "live_orders_btcusd", "data": {}}),
+        json.dumps({"event": "bts:request_reconnect"}),  # no channel key
+        '{"event":true}',                   # bool event: str() -> 'True'
+        '{"event":null}',                   # null event
+        '{"event":5e2}',                    # numeric event: str() -> '500.0'
+        '{"no_event_key":1}',
+        'garbage',
+        json.dumps({"event": "trade", "channel": None, "data": d_trade}),
+        json.dumps({"event": "order_changed", "channel": "c",
+                    "data": {**d_order, "id": "12.5"}}),  # int() raises
+        json.dumps({"event": "order_changed", "channel": "c",
+                    "data": {**d_order, "id": True}}),    # int(True) == 1
+        json.dumps({"event": "order_created", "channel": "c"}),  # no data
+    ]
+    df = (spark.createDataFrame([(ln,) for ln in lines], "value string")
+          .coalesce(1))
+    got = sorted((tuple(r) for r in parse_bitstamp_frames(df).collect()),
+                 key=repr)
+    exp = []
+    for no, ln in enumerate(lines):
+        exp.extend(_bs_parse_one(ln, no))
+    exp = sorted(exp, key=repr)
+    assert got == exp
+
+
 def test_parse_tolerance_malformed_frames(spark):
     """One bad wire line must classify as garbage, never raise (the
     capture query's tolerance contract)."""
