@@ -1325,65 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (1) rotated out of r9's 50 (last driver row: r8) — this
+        # -- (1) rotated out of r10's 50 (last driver row: r9) — this
         #    45-entry tail heads the window so no entry's driver row ages
-        #    past two rounds. (frame_sample was RETIRED in r10: its
-        #    fan-out-cardinality contract moved into the real
-        #    mjpeg_sample gate, freeing one slot.) ------------------------
-        "cleanse_order": _q_cleanse_order,
-        "fix_aggressor_order": _q_fix_aggressor,
-        "reveal_episodes": _q_reveal_episodes,
-        "symbol_upsert": _q_symbol_upsert,
-        "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
-        "staging_summary": _q_staging_summary,
-        "depth_chains": _q_depth_chains,
-        "get_events_freq": _q_get_events_freq,
-        "depth_summary_freq": _q_depth_summary_freq,
-        "queues_freq": _q_queues_freq,
-        "depth_summary_range": _q_depth_summary_range,
-        "queues_range": _q_queues_range,
-        "trading_period_range": _q_trading_period_range,
-        "trading_strategy_range": _q_trading_strategy_range,
-        "epsilon_draws_range": _q_epsilon_draws_range,
-        "trading_period_freq": _q_trading_period_freq,
-        "trading_strategy_freq": _q_trading_strategy_freq,
-        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
-        "fix_chain_integrity": _q_fix_chain_integrity,
-        "depth_summary": _q_depth_summary,
-        "queues": _q_queues,
-        "order_book": _q_order_book,
-        "order_book_ckpt": _q_order_book_ckpt,
-        "spread": _q_spread,
-        "depth_change": _q_depth_change,
-        "spread_periods": _q_spread_periods,
-        "get_events": _q_get_events,
-        "get_trades": _q_get_trades,
-        "events_intervals": _q_intervals,
-        "summary": _q_summary,
-        "ann_ivf": _q_ann_ivf,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,  # REAL resampling in r10
-        "merge_crossed_books": _q_merge_crossed_books,
-        "merge_episodes": _q_merge_episodes,
-        "era_reassign": _q_era_reassign,
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        "trading_period": _q_trading_period,
-        "trading_strategy": _q_trading_strategy,
-        "trading_strategy_zigzag": _q_trading_strategy_zigzag,
-        # -- (2) code-touched in round 10 (r9-green, but their modules
-        #    changed this round) ----------------------------------------
-        "mjpeg_sample": _q_mjpeg_sample,    # data-dependent fan-out in r10
-        "wav_roundtrip": _q_wav_roundtrip,  # +pos_weighted order pin (r10)
-        "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: alloc cap (r10)
-        "codec_roundtrip": _q_codec_roundtrip,  # PNG bounded inflate (r10)
-        "dup_clusters": _q_dup_clusters,    # alternating-star path (r10)
-        # ---- slot 51+: r9 driver-green (CORRECTNESS_r09 rows), code
-        #      unchanged this round — rotate back into the window in r11 --
+        #    past two rounds. -------------------------------------------
         "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
@@ -1398,7 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
         "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,  # value-level oracle since r9 (planes as VALUES CTE)
+        "ann_lsh_pairs": _q_ann_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "embedding_dedup": _q_embedding_dedup,
         "get_depth": _q_get_depth,
@@ -1429,6 +1373,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_sweep": _q_match_sweep,
         "multimodal_features": _q_multimodal,
         "match_incremental": _q_match_incremental,
+        # -- (2) code-touched in round 11 (r10-green, but their modules
+        #    changed this round: jpeg.py progressive decode, dedup.py
+        #    conditional pointer jump, depth_chains.py optimization) ----
+        "depth_chains": _q_depth_chains,  # depth_chains.py touched (r11 perf)
+        "dup_clusters": _q_dup_clusters,  # dedup.py: conditional hop (r11)
+        "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: progressive decode (r11)
+        "codec_roundtrip": _q_codec_roundtrip,  # decode dispatch incl. jpeg (r11)
+        "mjpeg_sample": _q_mjpeg_sample,  # decodes frames via jpeg.py (r11)
+        # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows), code
+        #      unchanged this round — rotate back into the window in r12 --
+        "cleanse_order": _q_cleanse_order,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "reveal_episodes": _q_reveal_episodes,
+        "symbol_upsert": _q_symbol_upsert,
+        "insert_era": _q_insert_era,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
+        "get_events_freq": _q_get_events_freq,
+        "depth_summary_freq": _q_depth_summary_freq,
+        "queues_freq": _q_queues_freq,
+        "depth_summary_range": _q_depth_summary_range,
+        "queues_range": _q_queues_range,
+        "trading_period_range": _q_trading_period_range,
+        "trading_strategy_range": _q_trading_strategy_range,
+        "epsilon_draws_range": _q_epsilon_draws_range,
+        "trading_period_freq": _q_trading_period_freq,
+        "trading_strategy_freq": _q_trading_strategy_freq,
+        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "fix_chain_integrity": _q_fix_chain_integrity,
+        "depth_summary": _q_depth_summary,
+        "queues": _q_queues,
+        "order_book": _q_order_book,
+        "order_book_ckpt": _q_order_book_ckpt,
+        "spread": _q_spread,
+        "depth_change": _q_depth_change,
+        "spread_periods": _q_spread_periods,
+        "get_events": _q_get_events,
+        "get_trades": _q_get_trades,
+        "events_intervals": _q_intervals,
+        "summary": _q_summary,
+        "ann_ivf": _q_ann_ivf,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
+        "multimodal_resize": _q_multimodal_resize,
+        "merge_crossed_books": _q_merge_crossed_books,
+        "merge_episodes": _q_merge_episodes,
+        "era_reassign": _q_era_reassign,
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
+        "trading_period": _q_trading_period,
+        "trading_strategy": _q_trading_strategy,
+        "trading_strategy_zigzag": _q_trading_strategy_zigzag,
+        "wav_roundtrip": _q_wav_roundtrip,
     }
 
 

@@ -225,6 +225,12 @@ def jpeg_decode(raw: bytes) -> dict | None:
     hd = jpeg_header(raw)
     if hd is None:
         return None
+    if hd["progressive"]:
+        # jpeg_header reports SOF2 dims for metadata callers, but the
+        # entropy decoder below is baseline-only: a progressive stream
+        # carrying baseline-shaped scan data would MISDECODE rather than
+        # fail. Keep the strict-or-None contract.
+        return None
     if len(raw) < 2 or raw[-2:] != b"\xff\xd9":
         return None
     qtabs: dict[int, np.ndarray] = {}

@@ -156,6 +156,27 @@ _FAST_UPDATE_RE = (
 )
 
 
+def _with_line_no(lines: DataFrame) -> DataFrame:
+    """Assign the capture-sequence ``line_no`` and make it SAFE to fan the
+    frame out into the complementary fast/slow parse lanes.
+
+    Both lanes filter the same id-stamped frame, so without materialization
+    the id-assigning scan runs twice (once per lane) and the two scans must
+    agree row-for-row for ``line_no`` to be a consistent key. In batch mode
+    we don't rely on that: ``localCheckpoint(eager)`` pins the assignment
+    once, making each lane a narrow filter of the SAME materialized rows.
+    In streaming mode checkpointing isn't available; there the lanes are
+    only correct because every supported source (file replay, the socket
+    transport) yields a deterministic partitioning and row order within a
+    micro-batch. Do NOT feed these parsers a stream that shuffles or
+    repartitions upstream of this point.
+    """
+    with_no = lines.withColumn("line_no", F.monotonically_increasing_id())
+    if not lines.isStreaming:
+        with_no = with_no.localCheckpoint(eager=True)
+    return with_no
+
+
 def parse_frames(lines: DataFrame) -> DataFrame:
     """Hybrid wire parse: ``value`` (one line per row) → normalized frame
     rows. Flat book updates (the hot shape) parse entirely JVM-side via
@@ -667,16 +688,22 @@ def parse_bitstamp_frames(lines: DataFrame) -> DataFrame:
     # event/channel must be QUOTED STRINGS in the raw text: Python's
     # str() of a non-string JSON value (True -> 'True', 5e2 -> '500.0',
     # None -> 'None') differs from the raw token from_json preserves, so
-    # any non-string value routes the line to the Python lane. A nested
-    # "event" inside data can satisfy the regex, but then the top-level
-    # field is null and the line falls back anyway; a top-level non-string
-    # value cannot evade the [^"] check. channel: absent -> null on both
-    # engines.
+    # any non-string value routes the line to the Python lane. Both
+    # guards are NEGATIVE whole-line checks ("no unquoted value for this
+    # key anywhere"): a positive '"event"\s*:\s*"' test alone is evadable
+    # by a line whose top-level event is a non-string token while a
+    # NESTED quoted "event" (e.g. inside data) satisfies the regex —
+    # from_json would then surface the raw token ('5e2', 'true') where
+    # the Python parser emits str() forms. The negative form only ever
+    # errs conservatively: a nested unquoted event demotes a convertible
+    # line to the Python lane, never the reverse. channel: absent -> null
+    # on both engines.
     chan_ok = (~F.col("value").rlike(r'"channel"\s*:\s*[^"]')
                & (j["channel"].isNull() | j["channel"].rlike(_BS_NAME_RE)))
     is_fast = (
         event.isNotNull() & event.rlike(_BS_NAME_RE)
         & F.col("value").rlike(r'"event"\s*:\s*"')
+        & ~F.col("value").rlike(r'"event"\s*:\s*[^"]')
         & chan_ok
         & (F.when(is_order, order_ok)
             .when(is_trade, trade_ok)

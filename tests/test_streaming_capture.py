@@ -281,6 +281,14 @@ def test_parse_bitstamp_frames_jvm_lane_differential(spark):
         '{"event":true}',                   # bool event: str() -> 'True'
         '{"event":null}',                   # null event
         '{"event":5e2}',                    # numeric event: str() -> '500.0'
+        # top-level non-string event EVADING the positive quoted-event
+        # regex via a nested quoted "event" key — must route Python-side
+        '{"event":5e2,"data":{"event":"x"}}',
+        '{"event":true,"data":{"event":"order_created"}}',
+        # nested unquoted event on an otherwise-fast line: conservative
+        # fallback to the Python lane, same output either way
+        json.dumps({"event": "trade", "channel": "live_trades_btcusd",
+                    "data": {**d_trade, "event": 1}}),
         '{"no_event_key":1}',
         'garbage',
         json.dumps({"event": "trade", "channel": None, "data": d_trade}),
