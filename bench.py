@@ -74,6 +74,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from obadiah_spark.session import get_spark
 
+    # stamp machine load at start/end: r10's +17% across-the-board drift on
+    # untouched code was only diagnosable through per-key variance probes —
+    # a load-average record makes hot rounds self-documenting
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -209,6 +214,8 @@ def main() -> None:
     # The FULL blob goes to BENCH_FULL.json and stderr; the single stdout
     # line is a compact summary (totals + the 10 slowest lines) that fits
     # the capture window whole.
+    loadavg = {"start": load_start,
+               "end": [round(x, 2) for x in os.getloadavg()]}
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -220,6 +227,7 @@ def main() -> None:
         "queries": timings,
         "first_pass": first_pass,
         "variance": variance,
+        "loadavg": loadavg,
     }
     if only is None:  # don't clobber the full-run record from a dev subset
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -242,6 +250,7 @@ def main() -> None:
         "queries_truncated": True,
         "full": "BENCH_FULL.json",
         "variance": variance,
+        "loadavg": loadavg,
     }, separators=(",", ":")))
 
 
