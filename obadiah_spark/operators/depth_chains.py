@@ -91,6 +91,11 @@ def depth_changes_with_chains(l3: DataFrame,
     else:
         folded = stream_fold(l3.select(*cols), _DepthChangesPreSpreadFolder,
                              DEPTH_CHAINS_FOLD_SCHEMA)
+    # the fold output feeds BOTH the key-ranking aggregate and the join
+    # back — materialize it once so the expensive period-parallel fold
+    # doesn't run twice, and so the join sides have runtime stats (AQE
+    # broadcasts the small ranked side instead of shuffling the changes)
+    folded = folded.localCheckpoint(eager=True)
     # first occurrence per key (side, |change|): one combinable groupBy
     # (renamed keys — ranked shares lineage with folded, so same-name join
     # conditions would be ambiguous)
