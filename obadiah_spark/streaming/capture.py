@@ -156,9 +156,10 @@ _FAST_UPDATE_RE = (
 )
 
 
-def _with_line_no(lines: DataFrame) -> DataFrame:
-    """Assign the capture-sequence ``line_no`` and make it SAFE to fan the
-    frame out into the complementary fast/slow parse lanes.
+def _materialize_for_fanout(with_no: DataFrame) -> DataFrame:
+    """Make the id-stamped frame SAFE to fan out into the complementary
+    fast/slow parse lanes (``jvm_lane=True`` only — the default Python
+    lane consumes it exactly once and needs none of this).
 
     Both lanes filter the same id-stamped frame, so without materialization
     the id-assigning scan runs twice (once per lane) and the two scans must
@@ -168,21 +169,29 @@ def _with_line_no(lines: DataFrame) -> DataFrame:
     In streaming mode checkpointing isn't available; there the lanes are
     only correct because every supported source (file replay, the socket
     transport) yields a deterministic partitioning and row order within a
-    micro-batch. Do NOT feed these parsers a stream that shuffles or
-    repartitions upstream of this point.
+    micro-batch. Do NOT feed the jvm_lane parsers a stream that shuffles
+    or repartitions upstream of this point.
     """
-    with_no = lines.withColumn("line_no", F.monotonically_increasing_id())
-    if not lines.isStreaming:
+    if not with_no.isStreaming:
         with_no = with_no.localCheckpoint(eager=True)
     return with_no
 
 
-def parse_frames(lines: DataFrame) -> DataFrame:
-    """Hybrid wire parse: ``value`` (one line per row) → normalized frame
-    rows. Flat book updates (the hot shape) parse entirely JVM-side via
-    ``from_json`` inside whole-stage codegen; every other shape takes the
-    Arrow-batched per-line Python parser. Works on batch and streaming
-    frames alike; output is line_no-keyed, so lane order is irrelevant."""
+def parse_frames(lines: DataFrame, jvm_lane: bool = False) -> DataFrame:
+    """Wire parse: ``value`` (one line per row) → normalized frame rows.
+    Works on batch and streaming frames alike; output is line_no-keyed, so
+    evaluation order is irrelevant.
+
+    The DEFAULT is the single-pass Arrow-batched Python parser — the
+    measured winner (tools/stream_bench.py, 2M lines, local[32]: 1.5M
+    rows/s vs 0.4M for the hybrid). ``jvm_lane=True`` keeps the r10
+    hybrid: flat book updates (the hot shape) parse JVM-side via
+    ``from_json`` inside whole-stage codegen, everything else falls back
+    to the Python lane — output-identical (differential-tested), but the
+    fan-out costs a materialization plus two scans and a union, which
+    loses to one vectorized pass at every scale measured on this
+    hardware. It remains available (and tested) for deployments where
+    executor Python workers, not cores, are the bottleneck."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,6 +201,9 @@ def parse_frames(lines: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=_PARSED_COLS)
 
     with_no = lines.withColumn("line_no", F.monotonically_increasing_id())
+    if not jvm_lane:
+        return with_no.mapInPandas(gen, schema=PARSED_SCHEMA)
+    with_no = _materialize_for_fanout(with_no)
     arr = F.from_json(F.col("value"), "array<string>")
     # arr can only be null here if the line is invalid JSON despite the
     # shape regex (e.g. a trailing comma) — those fall through to the
@@ -642,12 +654,15 @@ _BS_JSON_SCHEMA = (
 _BS_NAME_RE = r"^[A-Za-z0-9:_.\-]+$"
 
 
-def parse_bitstamp_frames(lines: DataFrame) -> DataFrame:
-    """Hybrid bitstamp wire parse (batch and streaming alike): the three
+def parse_bitstamp_frames(lines: DataFrame,
+                          jvm_lane: bool = False) -> DataFrame:
+    """Bitstamp wire parse (batch and streaming alike). Default = the
+    single-pass Python lane (the measured winner — see
+    :func:`parse_frames`). ``jvm_lane=True``: the r10 hybrid — the three
     regular dict shapes (order events / trades / control events) parse
-    JVM-side via ``from_json`` + ``try_cast``; lines that miss any
-    requirement fall back to the Arrow-batched per-line Python parser
-    (differential-tested equal)."""
+    JVM-side via ``from_json`` + ``try_cast``, lines that miss any
+    requirement fall back to the per-line Python parser
+    (differential-tested equal, but slower end-to-end on this hardware)."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -657,6 +672,9 @@ def parse_bitstamp_frames(lines: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=_BS_PARSED_COLS)
 
     with_no = lines.withColumn("line_no", F.monotonically_increasing_id())
+    if not jvm_lane:
+        return with_no.mapInPandas(gen, schema=BS_PARSED_SCHEMA)
+    with_no = _materialize_for_fanout(with_no)
     j = F.from_json(F.col("value"), _BS_JSON_SCHEMA)
     d = j["data"]
 

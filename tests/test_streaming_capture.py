@@ -248,12 +248,18 @@ def test_parse_frames_jvm_lane_differential(spark):
     ]
     df = (spark.createDataFrame([(ln,) for ln in lines], "value string")
           .coalesce(1))  # single partition => line_no is 0..n-1
-    got = sorted((tuple(r) for r in parse_frames(df).collect()), key=repr)
+    got = sorted((tuple(r)
+                  for r in parse_frames(df, jvm_lane=True).collect()),
+                 key=repr)
     exp = []
     for no, ln in enumerate(lines):
         exp.extend(_parse_one(ln, no))
     exp = sorted(exp, key=repr)
     assert got == exp
+    # the default (Python-only) lane is the same function the ground
+    # truth runs per line, batched — pin the equality anyway
+    assert sorted((tuple(r) for r in parse_frames(df).collect()),
+                  key=repr) == exp
 
 
 def test_parse_bitstamp_frames_jvm_lane_differential(spark):
@@ -300,13 +306,17 @@ def test_parse_bitstamp_frames_jvm_lane_differential(spark):
     ]
     df = (spark.createDataFrame([(ln,) for ln in lines], "value string")
           .coalesce(1))
-    got = sorted((tuple(r) for r in parse_bitstamp_frames(df).collect()),
-                 key=repr)
+    got = sorted(
+        (tuple(r)
+         for r in parse_bitstamp_frames(df, jvm_lane=True).collect()),
+        key=repr)
     exp = []
     for no, ln in enumerate(lines):
         exp.extend(_bs_parse_one(ln, no))
     exp = sorted(exp, key=repr)
     assert got == exp
+    assert sorted((tuple(r) for r in parse_bitstamp_frames(df).collect()),
+                  key=repr) == exp
 
 
 def test_parse_tolerance_malformed_frames(spark):

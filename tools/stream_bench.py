@@ -74,13 +74,36 @@ def _pin_mtimes(d: str) -> None:
 
 def bench_capture(spark, work: str, n_lines: int) -> dict:
     """Wire-JSON replay through the full capture sink (parse → route →
-    registry → bronze parquet appends)."""
-    import json as _json
-
+    registry → bronze parquet appends). Runs twice: file-per-trigger (16
+    micro-batches — the latency shape) and all-files-in-one-trigger (the
+    throughput shape, above the ~1 s/trigger floor that dominated the r9
+    numbers)."""
     from obadiah_spark.streaming.capture import capture
 
     src = os.path.join(work, "wire")
-    os.makedirs(src)
+    line_no = _gen_wire(src, n_lines)
+    out = []
+    for mfpt, tag in ((1, "capture"), (16, "capture_1batch")):
+        bronze = os.path.join(work, f"bronze_{mfpt}")
+        t0 = time.perf_counter()
+        q = capture(spark, bronze, os.path.join(work, f"cap_ckpt_{mfpt}"),
+                    pair_id=1, files_dir=src, max_files_per_trigger=mfpt)
+        q.processAllAvailable()
+        durs = _batch_durations(q)
+        q.stop()
+        q.capture_sink.flush()
+        wall = time.perf_counter() - t0
+        out.append(_report(tag, line_no, wall, durs))
+    return out
+
+
+def _gen_wire(src: str, n_lines: int) -> int:
+    """The bitfinex wire fixture: 16 files, ~n_lines total (93% flat book
+    updates — the fast-lane shape — plus trades, closes, and the dict
+    events that carry routing state)."""
+    import json as _json
+
+    os.makedirs(src, exist_ok=True)
     per_file = max(1, n_lines // 16)
     line_no = 0
     for fi in range(16):
@@ -107,16 +130,70 @@ def bench_capture(spark, work: str, n_lines: int) -> dict:
         with open(os.path.join(src, f"{fi:03d}.txt"), "w") as fh:
             fh.write("\n".join(rows) + "\n")
     _pin_mtimes(src)
-    bronze = os.path.join(work, "bronze")
-    t0 = time.perf_counter()
-    q = capture(spark, bronze, os.path.join(work, "cap_ckpt"), pair_id=1,
-                files_dir=src, max_files_per_trigger=1)
-    q.processAllAvailable()
-    durs = _batch_durations(q)
-    q.stop()
-    q.capture_sink.flush()
-    wall = time.perf_counter() - t0
-    return _report("capture", line_no, wall, durs)
+    return line_no
+
+
+def _gen_bs_wire(src: str, n_lines: int) -> int:
+    """Bitstamp dict-shaped wire fixture (order events + trades), the
+    shapes the bitstamp JVM fast lane admits."""
+    import json as _json
+
+    os.makedirs(src, exist_ok=True)
+    n = 0
+    rows = []
+    while n < n_lines:
+        n += 1
+        us = 1_700_000_000_000_000 + n * 1000
+        if n % 9 == 4:
+            rows.append(_json.dumps(
+                {"event": "trade", "channel": "live_trades_btcusd",
+                 "data": {"microtimestamp": str(us), "amount_str": "0.25",
+                          "price_str": str(100.0 + n % 13), "id": n,
+                          "buy_order_id": n * 2, "sell_order_id": n * 2 + 1,
+                          "type": n % 2}}))
+        else:
+            ev = ("order_created", "order_changed", "order_deleted")[n % 3]
+            rows.append(_json.dumps(
+                {"event": ev, "channel": "live_orders_btcusd",
+                 "data": {"microtimestamp": str(us),
+                          "datetime": str(us / 1e6), "amount_str": "1.5",
+                          "price_str": str(100.0 + n % 7), "id": n % 900,
+                          "order_type": n % 2}}))
+    with open(os.path.join(src, "000.txt"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    return n
+
+
+def bench_parse(spark, work: str, n_lines: int) -> list[dict]:
+    """Parse-isolating mode (VERDICT r10 task #3): BATCH-mode parse of the
+    wire fixtures — no triggers, no sink — with the JVM from_json lane on
+    vs off. This is the only measurement where the lane's effect is
+    visible: under file-per-trigger replay the ~1 s/micro-batch trigger
+    floor swamps it."""
+    from obadiah_spark.streaming.capture import (parse_bitstamp_frames,
+                                                 parse_frames)
+
+    out = []
+    jobs = [
+        ("parse_bitfinex", os.path.join(work, "wire"),
+         lambda df, lane: parse_frames(df, jvm_lane=lane)),
+        ("parse_bitstamp", os.path.join(work, "bs_wire"),
+         lambda df, lane: parse_bitstamp_frames(df, jvm_lane=lane)),
+    ]
+    if not os.path.isdir(jobs[0][1]):
+        _gen_wire(jobs[0][1], n_lines)
+    _gen_bs_wire(jobs[1][1], n_lines)
+    for stage, src, fn in jobs:
+        df = spark.read.text(src).localCheckpoint(eager=True)  # exclude IO
+        rows_in = df.count()
+        for lane, tag in ((True, "jvm"), (False, "python")):
+            # warm once (Arrow/codegen), then time the second evaluation
+            fn(df, lane).write.mode("overwrite").format("noop").save()
+            t0 = time.perf_counter()
+            fn(df, lane).write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - t0
+            out.append(_report(f"{stage}_{tag}", rows_in, wall, []))
+    return out
 
 
 def bench_chain(spark, work: str, sf_dir: str) -> dict:
@@ -210,7 +287,8 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         stages = [
-            bench_capture(spark, work, n_events),
+            *bench_capture(spark, work, n_events),
+            *bench_parse(spark, work, n_events),
             bench_chain(spark, work, sf_dir),
             bench_level1(spark, work, sf_dir),
         ]
