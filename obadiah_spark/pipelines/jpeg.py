@@ -1,14 +1,16 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT, huffman).
+"""Pure-Python JPEG codec (ITU-T T.81 sequential + progressive DCT, huffman).
 
-Decoder: strict marker walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI),
+Decoder: strict marker walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF2/SOS/EOI),
 canonical huffman entropy decode with byte-unstuffing and restart-marker
 handling, dequantization, 2-D IDCT (numpy, two 8x8 matmuls per block
 batch), level shift, plane assembly with chroma upsampling, and JFIF
-YCbCr->RGB for 3-component images. Supported subset: 8-bit baseline,
-grayscale, 4:4:4, or 4:2:0 (the dominant real-world trio),
-non-progressive. Anything else — and any malformed stream — returns
-None, keeping the strict-or-None contract of the other codecs in
-:mod:`.multimodal` (arbitrary bytes can never "accidentally" decode).
+YCbCr->RGB for 3-component images. Supported subset: 8-bit baseline
+(SOF0) and progressive (SOF2 — spectral selection + successive
+approximation, T.81 annex G, multi-scan with inter-scan DHT/DQT/DRI),
+grayscale, 4:4:4, or 4:2:0 (the dominant real-world trio). Anything
+else — and any malformed stream — returns None, keeping the
+strict-or-None contract of the other codecs in :mod:`.multimodal`
+(arbitrary bytes can never "accidentally" decode).
 
 Encoder (test/gate side): FDCT + quantize + canonical huffman with
 flat-length code tables we generate ourselves (spec-valid DHT segments;
@@ -171,6 +173,65 @@ def _extend(v: int, t: int) -> int:
 
 # ------------------------------------------------------------------ decode
 
+def _parse_dqt(seg: bytes, qtabs: dict) -> bool:
+    """DQT segment (possibly several tables) → 8-bit natural-order tables."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 15
+        if pq != 0 or tq > 3 or p + 65 > len(seg):
+            return False
+        zz = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8)
+        tab = np.zeros(64)
+        tab[ZIGZAG] = zz
+        qtabs[tq] = tab.reshape(8, 8)
+        p += 65
+    return p == len(seg)
+
+
+def _parse_dht(seg: bytes, htabs: dict) -> bool:
+    """DHT segment (possibly several tables) → canonical decode tables."""
+    p = 0
+    while p + 17 <= len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 15
+        if tc > 1 or th > 3:
+            return False
+        bits = list(seg[p + 1:p + 17])
+        nv = sum(bits)
+        if p + 17 + nv > len(seg):
+            return False
+        table = _canonical_codes(bits, seg[p + 17:p + 17 + nv])
+        if table is None:
+            return False
+        htabs[(tc, th)] = table
+        p += 17 + nv
+    return p == len(seg)
+
+
+def _finish_planes(full: list[np.ndarray], comps: list[dict], w: int, h: int,
+                   hmax: int, vmax: int) -> dict:
+    """Full padded component planes → crop, replicate-upsample, color
+    convert — the shared tail of the baseline and progressive decoders."""
+    planes = []
+    for plane, c in zip(full, comps):
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        if c["v"] != vmax or c["h"] != hmax:
+            plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+                hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return {"width": w, "height": h, "bpp": 8, "pixels": px.tobytes()}
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "bpp": 24, "pixels": px.tobytes()}
+
+
 def jpeg_header(raw: bytes) -> dict | None:
     """Marker-walk up to SOF0 and return dims/components without entropy
     decode — the O(header) dims path. Validates the marker chain as far
@@ -225,14 +286,10 @@ def jpeg_decode(raw: bytes) -> dict | None:
     hd = jpeg_header(raw)
     if hd is None:
         return None
-    if hd["progressive"]:
-        # jpeg_header reports SOF2 dims for metadata callers, but the
-        # entropy decoder below is baseline-only: a progressive stream
-        # carrying baseline-shaped scan data would MISDECODE rather than
-        # fail. Keep the strict-or-None contract.
-        return None
     if len(raw) < 2 or raw[-2:] != b"\xff\xd9":
         return None
+    if hd["progressive"]:
+        return _jpeg_decode_progressive(raw, hd)
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     restart = 0
@@ -251,34 +308,10 @@ def jpeg_decode(raw: bytes) -> dict | None:
             return None
         seg = raw[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq != 0 or tq > 3 or p + 65 > len(seg):
-                    return None
-                zz = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8)
-                tab = np.zeros(64)
-                tab[ZIGZAG] = zz
-                qtabs[tq] = tab.reshape(8, 8)
-                p += 65
-            if p != len(seg):
+            if not _parse_dqt(seg, qtabs):
                 return None
         elif marker == 0xC4:  # DHT (possibly several tables)
-            p = 0
-            while p + 17 <= len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 15
-                if tc > 1 or th > 3:
-                    return None
-                bits = list(seg[p + 1:p + 17])
-                nv = sum(bits)
-                if p + 17 + nv > len(seg):
-                    return None
-                table = _canonical_codes(bits, seg[p + 17:p + 17 + nv])
-                if table is None:
-                    return None
-                htabs[(tc, th)] = table
-                p += 17 + nv
-            if p != len(seg):
+            if not _parse_dht(seg, htabs):
                 return None
         elif marker == 0xDD:  # DRI
             if len(seg) != 2:
@@ -373,7 +406,7 @@ def jpeg_decode(raw: bytes) -> dict | None:
     if raw[end:] != b"\xff\xd9":
         return None
 
-    planes = []
+    full = []
     for ci, c in enumerate(comps):
         sp = _idct2(coefs[ci]) + 128.0
         plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
@@ -384,25 +417,299 @@ def jpeg_decode(raw: bytes) -> dict | None:
             ry = (my * c["v"] + byy) * 8
             rx = (mx * c["h"] + bxx) * 8
             plane[ry:ry + 8, rx:rx + 8] = sp[idx]
-        # crop to the component's own resolution, then upsample to full
-        # frame by pixel replication (JFIF nearest-neighbor)
+        full.append(plane)
+    return _finish_planes(full, comps, w, h, hmax, vmax)
+
+
+# ------------------------------------------------- progressive decode -----
+# T.81 annex G: the frame's quantized coefficients accumulate across many
+# scans — DC first/refinement (interleaved or single-component, one bit per
+# block per refinement pass) and AC first/refinement (always one component
+# per scan, band [Ss..Se], EOB-run coded). Coefficients are kept QUANTIZED
+# (integer) in zigzag order until EOI, then dequantized + IDCT'd once.
+
+def _dc_first_block(br, dct, coef, pred, ci, al):
+    t = _huff_decode(br, dct)
+    if t is None or t > 11:
+        return None
+    diff = 0
+    if t:
+        v = br.receive(t)
+        if v is None:
+            return None
+        diff = _extend(v, t)
+    pred[ci] += diff
+    coef[0] = pred[ci] << al
+    return True
+
+
+def _dc_refine_block(br, coef, al):
+    b = br.bit()
+    if b is None:
+        return None
+    if b:
+        coef[0] |= 1 << al
+    return True
+
+
+def _ac_first_block(br, act, coef, ss, se, al, eobrun):
+    """Returns the new EOB run, or None on a malformed stream."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                ext = br.receive(r)
+                if ext is None:
+                    return None
+                eobrun += ext
+            break
+        k += r
+        if k > se:
+            return None
+        v = br.receive(s)
+        if v is None:
+            return None
+        coef[k] = _extend(v, s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
+    """T.81 G.1.2.3: one correction bit per already-nonzero coefficient in
+    the band; newly-nonzero coefficients arrive as ±1<<Al. Returns the new
+    EOB run, or None."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of blocks with no new nonzeros
+                    eobrun = 1 << r
+                    if r:
+                        ext = br.receive(r)
+                        if ext is None:
+                            return None
+                        eobrun += ext
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    return None
+                b = br.bit()
+                if b is None:
+                    return None
+                val = p1 if b else m1
+            # advance: correction bits for nonzero-history coefficients,
+            # counting down r zero-history slots to the placement point
+            while k <= se:
+                if coef[k] != 0:
+                    b = br.bit()
+                    if b is None:
+                        return None
+                    if b and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    return None
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB pass: correction bits only, through the end of the band
+        while k <= se:
+            if coef[k] != 0:
+                b = br.bit()
+                if b is None:
+                    return None
+                if b and not (coef[k] & p1):
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_progressive(raw: bytes, hd: dict) -> dict | None:
+    w, h, ncomp = hd["width"], hd["height"], hd["ncomp"]
+    if w * h > MAX_DECODE_PIXELS:
+        return None
+    comps = hd["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    gw = [mcux * c["h"] for c in comps]   # padded (MCU-aligned) block grid
+    gh = [mcuy * c["v"] for c in comps]
+    # real per-component block counts (non-interleaved scans cover ONLY
+    # these; the padded remainder exists just for interleaved DC scans)
+    nbx, nby = [], []
+    for c in comps:
         cw = (w * c["h"] + hmax - 1) // hmax
         ch = (h * c["v"] + vmax - 1) // vmax
-        plane = plane[:ch, :cw]
-        if c["v"] != vmax or c["h"] != hmax:
-            plane = plane.repeat(vmax // c["v"], axis=0).repeat(
-                hmax // c["h"], axis=1)
-        planes.append(plane[:h, :w])
-    if ncomp == 1:
-        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return {"width": w, "height": h, "bpp": 8, "pixels": px.tobytes()}
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return {"width": w, "height": h, "bpp": 24, "pixels": px.tobytes()}
+        nbx.append((cw + 7) // 8)
+        nby.append((ch + 7) // 8)
+    coefs = [np.zeros((gh[ci] * gw[ci], 64), dtype=np.int64)
+             for ci in range(ncomp)]
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    restart = 0
+    pos = 2
+    nscans = 0
+    ended = False
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            ended = pos + 2 == len(raw)
+            break
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            return None
+        if pos + 4 > len(raw):
+            return None
+        seglen = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
+        if seglen < 2 or pos + 2 + seglen > len(raw):
+            return None
+        seg = raw[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:
+            if not _parse_dqt(seg, qtabs):
+                return None
+        elif marker == 0xC4:
+            if not _parse_dht(seg, htabs):
+                return None
+        elif marker == 0xDD:
+            if len(seg) != 2:
+                return None
+            restart = struct.unpack(">H", seg)[0]
+        elif marker == 0xC2:
+            pass  # the frame header itself (already validated)
+        elif marker in (0xC0, 0xC1, 0xC3):
+            return None  # a second frame marker is malformed
+        elif marker == 0xDA:
+            end = _prog_scan(raw, pos + 2 + seglen, seg, hd, coefs,
+                             (mcux, mcuy, gw, nbx, nby), htabs, restart)
+            if end is None:
+                return None
+            pos = end
+            nscans += 1
+            continue
+        pos += 2 + seglen
+    if not ended or nscans == 0:
+        return None
+    full = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            return None
+        nat = np.zeros((len(coefs[ci]), 64))
+        nat[:, ZIGZAG] = coefs[ci]           # zigzag -> natural order
+        sp = _idct2(nat.reshape(-1, 8, 8) * qtabs[c["tq"]]) + 128.0
+        # blocks are stored raster (by * gw + bx): one reshape assembles
+        full.append(sp.reshape(gh[ci], gw[ci], 8, 8)
+                    .transpose(0, 2, 1, 3).reshape(gh[ci] * 8, gw[ci] * 8))
+    return _finish_planes(full, comps, w, h, hmax, vmax)
+
+
+def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
+    """Decode one progressive SOS (header bytes in ``seg``, entropy data
+    from ``data_pos``). Returns the position of the next marker, or None."""
+    mcux, mcuy, gw, nbx, nby = geom
+    comps = hd["comps"]
+    if len(seg) < 1:
+        return None
+    ns = seg[0]
+    if not 1 <= ns <= hd["ncomp"] or len(seg) != 1 + 2 * ns + 3:
+        return None
+    ss, se, ahal = seg[-3], seg[-2], seg[-1]
+    ah, al = ahal >> 4, ahal & 15
+    if al > 13 or (ah and ah != al + 1):
+        return None
+    dc_scan = ss == 0
+    if dc_scan:
+        if se != 0:
+            return None
+    elif ns != 1 or not (1 <= ss <= se <= 63):
+        return None
+    scomps = []
+    seen = set()
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        td, ta = tdta >> 4, tdta & 15
+        ci = next((j for j, c in enumerate(comps) if c["id"] == cs), None)
+        if ci is None or ci in seen:
+            return None
+        seen.add(ci)
+        dct = act = None
+        if dc_scan and ah == 0:
+            dct = htabs.get((0, td))
+            if dct is None:
+                return None
+        if not dc_scan:
+            act = htabs.get((1, ta))
+            if act is None:
+                return None
+        scomps.append((ci, dct, act))
+    br = _BitReader(raw, data_pos)
+    eobrun = 0
+    pred = [0] * hd["ncomp"]
+    if ns > 1:                    # interleaved (DC scans only)
+        units = mcux * mcuy
+    else:
+        ci0 = scomps[0][0]
+        units = nbx[ci0] * nby[ci0]
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            mk = br.consume_marker()
+            if mk is None or not (0xD0 <= mk <= 0xD7):
+                return None
+            pred = [0] * hd["ncomp"]
+            eobrun = 0
+        if ns > 1:
+            my, mx = divmod(u, mcux)
+            for ci, dct, _ in scomps:
+                c = comps[ci]
+                for j in range(c["v"]):
+                    for i in range(c["h"]):
+                        bidx = (my * c["v"] + j) * gw[ci] + mx * c["h"] + i
+                        coef = coefs[ci][bidx]
+                        ok = (_dc_first_block(br, dct, coef, pred, ci, al)
+                              if ah == 0 else _dc_refine_block(br, coef, al))
+                        if ok is None:
+                            return None
+        else:
+            ci, dct, act = scomps[0]
+            by, bx = divmod(u, nbx[ci])
+            coef = coefs[ci][by * gw[ci] + bx]
+            if dc_scan:
+                ok = (_dc_first_block(br, dct, coef, pred, ci, al)
+                      if ah == 0 else _dc_refine_block(br, coef, al))
+                if ok is None:
+                    return None
+            else:
+                eobrun = (_ac_first_block(br, act, coef, ss, se, al, eobrun)
+                          if ah == 0 else
+                          _ac_refine_block(br, act, coef, ss, se, al, eobrun))
+                if eobrun is None:
+                    return None
+    br.align()
+    return br.pos
 
 
 # ------------------------------------------------------------------ encode
@@ -429,16 +736,21 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-def _flat_tables() -> tuple[list[int], bytes, list[int], bytes]:
+def _flat_tables(progressive: bool = False) \
+        -> tuple[list[int], bytes, list[int], bytes]:
     """Self-generated spec-valid huffman tables: 12 DC symbols at 5 bits,
-    the 162 baseline AC symbols at 9 bits (code space never exhausted)."""
+    the 162 baseline AC symbols at 9 bits (code space never exhausted).
+    Progressive adds the EOBn symbols (r<<4 for r=1..14, annex G EOB
+    runs), which are undefined in baseline."""
     dc_bits = [0] * 16
-    dc_bits[4] = 12  # length 5
     dc_vals = bytes(range(12))
-    ac_bits = [0] * 16
-    ac_bits[8] = 162  # length 9
     ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
                               for s in range(1, 11)]
+    if progressive:
+        ac_syms += [r << 4 for r in range(1, 15)]
+    dc_bits[4] = 12  # length 5
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)  # length 9 (<= 176 < 2^9: space never exhausts)
     ac_vals = bytes(sorted(ac_syms))
     return dc_bits, dc_vals, ac_bits, ac_vals
 
@@ -497,9 +809,132 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
     return int(q[0, 0])
 
 
+# ------------------------------------------------- progressive encode -----
+
+class _ProgACState:
+    """Cross-block AC scan state: the pending EOB run and the correction
+    bits buffered against it (T.81 annex G / the classic two-buffer
+    layout). Flushing emits EOBn + its extension bits + the buffered
+    correction bits, in that order."""
+
+    def __init__(self, bw: _BitWriter, enc: dict):
+        self.bw = bw
+        self.enc = enc
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            length, code = self.enc[r << 4]
+            self.bw.put(code, length)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.put(b, 1)
+        self.bits = []
+
+
+def _enc_dc_prog(bw, dc_enc, zzblk, pred, ci, ah, al) -> None:
+    if ah == 0:
+        v = int(zzblk[0]) >> al  # arithmetic shift: the DC point transform
+        diff = v - pred[ci]
+        pred[ci] = v
+        t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        length, code = dc_enc[t]
+        bw.put(code, length)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    else:
+        bw.put((int(zzblk[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(st: _ProgACState, ac_enc, zzblk, ss, se, al) -> None:
+    bw = st.bw
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zzblk[k])
+        t = (abs(v) >> al)  # AC point transform truncates toward zero
+        if t == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            length, code = ac_enc[0xF0]
+            bw.put(code, length)
+            r -= 16
+        s = t.bit_length()
+        length, code = ac_enc[(r << 4) | s]
+        bw.put(code, length)
+        bw.put(t if v > 0 else (~t) & ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _enc_ac_refine(st: _ProgACState, ac_enc, zzblk, ss, se, al) -> None:
+    bw = st.bw
+    absv = [(abs(int(zzblk[k])) >> al) for k in range(ss, se + 1)]
+    eob_k = ss - 1  # last position that becomes newly nonzero this scan
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob_k = ss + idx
+    r = 0
+    br_bits: list[int] = []
+    for idx, t in enumerate(absv):
+        k = ss + idx
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:  # ZRL not foldable into the EOB run
+            st.flush()
+            length, code = ac_enc[0xF0]
+            bw.put(code, length)
+            r -= 16
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits = []
+        if t > 1:
+            # previously-nonzero coefficient: just its next magnitude bit
+            br_bits.append(t & 1)
+            continue
+        st.flush()
+        length, code = ac_enc[(r << 4) | 1]
+        bw.put(code, length)
+        bw.put(1 if int(zzblk[k]) > 0 else 0, 1)
+        for b in br_bits:
+            bw.put(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        st.eobrun += 1
+        st.bits.extend(br_bits)
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _prog_scan_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """(component list, Ss, Se, Ah, Al) per scan — a libjpeg-shaped script
+    that exercises every annex-G decode path: interleaved DC first +
+    refinement, split AC bands, two successive-approximation levels."""
+    scans = [(list(range(ncomp)), 0, 0, 0, 1),
+             (list(range(ncomp)), 0, 0, 1, 0)]
+    for ci in range(ncomp):
+        scans += [([ci], 1, 5, 0, 2), ([ci], 6, 63, 0, 2)]
+    for ah, al in ((3, 2), (2, 1), (1, 0)):
+        if ah == 3:
+            continue  # first scans already coded at Al=2
+        for ci in range(ncomp):
+            scans += [([ci], 1, 5, ah, al), ([ci], 6, 63, ah, al)]
+    return scans
+
+
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                 qtable: np.ndarray = None, restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444", progressive: bool = False) -> bytes:
     """Baseline JPEG encode of row-major 8-bit pixels (grayscale for
     channels=1, RGB for channels=3). ``subsampling`` is "444" or "420"
     (2x2-mean chroma downsample, MCU-interleaved 4Y+Cb+Cr — the dominant
@@ -542,7 +977,7 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     for ci, (sh, sv) in enumerate(samp):
         planes[ci] = _pad_to(planes[ci], mcuy * sv * 8, mcux * sh * 8)
 
-    dc_bits, dc_vals, ac_bits, ac_vals = _flat_tables()
+    dc_bits, dc_vals, ac_bits, ac_vals = _flat_tables(progressive)
     dc_enc = _enc_table(dc_bits, dc_vals)
     ac_enc = _enc_table(ac_bits, ac_vals)
 
@@ -553,12 +988,19 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes((ci + 1, (sh << 4) | sv, 0))
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", 2 + len(sof)) + sof
     for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
         seg = bytes([tc << 4]) + bytes(bits) + vals
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        _encode_progressive_scans(out, planes, samp, qt, mcux, mcuy,
+                                  dc_enc, ac_enc, restart_interval,
+                                  width, height, hmax, vmax)
+        out += b"\xff\xd9"
+        return bytes(out)
     sos = bytes([channels])
     for ci in range(channels):
         sos += bytes((ci + 1, 0x00))
@@ -587,3 +1029,71 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)
+
+
+def _encode_progressive_scans(out: bytearray, planes, samp, qt,
+                              mcux, mcuy, dc_enc, ac_enc, restart_interval,
+                              width, height, hmax, vmax) -> None:
+    """Emit the full progressive scan sequence (script from
+    :func:`_prog_scan_script`) into ``out``. Coefficients are quantized
+    once up front; each scan re-walks them at its own band/precision."""
+    ncomp = len(planes)
+    zz, nbx, nby, gws = [], [], [], []
+    for ci, (sh, sv) in enumerate(samp):
+        p = planes[ci]  # padded to the MCU extent already
+        gh_, gw_ = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(gh_, 8, gw_, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        q = np.round(_fdct2(blocks - 128.0) / qt).astype(np.int64)
+        zz.append(q.reshape(-1, 64)[:, ZIGZAG])
+        gws.append(gw_)
+        cw = (width * sh + hmax - 1) // hmax
+        ch = (height * sv + vmax - 1) // vmax
+        nbx.append((cw + 7) // 8)
+        nby.append((ch + 7) // 8)
+    for cis, ss, se, ah, al in _prog_scan_script(ncomp):
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes((ci + 1, 0x00))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        st = _ProgACState(bw, ac_enc)
+        pred = [0] * ncomp
+        rst = 0
+        if len(cis) > 1:
+            units = mcux * mcuy
+        else:
+            units = nbx[cis[0]] * nby[cis[0]]
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                st.flush()
+                bw.flush()
+                out += bw.out + bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                st = _ProgACState(bw, ac_enc)
+                pred = [0] * ncomp
+            if len(cis) > 1:  # interleaved DC scan over MCUs
+                my, mx = divmod(u, mcux)
+                for ci in cis:
+                    sh, sv = samp[ci]
+                    for j in range(sv):
+                        for i in range(sh):
+                            bidx = ((my * sv + j) * gws[ci]
+                                    + mx * sh + i)
+                            _enc_dc_prog(bw, dc_enc, zz[ci][bidx],
+                                         pred, ci, ah, al)
+            else:
+                ci = cis[0]
+                by, bx = divmod(u, nbx[ci])
+                blk = zz[ci][by * gws[ci] + bx]
+                if ss == 0:
+                    _enc_dc_prog(bw, dc_enc, blk, pred, ci, ah, al)
+                elif ah == 0:
+                    _enc_ac_first(st, ac_enc, blk, ss, se, al)
+                else:
+                    _enc_ac_refine(st, ac_enc, blk, ss, se, al)
+        st.flush()
+        bw.flush()
+        out += bw.out

@@ -117,11 +117,86 @@ def test_strictness():
     assert jpeg_decode(blob + b"xx") is None    # trailing garbage
     assert jpeg_decode(blob[2:]) is None        # missing SOI
     assert jpeg_header(b"\xff\xd8\xff") is None
-    # progressive SOF (0xC2) must be rejected, not misdecoded
+    # a BASELINE-shaped stream remarked as SOF2 is a malformed progressive
+    # file (a progressive DC scan requires Se == 0, the baseline SOS says
+    # 0..63): it must reject, never run the baseline entropy data
     prog = bytearray(blob)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
     assert jpeg_decode(bytes(prog)) is None
+
+
+def test_progressive_matches_baseline_pixels():
+    """The progressive encoder codes the SAME quantized coefficients the
+    baseline encoder does, so after full scan accumulation the decode must
+    be pixel-IDENTICAL to the baseline decode — across grayscale, 4:4:4,
+    4:2:0, and non-multiple-of-8 dims (exercises interleaved DC first +
+    refinement, split AC bands, EOB runs, ZRL, and two
+    successive-approximation levels)."""
+    rng = np.random.default_rng(7)
+    for (w, h, ch, sub) in [(16, 8, 1, "444"), (24, 17, 3, "444"),
+                            (19, 13, 3, "420"), (8, 8, 1, "444")]:
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        base = jpeg_decode(encode_jpeg(w, h, px, channels=ch,
+                                       subsampling=sub))
+        blob = encode_jpeg(w, h, px, channels=ch, subsampling=sub,
+                           progressive=True)
+        hd = jpeg_header(blob)
+        assert hd["progressive"] and (hd["width"], hd["height"]) == (w, h)
+        prog = jpeg_decode(blob)
+        assert prog is not None, (w, h, ch, sub)
+        assert prog["pixels"] == base["pixels"], (w, h, ch, sub)
+        # the multimodal dispatch picks progressive JPEG up transparently
+        assert image_dims(blob) == {"width": w, "height": h}
+
+
+def test_progressive_restart_markers():
+    """DRI applies to every progressive scan: RSTn must reset the DC
+    predictors AND the EOB run mid-scan without changing a single pixel."""
+    rng = np.random.default_rng(11)
+    w, h = 33, 26
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    base = jpeg_decode(encode_jpeg(w, h, px, channels=3))
+    for ri in (1, 3):
+        prog = jpeg_decode(encode_jpeg(w, h, px, channels=3,
+                                       progressive=True,
+                                       restart_interval=ri))
+        assert prog is not None and prog["pixels"] == base["pixels"], ri
+    px = rng.integers(0, 256, size=40 * 24 * 3, dtype=np.uint8).tobytes()
+    base = jpeg_decode(encode_jpeg(40, 24, px, channels=3,
+                                   subsampling="420"))
+    prog = jpeg_decode(encode_jpeg(40, 24, px, channels=3,
+                                   subsampling="420", progressive=True,
+                                   restart_interval=2))
+    assert prog is not None and prog["pixels"] == base["pixels"]
+
+
+def test_progressive_flat_blocks_roundtrip_exactly():
+    """The analytic flat-block exactness carries over: all AC vanish, the
+    DC path accumulates pred<<1 then the refinement bit — still lossless
+    with the gate quant table."""
+    tile = np.repeat(np.repeat(np.arange(4 * 6).reshape(4, 6) * 9 % 256,
+                               8, 0), 8, 1)
+    px = tile.astype(np.uint8).tobytes()
+    out = jpeg_decode(encode_jpeg(48, 32, px, channels=1, progressive=True))
+    assert out["pixels"] == px
+
+
+def test_progressive_strictness():
+    """Strict-or-None holds for multi-scan streams: every truncation is
+    None, and no byte flip may raise."""
+    blob = encode_jpeg(16, 16, bytes(range(256)), channels=1,
+                       progressive=True)
+    assert jpeg_decode(blob) is not None
+    for cut in range(2, len(blob), 13):
+        assert jpeg_decode(blob[:cut]) is None
+    assert jpeg_decode(blob + b"x") is None
+    rng = np.random.default_rng(3)
+    for _ in range(120):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= int(rng.integers(1, 256))
+        jpeg_decode(bytes(b))  # None or a decode — must never raise
 
 
 def test_pil_interop_if_available():
@@ -140,12 +215,15 @@ def test_pil_interop_if_available():
     rgb = np.stack([xs * 10 % 256, ys * 10 % 256, (xs + ys) * 5 % 256],
                    axis=-1).astype(np.uint8)
     for sub in ("444", "420"):
-        blob = encode_jpeg(w, h, rgb.tobytes(), channels=3,
-                           qtable=np.full((8, 8), 2.0), subsampling=sub)
-        theirs = np.asarray(pil.open(io.BytesIO(blob)).convert("RGB"))
-        ours = np.frombuffer(jpeg_decode(blob)["pixels"],
-                             dtype=np.uint8).reshape(h, w, 3)
-        assert _psnr(theirs, ours) > 35, (sub, _psnr(theirs, ours))
+        for prog in (False, True):
+            blob = encode_jpeg(w, h, rgb.tobytes(), channels=3,
+                               qtable=np.full((8, 8), 2.0), subsampling=sub,
+                               progressive=prog)
+            theirs = np.asarray(pil.open(io.BytesIO(blob)).convert("RGB"))
+            ours = np.frombuffer(jpeg_decode(blob)["pixels"],
+                                 dtype=np.uint8).reshape(h, w, 3)
+            assert _psnr(theirs, ours) > 35, (sub, prog,
+                                              _psnr(theirs, ours))
 
 
 def test_dims_header_matches_decode_and_feature_path():
