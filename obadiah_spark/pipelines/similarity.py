@@ -605,6 +605,66 @@ def pq_subcodebooks(emb: DataFrame, stride: int = IVF_STRIDE,
         "m", "j", F.col("sv").alias("sc"))
 
 
+def pq_train_subcodebooks(emb: DataFrame, iters: int = IVF_ITERS,
+                          stride: int = IVF_STRIDE, m: int = PQ_M,
+                          ksub: int = PQ_KSUB, dim: int = PQ_DIM,
+                          train_stride: int = IVF_TRAIN_STRIDE,
+                          train_max: int = IVF_TRAIN_MAX) -> DataFrame:
+    """Per-subspace Lloyd refinement of the stride-seeded sub-codebooks
+    (same (m, j, sc) schema as :func:`pq_subcodebooks`), trained over the
+    same capped deterministic sample as the IVF codebook — O(1) in corpus
+    size by the identical argument. Assignment = L2 argmin with j-asc
+    tiebreak (exactly :func:`pq_encode`); means are fold-ordered
+    (:func:`_fold_mean_centroids` rationale); an emptied sub-cell keeps
+    its previous centroid.
+
+    On UNIFORM random embeddings training gains ~0.03 recall (why the
+    ``ann_ivfpq`` GATE stays stride-seeded: the DuckDB oracle mirrors the
+    seed deterministically); on a clustered corpus — the realistic shape —
+    the trained books are the scale path; SCALE.md §7 records the
+    measured delta on a mixture-of-Gaussians fabric."""
+    cb = pq_subcodebooks(emb, stride, m, ksub, dim)
+    sample = (
+        emb.filter(F.col("vec_id") % train_stride == 0)
+        .orderBy("vec_id").limit(train_max)
+        .select("vec_id",
+                F.expr(_CAST_DOUBLE_ARR.format(col="embedding")).alias("emb"))
+    )
+    sv = _subvectors(sample, "vec_id", "emb", m, dim)
+    if iters > 0:
+        # referenced twice per iteration (assignment + mean recompute)
+        sv = sv.localCheckpoint(eager=False)
+    for _ in range(iters):
+        cb = cb.localCheckpoint(eager=False)
+        scored = sv.join(F.broadcast(cb), "m").select(
+            "vec_id", "m", "j", _l2sq("sv", "sc").alias("d"))
+        w = W.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("j"))
+        assign = (scored.withColumn("r", F.row_number().over(w))
+                  .filter("r = 1").select("vec_id", "m", "j"))
+        ex = (assign.join(sv, ["vec_id", "m"])
+              .select("m", "j", "vec_id",
+                      F.posexplode("sv").alias("pos", "v")))
+        per_dim = (
+            ex.groupBy("m", "j", "pos")
+            .agg((F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                    lambda s: s["v"]),
+                F.lit(0.0), lambda acc, v: acc + v)
+                / F.count(F.lit(1))).alias("mu"))
+        )
+        trained = (
+            per_dim.groupBy("m", "j")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"]).alias("sc"))
+        )
+        cb = (cb.withColumnRenamed("sc", "_prev")
+              .join(trained, ["m", "j"], "left")
+              .select("m", "j", F.coalesce("sc", "_prev").alias("sc")))
+    return cb
+
+
 def pq_encode(emb: DataFrame, subcb: DataFrame, m: int = PQ_M,
               dim: int = PQ_DIM) -> DataFrame:
     """(vec_id, m, code): nearest sub-centroid per subspace (L2, j-asc
@@ -630,13 +690,17 @@ def ann_ivfpq(emb: DataFrame, n_queries: int = 10, k: int = 5,
               train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
               ksub: int = PQ_KSUB, rerank: int = PQ_RERANK,
               dim: int = PQ_DIM,
-              codebook: DataFrame | None = None) -> DataFrame:
+              codebook: DataFrame | None = None,
+              subcodebook: DataFrame | None = None) -> DataFrame:
     """IVF-PQ ANN: coarse-probe the IVF cells, rank the candidates by the
     ADC lookup-table distance over their PQ codes, exact-re-score only the
     ``rerank*k`` ADC survivors. With ``n_probe >= n_cells`` and a
     ``rerank`` covering the corpus it degenerates to exactly
     :func:`ann_bruteforce` (pytest invariant). Output schema matches
-    ``ann_ivf``: (q_id, vec_id, cosine, rank)."""
+    ``ann_ivf``: (q_id, vec_id, cosine, rank). ``subcodebook`` injects
+    pre-trained PQ sub-codebooks (:func:`pq_train_subcodebooks`) in place
+    of the default stride seed — the same materialize-once pattern as
+    ``codebook``."""
     cents = codebook if codebook is not None else ivf_centroids(
         emb, n_cells, stride, iters, train_stride, train_max)
     assign = (
@@ -655,7 +719,8 @@ def ann_ivfpq(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
-    subcb = pq_subcodebooks(emb, stride, m, ksub, dim)
+    subcb = (subcodebook if subcodebook is not None
+             else pq_subcodebooks(emb, stride, m, ksub, dim))
     codes = pq_encode(emb, subcb, m, dim)
     # ADC lookup table: distance from each query subvector to every
     # sub-centroid — m x ksub rows per query, broadcast everywhere

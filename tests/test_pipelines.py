@@ -521,6 +521,64 @@ def test_ivfpq_recall_vs_ivf_flat_ceiling(spark):
         f"IVF-PQ recovers {got}/{ceiling} of the IVF-flat ceiling")
 
 
+def test_pq_trained_subcodebooks(spark):
+    """Lloyd-trained sub-codebooks (r11): deterministic, schema-compatible,
+    and on a CLUSTERED corpus (mixture of Gaussians — the realistic shape;
+    uniform data is PQ's adversarial case where training gains ~nothing)
+    the trained ADC ordering must beat the stride seed. The exactness
+    invariant also holds: probe-all + rerank-all with a trained book is
+    still bit-for-bit brute force (training changes candidate ORDER, never
+    re-scored values)."""
+    import numpy as np
+    import pandas as pd
+
+    from obadiah_spark.pipelines.similarity import (
+        IVF_CELLS, ann_ivfpq, pq_subcodebooks, pq_train_subcodebooks)
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(400):
+        r = np.random.default_rng(1000 + vid)
+        v = centers[vid % 8] + r.normal(scale=0.15, size=64)
+        rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.localCheckpoint(eager=True)
+    # stride 7 (not the 61 default): a 400-vector fixture must still seed
+    # all 16 sub-centroids
+    t1 = pq_train_subcodebooks(emb, stride=7).toPandas() \
+        .sort_values(["m", "j"])
+    t2 = pq_train_subcodebooks(emb, stride=7).toPandas() \
+        .sort_values(["m", "j"])
+    pd.testing.assert_frame_equal(t1.reset_index(drop=True),
+                                  t2.reset_index(drop=True))
+    seeded_cb = pq_subcodebooks(emb, stride=7).toPandas()
+    assert set(zip(t1.m, t1.j)) == set(zip(seeded_cb.m, seeded_cb.j))
+    assert set(zip(t1.m, t1.j)) == {(m, j) for m in range(4)
+                                    for j in range(16)}
+    bf = ann_bruteforce(emb, n_queries=16, k=5).toPandas()
+    truth = {(q, v) for q, v in zip(bf.q_id, bf.vec_id)}
+
+    def hits(subcb):
+        got = ann_ivfpq(emb, n_queries=16, k=5, rerank=1,
+                        subcodebook=subcb).toPandas()
+        return len(truth & {(q, v) for q, v in zip(got.q_id, got.vec_id)})
+
+    seeded = hits(pq_subcodebooks(emb, stride=7))
+    trained = hits(pq_train_subcodebooks(emb, stride=7))
+    assert trained > seeded, (trained, seeded)
+    n = emb.count()
+    exact = (ann_ivfpq(emb, n_queries=4, k=3, n_probe=IVF_CELLS,
+                       rerank=(n // 3) + 1,
+                       subcodebook=pq_train_subcodebooks(emb, stride=7))
+             .toPandas()
+             .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    bf4 = (ann_bruteforce(emb, n_queries=4, k=3).toPandas()
+           .sort_values(["q_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bf4, exact, check_dtype=False)
+
+
 def test_dup_clusters_path_component(spark):
     """A path-shaped component (a-b, b-c, c-d share shingles pairwise-
     adjacently but not end-to-end) must still collapse to ONE cluster —

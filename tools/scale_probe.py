@@ -303,8 +303,90 @@ def probe_embs(spark, emb_path: str) -> dict[str, float]:
     return out
 
 
+def build_clustered_embs(spark, work: str, n: int, n_clusters: int = 32,
+                         dim: int = 64, sigma: float = 0.18,
+                         seed: int = 97) -> str:
+    """Mixture-of-Gaussians embedding fabric (VERDICT r10 task #7): the
+    driver testdata's embeddings are UNIFORM random — PQ's adversarial
+    case and unrealistically structureless for IVF recall claims. This
+    fabric plants ``n_clusters`` unit-sphere centers and draws each
+    vector as center + N(0, sigma²) noise — the shape a real embedding
+    corpus has. Fully deterministic: center from a cluster-seeded RNG,
+    noise from a vec_id-seeded RNG, so any partitioning yields identical
+    bytes."""
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(work, f"embeddings_mog_{n}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    crng = np.random.default_rng(seed)
+    centers = crng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(centers)
+
+    def gen(batches):
+        cs = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float32)
+            for i, vid in enumerate(ids):
+                r = np.random.default_rng(seed * 1_000_003 + int(vid))
+                out[i] = cs[int(vid) % n_clusters] + r.normal(
+                    scale=sigma, size=dim)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(out),
+                                "label": (ids % n_clusters).astype("int32")})
+
+    (spark.range(n).repartition(32)
+     .mapInPandas(gen, schema="vec_id long, embedding array<float>, "
+                              "label int")
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def probe_ann_clustered(spark, emb_path: str, n_queries: int = 32,
+                        k: int = 5) -> dict:
+    """Recall@k of the ANN family against brute-force ground truth on the
+    clustered fabric, plus the Lloyd-vs-seeded PQ sub-codebook delta."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.similarity import (
+        ann_bruteforce, ann_ivf, ann_ivfpq, pq_subcodebooks,
+        pq_train_subcodebooks, train_ivf_codebook)
+
+    emb = spark.read.parquet(emb_path).localCheckpoint(eager=True)
+    truth = (ann_bruteforce(emb, n_queries, k)
+             .select("q_id", "vec_id").localCheckpoint(eager=True))
+    denom = truth.count()
+    cb = train_ivf_codebook(emb)
+
+    def recall(df) -> float:
+        hits = df.select("q_id", "vec_id").join(truth, ["q_id", "vec_id"])
+        return round(hits.count() / denom, 3)
+
+    out = {"recall_ivf": recall(ann_ivf(emb, n_queries, k, codebook=cb))}
+    seeded = pq_subcodebooks(emb).localCheckpoint(eager=True)
+    trained = pq_train_subcodebooks(emb).localCheckpoint(eager=True)
+    out["recall_ivfpq_seeded"] = recall(
+        ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=seeded))
+    out["recall_ivfpq_trained"] = recall(
+        ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=trained))
+    # the ADC ordering isolated from the IVF probe ceiling: rerank=1
+    # (top-k straight by ADC distance, exact re-score depth k only)
+    out["recall_adc_seeded_rerank1"] = recall(
+        ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=seeded,
+                  rerank=1))
+    out["recall_adc_trained_rerank1"] = recall(
+        ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=trained,
+                  rerank=1))
+    out["n"] = emb.count()
+    out["nq"] = int(emb.agg(F.countDistinct("label")).collect()[0][0])
+    return out
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--docs-only", "--ann-clustered")]
     docs_only = "--docs-only" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     work = args[1] if len(args) > 1 else "/tmp/obadiah_scale_probe"
@@ -316,6 +398,13 @@ def main() -> None:
     spark = get_spark("scale_probe")
     import __spark_entry__ as em
 
+    if "--ann-clustered" in sys.argv[1:]:  # the r11 recall fabric only
+        res = {}
+        for n in (5_000, 50_000):
+            p = build_clustered_embs(spark, work, n)
+            res[f"x{n}"] = probe_ann_clustered(spark, p)
+        print(json.dumps({"fabric": "mixture_of_gaussians", **res}))
+        return
     if docs_only:  # just the documents-table family (fast re-probe)
         d1 = probe_docs(spark, build_docs(spark, sf_dir, work, 1))
         d10 = probe_docs(spark, build_docs(spark, sf_dir, work, 10))
