@@ -263,11 +263,14 @@ def jpeg_header(raw: bytes) -> dict | None:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            # supported layouts: grayscale, 4:4:4 (all 1x1), and 4:2:0
-            # (luma 2x2, chroma 1x1) — the dominant real-world trio
+            # supported layouts: grayscale, 4:4:4 (all 1x1), 4:2:0 (luma
+            # 2x2, chroma 1x1) and 4:2:2 (luma 2x1) — every common
+            # real-world sampling; the decode geometry below is fully
+            # parametric in (h, v) so each is just an admitted shape
             hvs = [(c["h"], c["v"]) for c in comps]
             if not (hvs == [(1, 1)] or hvs == [(1, 1)] * 3
-                    or hvs == [(2, 2), (1, 1), (1, 1)]):
+                    or hvs == [(2, 2), (1, 1), (1, 1)]
+                    or hvs == [(2, 1), (1, 1), (1, 1)]):
                 return None
             return {"width": w, "height": h, "ncomp": ncomp, "comps": comps,
                     "progressive": marker == 0xC2,
@@ -935,19 +938,21 @@ def _prog_scan_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                 qtable: np.ndarray = None, restart_interval: int = 0,
                 subsampling: str = "444", progressive: bool = False) -> bytes:
-    """Baseline JPEG encode of row-major 8-bit pixels (grayscale for
-    channels=1, RGB for channels=3). ``subsampling`` is "444" or "420"
-    (2x2-mean chroma downsample, MCU-interleaved 4Y+Cb+Cr — the dominant
-    real-world layout). The default quant table is :data:`GATE_QTABLE`.
+    """Baseline or progressive JPEG encode of row-major 8-bit pixels
+    (grayscale for channels=1, RGB for channels=3). ``subsampling`` is
+    "444", "420" (2x2-mean chroma downsample, MCU-interleaved 4Y+Cb+Cr —
+    the dominant real-world layout) or "422" (2x1-mean horizontal-only
+    downsample). The default quant table is :data:`GATE_QTABLE`.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that-many MCUs (exercising the decoder's restart path)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixels must be width*height*channels bytes")
-    if subsampling not in ("444", "420") or (
-            subsampling == "420" and channels != 3):
-        raise ValueError("subsampling must be 444, or 420 with channels=3")
+    if subsampling not in ("444", "420", "422") or (
+            subsampling != "444" and channels != 3):
+        raise ValueError(
+            "subsampling must be 444, or 420/422 with channels=3")
     qt = GATE_QTABLE if qtable is None else np.asarray(qtable, dtype=float)
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width,
                                                         channels).astype(float)
@@ -967,6 +972,12 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                         (width + 1) // 2 * 2)
             planes[ci] = (p[0::2, 0::2] + p[0::2, 1::2]
                           + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    elif subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+        # horizontal-only 2x1-mean chroma downsample
+        for ci in (1, 2):
+            p = _pad_to(planes[ci], height, (width + 1) // 2 * 2)
+            planes[ci] = (p[:, 0::2] + p[:, 1::2]) / 2.0
     else:
         samp = [(1, 1)] * channels
     hmax = max(s[0] for s in samp)

@@ -3,12 +3,12 @@ decode / feature-extract as Arrow-batched ``mapInPandas`` UDFs.
 
 Uncompressed BMP, binary PPM, 8-bit PNG (stdlib zlib inflate + the five
 scanline filters), and baseline + progressive JPEG (grayscale / 4:4:4 /
-4:2:0 — marker walk, canonical huffman, annex-G scan accumulation,
-dequant, numpy IDCT; :mod:`.jpeg`) decode for real —
+4:2:0 / 4:2:2 — marker walk, canonical huffman, annex-G scan
+accumulation, dequant, numpy IDCT; :mod:`.jpeg`) decode for real —
 strict pure-Python parsers with test-side encoders (round-trip +
 through-``extract_features`` pytest), plus header-only dims parsers for
 feature extraction. The container has no image/audio libraries, so the
-remaining formats' decode (4:2:2 JPEG, WebP, ...)
+remaining formats' decode (WebP, AVIF, ...)
 stays stubbed (``decode_image`` raises NotImplementedError unless PIL is
 importable) — but the Spark-side plumbing is real and oracle-checked:
 schema (binary + struct metadata), batch shape, deterministic feature
@@ -339,9 +339,9 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 def decode_image(payload: bytes) -> dict:
     """The genuinely-multimodal step. Uncompressed BMP, binary PPM, 8-bit
     non-interlaced PNG, and baseline + progressive JPEG (grayscale /
-    4:4:4 / 4:2:0 — huffman + IDCT + annex-G scan accumulation,
-    :mod:`.jpeg`) decode for real in pure Python + numpy; the
-    remaining formats (4:2:2 JPEG, WebP, ...) need a
+    4:4:4 / 4:2:0 / 4:2:2 — huffman + IDCT + annex-G scan
+    accumulation, :mod:`.jpeg`) decode for real in pure Python +
+    numpy; the remaining formats (WebP, AVIF, ...) need a
     codec library the container doesn't provide, so those stay an honest
     stub behind a PIL import-try."""
     from obadiah_spark.pipelines.jpeg import jpeg_decode

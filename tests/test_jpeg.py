@@ -182,6 +182,39 @@ def test_progressive_flat_blocks_roundtrip_exactly():
     assert out["pixels"] == px
 
 
+def test_422_subsampled_roundtrip():
+    """4:2:2 (r11 — luma 2x1, horizontal-only chroma downsample): header
+    reports the sampling, decode PSNR holds on smooth content, restart
+    markers are pixel-neutral, and the progressive path decodes to
+    pixel-IDENTICAL output (same quantized coefficients)."""
+    for (w, h) in [(16, 8), (23, 11), (40, 24)]:
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        rgb = np.stack([xs * 200 // max(w - 1, 1),
+                        ys * 200 // max(h - 1, 1),
+                        (xs + ys) * 150 // max(w + h - 2, 1)],
+                       -1).astype(np.uint8)
+        px = rgb.tobytes()
+        blob = encode_jpeg(w, h, px, channels=3, subsampling="422",
+                           qtable=np.full((8, 8), 2.0))
+        hd = jpeg_header(blob)
+        assert [(c["h"], c["v"]) for c in hd["comps"]] == \
+            [(2, 1), (1, 1), (1, 1)]
+        out = jpeg_decode(blob)
+        got = np.frombuffer(out["pixels"], np.uint8).reshape(h, w, 3)
+        assert _psnr(rgb, got) > 34
+        b0 = jpeg_decode(encode_jpeg(w, h, px, channels=3,
+                                     subsampling="422"))
+        b1 = jpeg_decode(encode_jpeg(w, h, px, channels=3,
+                                     subsampling="422", progressive=True))
+        assert b0["pixels"] == b1["pixels"]
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=33 * 17 * 3, dtype=np.uint8).tobytes()
+    a = jpeg_decode(encode_jpeg(33, 17, px, channels=3, subsampling="422"))
+    b = jpeg_decode(encode_jpeg(33, 17, px, channels=3, subsampling="422",
+                                restart_interval=2))
+    assert a["pixels"] == b["pixels"]
+
+
 def test_progressive_strictness():
     """Strict-or-None holds for multi-scan streams: every truncation is
     None, and no byte flip may raise."""
@@ -214,7 +247,7 @@ def test_pil_interop_if_available():
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     rgb = np.stack([xs * 10 % 256, ys * 10 % 256, (xs + ys) * 5 % 256],
                    axis=-1).astype(np.uint8)
-    for sub in ("444", "420"):
+    for sub in ("444", "420", "422"):
         for prog in (False, True):
             blob = encode_jpeg(w, h, rgb.tobytes(), channels=3,
                                qtable=np.full((8, 8), 2.0), subsampling=sub,
