@@ -83,86 +83,116 @@ def _canonical_codes(bits: list[int], vals: bytes) -> dict:
     return out if k == len(vals) else None
 
 
-class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
-    stops at any non-stuffing marker (the caller inspects it)."""
+def _split_entropy(raw: bytes, pos: int):
+    """Entropy-coded data from ``pos`` → (unstuffed segments split at
+    restart markers, terminating marker byte, its position). None on a
+    truncated stream (0xFF with nothing after it). The decoder consumes
+    segments in order; any mismatch between consumed and present segments
+    is the strict-or-None contract's malformed case."""
+    segs = []
+    start = p = pos
+    while True:
+        f = raw.find(b"\xff", p)
+        if f < 0 or f + 1 >= len(raw):
+            return None
+        nxt = raw[f + 1]
+        if nxt == 0x00:
+            p = f + 2
+            continue
+        segs.append(raw[start:f].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:
+            start = p = f + 2
+            continue
+        return segs, nxt, f
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.n = 0
-        self.marker = None  # set when a real marker terminates the stream
 
-    def _fill(self) -> bool:
-        if self.pos >= len(self.data):
-            return False
-        b = self.data[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(self.data):
-                return False
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                self.marker = nxt
-                return False
-        else:
-            self.pos += 1
-        self.buf = (self.buf << 8) | b
-        self.n += 8
-        return True
+class _Entropy:
+    """MSB-first bit reads over the unstuffed entropy segments, O(1) per
+    read: a precomputed per-byte sliding 32-bit window serves any 16-bit
+    peek, and huffman symbols resolve through one 65536-entry LUT lookup
+    instead of a bit-at-a-time tree walk (the pre-r11 reader spent ~90%
+    of decode time in that loop)."""
+
+    __slots__ = ("segs", "i", "w32", "nbits", "pos")
+
+    def __init__(self, segs: list[bytes]):
+        self.segs = segs
+        self.i = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        a = np.frombuffer(self.segs[i] + b"\x00\x00\x00",
+                          dtype=np.uint8).astype(np.uint32)
+        # plain list: CPython list indexing beats numpy scalar indexing
+        # several-fold in this per-symbol hot path
+        self.w32 = ((a[:-3] << 24) | (a[1:-2] << 16)
+                    | (a[2:-1] << 8) | a[3:]).tolist()
+        self.nbits = len(self.segs[i]) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        pos = self.pos
+        return (self.w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+
+    def receive(self, n: int) -> int | None:
+        pos = self.pos
+        if pos + n > self.nbits:
+            return None
+        self.pos = pos + n
+        return ((self.w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (16 - n)
 
     def bit(self) -> int | None:
-        if self.n == 0 and not self._fill():
+        return self.receive(1)
+
+    def huff(self, lut) -> int | None:
+        pos = self.pos
+        if pos >= self.nbits:
             return None
-        self.n -= 1
-        return (self.buf >> self.n) & 1
-
-    def receive(self, nbits: int) -> int | None:
-        v = 0
-        for _ in range(nbits):
-            b = self.bit()
-            if b is None:
-                return None
-            v = (v << 1) | b
-        return v
-
-    def align(self) -> None:
-        self.n = 0
-        self.buf = 0
-
-    def at_marker(self) -> int | None:
-        """The marker byte that stopped decoding, if any (after align)."""
-        return self.marker
-
-    def consume_marker(self) -> int | None:
-        """Read a marker at the current (aligned) position."""
-        self.align()
-        if self.marker is None:
-            # the reader may not have looked past the last data byte yet
-            self._fill()
-            self.buf = 0
-            self.n = 0
-        if self.marker is not None:
-            m = self.marker
-            self.marker = None
-            self.pos += 2
-            return m
-        return None
-
-
-def _huff_decode(br: _BitReader, table: dict) -> int | None:
-    code = 0
-    for length in range(1, 17):
-        b = br.bit()
-        if b is None:
+        p = (self.w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+        s = lut[0][p]
+        if s < 0 or pos + lut[1][p] > self.nbits:
             return None
-        code = (code << 1) | b
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    return None
+        self.pos = pos + lut[1][p]
+        return s
+
+    def restart(self) -> bool:
+        """Advance past an expected RSTn: the current segment must hold
+        only byte-padding, and a next segment must exist (the splitter
+        already guaranteed the separator was a restart marker)."""
+        if self.nbits - self.pos >= 8 or self.i + 1 >= len(self.segs):
+            return False
+        self.i += 1
+        self._load(self.i)
+        return True
+
+    def exhausted(self) -> bool:
+        """True iff decoding consumed the LAST segment save padding —
+        nothing but the terminating marker may follow."""
+        return self.i == len(self.segs) - 1 and self.nbits - self.pos < 8
+
+
+_LUT_CACHE: dict[bytes, tuple] = {}
+
+
+def _huff_lut(key: bytes, table: dict) -> tuple:
+    """(sym, len) 65536-entry arrays: entry p decodes the huffman symbol
+    whose code prefixes the 16-bit window p (-1 = no code). Cached on the
+    raw DHT table bytes — per-frame streams (MJPEG) re-declare identical
+    tables every frame."""
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.full(65536, -1, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        sym[lo:lo + (1 << (16 - length))] = s
+        ln[lo:lo + (1 << (16 - length))] = length
+    entry = (sym.tolist(), ln.tolist())  # list indexing: hot-path speed
+    if len(_LUT_CACHE) > 64:  # tiny bound; tables repeat across frames
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = entry
+    return entry
 
 
 def _extend(v: int, t: int) -> int:
@@ -189,7 +219,8 @@ def _parse_dqt(seg: bytes, qtabs: dict) -> bool:
 
 
 def _parse_dht(seg: bytes, htabs: dict) -> bool:
-    """DHT segment (possibly several tables) → canonical decode tables."""
+    """DHT segment (possibly several tables) → huffman decode LUTs
+    (validated through the canonical-code construction first)."""
     p = 0
     while p + 17 <= len(seg):
         tc, th = seg[p] >> 4, seg[p] & 15
@@ -199,10 +230,11 @@ def _parse_dht(seg: bytes, htabs: dict) -> bool:
         nv = sum(bits)
         if p + 17 + nv > len(seg):
             return False
+        raw_tab = seg[p:p + 17 + nv]
         table = _canonical_codes(bits, seg[p + 17:p + 17 + nv])
         if table is None:
             return False
-        htabs[(tc, th)] = table
+        htabs[(tc, th)] = _huff_lut(raw_tab, table)
         p += 17 + nv
     return p == len(seg)
 
@@ -360,30 +392,36 @@ def jpeg_decode(raw: bytes) -> dict | None:
     nmcu = mcux * mcuy
     per_mcu = [c["h"] * c["v"] for c in comps]
     coefs = [np.zeros((nmcu * per_mcu[ci], 8, 8)) for ci in range(ncomp)]
-    br = _BitReader(raw, data_pos)
+    split = _split_entropy(raw, data_pos)
+    if split is None:
+        return None
+    segs, term, term_pos = split
+    # nothing but EOI may follow the entropy data
+    if term != 0xD9 or term_pos != len(raw) - 2:
+        return None
+    ent = _Entropy(segs)
     pred = [0] * ncomp
     for m in range(nmcu):
         if restart and m and m % restart == 0:
-            mk = br.consume_marker()
-            if mk is None or not (0xD0 <= mk <= 0xD7):
+            if not ent.restart():
                 return None
             pred = [0] * ncomp
         for ci in range(ncomp):
             dct, act, qt = comp_tabs[ci]
             for b in range(per_mcu[ci]):
                 blk = np.zeros(64)
-                t = _huff_decode(br, dct)
+                t = ent.huff(dct)
                 if t is None or t > 11:
                     return None
                 if t:
-                    v = br.receive(t)
+                    v = ent.receive(t)
                     if v is None:
                         return None
                     pred[ci] += _extend(v, t)
                 blk[0] = pred[ci]
                 k = 1
                 while k < 64:
-                    rs = _huff_decode(br, act)
+                    rs = ent.huff(act)
                     if rs is None:
                         return None
                     r, s = rs >> 4, rs & 15
@@ -395,18 +433,13 @@ def jpeg_decode(raw: bytes) -> dict | None:
                     k += r
                     if k > 63:
                         return None
-                    v = br.receive(s)
+                    v = ent.receive(s)
                     if v is None:
                         return None
                     blk[ZIGZAG[k]] = _extend(v, s)
                     k += 1
                 coefs[ci][m * per_mcu[ci] + b] = blk.reshape(8, 8) * qt
-    br.align()
-    # nothing but EOI may follow the entropy data
-    end = br.pos
-    if br.marker is not None:
-        end = br.pos
-    if raw[end:] != b"\xff\xd9":
+    if not ent.exhausted():  # leftover segments or non-padding bits
         return None
 
     full = []
@@ -431,13 +464,13 @@ def jpeg_decode(raw: bytes) -> dict | None:
 # per scan, band [Ss..Se], EOB-run coded). Coefficients are kept QUANTIZED
 # (integer) in zigzag order until EOI, then dequantized + IDCT'd once.
 
-def _dc_first_block(br, dct, coef, pred, ci, al):
-    t = _huff_decode(br, dct)
+def _dc_first_block(ent, dct, coef, pred, ci, al):
+    t = ent.huff(dct)
     if t is None or t > 11:
         return None
     diff = 0
     if t:
-        v = br.receive(t)
+        v = ent.receive(t)
         if v is None:
             return None
         diff = _extend(v, t)
@@ -446,8 +479,8 @@ def _dc_first_block(br, dct, coef, pred, ci, al):
     return True
 
 
-def _dc_refine_block(br, coef, al):
-    b = br.bit()
+def _dc_refine_block(ent, coef, al):
+    b = ent.bit()
     if b is None:
         return None
     if b:
@@ -455,13 +488,13 @@ def _dc_refine_block(br, coef, al):
     return True
 
 
-def _ac_first_block(br, act, coef, ss, se, al, eobrun):
+def _ac_first_block(ent, act, coef, ss, se, al, eobrun):
     """Returns the new EOB run, or None on a malformed stream."""
     if eobrun > 0:
         return eobrun - 1
     k = ss
     while k <= se:
-        rs = _huff_decode(br, act)
+        rs = ent.huff(act)
         if rs is None:
             return None
         r, s = rs >> 4, rs & 15
@@ -471,7 +504,7 @@ def _ac_first_block(br, act, coef, ss, se, al, eobrun):
                 continue
             eobrun = (1 << r) - 1
             if r:
-                ext = br.receive(r)
+                ext = ent.receive(r)
                 if ext is None:
                     return None
                 eobrun += ext
@@ -479,7 +512,7 @@ def _ac_first_block(br, act, coef, ss, se, al, eobrun):
         k += r
         if k > se:
             return None
-        v = br.receive(s)
+        v = ent.receive(s)
         if v is None:
             return None
         coef[k] = _extend(v, s) << al
@@ -487,7 +520,7 @@ def _ac_first_block(br, act, coef, ss, se, al, eobrun):
     return eobrun
 
 
-def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
+def _ac_refine_block(ent, act, coef, ss, se, al, eobrun):
     """T.81 G.1.2.3: one correction bit per already-nonzero coefficient in
     the band; newly-nonzero coefficients arrive as ±1<<Al. Returns the new
     EOB run, or None."""
@@ -495,7 +528,7 @@ def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
     k = ss
     if eobrun == 0:
         while k <= se:
-            rs = _huff_decode(br, act)
+            rs = ent.huff(act)
             if rs is None:
                 return None
             r, s = rs >> 4, rs & 15
@@ -504,7 +537,7 @@ def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
                 if r != 15:  # EOBn: run of blocks with no new nonzeros
                     eobrun = 1 << r
                     if r:
-                        ext = br.receive(r)
+                        ext = ent.receive(r)
                         if ext is None:
                             return None
                         eobrun += ext
@@ -513,7 +546,7 @@ def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
             else:
                 if s != 1:
                     return None
-                b = br.bit()
+                b = ent.bit()
                 if b is None:
                     return None
                 val = p1 if b else m1
@@ -521,7 +554,7 @@ def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
             # counting down r zero-history slots to the placement point
             while k <= se:
                 if coef[k] != 0:
-                    b = br.bit()
+                    b = ent.bit()
                     if b is None:
                         return None
                     if b and not (coef[k] & p1):
@@ -540,7 +573,7 @@ def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
         # EOB pass: correction bits only, through the end of the band
         while k <= se:
             if coef[k] != 0:
-                b = br.bit()
+                b = ent.bit()
                 if b is None:
                     return None
                 if b and not (coef[k] & p1):
@@ -669,7 +702,11 @@ def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
             if act is None:
                 return None
         scomps.append((ci, dct, act))
-    br = _BitReader(raw, data_pos)
+    split = _split_entropy(raw, data_pos)
+    if split is None:
+        return None
+    segs, _term, term_pos = split
+    ent = _Entropy(segs)
     eobrun = 0
     pred = [0] * hd["ncomp"]
     if ns > 1:                    # interleaved (DC scans only)
@@ -679,8 +716,7 @@ def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
         units = nbx[ci0] * nby[ci0]
     for u in range(units):
         if restart and u and u % restart == 0:
-            mk = br.consume_marker()
-            if mk is None or not (0xD0 <= mk <= 0xD7):
+            if not ent.restart():
                 return None
             pred = [0] * hd["ncomp"]
             eobrun = 0
@@ -692,8 +728,10 @@ def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
                     for i in range(c["h"]):
                         bidx = (my * c["v"] + j) * gw[ci] + mx * c["h"] + i
                         coef = coefs[ci][bidx]
-                        ok = (_dc_first_block(br, dct, coef, pred, ci, al)
-                              if ah == 0 else _dc_refine_block(br, coef, al))
+                        ok = (_dc_first_block(ent, dct, coef, pred, ci,
+                                               al)
+                              if ah == 0 else _dc_refine_block(ent, coef,
+                                                               al))
                         if ok is None:
                             return None
         else:
@@ -701,18 +739,21 @@ def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
             by, bx = divmod(u, nbx[ci])
             coef = coefs[ci][by * gw[ci] + bx]
             if dc_scan:
-                ok = (_dc_first_block(br, dct, coef, pred, ci, al)
-                      if ah == 0 else _dc_refine_block(br, coef, al))
+                ok = (_dc_first_block(ent, dct, coef, pred, ci, al)
+                      if ah == 0 else _dc_refine_block(ent, coef, al))
                 if ok is None:
                     return None
             else:
-                eobrun = (_ac_first_block(br, act, coef, ss, se, al, eobrun)
+                eobrun = (_ac_first_block(ent, act, coef, ss, se, al,
+                                          eobrun)
                           if ah == 0 else
-                          _ac_refine_block(br, act, coef, ss, se, al, eobrun))
+                          _ac_refine_block(ent, act, coef, ss, se, al,
+                                           eobrun))
                 if eobrun is None:
                     return None
-    br.align()
-    return br.pos
+    if not ent.exhausted():  # leftover segments or non-padding data bytes
+        return None
+    return term_pos
 
 
 # ------------------------------------------------------------------ encode
