@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -231,10 +232,16 @@ def _parse_dht(seg: bytes, htabs: dict) -> bool:
         if p + 17 + nv > len(seg):
             return False
         raw_tab = seg[p:p + 17 + nv]
-        table = _canonical_codes(bits, seg[p + 17:p + 17 + nv])
-        if table is None:
-            return False
-        htabs[(tc, th)] = _huff_lut(raw_tab, table)
+        # cache FIRST: on a hit (MJPEG re-declares identical tables every
+        # frame) the canonical-code dict build is skipped entirely — only
+        # valid tables are ever cached, so a hit implies validity
+        lut = _LUT_CACHE.get(raw_tab)
+        if lut is None:
+            table = _canonical_codes(bits, seg[p + 17:p + 17 + nv])
+            if table is None:
+                return False
+            lut = _huff_lut(raw_tab, table)
+        htabs[(tc, th)] = lut
         p += 17 + nv
     return p == len(seg)
 
@@ -765,14 +772,20 @@ class _BitWriter:
         self.n = 0
 
     def put(self, code: int, nbits: int) -> None:
-        self.buf = (self.buf << nbits) | code
-        self.n += nbits
-        while self.n >= 8:
-            self.n -= 8
-            b = (self.buf >> self.n) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
+        """Append ``nbits`` MSB-first bits; ``nbits`` may span many bytes
+        (callers accumulate a whole block's bits into one int). Full bytes
+        flush through C-level to_bytes + replace — byte stuffing is a pure
+        byte transform, so it applies after serialization."""
+        buf = (self.buf << nbits) | code
+        n = self.n + nbits
+        nbytes = n >> 3
+        if nbytes:
+            n -= nbytes * 8
+            chunk = (buf >> n).to_bytes(nbytes, "big")
+            self.out += chunk.replace(b"\xff", b"\xff\x00")
+            buf &= (1 << n) - 1
+        self.buf = buf
+        self.n = n
 
     def flush(self) -> None:
         if self.n:
@@ -780,8 +793,9 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
 
 
+@lru_cache(maxsize=2)
 def _flat_tables(progressive: bool = False) \
-        -> tuple[list[int], bytes, list[int], bytes]:
+        -> tuple[tuple, bytes, tuple, bytes]:
     """Self-generated spec-valid huffman tables: 12 DC symbols at 5 bits,
     the 162 baseline AC symbols at 9 bits (code space never exhausted).
     Progressive adds the EOBn symbols (r<<4 for r=1..14, annex G EOB
@@ -796,12 +810,14 @@ def _flat_tables(progressive: bool = False) \
     ac_bits = [0] * 16
     ac_bits[8] = len(ac_syms)  # length 9 (<= 176 < 2^9: space never exhausts)
     ac_vals = bytes(sorted(ac_syms))
-    return dc_bits, dc_vals, ac_bits, ac_vals
+    return tuple(dc_bits), dc_vals, tuple(ac_bits), ac_vals
 
 
-def _enc_table(bits: list[int], vals: bytes) -> dict:
+@lru_cache(maxsize=8)
+def _enc_table(bits: tuple, vals: tuple) -> dict:
     return {sym: (length, code)
-            for (length, code), sym in _canonical_codes(bits, vals).items()}
+            for (length, code), sym
+            in _canonical_codes(list(bits), bytes(vals)).items()}
 
 
 # the gate's quant table: DC step 8 makes flat blocks round-trip exactly
@@ -821,35 +837,47 @@ def _pad_to(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
 
 def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
                   pred: int, dc_enc: dict, ac_enc: dict) -> int:
-    """FDCT + quantize + huffman one 8x8 block; returns the new DC pred."""
+    """FDCT + quantize + huffman one 8x8 block; returns the new DC pred.
+    The block's bits accumulate in one local int and flush through a
+    single ``put`` — the per-symbol writer calls were the encode
+    bottleneck."""
     coef = _fdct2((block - 128.0)[None])[0]
     q = np.round(coef / qt).astype(int)
     diff = int(q[0, 0]) - pred
     t = diff.bit_length() if diff > 0 else (-diff).bit_length()
-    length, code = dc_enc[t]
-    bw.put(code, length)
+    length, acc = dc_enc[t]
+    nacc = length
     if t:
-        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-    zzc = q.reshape(64)[ZIGZAG]
+        acc = (acc << t) | (diff if diff > 0 else diff + (1 << t) - 1)
+        nacc += t
+    zzc = q.reshape(64)[ZIGZAG].tolist()
     run = 0
-    last_nz = max((k for k in range(1, 64) if zzc[k]), default=0)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zzc[k]:
+            last_nz = k
+            break
     for k in range(1, last_nz + 1):
-        v = int(zzc[k])
+        v = zzc[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
             length, code = ac_enc[0xF0]
-            bw.put(code, length)
+            acc = (acc << length) | code
+            nacc += length
             run -= 16
         s = v.bit_length() if v > 0 else (-v).bit_length()
         length, code = ac_enc[(run << 4) | s]
-        bw.put(code, length)
-        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        acc = (acc << (length + s)) \
+            | ((code << s) | (v if v > 0 else v + (1 << s) - 1))
+        nacc += length + s
         run = 0
     if last_nz < 63:
         length, code = ac_enc[0x00]  # EOB
-        bw.put(code, length)
+        acc = (acc << length) | code
+        nacc += length
+    bw.put(acc, nacc)
     return int(q[0, 0])
 
 
@@ -1030,8 +1058,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         planes[ci] = _pad_to(planes[ci], mcuy * sv * 8, mcux * sh * 8)
 
     dc_bits, dc_vals, ac_bits, ac_vals = _flat_tables(progressive)
-    dc_enc = _enc_table(dc_bits, dc_vals)
-    ac_enc = _enc_table(ac_bits, ac_vals)
+    dc_enc = _enc_table(dc_bits, tuple(dc_vals))
+    ac_enc = _enc_table(ac_bits, tuple(ac_vals))
 
     out = bytearray(b"\xff\xd8")
     zz = np.zeros(64, dtype=np.uint8)
