@@ -7,15 +7,17 @@ batch), level shift, plane assembly with chroma upsampling, and JFIF
 YCbCr->RGB for 3-component images. Supported subset: 8-bit baseline
 (SOF0) and progressive (SOF2 — spectral selection + successive
 approximation, T.81 annex G, multi-scan with inter-scan DHT/DQT/DRI),
-grayscale, 4:4:4, or 4:2:0 (the dominant real-world trio). Anything
-else — and any malformed stream — returns None, keeping the
-strict-or-None contract of the other codecs in :mod:`.multimodal`
-(arbitrary bytes can never "accidentally" decode).
+grayscale, 4:4:4, 4:2:0, or 4:2:2 (every common sampling layout).
+Anything else — and any malformed stream, including spec-invalid
+progressive scan scripts (T.81 G.1.1.1.1 progression rules) — returns
+None, keeping the strict-or-None contract of the other codecs in
+:mod:`.multimodal` (arbitrary bytes can never "accidentally" decode).
 
 Encoder (test/gate side): FDCT + quantize + canonical huffman with
 flat-length code tables we generate ourselves (spec-valid DHT segments;
-compression ratio is irrelevant here, determinism is not), grayscale or
-4:4:4. With a quant table whose DC entry is 8, an image made of FLAT 8x8
+compression ratio is irrelevant here, determinism is not), grayscale,
+4:4:4, 4:2:0, or 4:2:2, baseline or progressive. With a quant table
+whose DC entry is 8, an image made of FLAT 8x8
 blocks round-trips EXACTLY (DC of a flat level-shifted block is 8*(v-128),
 all AC vanish, and 8t/8 requantizes losslessly) — which is what lets the
 ``jpeg_roundtrip`` gate's oracle predict decoded pixel bytes analytically
@@ -130,10 +132,6 @@ class _Entropy:
                     | (a[2:-1] << 8) | a[3:]).tolist()
         self.nbits = len(self.segs[i]) * 8
         self.pos = 0
-
-    def peek16(self) -> int:
-        pos = self.pos
-        return (self.w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
 
     def receive(self, n: int) -> int | None:
         pos = self.pos
@@ -611,6 +609,14 @@ def _jpeg_decode_progressive(raw: bytes, hd: dict) -> dict | None:
         nby.append((ch + 7) // 8)
     coefs = [np.zeros((gh[ci] * gw[ci], 64), dtype=np.int64)
              for ci in range(ncomp)]
+    # per-(component, coefficient) successive-approximation state: the
+    # Al a first scan (Ah=0) established, refined downward one bit per
+    # refinement scan. _prog_scan enforces the T.81 G.1.1.1.1 progression
+    # against it (DC before AC, first pass exactly once per band,
+    # refinement Ah == current level) — without it, spec-malformed scan
+    # scripts (e.g. AC scans with no DC scan) would "decode" to garbage
+    # instead of returning None.
+    prec = [[None] * 64 for _ in range(ncomp)]
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     restart = 0
@@ -648,7 +654,8 @@ def _jpeg_decode_progressive(raw: bytes, hd: dict) -> dict | None:
             return None  # a second frame marker is malformed
         elif marker == 0xDA:
             end = _prog_scan(raw, pos + 2 + seglen, seg, hd, coefs,
-                             (mcux, mcuy, gw, nbx, nby), htabs, restart)
+                             (mcux, mcuy, gw, nbx, nby), htabs, restart,
+                             prec)
             if end is None:
                 return None
             pos = end
@@ -670,9 +677,12 @@ def _jpeg_decode_progressive(raw: bytes, hd: dict) -> dict | None:
     return _finish_planes(full, comps, w, h, hmax, vmax)
 
 
-def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
+def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart,
+               prec):
     """Decode one progressive SOS (header bytes in ``seg``, entropy data
-    from ``data_pos``). Returns the position of the next marker, or None."""
+    from ``data_pos``). Returns the position of the next marker, or None.
+    ``prec`` carries the per-(component, coefficient) approximation state
+    the progression rules are checked against."""
     mcux, mcuy, gw, nbx, nby = geom
     comps = hd["comps"]
     if len(seg) < 1:
@@ -708,6 +718,21 @@ def _prog_scan(raw, data_pos, seg, hd, coefs, geom, htabs, restart):
             act = htabs.get((1, ta))
             if act is None:
                 return None
+        # T.81 G.1.1.1.1 progression rules (libjpeg's BAD_PROGRESSION
+        # cases): a component's DC scan precedes its AC scans; each
+        # band's first pass (Ah=0) happens exactly once; a refinement
+        # refines exactly the established level (Ah == current Al,
+        # Al == Ah - 1 was checked above).
+        pc = prec[ci]
+        if not dc_scan and pc[0] is None:
+            return None  # AC scan before the component's DC scan
+        for k in range(ss, se + 1):
+            if ah == 0:
+                if pc[k] is not None:
+                    return None  # second first-pass over a coded band
+            elif pc[k] != ah:
+                return None      # refinement of an un/mis-established level
+            pc[k] = al
         scomps.append((ci, dct, act))
     split = _split_entropy(raw, data_pos)
     if split is None:

@@ -169,11 +169,24 @@ def _materialize_for_fanout(with_no: DataFrame) -> DataFrame:
     In streaming mode checkpointing isn't available; there the lanes are
     only correct because every supported source (file replay, the socket
     transport) yields a deterministic partitioning and row order within a
-    micro-batch. Do NOT feed the jvm_lane parsers a stream that shuffles
-    or repartitions upstream of this point.
+    micro-batch. A stream that shuffles or repartitions upstream of this
+    point would assign DIFFERENT line_no values per lane — silent
+    corruption — so that shape is rejected loudly here (best-effort
+    logical-plan scan; plans Spark hides from it remain the caller's
+    contract).
     """
     if not with_no.isStreaming:
-        with_no = with_no.localCheckpoint(eager=True)
+        return with_no.localCheckpoint(eager=True)
+    try:
+        plan = with_no._jdf.queryExecution().logical().toString()
+    except Exception:  # plan introspection is best-effort only
+        plan = ""
+    if "Repartition" in plan or "Rebalance" in plan:
+        raise ValueError(
+            "jvm_lane=True on a streaming frame with an upstream "
+            "repartition: the two parse lanes would re-evaluate the "
+            "line_no-assigning scan on different partitionings. Use the "
+            "default Python lane, or drop the repartition.")
     return with_no
 
 

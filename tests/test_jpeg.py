@@ -215,6 +215,45 @@ def test_422_subsampled_roundtrip():
     assert a["pixels"] == b["pixels"]
 
 
+def test_progressive_bad_progression_rejected():
+    """T.81 G.1.1.1.1: a component's AC scans require its DC scan first,
+    a band's first pass happens exactly once, refinements must match the
+    established precision. A stream whose DC scans were stripped (AC-only
+    — libjpeg's JERR_BAD_PROGRESSION case) must return None, never
+    garbage pixels (r11 code-review finding)."""
+    import struct
+
+    blob = encode_jpeg(16, 16, bytes(range(256)), channels=1,
+                       progressive=True)
+    assert jpeg_decode(blob) is not None
+    out = bytearray(blob[:2])
+    pos = 2
+    while pos < len(blob) - 1:
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            out += blob[pos:pos + 2]
+            break
+        seglen = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+        seg_end = pos + 2 + seglen
+        if marker == 0xDA:
+            seg = blob[pos + 4:seg_end]
+            p = seg_end
+            while True:  # skip this scan's entropy data
+                f = blob.find(b"\xff", p)
+                nxt = blob[f + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    p = f + 2
+                    continue
+                break
+            if seg[-3] != 0:      # keep only AC scans
+                out += blob[pos:f]
+            pos = f
+            continue
+        out += blob[pos:seg_end]
+        pos = seg_end
+    assert jpeg_decode(bytes(out)) is None
+
+
 def test_progressive_strictness():
     """Strict-or-None holds for multi-scan streams: every truncation is
     None, and no byte flip may raise."""

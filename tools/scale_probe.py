@@ -380,7 +380,9 @@ def probe_ann_clustered(spark, emb_path: str, n_queries: int = 32,
         ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=trained,
                   rerank=1))
     out["n"] = emb.count()
-    out["nq"] = int(emb.agg(F.countDistinct("label")).collect()[0][0])
+    out["n_queries"] = n_queries
+    out["n_clusters"] = int(emb.agg(F.countDistinct("label"))
+                            .collect()[0][0])
     return out
 
 
