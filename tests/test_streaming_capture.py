@@ -344,6 +344,23 @@ def test_parse_tolerance_malformed_frames(spark):
     assert out.filter("kind <> 'garbage'").count() == 0
 
 
+def test_jvm_lane_rejects_repartitioned_stream(spark):
+    """jvm_lane=True fans the frame out into two lanes that re-evaluate
+    the line_no-assigning scan; on a streaming frame with an upstream
+    repartition the lanes could assign DIFFERENT line_no values — that
+    shape must fail loudly at plan time, not corrupt silently (r11
+    code-review finding). The default Python lane accepts the same frame
+    (single consumer, no fan-out hazard)."""
+    import pytest
+
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+              .load().selectExpr("CAST(value AS STRING) AS value")
+              .repartition(4))
+    with pytest.raises(ValueError, match="repartition"):
+        parse_frames(stream, jvm_lane=True)
+    parse_frames(stream)  # python lane: plan builds fine
+
+
 def test_flush_all_none_column_keeps_schema(spark, tmp_path):
     """Buffered flush with an all-None exchange_ts must write the declared
     timestamp type, not drift to pandas-inferred object/float."""
