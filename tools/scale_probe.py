@@ -128,6 +128,7 @@ def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
         _timed(out, name, fn)
 
     timed("queues", lambda: queues(l3).count())
+    timed("depth_chains", lambda: _depth_chains(l3).count())
     timed("depth_summary", lambda: depth_summary_fold(l3).count())
     # range overload: a fixed window inside replica 0 — must stay FLAT as
     # history grows (pruned periods + partition pruning)
@@ -146,6 +147,15 @@ def probe(spark, l3_path: str, ckpt_path: str, at: str) -> dict[str, float]:
                                         only_makers=True)).count())
     timed("match_sweep", lambda: _match_sweep(l3).count())
     return out
+
+
+def _depth_chains(l3):
+    """D10 over the probe silver (r11: the fold output is checkpointed
+    once before the key-rank + join — this probe measures that shape at
+    10x history)."""
+    from obadiah_spark.operators.depth_chains import depth_changes_with_chains
+
+    return depth_changes_with_chains(l3)
 
 
 def _match_sweep(l3):
@@ -183,17 +193,31 @@ def _match_sweep(l3):
 
 def build_docs(spark, sf_dir: str, work: str, reps: int) -> str:
     """Replicated documents table for the dedup/text-family probe: k
-    copies with doc_id offset and a per-replica content salt appended, so
-    replicas aren't trivial exact duplicates of each other (the workload
-    stays shingle/minhash-shaped, not degenerate)."""
+    copies with doc_id offset, each non-zero replica passed through a
+    per-replica CHARACTER BIJECTION (alphabet rotated by k via
+    ``translate``). A bijection on characters maps every n-gram set 1:1,
+    so within-replica similarity structure is preserved EXACTLY while
+    cross-replica similarity collapses to ~0 — the same decorrelation
+    the ANN fabric got via circular shifts in late r8. (The pre-r11
+    fabric appended a short salt instead; replicas stayed NEAR-DUPLICATES
+    of each other, so every original dup cluster became a cross-replica
+    quasi-clique — measured 590 -> 275k jaccard edges at 10x, a
+    467x edge blow-up that made `dup_clusters` look superlinear when it
+    is edge-output-bound.)"""
     from pyspark.sql import functions as F
 
     path = os.path.join(work, f"documents_x{reps}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    salt = lambda df, k: df.withColumn(  # noqa: E731
-        "text", F.concat(F.col("text"), F.lit(f" replica-{k} salt")))
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def salt(df, k):
+        rot = alpha[k:] + alpha[:k]
+        return df.withColumn(
+            "text", F.translate("text", alpha + alpha.upper(),
+                                rot + rot.upper()))
+
     _replicate(docs, "doc_id", reps, salt).write.mode(
         "overwrite").parquet(path)
     return path
@@ -217,6 +241,7 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
+    timed("dup_clusters", lambda: dedup.dup_clusters(docs).count())
     timed("minhash_lsh_candidates",
           lambda: dedup.minhash_lsh_candidates(docs).count())
     timed("simhash", lambda: dedup.simhash(docs)
