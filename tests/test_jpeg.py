@@ -307,3 +307,45 @@ def test_dims_header_matches_decode_and_feature_path():
     # the multimodal chains pick JPEG up
     assert image_dims(blob) == {"width": 16, "height": 8}
     assert decode_image(blob)["pixels"] == px
+
+
+def test_codec_property_roundtrip():
+    """Property test: for ANY small image, dims, sampling layout, coding
+    mode, and restart interval, (a) decode succeeds, (b) progressive
+    decodes pixel-IDENTICAL to baseline (same quantized coefficients),
+    (c) restart markers never change pixels, (d) the flat-block subset
+    round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 20),
+        ch_sub=st.sampled_from([(1, "444"), (3, "444"), (3, "420"),
+                                (3, "422")]),
+        ri=st.sampled_from([0, 1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ch_sub, ri, seed):
+        ch, sub = ch_sub
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        base = jpeg_decode(encode_jpeg(w, h, px, channels=ch,
+                                       subsampling=sub))
+        assert base is not None and (base["width"], base["height"]) == (w, h)
+        for prog in (False, True):
+            out = jpeg_decode(encode_jpeg(w, h, px, channels=ch,
+                                          subsampling=sub, progressive=prog,
+                                          restart_interval=ri))
+            assert out is not None, (w, h, ch, sub, prog, ri)
+            assert out["pixels"] == base["pixels"], (w, h, ch, sub, prog, ri)
+        # flat-block exactness on the same dims (grayscale, padded to 8)
+        fw, fh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+        tile = np.repeat(np.repeat(
+            rng.integers(0, 256, size=(fh // 8, fw // 8)), 8, 0), 8, 1)
+        fpx = tile.astype(np.uint8).tobytes()
+        got = jpeg_decode(encode_jpeg(fw, fh, fpx, channels=1,
+                                      progressive=bool(seed % 2)))
+        assert got["pixels"] == fpx
+
+    check()
