@@ -425,8 +425,20 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
     # shrink-only claimed/matched anti-joins — skip its cells outright
     # (an empty cell contributes nothing to the union)
     alive = {off: not cand0[off].isEmpty() for off in offsets}
+    # short-circuit (r11): a trade matches in at most one cell, so once
+    # every trade is matched the remaining grid is all-empty — break out
+    # of it. This costs NOTHING extra (the per-cell count reads the
+    # already-materialized checkpoint; the trades count is one action on
+    # the checkpointed input); output is bit-identical. A per-cell
+    # candidate-emptiness probe was tried and REJECTED: on productive
+    # grids (the gate's shape) the extra action per cell costs more than
+    # the cells it ever skips.
+    n_trades = trades.count() if cache_inputs else None
+    n_matched = 0
     out: DataFrame | None = None
     for tol in tolerances:
+        if n_trades is not None and n_matched >= n_trades:
+            break  # every trade matched — the rest of the grid is empty
         for off in range(1, max_offset + 1):
             if not alive[off]:
                 continue
@@ -467,7 +479,10 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
                 .withColumn("sweep_offset", F.lit(off))
                 .localCheckpoint(eager=True)
             )
+            n_matched += m.count()  # free: materialized by the checkpoint
             out = m if out is None else out.unionByName(m)
+            if n_trades is not None and n_matched >= n_trades:
+                break
     if out is None:  # every offset infeasible — a correctly-typed empty
         out = (match_resolve(cand0[1], float(tolerances[0]))
                .withColumn("tolerance", F.lit(float(tolerances[0])))
