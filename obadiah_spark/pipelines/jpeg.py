@@ -109,6 +109,19 @@ def _split_entropy(raw: bytes, pos: int):
         return segs, nxt, f
 
 
+class _LazyWindows:
+    """``w32``-compatible on-demand sliding windows over padded segment
+    bytes — the bounded-memory fallback for oversized segments."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def __getitem__(self, i: int) -> int:
+        return int.from_bytes(self.data[i:i + 4], "big")
+
+
 class _Entropy:
     """MSB-first bit reads over the unstuffed entropy segments, O(1) per
     read: a precomputed per-byte sliding 32-bit window serves any 16-bit
@@ -123,14 +136,26 @@ class _Entropy:
         self.i = 0
         self._load(0)
 
+    # The precomputed window list costs ~28 bytes per entropy byte — an
+    # allocation amplifier an attacker-controlled payload must not steer
+    # (a 100 MB "jpeg" would demand ~3 GB before any entropy validates).
+    # Past this bound the windows compute on demand from the raw bytes
+    # (same values, a few times slower per read, O(1) extra memory) —
+    # fine for the rare legitimately-huge frame, harmless for garbage.
+    _LIST_MAX_BYTES = 1 << 22  # 4 MiB per segment
+
     def _load(self, i: int) -> None:
-        a = np.frombuffer(self.segs[i] + b"\x00\x00\x00",
-                          dtype=np.uint8).astype(np.uint32)
-        # plain list: CPython list indexing beats numpy scalar indexing
-        # several-fold in this per-symbol hot path
-        self.w32 = ((a[:-3] << 24) | (a[1:-2] << 16)
-                    | (a[2:-1] << 8) | a[3:]).tolist()
-        self.nbits = len(self.segs[i]) * 8
+        seg = self.segs[i]
+        if len(seg) <= self._LIST_MAX_BYTES:
+            a = np.frombuffer(seg + b"\x00\x00\x00",
+                              dtype=np.uint8).astype(np.uint32)
+            # plain list: CPython list indexing beats numpy scalar
+            # indexing several-fold in this per-symbol hot path
+            self.w32 = ((a[:-3] << 24) | (a[1:-2] << 16)
+                        | (a[2:-1] << 8) | a[3:]).tolist()
+        else:
+            self.w32 = _LazyWindows(seg + b"\x00\x00\x00\x00")
+        self.nbits = len(seg) * 8
         self.pos = 0
 
     def receive(self, n: int) -> int | None:

@@ -349,3 +349,26 @@ def test_codec_property_roundtrip():
         assert got["pixels"] == fpx
 
     check()
+
+
+def test_entropy_lazy_window_path():
+    """Oversized entropy segments fall back to on-demand windows (the
+    bounded-memory path — a 100 MB payload must not demand GBs of
+    precomputed windows). Forcing the fallback everywhere must decode
+    bit-identically on both coding paths."""
+    import obadiah_spark.pipelines.jpeg as J
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=64 * 48, dtype=np.uint8).tobytes()
+    blob = J.encode_jpeg(64, 48, px, channels=1, restart_interval=3)
+    pblob = J.encode_jpeg(64, 48, px, channels=1, progressive=True)
+    fast = (J.jpeg_decode(blob)["pixels"], J.jpeg_decode(pblob)["pixels"])
+    old = J._Entropy._LIST_MAX_BYTES
+    J._Entropy._LIST_MAX_BYTES = 0
+    try:
+        lazy = (J.jpeg_decode(blob)["pixels"],
+                J.jpeg_decode(pblob)["pixels"])
+        assert fast == lazy
+        assert J.jpeg_decode(blob[:-7]) is None
+    finally:
+        J._Entropy._LIST_MAX_BYTES = old
