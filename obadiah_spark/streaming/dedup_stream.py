@@ -1,0 +1,160 @@
+"""Streaming near-duplicate detection — MinHash-LSH dedup ON INGEST.
+
+The batch pipeline (:mod:`obadiah_spark.pipelines.dedup`) finds near-dup
+candidates with a band-bucket self-join; a training-data INGEST pipeline
+wants the same signal per arriving document against everything seen so
+far, without re-scanning the corpus. This module re-expresses the
+operator for Structured Streaming:
+
+- ``minhash_bands_stream``: the stateless signature stage. Batch uses a
+  shingle window + one wide groupBy; windows are not available on
+  streaming frames, and the expression-only alternative (16
+  ``array_min(transform(...))`` consumers over one shingle-array column)
+  trips the CollapseProject O(n²) re-derivation trap — so the stage runs
+  as one Arrow-batched ``mapInPandas`` pass, the same "Python at the
+  streaming edge" position as the capture wire parse. The hash
+  arithmetic is BIT-IDENTICAL to the batch/oracle form (60-bit
+  ``md5(seed#shingle)`` prefix per seed, band signature =
+  ``md5(m0#m1#m2#m3)``), proven by the batch-vs-stream differential
+  test.
+- ``minhash_lsh_stream``: the stateful stage. The batch band-bucket
+  self-join becomes ``applyInPandasWithState`` keyed on (band,
+  band_sig): state = the doc_ids seen in the bucket so far; each
+  arriving doc emits one candidate pair per resident.
+
+Cap semantics (documented deviation): the batch operator counts each
+bucket IN FULL and drops oversize buckets retroactively — a streaming
+append sink cannot retract, so the stream stops emitting AND enrolling
+once a bucket reaches ``max_bucket_size`` (prefix-capped). On corpora
+where no bucket exceeds the cap the two operators produce the SAME pair
+set (the differential test's regime); hot buckets yield a bounded
+prefix instead of nothing.
+
+Scale posture: state is O(docs enrolled) per bucket, capped; the only
+shuffle is the groupBy on (band, band_sig) — the same key the batch join
+shuffles on. Pairs for one document = one state lookup, not a corpus
+scan. Production deployments bound total state with
+``state_timeout="<duration>"`` (idle buckets expire; a re-seen bucket
+restarts empty, trading recall across the gap for bounded memory — the
+standard streaming-dedup TTL compromise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType, ArrayType, IntegerType)
+
+from obadiah_spark.pipelines.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K
+
+BANDS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("band", IntegerType()),
+    StructField("band_sig", StringType()),
+])
+
+PAIRS_SCHEMA = StructType([
+    StructField("doc_a", LongType()),
+    StructField("doc_b", LongType()),
+    StructField("band", IntegerType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("seen", ArrayType(LongType())),
+])
+
+
+def _band_sigs(text: str) -> list[str] | None:
+    """K=16 min-hashes over distinct 3-word shingles → the 4 band
+    signatures, byte-for-byte the batch form: h(s, shingle) = int of the
+    first 15 hex chars of md5("s#shingle"); band_sig =
+    md5("m0#m1#m2#m3"). Returns None for docs with < 3 words (no
+    shingle — the batch operator drops them the same way)."""
+    words = text.split(" ")
+    if len(words) < 3:
+        return None
+    shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+    mins = [None] * MINHASH_K
+    for sh in shingles:
+        for s in range(MINHASH_K):
+            h = int(hashlib.md5(
+                f"{s}#{sh}".encode()).hexdigest()[:15], 16)
+            if mins[s] is None or h < mins[s]:
+                mins[s] = h
+    return [
+        hashlib.md5("#".join(
+            str(mins[b * LSH_ROWS + r]) for r in range(LSH_ROWS)
+        ).encode()).hexdigest()
+        for b in range(LSH_BANDS)
+    ]
+
+
+def minhash_bands_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) stream → (doc_id, band, band_sig) stream; stateless,
+    shuffle-free, works on batch frames too (the differential tests run
+    it both ways)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sigs = _band_sigs(text)
+                if sigs is None:
+                    continue
+                rows.extend((int(doc_id), b, sig)
+                            for b, sig in enumerate(sigs))
+            yield pd.DataFrame(rows, columns=["doc_id", "band", "band_sig"])
+
+    return docs.select("doc_id", "text").mapInPandas(gen,
+                                                     schema=BANDS_SCHEMA)
+
+
+def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
+                       state_timeout: str | None = None) -> DataFrame:
+    """Streaming near-dup candidates: one (doc_a, doc_b, band) row per
+    (new doc, already-enrolled doc) meeting in a band bucket
+    (doc_a < doc_b). A pair meeting in several bands emits once per band
+    — dedup downstream (``dropDuplicates`` on a stream, or at the sink)
+    exactly as the batch operator's ``distinct`` does."""
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["doc_a", "doc_b", "band"])
+            return
+        (seen,) = state.get if state.exists else ([],)
+        seen = list(seen)
+        band = int(key[0])
+        rows = []
+        for pdf in pdfs:
+            # sort: deterministic enrollment order however the micro-batch
+            # happened to partition (replays produce identical output)
+            for doc in sorted(int(d) for d in pdf["doc_id"]):
+                if len(seen) >= max_bucket_size:
+                    break  # hot bucket: prefix-capped (module docstring)
+                if doc in seen:
+                    continue  # duplicate arrival: enrolled once, no re-emit
+                rows.extend(
+                    (s, doc, band) if s < doc else (doc, s, band)
+                    for s in seen)
+                seen.append(doc)
+        state.update((seen,))
+        if state_timeout:
+            state.setTimeoutDuration(state_timeout)
+        yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band"])
+
+    bands = minhash_bands_stream(docs)
+    return (
+        bands.groupBy("band", "band_sig")
+        .applyInPandasWithState(fn, PAIRS_SCHEMA, _STATE_SCHEMA,
+                                outputMode="append", timeoutConf=timeout)
+    )
