@@ -48,8 +48,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StringType, StructField,
-                               StructType, ArrayType, IntegerType)
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 from obadiah_spark.pipelines.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K
 
@@ -156,5 +157,129 @@ def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
     return (
         bands.groupBy("band", "band_sig")
         .applyInPandasWithState(fn, PAIRS_SCHEMA, _STATE_SCHEMA,
+                                outputMode="append", timeoutConf=timeout)
+    )
+
+
+# ------------------------------------------------ embedding near-dup -------
+
+def _sigs_with_vecs(emb: DataFrame, tables: int, planes: int) -> DataFrame:
+    """(vec_id, table, sig, embedding): `similarity.lsh_signatures` with
+    the vector carried along — the stateful stage scores exact cosine
+    in-state, so the embedding must ride to the bucket."""
+    import numpy as np
+
+    from obadiah_spark.pipelines.similarity import _plane_weights
+
+    def compute(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if weights is None:
+                weights = _plane_weights(e.shape[1], tables, planes)
+            out = []
+            for t in range(tables):
+                bits = (e @ weights[t].T > 0).astype(np.uint8)
+                out.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "table": t,
+                    "sig": ["".join(map(str, row)) for row in bits],
+                    "embedding": pdf["embedding"].to_numpy(),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        compute,
+        "vec_id bigint, table int, sig string, embedding array<float>")
+
+
+def _cosine9(a: list, b: list) -> float:
+    """Round-9 cosine with SEQUENTIAL left-fold sums — the exact float
+    op order of the engine's `_DOT` SQL fold (numpy's pairwise reduction
+    rounds differently in the last ulp, which could flip a pair sitting
+    on the threshold between the batch and streaming forms)."""
+    daa = dbb = dab = 0.0
+    for x, y in zip(a, b):
+        x = float(x)
+        y = float(y)
+        daa += x * x
+        dbb += y * y
+        dab += x * y
+    return round(dab / ((daa ** 0.5) * (dbb ** 0.5)), 9)
+
+
+def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
+                           tables: int | None = None,
+                           planes: int | None = None,
+                           max_bucket_size: int = 50,
+                           state_timeout: str | None = None) -> DataFrame:
+    """Streaming embedding near-duplicate pairs ON INGEST: sign-LSH
+    buckets (default = the batch dedup sweep's DEDUP_TABLES x
+    DEDUP_PLANES geometry) with per-bucket state carrying the enrolled
+    vectors; each arriving vector exact-scores against the residents and
+    emits (vec_a, vec_b, cosine) for every pair at or above
+    ``min_cosine`` (vec_a < vec_b; a pair colliding in several tables
+    emits per table — dedup downstream like the batch `distinct`).
+
+    Same cap and TTL semantics as :func:`minhash_lsh_stream`; on corpora
+    where no bucket exceeds the cap, the pair set equals the batch
+    `ann_lsh_pairs(emb, min_cosine, tables, planes)` set exactly
+    (differential-tested)."""
+    from obadiah_spark.pipelines.dedup import DEDUP_PLANES, DEDUP_TABLES
+
+    tables = DEDUP_TABLES if tables is None else tables
+    planes = DEDUP_PLANES if planes is None else planes
+    out_schema = StructType([
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("ids", ArrayType(LongType())),
+        # doubles round-trip the state store bit-exactly
+        StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+    ])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["vec_a", "vec_b", "cosine"])
+            return
+        (ids, vecs) = state.get if state.exists else ([], [])
+        ids = list(ids)
+        vecs = [list(v) for v in vecs]
+        rows = []
+        for pdf in pdfs:
+            order = sorted(range(len(pdf)),
+                           key=lambda i: int(pdf["vec_id"].iloc[i]))
+            for i in order:
+                if len(ids) >= max_bucket_size:
+                    break  # hot bucket: prefix-capped
+                vid = int(pdf["vec_id"].iloc[i])
+                if vid in ids:
+                    continue
+                vec = [float(x) for x in pdf["embedding"].iloc[i]]
+                for rid, rvec in zip(ids, vecs):
+                    a, av, b, bv = ((rid, rvec, vid, vec) if rid < vid
+                                    else (vid, vec, rid, rvec))
+                    c = _cosine9(av, bv)
+                    if c >= min_cosine:
+                        rows.append((a, b, c))
+                ids.append(vid)
+                vecs.append(vec)
+        state.update((ids, vecs))
+        if state_timeout:
+            state.setTimeoutDuration(state_timeout)
+        yield pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+    sigs = _sigs_with_vecs(emb, tables, planes)
+    return (
+        sigs.groupBy("table", "sig")
+        .applyInPandasWithState(fn, out_schema, state_schema,
                                 outputMode="append", timeoutConf=timeout)
     )

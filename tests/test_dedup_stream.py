@@ -101,3 +101,69 @@ def test_stream_hot_bucket_prefix_cap(spark, tmp_path):
                         for b in range(a + 1, cap)}
     docs = spark.createDataFrame(rows, DOCS_SCHEMA)
     assert minhash_lsh_candidates(docs, max_bucket_size=cap).count() == 0
+
+
+def test_embedding_stream_equals_batch_pairs(spark, tmp_path):
+    """Streaming embedding near-dup differential: a 3-chunk replay of the
+    sf0.01 embeddings (bounded subset) must produce exactly the batch
+    ann_lsh_pairs set at the dedup sweep's geometry — pair set AND the
+    round-9 cosines (the in-state scorer folds sums in the same order as
+    the engine's SQL fold)."""
+    from obadiah_spark.pipelines.dedup import DEDUP_PLANES, DEDUP_TABLES
+    from obadiah_spark.pipelines.similarity import ann_lsh_pairs
+    from obadiah_spark.streaming.dedup_stream import embedding_dedup_stream
+
+    import numpy as np
+
+    # uniform-random embeddings essentially never reach cosine 0.45 —
+    # plant near-duplicates: every third vector gets a noisy copy
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for k in range(80):
+        v = rng.normal(size=64).astype(np.float32)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        if k % 3 == 0:
+            w = (v + rng.normal(scale=0.12, size=64)
+                 .astype(np.float32)).astype(np.float32)
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    batch = {(r.vec_a, r.vec_b): r.cosine
+             for r in ann_lsh_pairs(emb, min_cosine=0.45,
+                                    tables=DEDUP_TABLES,
+                                    planes=DEDUP_PLANES).collect()}
+    rows.sort()
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    per = (len(rows) + 2) // 3
+    now = time.time()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for i in range(3):
+        chunk = rows[i * per:(i + 1) * per]
+        # float32 elements, exactly the source table's physical type
+        tbl = pa.table({
+            "vec_id": pa.array([r[0] for r in chunk], pa.int64()),
+            "embedding": pa.array([r[1] for r in chunk],
+                                  pa.list_(pa.float32())),
+        })
+        pq.write_table(tbl, src / f"{i:03d}.parquet")
+        os.utime(src / f"{i:03d}.parquet", (now + 10 * i, now + 10 * i))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (embedding_dedup_stream(stream, min_cosine=0.45,
+                                max_bucket_size=10_000)
+         .writeStream.format("memory").queryName("emb_dedup_out")
+         .option("checkpointLocation", str(tmp_path / "eckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("emb_dedup_out").collect():
+        got[(r.vec_a, r.vec_b)] = r.cosine  # per-table dups collapse here
+    assert set(got) == set(batch)
+    assert batch, "fixture found no strong pairs — vacuous"
+    for k, c in got.items():
+        assert c == batch[k], (k, c, batch[k])
