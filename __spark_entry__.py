@@ -251,6 +251,62 @@ def _docs(spark, sf_dir):
     return spark.table("documents")
 
 
+def _q_dedup_stream(spark, sf_dir):
+    """Streaming MinHash-LSH dedup ON INGEST (r11,
+    obadiah_spark/streaming/dedup_stream.py): the documents table replayed
+    as a 3-micro-batch file stream through ``minhash_lsh_stream``
+    (applyInPandasWithState keyed on (band, band_sig); state = the
+    bucket's enrolled doc_ids; each arriving doc emits a pair per
+    resident). Output = the distinct candidate-pair set, which equals the
+    batch ``minhash_lsh_candidates`` set EXACTLY when no bucket exceeds
+    the cap — so the DuckDB oracle is the batch SQL at the same cap, and
+    the driver hash covers a stateful streaming operator end-to-end
+    (signature arithmetic, state carry across micro-batches, and the
+    pair fan-out). First streaming-replay gate in the registry."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from obadiah_spark.streaming.dedup_stream import minhash_lsh_stream
+
+    docs = sorted(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text").collect())
+    work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    per = (len(docs) + 2) // 3
+    now = time.time()
+    for i in range(3):
+        chunk = docs[i * per:(i + 1) * per]
+        tbl = pa.table({
+            "doc_id": pa.array([r.doc_id for r in chunk], pa.int64()),
+            "text": pa.array([r.text for r in chunk], pa.string()),
+        })
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        # file streams replay in mtime order; same-ms ties reorder
+        # micro-batches (verify-skill gotcha) — pin strictly increasing
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    # one file per trigger = ONE input partition per micro-batch; the
+    # signature stage is the compute (md5 per shingle x seed), so spread
+    # it — a per-batch shuffle of a few thousand short rows is noise
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .repartition(spark.sparkContext.defaultParallelism))
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (minhash_lsh_stream(stream, max_bucket_size=10_000)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("doc_a", "doc_b").distinct()
+
+
 def _q_exact_dedup(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import exact_dedup
 
@@ -1325,6 +1381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
+        # -- (0) NEW this round (never had a driver row — must sit inside
+        #    the window to get its first row immediately) ----------------
+        "dedup_stream": _q_dedup_stream,  # streaming replay gate (r11)
         # -- (1) rotated out of r10's 50 (last driver row: r9) — this
         #    45-entry tail heads the window so no entry's driver row ages
         #    past two rounds. -------------------------------------------
@@ -1379,10 +1438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_chains": _q_depth_chains,  # depth_chains.py touched (r11 perf)
         "dup_clusters": _q_dup_clusters,  # dedup.py: conditional hop (r11)
         "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: progressive decode (r11)
-        "codec_roundtrip": _q_codec_roundtrip,  # decode dispatch incl. jpeg (r11)
         "mjpeg_sample": _q_mjpeg_sample,  # decodes frames via jpeg.py (r11)
-        # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows), code
-        #      unchanged this round — rotate back into the window in r12 --
+        # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows) — rotate
+        #      back into the window in r12. codec_roundtrip was displaced
+        #      from the touched group by the NEW dedup_stream key: its r10
+        #      row satisfies the age bound, and the r11 jpeg changes stay
+        #      driver-covered by jpeg_roundtrip/mjpeg_sample/multimodal_*
+        #      in-window. ------------------------------------------------
+        "codec_roundtrip": _q_codec_roundtrip,  # decode dispatch incl. jpeg (r11)
         "cleanse_order": _q_cleanse_order,
         "fix_aggressor_order": _q_fix_aggressor,
         "reveal_episodes": _q_reveal_episodes,
@@ -1556,6 +1619,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "minhash_lsh": dedup.MINHASH_LSH_ORACLE,
+        # streaming replay == batch pair set when no bucket exceeds the
+        # cap (differential-tested); same oracle, gate-matching cap
+        "dedup_stream": dedup.minhash_lsh_oracle(max_bucket_size=10_000),
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "lang_id_ngram": langid.lang_id_ngram_oracle_sql(),
