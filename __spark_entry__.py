@@ -337,6 +337,18 @@ def _q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def _q_gopher_quality(spark, sf_dir):
+    from obadiah_spark.pipelines.docquality import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from obadiah_spark.pipelines.docquality import pii_gate_frame
+
+    return pii_gate_frame(_docs(spark, sf_dir))
+
+
 def _q_ann_bruteforce(spark, sf_dir):
     from obadiah_spark.pipelines.similarity import ann_bruteforce
 
@@ -1384,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) NEW this round (never had a driver row — must sit inside
         #    the window to get its first row immediately) ----------------
         "dedup_stream": _q_dedup_stream,  # streaming replay gate (r11)
+        "gopher_quality": _q_gopher_quality,  # Gopher-rule doc quality (r11)
+        "pii_scrub": _q_pii_scrub,  # planted-PII regex redaction (r11)
         # -- (1) rotated out of r10's 50 (last driver row: r9) — this
         #    45-entry tail heads the window so no entry's driver row ages
         #    past two rounds. -------------------------------------------
@@ -1433,18 +1447,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "match_incremental": _q_match_incremental,
         # -- (2) code-touched in round 11 (r10-green, but their modules
-        #    changed this round: jpeg.py progressive decode, dedup.py
-        #    conditional pointer jump, depth_chains.py optimization) ----
-        "depth_chains": _q_depth_chains,  # depth_chains.py touched (r11 perf)
-        "dup_clusters": _q_dup_clusters,  # dedup.py: conditional hop (r11)
+        #    changed this round: jpeg.py progressive decode — new VALUE
+        #    paths, so the codec gates keep their window slots) ---------
         "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: progressive decode (r11)
         "mjpeg_sample": _q_mjpeg_sample,  # decodes frames via jpeg.py (r11)
         # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows) — rotate
-        #      back into the window in r12. codec_roundtrip was displaced
-        #      from the touched group by the NEW dedup_stream key: its r10
-        #      row satisfies the age bound, and the r11 jpeg changes stay
-        #      driver-covered by jpeg_roundtrip/mjpeg_sample/multimodal_*
-        #      in-window. ------------------------------------------------
+        #      back into the window in r12. depth_chains/dup_clusters were
+        #      displaced by the NEW gopher_quality/pii_scrub keys: their
+        #      r11 changes are plan-shape only (checkpoint placement /
+        #      conditional hop — values unchanged), r10 rows satisfy the
+        #      age bound, and both carry dedicated pytest differentials.
+        #      codec_roundtrip was displaced by dedup_stream: its r10 row
+        #      holds, and the r11 jpeg changes stay driver-covered by
+        #      jpeg_roundtrip/mjpeg_sample/multimodal_* in-window. -------
+        "depth_chains": _q_depth_chains,  # r11 perf touch, value-neutral
+        "dup_clusters": _q_dup_clusters,  # r11 conditional hop, value-neutral
         "codec_roundtrip": _q_codec_roundtrip,  # decode dispatch incl. jpeg (r11)
         "cleanse_order": _q_cleanse_order,
         "fix_aggressor_order": _q_fix_aggressor,
@@ -1572,7 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         trading_strategy_mid_oracle_sql,
         trading_strategy_zigzag_oracle_sql,
     )
-    from obadiah_spark.pipelines import dedup
+    from obadiah_spark.pipelines import dedup, docquality
     from obadiah_spark.pipelines.multimodal import (
         CODEC_ROUNDTRIP_ORACLE,
         JPEG_ROUNDTRIP_ORACLE,
@@ -1624,6 +1641,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream": dedup.minhash_lsh_oracle(max_bucket_size=10_000),
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
+        "gopher_quality": docquality.gopher_quality_oracle_sql(),
+        "pii_scrub": docquality.pii_gate_oracle_sql(),
         "lang_id_ngram": langid.lang_id_ngram_oracle_sql(),
         "tokenize_regex": TOKENIZE_REGEX_ORACLE,
         "tfidf_top_terms": tfidf_top_terms_oracle(),

@@ -273,6 +273,15 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
 
     timed("tfidf_top_terms", lambda: tfidf_top_terms(docs)
           .agg(F.max("term"), F.max("df")).collect())
+    # round-11 additions: the Gopher rule family (posexplode + doc-keyed
+    # aggs + two gram groupBys) and PII redaction (pure map — its
+    # exponent measures JVM regex throughput)
+    from obadiah_spark.pipelines.docquality import gopher_quality, pii_gate_frame
+
+    timed("gopher_quality", lambda: gopher_quality(docs)
+          .agg(F.max("top_2gram_char_frac"), F.sum("n_words")).collect())
+    timed("pii_scrub", lambda: pii_gate_frame(docs)
+          .agg(F.max("redacted_md5"), F.sum("n_ips")).collect())
     return out
 
 
