@@ -1450,19 +1450,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    changed this round: jpeg.py progressive decode — new VALUE
         #    paths, so the codec gates keep their window slots) ---------
         "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: progressive decode (r11)
-        "mjpeg_sample": _q_mjpeg_sample,  # decodes frames via jpeg.py (r11)
+        "codec_roundtrip": _q_codec_roundtrip,  # VALUES changed r11: the
+        #   cycle is now %4 with a real GIF leg (LZW, interlace split) —
+        #   must re-verify in-window, its r10 row reflects the %3 cycle
         # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows) — rotate
         #      back into the window in r12. depth_chains/dup_clusters were
         #      displaced by the NEW gopher_quality/pii_scrub keys: their
         #      r11 changes are plan-shape only (checkpoint placement /
         #      conditional hop — values unchanged), r10 rows satisfy the
         #      age bound, and both carry dedicated pytest differentials.
-        #      codec_roundtrip was displaced by dedup_stream: its r10 row
-        #      holds, and the r11 jpeg changes stay driver-covered by
-        #      jpeg_roundtrip/mjpeg_sample/multimodal_* in-window. -------
+        #      mjpeg_sample was displaced by codec_roundtrip's re-entry:
+        #      its values are r11-unchanged (baseline-JPEG frame decode),
+        #      r10-green, and jpeg.py stays driver-covered in-window by
+        #      jpeg_roundtrip + the codec_roundtrip dispatch. ------------
+        "mjpeg_sample": _q_mjpeg_sample,  # r10-green, values unchanged r11
         "depth_chains": _q_depth_chains,  # r11 perf touch, value-neutral
         "dup_clusters": _q_dup_clusters,  # r11 conditional hop, value-neutral
-        "codec_roundtrip": _q_codec_roundtrip,  # decode dispatch incl. jpeg (r11)
         "cleanse_order": _q_cleanse_order,
         "fix_aggressor_order": _q_fix_aggressor,
         "reveal_episodes": _q_reveal_episodes,

@@ -320,10 +320,11 @@ def image_dims(raw: bytes) -> dict | None:
     None — the cheap path for feature extraction: no pixel bytes are
     copied or filtered, so a dims read is O(header) for BMP/PPM,
     O(chunk walk) for PNG, and O(marker walk) for JPEG."""
+    from obadiah_spark.pipelines.gif import gif_header
     from obadiah_spark.pipelines.jpeg import jpeg_header
 
     hd = (_bmp_header(raw) or _ppm_header(raw) or _png_header(raw)
-          or jpeg_header(raw))
+          or jpeg_header(raw) or gif_header(raw))
     return ({"width": hd["width"], "height": hd["height"]}
             if hd is not None else None)
 
@@ -338,27 +339,31 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 
 def decode_image(payload: bytes) -> dict:
     """The genuinely-multimodal step. Uncompressed BMP, binary PPM, 8-bit
-    non-interlaced PNG, and baseline + progressive JPEG (grayscale /
+    non-interlaced PNG, baseline + progressive JPEG (grayscale /
     4:4:4 / 4:2:0 / 4:2:2 — huffman + IDCT + annex-G scan
-    accumulation, :mod:`.jpeg`) decode for real in pure Python +
+    accumulation, :mod:`.jpeg`), and single-image GIF87a/89a (LZW,
+    optional interlace, :mod:`.gif`) decode for real in pure Python +
     numpy; the remaining formats (WebP, AVIF, ...) need a
     codec library the container doesn't provide, so those stay an honest
     stub behind a PIL import-try."""
+    from obadiah_spark.pipelines.gif import gif_decode
     from obadiah_spark.pipelines.jpeg import jpeg_decode
 
     raw = bytes(payload)
     decoded = (_try_decode_bmp(raw) or _try_decode_ppm(raw)
-               or _try_decode_png(raw) or jpeg_decode(raw))
+               or _try_decode_png(raw) or jpeg_decode(raw)
+               or gif_decode(raw))
     if decoded is not None:
         return decoded
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "non-BMP/PPM/PNG/JPEG decode requires PIL; container provides "
-            "none (stub per driver brief)") from exc
+            "non-BMP/PPM/PNG/JPEG/GIF decode requires PIL; container "
+            "provides none (stub per driver brief)") from exc
     raise NotImplementedError(
-        "non-BMP/PPM/PNG/JPEG decode path not exercised in this environment")
+        "non-BMP/PPM/PNG/JPEG/GIF decode path not exercised in this "
+        "environment")
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
@@ -397,23 +402,29 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     return extract_features(pack_blobs(docs))
 
 
-CODEC_FMTS = ("bmp", "ppm", "png")
+CODEC_FMTS = ("bmp", "ppm", "png", "gif")
 
 
 def codec_roundtrip(docs: DataFrame) -> DataFrame:
-    """Value-level gate for the three real codecs (VERDICT r8 task #6):
-    per document, build a small image whose pixel bytes are the first
-    ``w*h*3`` bytes of the text, encode it with the format selected by
-    ``doc_id % 3`` (BMP / PPM / PNG, the PNG scanline filter cycling
-    through all five by ``doc_id % 5``), strictly decode it back, and
+    """Value-level gate for the four real lossless codecs (VERDICT r8
+    task #6; GIF added r11): per document, build a small image whose
+    pixel bytes are the first ``w*h*3`` bytes of the text, encode it
+    with the format selected by ``doc_id % 4`` (BMP / PPM / PNG / GIF —
+    the PNG scanline filter cycling through all five by ``doc_id % 5``,
+    the GIF leg alternating interlace by ``doc_id % 8 == 3`` so both
+    raster orders are driver-hashed), strictly decode it back, and
     emit the decoded dims + pixel md5. The oracle predicts both WITHOUT
     running any codec (the md5 of the text prefix), so a hash match
-    proves every encode→decode round-trip preserved pixel bytes exactly.
-    Map-side only (one mapInPandas pass), no shuffle — the 100 TB shape
-    of a decode-validate pass over a binary corpus.
+    proves every encode→decode round-trip preserved pixel bytes exactly
+    (a ≤12-pixel image has ≤12 distinct colors, so the GIF palette path
+    is always losslessly encodable). Map-side only (one mapInPandas
+    pass), no shuffle — the 100 TB shape of a decode-validate pass over
+    a binary corpus.
 
     Docs are restricted to ASCII text (length == octet_length) so the
     byte-prefix and the oracle's character-substring agree."""
+    from obadiah_spark.pipelines.gif import encode_gif
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -421,11 +432,14 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 w, h = 2 + doc_id % 3, 2 + doc_id % 2
                 raw = text.encode("utf-8")[:w * h * 3]
-                fmt = CODEC_FMTS[doc_id % 3]
+                fmt = CODEC_FMTS[doc_id % 4]
                 if fmt == "bmp":
                     blob = encode_bmp(w, h, raw)
                 elif fmt == "ppm":
                     blob = encode_ppm(w, h, raw)
+                elif fmt == "gif":
+                    blob = encode_gif(w, h, raw,
+                                      interlace=doc_id % 8 == 3)
                 else:
                     blob = encode_png(w, h, raw, filter_type=doc_id % 5)
                 img = decode_image(blob)
@@ -501,7 +515,8 @@ WHERE length(text) = octet_length(encode(text)) AND length(text) >= 2
 
 CODEC_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
        CAST(2 + doc_id % 3 AS INT) AS width,
        CAST(2 + doc_id % 2 AS INT) AS height,
        md5(substring(text, 1, (2 + doc_id % 3) * (2 + doc_id % 2) * 3)) AS px_md5
