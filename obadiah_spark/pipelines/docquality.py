@@ -280,10 +280,13 @@ PII_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4s / phone numbers from ``text_col``; adds
-    ``n_emails, n_ips, n_phones`` (pre-redaction match counts) and
-    ``redacted`` (the scrubbed text).  All-JVM column expressions — the
-    scan reads one string column, codegen does the rest; nothing
-    shuffles."""
+    ``n_emails, n_ips, n_phones`` and ``redacted`` (the scrubbed text).
+    Each count is taken on the text as the pipeline sees it at that
+    stage — emails on the original, IPs on the email-redacted text,
+    phones on the email+IP-redacted text — so a substring consumed by an
+    earlier redaction is counted exactly once, by the earlier type.
+    All-JVM column expressions — the scan reads one string column,
+    codegen does the rest; nothing shuffles."""
     t0 = F.col(text_col)
     t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
     t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")

@@ -164,7 +164,6 @@ def gif_decode(raw: bytes) -> dict | None:
         return None
     gct, off = got
 
-    lct_or_gct = None
     while True:
         if off >= len(raw):
             return None
@@ -237,50 +236,75 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     """GIF LZW encode with an initial CLEAR, dict growth to 4096 and a
     CLEAR+reset when full (the plain always-clear strategy — simple,
     spec-conformant, and what the strict decoder's deferred-clear path
-    still accepts)."""
+    still accepts).
+
+    The emit width MIRRORS THE DECODER's schedule rather than the
+    encoder's own dict size: the decoder appends an entry after every
+    data code except the first since CLEAR and widens the moment its
+    table length reaches 1<<width — including after the FINAL data code,
+    where the encoder has nothing left to add.  Driving the width off
+    the encoder's next_code desyncs exactly there (the END code gets
+    written one bit narrower than the decoder reads it whenever the last
+    implicit append lands on a power-of-two boundary — ~2^-width of
+    streams), so the width bookkeeping below simulates the decoder."""
     clear = 1 << min_code_size
     end = clear + 1
 
     out = bytearray()
     acc = 0
     accbits = 0
+    # decoder-mirrored state: table length, current code width, and
+    # whether the next data code is the first since CLEAR (no append)
+    dec_len = clear + 2
+    dec_width = min_code_size + 1
+    dec_first = True
 
-    def emit(code: int, width: int) -> None:
+    def emit_raw(code: int) -> None:
         nonlocal acc, accbits
         acc |= code << accbits
-        accbits += width
+        accbits += dec_width
         while accbits >= 8:
             out.append(acc & 0xFF)
             acc >>= 8
             accbits -= 8
 
+    def emit_data(code: int) -> None:
+        nonlocal dec_len, dec_width, dec_first
+        emit_raw(code)
+        if not dec_first and dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << dec_width) and dec_width < 12:
+                dec_width += 1
+        dec_first = False
+
+    def emit_clear() -> None:
+        nonlocal dec_len, dec_width, dec_first
+        emit_raw(clear)
+        dec_len = clear + 2
+        dec_width = min_code_size + 1
+        dec_first = True
+
     table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
     next_code = end + 1
-    width = min_code_size + 1
-    emit(clear, width)
+    emit_clear()
     run = b""
     for b in indices:
         cand = run + bytes((b,))
         if cand in table:
             run = cand
             continue
-        emit(table[run], width)
+        emit_data(table[run])
         if next_code < 4096:
             table[cand] = next_code
-            # the decoder widens when ITS table reaches 1<<width; its
-            # table size equals next_code, so widen on the same boundary
-            if next_code == (1 << width) and width < 12:
-                width += 1
             next_code += 1
         else:
-            emit(clear, width)
+            emit_clear()
             table = {bytes((i,)): i for i in range(clear)}
             next_code = end + 1
-            width = min_code_size + 1
         run = bytes((b,))
     if run:
-        emit(table[run], width)
-    emit(end, width)
+        emit_data(table[run])
+    emit_raw(end)
     if accbits:
         out.append(acc & 0xFF)
     return bytes(out)

@@ -202,3 +202,29 @@ def test_property_roundtrip_hypothesis():
         assert img["pixels"] == px
 
     check()
+
+
+def test_end_code_width_boundary_regression():
+    """Regression: the decoder appends an entry after the FINAL data
+    code and widens when its table hits 1<<width, so END must be written
+    at the widened width. This exact stream desynced the original
+    next_code-driven encoder (review finding, r11): the last implicit
+    append landed on the 16-entry boundary and strict decode returned
+    None."""
+    px = b"ecccceecceecceceececceccecceccceccec"
+    img = gif_decode(encode_gif(4, 3, px))
+    assert img is not None and img["pixels"] == px
+
+
+def test_lzw_layer_fuzz():
+    """5k random index streams through the raw LZW pair across every
+    min-code-size — the layer where the width schedule lives."""
+    import numpy as np
+    from obadiah_spark.pipelines.gif import _lzw_decode, _lzw_encode
+    rng = np.random.default_rng(42)
+    for _ in range(5000):
+        mcs = int(rng.integers(2, 9))
+        n = int(rng.integers(1, 120))
+        nsym = min(1 << mcs, 256)
+        idx = rng.integers(0, nsym, size=n).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs, n) == idx
