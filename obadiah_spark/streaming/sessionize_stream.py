@@ -1,0 +1,137 @@
+"""Streaming sessionization — event-time session windows ON INGEST.
+
+The batch operator (``relational.sessionize_events``) is gaps-and-islands:
+lag + cumulative sum over a per-user window, then a groupBy per session.
+A streaming ingest pipeline wants the same sessions as events arrive,
+without re-scanning history; windows over unbounded preceding rows do
+not exist on streaming frames, so the operator re-expresses as
+``applyInPandasWithState`` keyed on ``user_id``:
+
+- state = the user's OPEN session (session_no counter, start/end
+  microtimestamps, event count, integer cents sum);
+- each micro-batch folds the user's arrivals in (ts, event_id) order:
+  a gap > ``gap_minutes`` CLOSES the open session (emitting one result
+  row — append-sink compatible, no retraction needed) and opens the
+  next;
+- a FLUSH sentinel (``event_id < 0``) closes and emits whatever is open
+  — the replay-end marker a bounded differential needs; a production
+  deployment would instead use a state timeout or simply leave the last
+  session open (it is, by definition, still in progress).
+
+ORDER CONTRACT: within one micro-batch the fold sorts; ACROSS
+micro-batches each user's events must arrive in non-decreasing event
+time — the same per-key order contract every stateful stage in this
+repo inherits from the event-time reorderer (``streaming/reorder.py``
+provides exactly that under a watermark; the capture chain composes
+reorder → stateful stage the same way).
+
+VALUE ARITHMETIC: the batch operator sums PER-ROW integer cents
+(``round(value*100, 0)`` cast to bigint) so the aggregate is
+order-independent; the pandas fold reproduces Spark's rounding exactly —
+double multiply first, then HALF_UP on the exact decimal expansion of
+the product (java.math.BigDecimal(double) semantics) — proven by the
+batch-vs-stream differential over the driver events fabric.
+
+Scale posture: state is O(1) per active user (five scalars — NOT the
+session's events); the only shuffle is the groupBy on user_id, the same
+key the batch window partitions by. At 100 TB the operator is a single
+keyed stateful pass; idle users would be bounded with a state timeout.
+
+Registered as a driver gate in r12 (the r11 rotation window is at its
+50-slot cap); until then the batch≡stream differentials in
+tests/test_sessionize_stream.py carry the correctness claim.
+"""
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+EVENTS_IN_SCHEMA = ("event_id long, ts_us long, user_id long, "
+                    "value double")
+
+SESSIONS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_no", LongType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("value_cents", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("session_no", LongType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("value_cents", LongType()),
+])
+
+
+def _cents(value: float) -> int:
+    """Spark's ``round(value * 100, 0)`` on a double: the multiply
+    happens in IEEE double, THEN the exact decimal expansion of that
+    double rounds HALF_UP (java.math.BigDecimal(double) semantics —
+    Decimal(p) is the same exact expansion)."""
+    p = float(value) * 100.0
+    return int(Decimal(p).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      state_timeout: str | None = None) -> DataFrame:
+    """Per-user session windows over a (streaming or batch) frame with
+    columns ``event_id, ts_us, user_id, value``. Emits one row per
+    CLOSED session; ``event_id < 0`` rows are flush sentinels."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key: tuple, pdfs: Iterable[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            sess_no, start, end, n, cents = state.get
+        else:
+            sess_no, start, end, n, cents = 0, None, None, 0, 0
+        out = []
+        flush = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ev_id, ts, val in zip(pdf["event_id"], pdf["ts_us"],
+                                      pdf["value"]):
+                if int(ev_id) < 0:
+                    flush = True
+                    continue
+                ts = int(ts)
+                if start is None:
+                    sess_no, start, end, n, cents = (
+                        sess_no + 1, ts, ts, 1, _cents(val))
+                elif ts - end > gap_us:
+                    out.append((user_id, sess_no, start, end, n, cents))
+                    sess_no, start, end, n, cents = (
+                        sess_no + 1, ts, ts, 1, _cents(val))
+                else:
+                    end = ts
+                    n += 1
+                    cents += _cents(val)
+        if flush and start is not None:
+            out.append((user_id, sess_no, start, end, n, cents))
+            # keep the counter so a session after a flush continues the
+            # batch numbering; only the open-session fields reset
+            start, end, n, cents = None, None, 0, 0
+        state.update((int(sess_no), start, end, int(n), int(cents)))
+        if state_timeout is not None and start is not None:
+            state.setTimeoutDuration(state_timeout)
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in SESSIONS_SCHEMA])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_timeout is not None else GroupStateTimeout.NoTimeout)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(fold, SESSIONS_SCHEMA, _STATE_SCHEMA,
+                                "append", timeout)
+    )
