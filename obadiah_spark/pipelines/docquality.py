@@ -357,3 +357,74 @@ SELECT doc_id,
        length(regexp_replace(t2, '{ph}', '<PHONE>', 'g')) AS redacted_len
 FROM s2
 """
+
+
+# ------------------------------------------------- corpus_clean ----------
+# The end-to-end "prepare a training shard" composition the three
+# operator families exist for: exact dedup (keep the canonical copy),
+# Gopher-rule quality filtering (keep passing docs), PII redaction (ship
+# the scrubbed text). One declarative plan — Catalyst fuses the dedup
+# window, the quality aggregations, and the pure-map scrub; at scale it
+# is two doc-keyed shuffle stages (fingerprint window + quality
+# aggregations) over one corpus scan, then map-side redaction.
+# Registered as a driver gate in r12 (the r11 window is at its cap);
+# until then tests/test_docquality.py::test_corpus_clean_* and the
+# composed oracle below carry the claim.
+
+def corpus_clean(docs: DataFrame, dup_n: int = DUP_NGRAM_N) -> DataFrame:
+    """Surviving docs only: canonical (non-duplicate) AND Gopher-keep,
+    with the PII-scrubbed text's md5 + the quality flags for audit.
+    Output: doc_id, n_words, keep reasons, redacted_md5, redacted_len."""
+    from obadiah_spark.pipelines.dedup import exact_dedup
+
+    dd = exact_dedup(docs).select("doc_id", "is_duplicate")
+    gq = gopher_quality(docs, dup_n=dup_n).select(
+        "doc_id", "n_words", "keep")
+    scrubbed = pii_scrub(docs).select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").alias("redacted_len"))
+    return (
+        docs.select("doc_id")
+        .join(dd, "doc_id")
+        .join(gq, "doc_id")
+        .join(scrubbed, "doc_id")
+        .filter(~F.col("is_duplicate") & F.col("keep"))
+        .select("doc_id", "n_words", "redacted_md5", "redacted_len")
+    )
+
+
+def corpus_clean_oracle_sql(dup_n: int = DUP_NGRAM_N) -> str:
+    """DuckDB replica: the dedup window + the full gopher oracle as a
+    subquery + the staged regex chain, composed exactly like the Spark
+    plan."""
+    em, ip, ph = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    gopher = gopher_quality_oracle_sql(dup_n)
+    return f"""
+WITH dd AS (
+    SELECT doc_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+    FROM (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')))) AS fingerprint
+        FROM documents)
+), gq AS (
+    SELECT doc_id, n_words, keep FROM ({gopher})
+), scrub AS (
+    SELECT doc_id,
+           md5(t3) AS redacted_md5, length(t3) AS redacted_len
+    FROM (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{em}', '<EMAIL>', 'g'),
+                   '{ip}', '<IP>', 'g'),
+                   '{ph}', '<PHONE>', 'g') AS t3
+        FROM documents)
+)
+SELECT d.doc_id, gq.n_words, scrub.redacted_md5, scrub.redacted_len
+FROM documents d
+JOIN dd ON dd.doc_id = d.doc_id
+JOIN gq ON gq.doc_id = d.doc_id
+JOIN scrub ON scrub.doc_id = d.doc_id
+WHERE NOT dd.is_duplicate AND gq.keep
+"""

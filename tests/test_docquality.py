@@ -124,3 +124,43 @@ def test_gopher_oracle_differential_small(spark):
             assert np.array_equal(sdf[c].values, odf[c].values), c
         else:
             assert (sdf[c] == odf[c]).all(), c
+
+
+def test_corpus_clean_composition(spark):
+    """Planted corpus: the duplicate copy drops (canonical stays), the
+    short doc fails quality, and the survivor ships its scrubbed md5."""
+    import hashlib
+
+    from obadiah_spark.pipelines.docquality import corpus_clean
+    # 62 varied words (no repeated bigram), mean len ~6, two stopwords
+    good = " ".join(["alpha%d" % i for i in range(60)] + ["the", "of"])
+    rows = [
+        (1, good),
+        (2, good),                      # exact duplicate -> dropped
+        (3, "too short to pass"),       # fails word count -> dropped
+        (4, good + " mail bob@x.io"),   # near-dup but not exact; has PII
+    ]
+    out = {r.doc_id: r for r in corpus_clean(_docs(spark, rows)).collect()}
+    assert set(out) == {1, 4}
+    redacted = good + " mail <EMAIL>"
+    assert out[4].redacted_md5 == hashlib.md5(redacted.encode()).hexdigest()
+    assert out[4].redacted_len == len(redacted)
+
+
+def test_corpus_clean_oracle_differential(spark):
+    """Spark vs DuckDB over the sf0.001 fabric — the full composition
+    (dedup window + gopher flags + staged regex chain)."""
+    import duckdb
+
+    from obadiah_spark.pipelines.docquality import (
+        corpus_clean, corpus_clean_oracle_sql)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sdf = corpus_clean(docs).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    odf = (con.execute(corpus_clean_oracle_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(sdf) == len(odf) > 100
+    for c in sdf.columns:
+        assert (sdf[c] == odf[c]).all(), c
