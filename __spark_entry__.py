@@ -1449,10 +1449,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) code-touched in round 11 (r10-green, but their modules
         #    changed this round: jpeg.py progressive decode — new VALUE
         #    paths, so the codec gates keep their window slots) ---------
-        "jpeg_roundtrip": _q_jpeg_roundtrip,  # jpeg.py: progressive decode (r11)
         "codec_roundtrip": _q_codec_roundtrip,  # VALUES changed r11: the
         #   cycle is now %4 with a real GIF leg (LZW, interlace split) —
         #   must re-verify in-window, its r10 row reflects the %3 cycle
+        "wav_roundtrip": _q_wav_roundtrip,  # VALUES changed r11: odd
+        #   doc_ids take the new G.711 mu-law leg (+codec column) — its
+        #   r10 row reflects the all-PCM form, so it re-enters the
+        #   window; jpeg_roundtrip yields the slot (module touched in
+        #   r11 but gate VALUES unchanged — flat-block baseline encode/
+        #   decode — r10-green, and the hypothesis + PIL pytests carry
+        #   the new progressive paths)
         # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows) — rotate
         #      back into the window in r12. depth_chains/dup_clusters were
         #      displaced by the NEW gopher_quality/pii_scrub keys: their
@@ -1510,7 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_period": _q_trading_period,
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,
-        "wav_roundtrip": _q_wav_roundtrip,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
     }
 
 

@@ -26,6 +26,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------- G.711 mu-law ------
+# ITU-T G.711 / Sun g711.c companding: 8-bit codes <-> 14-bit linear
+# samples in the 16-bit domain. Decode is a 256-entry table; encode is
+# sign + segment search on the biased magnitude + 4-bit mantissa, all
+# bit-exact to the CCITT reference.
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+_ULAW_SEG_END = np.array(
+    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF],
+    dtype=np.int64)
+
+
+def _build_ulaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.int32)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
+        out[code] = (_ULAW_BIAS - t) if (u & 0x80) else (t - _ULAW_BIAS)
+    return out
+
+
+_ULAW_DECODE = _build_ulaw_table()
+
+
+def mulaw_decode(codes: bytes | np.ndarray) -> np.ndarray:
+    """8-bit mu-law codes -> int32 linear samples (±32124 max)."""
+    arr = np.frombuffer(codes, dtype=np.uint8) if isinstance(
+        codes, (bytes, bytearray)) else np.asarray(codes, dtype=np.uint8)
+    return _ULAW_DECODE[arr]
+
+
+def mulaw_encode(samples: np.ndarray) -> bytes:
+    """int linear samples -> 8-bit mu-law codes (vectorized Sun
+    linear2ulaw: clip, bias, segment search, mantissa, invert)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = np.searchsorted(_ULAW_SEG_END, mag, side="left")
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+
+
 def wav_header(raw: bytes) -> dict | None:
     """Strict header walk; returns fmt/data locations or None."""
     if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -47,14 +89,23 @@ def wav_header(raw: bytes) -> dict | None:
                 return None
             (audio_fmt, channels, sample_rate, byte_rate, block_align,
              bits) = struct.unpack("<HHIIHH", raw[pos + 8:pos + 24])
-            if audio_fmt != 1 or channels == 0 or bits not in (8, 16):
-                return None  # integer PCM only
+            if channels == 0:
+                return None
+            if audio_fmt == 1:  # integer PCM
+                if bits not in (8, 16):
+                    return None
+            elif audio_fmt == 7:  # G.711 mu-law: 8-bit codes only
+                if bits != 8:
+                    return None
+            else:
+                return None
             if block_align != channels * bits // 8:
                 return None
             if byte_rate != sample_rate * block_align:
                 return None
             fmt = {"channels": channels, "sample_rate": sample_rate,
-                   "bits": bits, "block_align": block_align}
+                   "bits": bits, "block_align": block_align,
+                   "codec": "ulaw" if audio_fmt == 7 else "pcm"}
         elif cid == b"data":
             if data is not None or fmt is None:
                 return None
@@ -74,7 +125,9 @@ def wav_decode(raw: bytes) -> dict | None:
     if hd is None:
         return None
     body = raw[hd["data_pos"]:hd["data_pos"] + hd["data_size"]]
-    if hd["bits"] == 16:
+    if hd["codec"] == "ulaw":
+        samples = mulaw_decode(body)
+    elif hd["bits"] == 16:
         samples = np.frombuffer(body, dtype="<i2").astype(np.int32)
     else:  # 8-bit WAV is unsigned, centered at 128
         samples = np.frombuffer(body, dtype=np.uint8).astype(np.int32) - 128
@@ -82,20 +135,30 @@ def wav_decode(raw: bytes) -> dict | None:
                                              hd["channels"])}
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
-    """(n, channels) integer samples -> a strict little-endian PCM WAV."""
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16,
+               codec: str = "pcm") -> bytes:
+    """(n, channels) integer samples -> a strict little-endian WAV.
+    ``codec="pcm"`` stores the integers as-is (8/16-bit); ``"ulaw"``
+    companded-encodes LINEAR samples to G.711 8-bit codes (fmt tag 7) —
+    lossy by design, quantized to the mu-law grid."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
     n, channels = arr.shape
-    if bits == 16:
+    if codec == "ulaw":
+        bits = 8
+        fmt_tag = 7
+        body = mulaw_encode(arr.reshape(-1))
+    elif bits == 16:
+        fmt_tag = 1
         body = arr.astype("<i2").tobytes()
     elif bits == 8:
+        fmt_tag = 1
         body = (arr + 128).astype(np.uint8).tobytes()
     else:
         raise ValueError("bits must be 8 or 16")
     block_align = channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body
@@ -111,19 +174,24 @@ WAV_SAMPLE_CAP = 256
 
 
 def wav_roundtrip(docs: DataFrame) -> DataFrame:
-    """Value-level audio gate: per ASCII document, synthesize a 16-bit
-    mono PCM WAV whose samples are (byte - 128) of the first
-    ``WAV_SAMPLE_CAP`` text bytes, encode it, strictly re-parse it with
-    the real RIFF walk, and emit integer features of the DECODED samples
-    (count, sum of squares, peak |value|, zero crossings, and a
-    position-weighted sum ``sum((pos+1) * sample)``). The LAST column is
-    what pins the decoded sample ORDER on this fabric: ASCII bytes are
-    32..126, so every sample is negative and zero_crossings is
-    identically 0 here (kept because it is the standard audio feature and
-    non-vacuous on 16-bit corpora); swapping any two unequal samples
-    changes pos_weighted. Integer PCM round-trips losslessly, so the oracle predicts
-    every column from the text alone — a hash match proves the encoder
-    layout and the strict parser agree byte-for-byte. Map-side only, no
+    """Value-level audio gate: per ASCII document, synthesize a mono WAV
+    whose LINEAR samples are (byte - 128) of the first
+    ``WAV_SAMPLE_CAP`` text bytes — 16-bit PCM for even doc_ids, G.711
+    MU-LAW (fmt tag 7, r11) for odd ones — encode it, strictly re-parse
+    it with the real RIFF walk, decode (LUT expansion on the mu-law
+    leg), and emit integer features of the DECODED samples (count, sum
+    of squares, peak |value|, zero crossings, and a position-weighted
+    sum ``sum((pos+1) * sample)`` that pins sample ORDER). PCM
+    round-trips losslessly; mu-law quantizes to the companding grid —
+    ASCII magnitudes all land in segment 0, where the quantized value
+    has the closed form ``8 * ((132 + |v|) // 8) - 128``, so the oracle
+    still predicts every column from the text alone.  Samples with
+    |v| < 4 decode to exactly 0 on the mu-law leg — the corpus fabric
+    (lowercase + space, |v| >= 6) never produces one, so the gate's
+    zero_crossings stays 0 there; the 0-decode sign flip is pinned by
+    ``test_wav_gate_mulaw_leg_quantizes_and_crosses_zero`` instead.
+    A hash match proves encoder layout, strict parser, AND the
+    bit-exact Sun/CCITT companding tables agree. Map-side only, no
     shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,52 +201,65 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
                 raw = text.encode("utf-8")[:WAV_SAMPLE_CAP]
                 samples = np.frombuffer(raw, dtype=np.uint8).astype(
                     np.int32) - 128
-                wav = encode_wav(samples, WAV_RATE)
+                codec = "ulaw" if doc_id % 2 else "pcm"
+                wav = encode_wav(samples, WAV_RATE, codec=codec)
                 dec = wav_decode(wav)
-                if dec is None or dec["n_samples"] != len(samples):
+                if (dec is None or dec["n_samples"] != len(samples)
+                        or dec["codec"] != codec):
                     raise AssertionError(
                         f"wav round-trip diverged for doc {doc_id}")
                 s = dec["samples"][:, 0].astype(np.int64)
                 nonneg = s >= 0
                 zc = int((nonneg[1:] != nonneg[:-1]).sum())
                 pw = int((np.arange(1, len(s) + 1, dtype=np.int64) * s).sum())
-                rows.append((doc_id, dec["n_samples"], dec["sample_rate"],
-                             dec["channels"], dec["bits"],
+                rows.append((doc_id, codec, dec["n_samples"],
+                             dec["sample_rate"], dec["channels"],
+                             dec["bits"],
                              int((s * s).sum()), int(np.abs(s).max()), zc,
                              pw))
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "n_samples", "sample_rate", "channels", "bits",
-                "sum_sq", "peak", "zero_crossings", "pos_weighted"])
+                "doc_id", "codec", "n_samples", "sample_rate", "channels",
+                "bits", "sum_sq", "peak", "zero_crossings", "pos_weighted"])
 
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
                     & (F.length("text") >= 1))
         .select("doc_id", "text")
-        .mapInPandas(run, "doc_id bigint, n_samples bigint, "
+        .mapInPandas(run, "doc_id bigint, codec string, n_samples bigint, "
                           "sample_rate bigint, channels bigint, "
                           "bits bigint, sum_sq bigint, peak bigint, "
                           "zero_crossings bigint, pos_weighted bigint")
     )
 
 
+# the mu-law quantization closed form below is the SEGMENT-0 branch of
+# G.711 — valid because ASCII gives |v| <= 96 (biased magnitude <= 228 <
+# 256); the WHERE filter is what guarantees that domain
 WAV_ROUNDTRIP_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, substring(text, 1, {WAV_SAMPLE_CAP}) AS t
     FROM documents
     WHERE length(text) = octet_length(encode(text)) AND length(text) >= 1
-), s AS (
-    SELECT doc_id, pos, ascii(substring(t, pos, 1)) - 128 AS v
+), s0 AS (
+    SELECT doc_id, pos, ascii(substring(t, pos, 1)) - 128 AS v0
     FROM t, unnest(range(1, length(t) + 1)) AS u(pos)
+), s AS (
+    SELECT doc_id, pos,
+           CASE WHEN doc_id % 2 = 1
+                THEN -(8 * ((132 - v0) // 8) - 128)
+                ELSE v0 END AS v
+    FROM s0
 ), s2 AS (
     SELECT doc_id, pos, v,
            lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
     FROM s
 )
 SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'ulaw' ELSE 'pcm' END AS codec,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST({WAV_RATE} AS BIGINT) AS sample_rate,
        CAST(1 AS BIGINT) AS channels,
-       CAST(16 AS BIGINT) AS bits,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 16 END AS BIGINT) AS bits,
        CAST(sum(v * v) AS BIGINT) AS sum_sq,
        CAST(max(abs(v)) AS BIGINT) AS peak,
        CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))

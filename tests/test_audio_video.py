@@ -83,20 +83,39 @@ def test_mjpeg_sample_fanout_cardinality(spark):
 
 
 def test_wav_pos_weighted_pins_sample_order(spark):
-    """ADVICE r9: on the ASCII gate fabric every sample is negative, so
-    zero_crossings is identically 0 — pos_weighted is the order pin:
-    same byte multiset, different order => different value."""
+    """ADVICE r9: on the PCM leg every ASCII sample is negative, so
+    zero_crossings is 0 there — pos_weighted is the order pin: same byte
+    multiset, different order => different value. Even doc_ids keep the
+    PCM leg (odd ones are mu-law since r11)."""
     from obadiah_spark.pipelines.audio import wav_roundtrip
 
-    docs = spark.createDataFrame([(0, "ab"), (1, "ba")],
+    docs = spark.createDataFrame([(0, "ab"), (2, "ba")],
                                  "doc_id bigint, text string")
     out = wav_roundtrip(docs).toPandas().set_index("doc_id")
-    assert out.loc[0, "sum_sq"] == out.loc[1, "sum_sq"]
+    assert (out.codec == "pcm").all()
+    assert out.loc[0, "sum_sq"] == out.loc[2, "sum_sq"]
     assert (out.zero_crossings == 0).all()
     a, b = ord("a") - 128, ord("b") - 128
     assert out.loc[0, "pos_weighted"] == 1 * a + 2 * b
-    assert out.loc[1, "pos_weighted"] == 1 * b + 2 * a
-    assert out.loc[0, "pos_weighted"] != out.loc[1, "pos_weighted"]
+    assert out.loc[2, "pos_weighted"] == 1 * b + 2 * a
+    assert out.loc[0, "pos_weighted"] != out.loc[2, "pos_weighted"]
+
+
+def test_wav_gate_mulaw_leg_quantizes_and_crosses_zero(spark):
+    """Odd doc_ids run G.711: samples quantize to the companding grid
+    ('a','b' both land on -32), and quiet bytes (|v| < 4, e.g. '~')
+    decode to exactly 0 — making zero_crossings genuinely non-vacuous
+    on this fabric for the first time."""
+    from obadiah_spark.pipelines.audio import wav_roundtrip
+
+    docs = spark.createDataFrame([(1, "ab"), (3, "a~a")],
+                                 "doc_id bigint, text string")
+    out = wav_roundtrip(docs).toPandas().set_index("doc_id")
+    assert (out.codec == "ulaw").all() and (out.bits == 8).all()
+    assert out.loc[1, "sum_sq"] == 32 * 32 * 2    # both quantize to -32
+    # 'a' -> -32, '~' (126) -> v=-2 -> decodes to 0: two sign flips
+    assert out.loc[3, "zero_crossings"] == 2
+    assert out.loc[3, "pos_weighted"] == 1 * -32 + 2 * 0 + 3 * -32
 
 
 def test_mjpeg_strictness():
@@ -106,3 +125,57 @@ def test_mjpeg_strictness():
     assert mjpeg_unpack(blob[:-2]) is None       # truncated frame
     assert mjpeg_unpack(b"MJPG\x02\x00\x00\x00") is None  # missing frames
     assert mjpeg_unpack(b"AVI \x00\x00\x00\x00") is None  # wrong magic
+
+
+def test_mulaw_code_domain_idempotent():
+    """encode(decode(c)) == c for all 256 codes except -0 (0x7F), which
+    canonicalizes to +0 (0xFF) — both decode to 0."""
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import mulaw_decode, mulaw_encode
+    codes = np.arange(256, dtype=np.uint8)
+    dec = mulaw_decode(codes.tobytes())
+    re = np.frombuffer(mulaw_encode(dec), dtype=np.uint8)
+    bad = [c for c in range(256) if re[c] != c]
+    assert bad == [0x7F] and dec[0x7F] == 0 and re[0x7F] == 0xFF
+
+
+def test_mulaw_quantization_closed_form_ascii_domain():
+    """The oracle's segment-0 closed form must equal the real table
+    composition for every ASCII-derived sample."""
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import mulaw_decode, mulaw_encode
+    for b in range(32, 127):
+        v = b - 128
+        got = int(mulaw_decode(mulaw_encode(np.array([v])))[0])
+        assert got == -(8 * ((132 - v) // 8) - 128), v
+
+
+def test_mulaw_full_range_monotone_and_bounded():
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import mulaw_decode, mulaw_encode
+    xs = np.arange(-32768, 32768, 7)
+    q = mulaw_decode(mulaw_encode(xs))
+    assert int(np.abs(q).max()) <= 32124   # G.711 ceiling
+    assert np.all(np.diff(q) >= 0)         # companding is monotone
+
+
+def test_wav_mulaw_roundtrip_and_strictness():
+    import struct
+
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import (mulaw_decode, mulaw_encode,
+                                               encode_wav, wav_decode)
+    s = (np.arange(64) * 37 % 193 - 96).astype(np.int32)
+    wav = encode_wav(s, 8000, codec="ulaw")
+    d = wav_decode(wav)
+    assert d is not None and d["codec"] == "ulaw" and d["bits"] == 8
+    assert np.array_equal(d["samples"][:, 0],
+                          mulaw_decode(mulaw_encode(s)))
+    # fmt tag 7 with bits != 8 is malformed
+    bad = bytearray(wav)
+    bad[12 + 8 + 14:12 + 8 + 16] = struct.pack("<H", 16)
+    assert wav_decode(bytes(bad)) is None
