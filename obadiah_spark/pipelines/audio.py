@@ -68,6 +68,56 @@ def mulaw_encode(samples: np.ndarray) -> bytes:
     return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
 
 
+# G.711 A-law (the European companding sibling; fmt tag 6). Unlike
+# mu-law there is no bias and no double zero code — encode(decode(c))
+# == c for ALL 256 codes (pytest-pinned). Decoded magnitudes occupy the
+# 13-bit grid scaled to the 16-bit domain (±32256 max).
+_ALAW_XOR = 0x55
+
+
+def _build_alaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.int32)
+    for code in range(256):
+        a = code ^ _ALAW_XOR
+        seg = (a & 0x70) >> 4
+        mant = a & 0x0F
+        if seg == 0:
+            t = (mant << 4) + 8
+        else:
+            t = ((mant << 4) + 0x108) << (seg - 1)
+        out[code] = -t if (a & 0x80) == 0 else t
+    return out
+
+
+_ALAW_DECODE = _build_alaw_table()
+
+
+def alaw_decode(codes: bytes | np.ndarray) -> np.ndarray:
+    """8-bit A-law codes -> int32 linear samples (±32256 max)."""
+    arr = np.frombuffer(codes, dtype=np.uint8) if isinstance(
+        codes, (bytes, bytearray)) else np.asarray(codes, dtype=np.uint8)
+    return _ALAW_DECODE[arr]
+
+
+_ALAW_SEG_END = np.array(
+    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF],
+    dtype=np.int64)
+
+
+def alaw_encode(samples: np.ndarray) -> bytes:
+    """int linear samples -> 8-bit A-law codes (vectorized Sun
+    linear2alaw: sign, segment search on the unbiased magnitude,
+    mantissa, 0x55 toggle)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.where(x >= 0, x, -x - 1), 0x7FFF)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+    mant = np.where(seg < 2, (mag >> 4) & 0x0F,
+                    (mag >> (seg + 3)) & 0x0F)
+    return (((sign | (seg << 4) | mant) ^ _ALAW_XOR)
+            .astype(np.uint8).tobytes())
+
+
 def wav_header(raw: bytes) -> dict | None:
     """Strict header walk; returns fmt/data locations or None."""
     if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -94,7 +144,7 @@ def wav_header(raw: bytes) -> dict | None:
             if audio_fmt == 1:  # integer PCM
                 if bits not in (8, 16):
                     return None
-            elif audio_fmt == 7:  # G.711 mu-law: 8-bit codes only
+            elif audio_fmt in (6, 7):  # G.711 A-law / mu-law: 8-bit codes
                 if bits != 8:
                     return None
             else:
@@ -105,7 +155,7 @@ def wav_header(raw: bytes) -> dict | None:
                 return None
             fmt = {"channels": channels, "sample_rate": sample_rate,
                    "bits": bits, "block_align": block_align,
-                   "codec": "ulaw" if audio_fmt == 7 else "pcm"}
+                   "codec": {1: "pcm", 6: "alaw", 7: "ulaw"}[audio_fmt]}
         elif cid == b"data":
             if data is not None or fmt is None:
                 return None
@@ -127,6 +177,8 @@ def wav_decode(raw: bytes) -> dict | None:
     body = raw[hd["data_pos"]:hd["data_pos"] + hd["data_size"]]
     if hd["codec"] == "ulaw":
         samples = mulaw_decode(body)
+    elif hd["codec"] == "alaw":
+        samples = alaw_decode(body)
     elif hd["bits"] == 16:
         samples = np.frombuffer(body, dtype="<i2").astype(np.int32)
     else:  # 8-bit WAV is unsigned, centered at 128
@@ -138,9 +190,10 @@ def wav_decode(raw: bytes) -> dict | None:
 def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16,
                codec: str = "pcm") -> bytes:
     """(n, channels) integer samples -> a strict little-endian WAV.
-    ``codec="pcm"`` stores the integers as-is (8/16-bit); ``"ulaw"``
-    companded-encodes LINEAR samples to G.711 8-bit codes (fmt tag 7) —
-    lossy by design, quantized to the mu-law grid."""
+    ``codec="pcm"`` stores the integers as-is (8/16-bit); ``"ulaw"`` /
+    ``"alaw"`` companded-encode LINEAR samples to G.711 8-bit codes
+    (fmt tags 7 / 6) — lossy by design, quantized to the companding
+    grid."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -149,6 +202,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16,
         bits = 8
         fmt_tag = 7
         body = mulaw_encode(arr.reshape(-1))
+    elif codec == "alaw":
+        bits = 8
+        fmt_tag = 6
+        body = alaw_encode(arr.reshape(-1))
     elif bits == 16:
         fmt_tag = 1
         body = arr.astype("<i2").tobytes()

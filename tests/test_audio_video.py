@@ -104,8 +104,9 @@ def test_wav_pos_weighted_pins_sample_order(spark):
 def test_wav_gate_mulaw_leg_quantizes_and_crosses_zero(spark):
     """Odd doc_ids run G.711: samples quantize to the companding grid
     ('a','b' both land on -32), and quiet bytes (|v| < 4, e.g. '~')
-    decode to exactly 0 — making zero_crossings genuinely non-vacuous
-    on this fabric for the first time."""
+    decode to exactly 0, flipping the sign — the corpus fabric
+    (lowercase + space) never produces such a byte, so this pin, not
+    the gate hash, carries the 0-decode behavior."""
     from obadiah_spark.pipelines.audio import wav_roundtrip
 
     docs = spark.createDataFrame([(1, "ab"), (3, "a~a")],
@@ -179,3 +180,30 @@ def test_wav_mulaw_roundtrip_and_strictness():
     bad = bytearray(wav)
     bad[12 + 8 + 14:12 + 8 + 16] = struct.pack("<H", 16)
     assert wav_decode(bytes(bad)) is None
+
+
+def test_alaw_code_domain_fully_idempotent():
+    """A-law has no double-zero: encode(decode(c)) == c for ALL 256
+    codes; the grid is monotone with the 32256 G.711 ceiling."""
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import alaw_decode, alaw_encode
+    codes = np.arange(256, dtype=np.uint8)
+    dec = alaw_decode(codes.tobytes())
+    re = np.frombuffer(alaw_encode(dec), dtype=np.uint8)
+    assert np.array_equal(re, codes)
+    xs = np.arange(-32768, 32768, 7)
+    q = alaw_decode(alaw_encode(xs))
+    assert int(np.abs(q).max()) <= 32256
+    assert np.all(np.diff(q) >= 0)
+
+
+def test_wav_alaw_roundtrip_fmt_tag_6():
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import (alaw_decode, alaw_encode,
+                                               encode_wav, wav_decode)
+    s = (np.arange(80) * 53 % 4001 - 2000).astype(np.int32)
+    d = wav_decode(encode_wav(s, 8000, codec="alaw"))
+    assert d is not None and d["codec"] == "alaw" and d["bits"] == 8
+    assert np.array_equal(d["samples"][:, 0], alaw_decode(alaw_encode(s)))
