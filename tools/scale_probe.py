@@ -282,6 +282,12 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
           .agg(F.max("top_2gram_char_frac"), F.sum("n_words")).collect())
     timed("pii_scrub", lambda: pii_gate_frame(docs)
           .agg(F.max("redacted_md5"), F.sum("n_ips")).collect())
+    # the 4-codec round-trip (BMP/PPM/PNG/GIF since r11 — the GIF leg's
+    # LZW decode rides inside this line)
+    from obadiah_spark.pipelines.multimodal import codec_roundtrip
+
+    timed("codec_roundtrip", lambda: codec_roundtrip(docs)
+          .agg(F.max("px_md5")).collect())
     return out
 
 
