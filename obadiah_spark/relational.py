@@ -152,12 +152,15 @@ WHERE rk <= 3
 """
 
 
-def sessionize_events(spark: SparkSession, gap_minutes: int = 30) -> DataFrame:
+def sessionize_events(spark: SparkSession, gap_minutes: int = 30,
+                      events: DataFrame | None = None) -> DataFrame:
     """Sessionization of the events stream per user: a session breaks after a
     gap > ``gap_minutes``. Gaps-and-islands = lag + cumulative sum — the same
     pattern the reference uses for eras (db/bitfinex_schema.sql:332-340) and
-    crossed-book islands (db/obanalytics_schema.sql:1183-1216)."""
-    ev = spark.table("events")
+    crossed-book islands (db/obanalytics_schema.sql:1183-1216).
+    ``events`` overrides the catalog view (tests pass a frame directly so
+    they don't clobber the session-scoped ``events`` view)."""
+    ev = spark.table("events") if events is None else events
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)

@@ -76,8 +76,7 @@ def _batch_sessions(spark, rows):
     df = spark.createDataFrame(rows, EVENTS_IN_SCHEMA).select(
         "event_id", F.timestamp_micros("ts_us").alias("ts"),
         "user_id", "value")
-    df.createOrReplaceTempView("events")
-    out = sessionize_events(spark, gap_minutes=GAP_MIN).select(
+    out = sessionize_events(spark, gap_minutes=GAP_MIN, events=df).select(
         "user_id", "session_no",
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
