@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 # bit-exact to the CCITT reference.
 _ULAW_BIAS = 0x84
 _ULAW_CLIP = 32635
-_ULAW_SEG_END = np.array(
+# the 8-segment grid is shared by both G.711 laws
+_G711_SEG_END = np.array(
     [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF],
     dtype=np.int64)
 
@@ -63,7 +64,7 @@ def mulaw_encode(samples: np.ndarray) -> bytes:
     x = np.asarray(samples, dtype=np.int64)
     sign = np.where(x < 0, 0x80, 0)
     mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
-    seg = np.searchsorted(_ULAW_SEG_END, mag, side="left")
+    seg = np.searchsorted(_G711_SEG_END, mag, side="left")
     mant = (mag >> (seg + 3)) & 0x0F
     return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
 
@@ -99,11 +100,6 @@ def alaw_decode(codes: bytes | np.ndarray) -> np.ndarray:
     return _ALAW_DECODE[arr]
 
 
-_ALAW_SEG_END = np.array(
-    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF],
-    dtype=np.int64)
-
-
 def alaw_encode(samples: np.ndarray) -> bytes:
     """int linear samples -> 8-bit A-law codes (vectorized Sun
     linear2alaw: sign, segment search on the unbiased magnitude,
@@ -111,7 +107,7 @@ def alaw_encode(samples: np.ndarray) -> bytes:
     x = np.asarray(samples, dtype=np.int64)
     sign = np.where(x >= 0, 0x80, 0)
     mag = np.minimum(np.where(x >= 0, x, -x - 1), 0x7FFF)
-    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+    seg = np.searchsorted(_G711_SEG_END, mag, side="left")
     mant = np.where(seg < 2, (mag >> 4) & 0x0F,
                     (mag >> (seg + 3)) & 0x0F)
     return (((sign | (seg << 4) | mant) ^ _ALAW_XOR)
@@ -258,7 +254,9 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
                 raw = text.encode("utf-8")[:WAV_SAMPLE_CAP]
                 samples = np.frombuffer(raw, dtype=np.uint8).astype(
                     np.int32) - 128
-                codec = "ulaw" if doc_id % 2 else "pcm"
+                # doc_id % 2 != 0 (not == 1): Python and SQL disagree
+                # on the SIGN of a negative modulo, != 0 agrees on both
+                codec = "ulaw" if doc_id % 2 != 0 else "pcm"
                 wav = encode_wav(samples, WAV_RATE, codec=codec)
                 dec = wav_decode(wav)
                 if (dec is None or dec["n_samples"] != len(samples)
@@ -280,7 +278,12 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
 
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
-                    & (F.length("text") >= 1))
+                    & (F.length("text") >= 1)
+                    # printable ASCII only: control bytes 0x00-0x04 pass
+                    # the octet_length check but their mu-law magnitude
+                    # leaves companding segment 0, where the oracle's
+                    # closed form no longer holds
+                    & ~F.col("text").rlike("[^ -~]"))
         .select("doc_id", "text")
         .mapInPandas(run, "doc_id bigint, codec string, n_samples bigint, "
                           "sample_rate bigint, channels bigint, "
@@ -290,19 +293,24 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
 
 
 # the mu-law quantization closed form below is the SEGMENT-0 branch of
-# G.711 — valid because ASCII gives |v| <= 96 (biased magnitude <= 228 <
-# 256); the WHERE filter is what guarantees that domain
+# G.711 — valid because PRINTABLE ASCII gives |v| <= 96 (biased
+# magnitude <= 228 < 256). octet_length alone does NOT guarantee that
+# (control bytes 0x00-0x04 are single-byte but land in segment 1), so
+# both sides filter to the printable range explicitly. doc_id % 2 <> 0
+# rather than = 1: Python and SQL disagree on a negative modulo's sign;
+# <> 0 selects the same rows on both engines.
 WAV_ROUNDTRIP_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, substring(text, 1, {WAV_SAMPLE_CAP}) AS t
     FROM documents
     WHERE length(text) = octet_length(encode(text)) AND length(text) >= 1
+      AND NOT regexp_matches(text, '[^ -~]')
 ), s0 AS (
     SELECT doc_id, pos, ascii(substring(t, pos, 1)) - 128 AS v0
     FROM t, unnest(range(1, length(t) + 1)) AS u(pos)
 ), s AS (
     SELECT doc_id, pos,
-           CASE WHEN doc_id % 2 = 1
+           CASE WHEN doc_id % 2 <> 0
                 THEN -(8 * ((132 - v0) // 8) - 128)
                 ELSE v0 END AS v
     FROM s0
@@ -312,11 +320,11 @@ WITH t AS (
     FROM s
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 1 THEN 'ulaw' ELSE 'pcm' END AS codec,
+       CASE WHEN doc_id % 2 <> 0 THEN 'ulaw' ELSE 'pcm' END AS codec,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST({WAV_RATE} AS BIGINT) AS sample_rate,
        CAST(1 AS BIGINT) AS channels,
-       CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+       CAST(CASE WHEN doc_id % 2 <> 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
        CAST(sum(v * v) AS BIGINT) AS sum_sq,
        CAST(max(abs(v)) AS BIGINT) AS peak,
        CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))

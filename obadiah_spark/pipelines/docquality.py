@@ -377,20 +377,21 @@ def corpus_clean(docs: DataFrame, dup_n: int = DUP_NGRAM_N) -> DataFrame:
     Output: doc_id, n_words, keep reasons, redacted_md5, redacted_len."""
     from obadiah_spark.pipelines.dedup import exact_dedup
 
-    dd = exact_dedup(docs).select("doc_id", "is_duplicate")
-    gq = gopher_quality(docs, dup_n=dup_n).select(
-        "doc_id", "n_words", "keep")
-    scrubbed = pii_scrub(docs).select(
-        "doc_id",
-        F.md5("redacted").alias("redacted_md5"),
-        F.length("redacted").alias("redacted_len"))
-    return (
-        docs.select("doc_id")
-        .join(dd, "doc_id")
-        .join(gq, "doc_id")
-        .join(scrubbed, "doc_id")
+    # exact_dedup is one row per doc_id, so it IS the base frame (no
+    # extra docs scan); the survivor filter runs BEFORE the scrub join
+    # so the three regex passes + md5 only touch kept documents
+    survivors = (
+        exact_dedup(docs).select("doc_id", "is_duplicate")
+        .join(gopher_quality(docs, dup_n=dup_n)
+              .select("doc_id", "n_words", "keep"), "doc_id")
         .filter(~F.col("is_duplicate") & F.col("keep"))
-        .select("doc_id", "n_words", "redacted_md5", "redacted_len")
+        .select("doc_id", "n_words")
+    )
+    return (
+        pii_scrub(docs.join(survivors, "doc_id"))
+        .select("doc_id", "n_words",
+                F.md5("redacted").alias("redacted_md5"),
+                F.length("redacted").alias("redacted_len"))
     )
 
 

@@ -14,9 +14,13 @@ not exist on streaming frames, so the operator re-expresses as
   row — append-sink compatible, no retraction needed) and opens the
   next;
 - a FLUSH sentinel (``event_id < 0``) closes and emits whatever is open
-  — the replay-end marker a bounded differential needs; a production
-  deployment would instead use a state timeout or simply leave the last
-  session open (it is, by definition, still in progress).
+  at its event-time position (later events in the same micro-batch open
+  a fresh session) — the replay-end marker a bounded differential
+  needs; a production deployment would instead use ``state_timeout``
+  (idle users are then emitted-and-evicted when the timeout fires;
+  numbering restarts if they return — the documented price of bounding
+  state) or simply leave the last session open (it is, by definition,
+  still in progress).
 
 ORDER CONTRACT: within one micro-batch the fold sorts; ACROSS
 micro-batches each user's events must arrive in non-decreasing event
@@ -32,10 +36,13 @@ double multiply first, then HALF_UP on the exact decimal expansion of
 the product (java.math.BigDecimal(double) semantics) — proven by the
 batch-vs-stream differential over the driver events fabric.
 
-Scale posture: state is O(1) per active user (five scalars — NOT the
-session's events); the only shuffle is the groupBy on user_id, the same
+Scale posture: state is five scalars per EVER-SEEN user (not the
+session's events — the counter survives a flush so numbering stays
+batch-parallel); the only shuffle is the groupBy on user_id, the same
 key the batch window partitions by. At 100 TB the operator is a single
-keyed stateful pass; idle users would be bounded with a state timeout.
+keyed stateful pass; ``state_timeout`` bounds state to ACTIVE users by
+emitting-and-evicting idle ones (numbering continuity across the idle
+gap is the trade).
 
 Registered as a driver gate in r12 (the r11 rotation window is at its
 50-slot cap); until then the batch≡stream differentials in
@@ -82,13 +89,9 @@ def _cents(value: float) -> int:
     return int(Decimal(p).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
-                      state_timeout: str | None = None) -> DataFrame:
-    """Per-user session windows over a (streaming or batch) frame with
-    columns ``event_id, ts_us, user_id, value``. Emits one row per
-    CLOSED session; ``event_id < 0`` rows are flush sentinels."""
-    gap_us = gap_minutes * 60 * 1_000_000
-
+def _fold_factory(gap_us: int, state_timeout: str | None):
+    """The per-key stateful fold, exposed for direct unit tests (the
+    GroupState protocol is five methods — tests drive it with a fake)."""
     def fold(key: tuple, pdfs: Iterable[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
@@ -97,37 +100,71 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
         else:
             sess_no, start, end, n, cents = 0, None, None, 0, 0
         out = []
-        flush = False
+        if state.hasTimedOut:
+            # idle eviction: close and emit whatever is open, then drop
+            # the state row entirely. Numbering restarts at 1 if the
+            # user ever returns — the documented price of bounding
+            # state (the batch operator, which sees all history, keeps
+            # counting; parity holds only for users that never time
+            # out).
+            if start is not None:
+                out.append((user_id, sess_no, start, end, n, cents))
+            state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in SESSIONS_SCHEMA])
+            return
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_us", "event_id"])
             for ev_id, ts, val in zip(pdf["event_id"], pdf["ts_us"],
                                       pdf["value"]):
                 if int(ev_id) < 0:
-                    flush = True
+                    # flush sentinel, applied IN EVENT-TIME POSITION:
+                    # close whatever is open here; later events in the
+                    # same micro-batch start a fresh session
+                    if start is not None:
+                        out.append((user_id, sess_no, start, end, n,
+                                    cents))
+                        start, end, n, cents = None, None, 0, 0
                     continue
                 ts = int(ts)
+                # the batch operator's F.sum(_cents(value)) skips NULLs
+                # and is itself NULL when every value in the session is
+                # NULL; mirror both (count the event either way)
+                c = None if pd.isna(val) else _cents(val)
                 if start is None:
                     sess_no, start, end, n, cents = (
-                        sess_no + 1, ts, ts, 1, _cents(val))
+                        sess_no + 1, ts, ts, 1, c)
                 elif ts - end > gap_us:
                     out.append((user_id, sess_no, start, end, n, cents))
                     sess_no, start, end, n, cents = (
-                        sess_no + 1, ts, ts, 1, _cents(val))
+                        sess_no + 1, ts, ts, 1, c)
                 else:
                     end = ts
                     n += 1
-                    cents += _cents(val)
-        if flush and start is not None:
-            out.append((user_id, sess_no, start, end, n, cents))
-            # keep the counter so a session after a flush continues the
-            # batch numbering; only the open-session fields reset
-            start, end, n, cents = None, None, 0, 0
-        state.update((int(sess_no), start, end, int(n), int(cents)))
-        if state_timeout is not None and start is not None:
+                    if c is not None:
+                        cents = c if cents is None else cents + c
+        # the session_no counter must survive a flush so later sessions
+        # continue the batch numbering — so the state row persists for
+        # ever-seen users under NoTimeout (O(ever-seen users), five
+        # scalars each); pass state_timeout to bound it at the cost of
+        # numbering continuity across the idle gap
+        state.update((int(sess_no), start, end, int(n),
+                      None if cents is None else int(cents)))
+        if state_timeout is not None:
             state.setTimeoutDuration(state_timeout)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SESSIONS_SCHEMA])
 
+    return fold
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      state_timeout: str | None = None) -> DataFrame:
+    """Per-user session windows over a (streaming or batch) frame with
+    columns ``event_id, ts_us, user_id, value``. Emits one row per
+    CLOSED session; ``event_id < 0`` rows are flush sentinels."""
+    fold = _fold_factory(gap_minutes * 60 * 1_000_000, state_timeout)
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if state_timeout is not None else GroupStateTimeout.NoTimeout)
     return (

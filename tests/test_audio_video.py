@@ -207,3 +207,17 @@ def test_wav_alaw_roundtrip_fmt_tag_6():
     d = wav_decode(encode_wav(s, 8000, codec="alaw"))
     assert d is not None and d["codec"] == "alaw" and d["bits"] == 8
     assert np.array_equal(d["samples"][:, 0], alaw_decode(alaw_encode(s)))
+
+
+def test_wav_gate_excludes_control_bytes(spark):
+    """Bytes 0x00-0x04 are single-byte (pass octet_length) but their
+    mu-law magnitude leaves companding segment 0, where the oracle's
+    closed form breaks — the gate filters to printable ASCII on BOTH
+    sides, so such docs produce no row rather than a hash mismatch."""
+    from obadiah_spark.pipelines.audio import wav_roundtrip
+
+    docs = spark.createDataFrame(
+        [(1, "ok text"), (3, "bad\x01byte"), (5, "nul\x00")],
+        "doc_id bigint, text string")
+    out = wav_roundtrip(docs).toPandas()
+    assert set(out.doc_id) == {1}

@@ -135,3 +135,103 @@ def test_cents_rounding_matches_spark(spark):
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c"))
     got = [r.c for r in df.collect()]
     assert got == [_cents(v) for v in vals]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the fold directly."""
+
+    def __init__(self, row=None, timed_out=False):
+        self._row = row
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._row is not None
+
+    @property
+    def get(self):
+        return self._row
+
+    def update(self, row):
+        self._row = tuple(row)
+
+    def remove(self):
+        self._row = None
+        self.removed = True
+
+    def setTimeoutDuration(self, d):
+        self.timeout_set = d
+
+
+def _run_fold(fold, user, rows, state):
+    cols = ["event_id", "ts_us", "user_id", "value"]
+    pdfs = [pd.DataFrame(rows, columns=cols)] if rows else []
+    out = list(fold((user,), iter(pdfs), state))
+    return ([tuple(r) for r in out[0].itertuples(index=False)]
+            if out else [])
+
+
+def test_fold_timeout_emits_open_session_and_evicts():
+    """state_timeout firing closes the open session, emits it, and
+    REMOVES the state row (review finding: the first cut re-armed the
+    timeout forever and never emitted)."""
+    from obadiah_spark.streaming.sessionize_stream import _fold_factory
+    fold = _fold_factory(_GAP_US, "1 hour")
+    st = _FakeState(row=(3, 100, 200, 5, 777), timed_out=True)
+    emitted = _run_fold(fold, 9, [], st)
+    assert emitted == [(9, 3, 100, 200, 5, 777)]
+    assert st.removed and not st.exists
+
+
+def test_fold_sentinel_applies_in_event_time_position():
+    """Events sorting after a sentinel in the SAME micro-batch open a
+    fresh session instead of being folded into the flushed one."""
+    from obadiah_spark.streaming.sessionize_stream import _fold_factory
+    fold = _fold_factory(_GAP_US, None)
+    st = _FakeState()
+    rows = [(1, 1000, 7, 1.0), (2, 2000, 7, 1.0),
+            (-1, 2500, 7, 0.0),               # sentinel mid-batch
+            (3, 3000, 7, 1.0)]
+    emitted = _run_fold(fold, 7, rows, st)
+    assert emitted == [(7, 1, 1000, 2000, 2, 200)]
+    # the post-sentinel event is session 2, OPEN in state
+    assert st.get == (2, 3000, 3000, 1, 100)
+
+
+def test_fold_null_values_match_batch_sum_semantics():
+    """NULL values: skipped by the cents sum (event still counted);
+    an all-NULL session carries NULL cents — exactly F.sum's NULL
+    handling (review finding: the first cut crashed on NaN)."""
+    import math
+
+    from obadiah_spark.streaming.sessionize_stream import _fold_factory
+    fold = _fold_factory(_GAP_US, None)
+    st = _FakeState()
+    nan = float("nan")
+    rows = [(1, 1000, 4, 2.0), (2, 2000, 4, nan), (3, 3000, 4, 1.0),
+            (-1, 4000, 4, 0.0)]
+    assert _run_fold(fold, 4, rows, st) == [(4, 1, 1000, 3000, 3, 300)]
+    st2 = _FakeState()
+    rows2 = [(1, 1000, 5, nan), (2, 2000, 5, nan), (-1, 3000, 5, 0.0)]
+    out = _run_fold(fold, 5, rows2, st2)
+    assert out == [(5, 1, 1000, 2000, 2, None)] or (
+        len(out) == 1 and out[0][:5] == (5, 1, 1000, 2000, 2)
+        and (out[0][5] is None or (isinstance(out[0][5], float)
+                                   and math.isnan(out[0][5]))))
+
+
+def test_stream_null_values_equal_batch(spark, tmp_path):
+    """End-to-end: a corpus with NULL values replays to the batch
+    sessions (sum skips nulls; all-null sessions carry NULL cents)."""
+    rows = [(1, 1_000, 1, 2.0), (2, 61_000_000, 1, None),
+            (3, 122_000_000, 1, 1.0),
+            # user 2: every value null
+            (4, 1_000, 2, None), (5, 61_000_000, 2, None)]
+    batch = _batch_sessions(spark, rows)
+    streamed = _replay(spark, tmp_path, rows, chunks=2,
+                       name="sess_stream_nulls")
+    assert streamed == batch
+    u2 = [t for t in batch if t[0] == 2]
+    assert len(u2) == 1 and u2[0][5] is None   # NULL cents survives
