@@ -307,6 +307,137 @@ def _q_dedup_stream(spark, sf_dir):
     return spark.table(name).select("doc_a", "doc_b").distinct()
 
 
+def _q_sessionize_stream(spark, sf_dir):
+    """Streaming sessionization ON INGEST (r11 operator, gate r12 as
+    promised): the events table replayed as a 4-chunk file stream —
+    chunks split on the GLOBAL (ts, event_id) order, which is exactly
+    the per-key non-decreasing event-time contract the reorderer
+    (streaming/reorder.py) provides in production — through
+    ``applyInPandasWithState`` keyed on user_id, with one flush sentinel
+    per user in a final micro-batch so every session closes and emits.
+    Output must equal the batch gaps-and-islands sessions
+    (relational.sessionize_events, itself driver-green), so the oracle
+    is the same islands SQL with epoch-us bounds: the driver hashes the
+    stateful session fold, the per-row HALF_UP cents rounding, and
+    state carry across micro-batches."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.streaming.sessionize_stream import (
+        EVENTS_IN_SCHEMA, sessionize_stream)
+
+    _load(spark, sf_dir)
+    rows = sorted(
+        ((int(r.ts_us), int(r.event_id), int(r.user_id),
+          None if r.value is None else float(r.value))
+         for r in spark.table("events").select(
+             "event_id", F.unix_micros("ts").alias("ts_us"),
+             "user_id", "value").collect()))
+    users = sorted({r[2] for r in rows})
+    last = rows[-1][0]
+    chunks = 3
+    per = (len(rows) + chunks - 1) // chunks
+    parts = [rows[i * per:(i + 1) * per] for i in range(chunks)]
+    # flush sentinels (event_id < 0) in a final batch, one per user,
+    # timestamped past every event so they close the open sessions
+    parts.append([(last + 1, -1 - u, u, 0.0) for u in users])
+    work = tempfile.mkdtemp(prefix="sess_stream_gate_")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    now = time.time()
+    for i, part in enumerate(parts):
+        tbl = pa.table({
+            "event_id": pa.array([r[1] for r in part], pa.int64()),
+            "ts_us": pa.array([r[0] for r in part], pa.int64()),
+            "user_id": pa.array([r[2] for r in part], pa.int64()),
+            "value": pa.array([r[3] for r in part], pa.float64()),
+        })
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        # strictly increasing mtimes pin micro-batch replay order
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    stream = (spark.readStream.schema(EVENTS_IN_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _q_embedding_dedup_stream(spark, sf_dir):
+    """Streaming embedding near-dup ON INGEST (r11 operator, gate r12 as
+    promised): the embeddings table replayed as a 3-chunk file stream
+    through sign-LSH bucketed state (applyInPandasWithState on
+    (table, sig)) with exact in-state rescoring. With no bucket over the
+    cap the emitted pair set equals the batch
+    ``ann_lsh_pairs(min_cosine=0.45)`` at the dedup-sweep geometry —
+    pairs AND round-9 cosines (the in-state scorer folds sums in the
+    engine's SQL order) — so the oracle recomputes signatures, buckets
+    and cosines from the md5-seeded plane weights, exactly like the
+    batch ann_lsh_pairs gate."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from obadiah_spark.streaming.dedup_stream import embedding_dedup_stream
+
+    rows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")).collect())
+    work = tempfile.mkdtemp(prefix="emb_stream_gate_")
+    src = os.path.join(work, "emb")
+    os.makedirs(src)
+    per = (len(rows) + 2) // 3
+    now = time.time()
+    for i in range(3):
+        chunk = rows[i * per:(i + 1) * per]
+        tbl = pa.table({
+            "vec_id": pa.array([r[0] for r in chunk], pa.int64()),
+            # float32 elements: the source table's physical type
+            "embedding": pa.array([r[1] for r in chunk],
+                                  pa.list_(pa.float32())),
+        })
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    stream = (spark.readStream.schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"emb_stream_{uuid.uuid4().hex[:8]}"
+    q = (embedding_dedup_stream(stream, min_cosine=0.45,
+                                max_bucket_size=10_000)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # a pair colliding in several tables emits once per table with the
+    # same deterministic cosine — collapse like the batch distinct
+    return spark.table(name).select("vec_a", "vec_b", "cosine").distinct()
+
+
+def _q_corpus_clean(spark, sf_dir):
+    """The end-to-end training-shard composition (r11 operator, gate r12
+    as promised): exact dedup ∘ Gopher quality ∘ PII scrub in one
+    declarative plan; survivors only, with the scrubbed text's md5 so
+    the hash covers the whole redaction byte stream."""
+    from obadiah_spark.pipelines.docquality import corpus_clean
+
+    return corpus_clean(_docs(spark, sf_dir))
+
+
 def _q_exact_dedup(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import exact_dedup
 
@@ -531,12 +662,6 @@ def _q_tokenize_regex(spark, sf_dir):
     return tokenize_regex(_docs(spark, sf_dir))
 
 
-def _q_trading_period(spark, sf_dir):
-    from obadiah_spark.operators.trading import trading_period_fold
-
-    return trading_period_fold(_l3(spark, sf_dir), volume=0.0)
-
-
 def _q_trading_strategy(spark, sf_dir):
     """Mid-price mode (the R client's default for strategy discovery,
     reference R/obanalytics.R:800-803): the synthetic book never crosses its
@@ -722,62 +847,74 @@ def _q_get_spread_freq(spark, sf_dir):
                       frequency_s=GET_FREQ_S)
 
 
+def _variant_union(*tagged) -> DataFrame:
+    """Union the (name, frame) overload variants with a ``variant``
+    discriminator column — the merged-overload gate shape (r12
+    rotation-capacity merge, VERDICT r11 #1: one driver slot now covers
+    a whole p_frequency/p_start_time overload family; the semantics of
+    each variant are unchanged, and the hash still covers every one)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    frames = [df.withColumn("variant", F.lit(name)) for name, df in tagged]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _variant_union_oracle(**variants: str) -> str:
+    """UNION ALL of complete per-variant oracle queries, each tagged with
+    its variant name (DuckDB allows a full WITH inside a FROM subquery,
+    so every branch keeps its own level3 CTE chain)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT q.*, '{name}' AS variant FROM (\n{sql}\n) q"
+        for name, sql in variants.items())
+
+
 def _q_depth_summary(spark, sf_dir):
+    """D5 + its p_frequency / p_start_time overloads (get_schema.sql:278)
+    as ONE parameterized gate: base = full-history bps bucketing fold;
+    freq = the log resampled onto the closed-right ceiling grid first;
+    range = starting bucketed snapshot at start + change episodes in
+    (start, end] from PRUNED period folding."""
     from obadiah_spark.operators.depth import depth_summary_fold
 
-    return depth_summary_fold(_l3(spark, sf_dir))
+    l3 = _l3(spark, sf_dir)
+    return _variant_union(
+        ("base", depth_summary_fold(l3)),
+        ("freq", depth_summary_fold(l3, frequency_s=GET_FREQ_S)),
+        ("range", depth_summary_fold(l3, start=EV_START, end=EV_END)),
+    )
 
 
-def _q_depth_summary_freq(spark, sf_dir):
-    """D5 with p_frequency (get_schema.sql:278): the log resampled onto the
-    closed-right ceiling grid before the bps bucketing fold."""
-    from obadiah_spark.operators.depth import depth_summary_fold
-
-    return depth_summary_fold(_l3(spark, sf_dir), frequency_s=GET_FREQ_S)
-
-
-def _q_queues_freq(spark, sf_dir):
-    """D12 with p_frequency (get_schema.sql:623): queue states at most once
-    per grid interval."""
+def _q_queues(spark, sf_dir):
+    """D12 + overloads (get_schema.sql:623) as ONE gate: base; freq =
+    queue states at most once per grid interval; range = same range
+    convention as depth_summary."""
     from obadiah_spark.operators.resample import queues
 
-    return queues(_l3(spark, sf_dir), frequency_s=GET_FREQ_S)
+    l3 = _l3(spark, sf_dir)
+    return _variant_union(
+        ("base", queues(l3)),
+        ("freq", queues(l3, frequency_s=GET_FREQ_S)),
+        ("range", queues(l3, start=EV_START, end=EV_END)),
+    )
 
 
-def _q_depth_summary_range(spark, sf_dir):
-    """D5 with p_start_time/p_end_time (get_schema.sql:278): starting
-    bucketed snapshot at start + change episodes in (start, end] from
-    PRUNED period folding."""
-    from obadiah_spark.operators.depth import depth_summary_fold
-
-    return depth_summary_fold(_l3(spark, sf_dir), start=EV_START, end=EV_END)
-
-
-def _q_queues_range(spark, sf_dir):
-    """D12 with p_start_time/p_end_time (get_schema.sql:623): same range
-    convention as depth_summary_range."""
-    from obadiah_spark.operators.resample import queues
-
-    return queues(_l3(spark, sf_dir), start=EV_START, end=EV_END)
-
-
-def _q_trading_period_range(spark, sf_dir):
-    """T1 with p_start_time/p_end_time (get_schema.sql:729): prevailing
-    effective-price row at start + emit-on-change rows in (start, end]
-    from pruned period folding."""
+def _q_trading_period(spark, sf_dir):
+    """T1 + overloads (get_schema.sql:729) as ONE gate: base; freq = the
+    effective-price stream over the grid-resampled log, emit-on-change;
+    range = prevailing effective-price row at start + emit-on-change
+    rows in (start, end] from pruned period folding."""
     from obadiah_spark.operators.trading import trading_period_fold
 
-    return trading_period_fold(_l3(spark, sf_dir), volume=0.0,
-                               start=EV_START, end=EV_END)
-
-
-def _q_trading_period_freq(spark, sf_dir):
-    """T1 with p_frequency (get_schema.sql:729): the effective-price stream
-    over the grid-resampled log, emit-on-change."""
-    from obadiah_spark.operators.trading import trading_period_fold
-
-    return trading_period_fold(_l3(spark, sf_dir), volume=0.0,
-                               frequency_s=GET_FREQ_S)
+    l3 = _l3(spark, sf_dir)
+    return _variant_union(
+        ("base", trading_period_fold(l3, volume=0.0)),
+        ("freq", trading_period_fold(l3, volume=0.0,
+                                     frequency_s=GET_FREQ_S)),
+        ("range", trading_period_fold(l3, volume=0.0,
+                                      start=EV_START, end=EV_END)),
+    )
 
 
 def _q_order_book_takers(spark, sf_dir):
@@ -1051,12 +1188,6 @@ def _q_depth_resample(spark, sf_dir):
     from obadiah_spark.operators.resample import depth_resample
 
     return depth_resample(_l3(spark, sf_dir))
-
-
-def _q_queues(spark, sf_dir):
-    from obadiah_spark.operators.resample import queues
-
-    return queues(_l3(spark, sf_dir))
 
 
 def _q_merge_episodes(spark, sf_dir):
@@ -1393,14 +1524,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (0) NEW this round (never had a driver row — must sit inside
-        #    the window to get its first row immediately) ----------------
-        "dedup_stream": _q_dedup_stream,  # streaming replay gate (r11)
-        "gopher_quality": _q_gopher_quality,  # Gopher-rule doc quality (r11)
-        "pii_scrub": _q_pii_scrub,  # planted-PII regex redaction (r11)
-        # -- (1) rotated out of r10's 50 (last driver row: r9) — this
-        #    45-entry tail heads the window so no entry's driver row ages
+        # -- (0) NEW r12 gates (never had a driver row — must sit inside
+        #    the window to get their first row immediately): the three
+        #    operators promised in r11's docstrings. --------------------
+        "sessionize_stream": _q_sessionize_stream,
+        "corpus_clean": _q_corpus_clean,
+        "embedding_dedup_stream": _q_embedding_dedup_stream,
+        # -- (0b) merged overload families (VERDICT r11 #1: the registry
+        #    exceeded the 50-slot rotation capacity, so each
+        #    p_frequency/p_start_time family collapses 3 slots → 1 via a
+        #    variant-tagged union — values changed, so they re-verify
+        #    in-window; the retired keys were depth_summary_freq/_range,
+        #    queues_freq/_range, trading_period_freq/_range). -----------
+        "depth_summary": _q_depth_summary,
+        "queues": _q_queues,
+        "trading_period": _q_trading_period,
+        # -- (0c) r11-green but VALUES or code changed in r12 -----------
+        "wav_roundtrip": _q_wav_roundtrip,  # %3 cycle adds the A-law leg
+        "gopher_quality": _q_gopher_quality,  # \s+ tokenization (ADVICE)
+        "codec_roundtrip": _q_codec_roundtrip,  # sign-stable oracle mod
+        "ann_ivfpq": _q_ann_ivfpq,  # adaptive re-rank depth (r11 #4)
+        "dedup_stream": _q_dedup_stream,  # event-time timeout knob (r11 #5)
+        # -- (1) rotated out of r11's 50 (last driver row: r10) — this
+        #    39-entry tail fills the window so no entry's driver row ages
         #    past two rounds. -------------------------------------------
+        "mjpeg_sample": _q_mjpeg_sample,
+        "depth_chains": _q_depth_chains,
+        "dup_clusters": _q_dup_clusters,
+        "cleanse_order": _q_cleanse_order,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "reveal_episodes": _q_reveal_episodes,
+        "symbol_upsert": _q_symbol_upsert,
+        "insert_era": _q_insert_era,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
+        "get_events_freq": _q_get_events_freq,
+        "trading_strategy_range": _q_trading_strategy_range,
+        "epsilon_draws_range": _q_epsilon_draws_range,
+        "trading_strategy_freq": _q_trading_strategy_freq,
+        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "fix_chain_integrity": _q_fix_chain_integrity,
+        "order_book": _q_order_book,
+        "order_book_ckpt": _q_order_book_ckpt,
+        "spread": _q_spread,
+        "depth_change": _q_depth_change,
+        "spread_periods": _q_spread_periods,
+        "get_events": _q_get_events,
+        "get_trades": _q_get_trades,
+        "events_intervals": _q_intervals,
+        "summary": _q_summary,
+        "ann_ivf": _q_ann_ivf,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
+        "multimodal_resize": _q_multimodal_resize,
+        "merge_crossed_books": _q_merge_crossed_books,
+        "merge_episodes": _q_merge_episodes,
+        "era_reassign": _q_era_reassign,
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
+        "trading_strategy": _q_trading_strategy,
+        "trading_strategy_zigzag": _q_trading_strategy_zigzag,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
+        # ---- slot 51+: r11 driver-green (CORRECTNESS_r11 rows), code
+        #      and values untouched this round — they rotate back into
+        #      the window in r13. With 95 registered keys the steady
+        #      state is 45 expiring keys per round against the 50-slot
+        #      cap: 5 slots of headroom for new gates each round. -------
+        "pii_scrub": _q_pii_scrub,
         "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
         "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
@@ -1440,83 +1632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_strategy_rho": _q_trading_strategy_rho,
         "lang_id_ngram": _q_lang_id_ngram,
         "tokenize_regex": _q_tokenize_regex,
-        "ann_ivfpq": _q_ann_ivfpq,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "match_sequential": _q_match_sequential,
         "match_sweep": _q_match_sweep,
         "multimodal_features": _q_multimodal,
         "match_incremental": _q_match_incremental,
-        # -- (2) code-touched in round 11 (r10-green, but their modules
-        #    changed this round: jpeg.py progressive decode — new VALUE
-        #    paths, so the codec gates keep their window slots) ---------
-        "codec_roundtrip": _q_codec_roundtrip,  # VALUES changed r11: the
-        #   cycle is now %4 with a real GIF leg (LZW, interlace split) —
-        #   must re-verify in-window, its r10 row reflects the %3 cycle
-        "wav_roundtrip": _q_wav_roundtrip,  # VALUES changed r11: odd
-        #   doc_ids take the new G.711 mu-law leg (+codec column) — its
-        #   r10 row reflects the all-PCM form, so it re-enters the
-        #   window; jpeg_roundtrip yields the slot (module touched in
-        #   r11 but gate VALUES unchanged — flat-block baseline encode/
-        #   decode — r10-green, and the hypothesis + PIL pytests carry
-        #   the new progressive paths)
-        # ---- slot 51+: r10 driver-green (CORRECTNESS_r10 rows) — rotate
-        #      back into the window in r12. depth_chains/dup_clusters were
-        #      displaced by the NEW gopher_quality/pii_scrub keys: their
-        #      r11 changes are plan-shape only (checkpoint placement /
-        #      conditional hop — values unchanged), r10 rows satisfy the
-        #      age bound, and both carry dedicated pytest differentials.
-        #      mjpeg_sample was displaced by codec_roundtrip's re-entry:
-        #      its values are r11-unchanged (baseline-JPEG frame decode),
-        #      r10-green, and jpeg.py stays driver-covered in-window by
-        #      jpeg_roundtrip + the codec_roundtrip dispatch. ------------
-        "mjpeg_sample": _q_mjpeg_sample,  # r10-green, values unchanged r11
-        "depth_chains": _q_depth_chains,  # r11 perf touch, value-neutral
-        "dup_clusters": _q_dup_clusters,  # r11 conditional hop, value-neutral
-        "cleanse_order": _q_cleanse_order,
-        "fix_aggressor_order": _q_fix_aggressor,
-        "reveal_episodes": _q_reveal_episodes,
-        "symbol_upsert": _q_symbol_upsert,
-        "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
-        "staging_summary": _q_staging_summary,
-        "get_events_freq": _q_get_events_freq,
-        "depth_summary_freq": _q_depth_summary_freq,
-        "queues_freq": _q_queues_freq,
-        "depth_summary_range": _q_depth_summary_range,
-        "queues_range": _q_queues_range,
-        "trading_period_range": _q_trading_period_range,
-        "trading_strategy_range": _q_trading_strategy_range,
-        "epsilon_draws_range": _q_epsilon_draws_range,
-        "trading_period_freq": _q_trading_period_freq,
-        "trading_strategy_freq": _q_trading_strategy_freq,
-        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
-        "fix_chain_integrity": _q_fix_chain_integrity,
-        "depth_summary": _q_depth_summary,
-        "queues": _q_queues,
-        "order_book": _q_order_book,
-        "order_book_ckpt": _q_order_book_ckpt,
-        "spread": _q_spread,
-        "depth_change": _q_depth_change,
-        "spread_periods": _q_spread_periods,
-        "get_events": _q_get_events,
-        "get_trades": _q_get_trades,
-        "events_intervals": _q_intervals,
-        "summary": _q_summary,
-        "ann_ivf": _q_ann_ivf,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,
-        "merge_crossed_books": _q_merge_crossed_books,
-        "merge_episodes": _q_merge_episodes,
-        "era_reassign": _q_era_reassign,
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        "trading_period": _q_trading_period,
-        "trading_strategy": _q_trading_strategy,
-        "trading_strategy_zigzag": _q_trading_strategy_zigzag,
-        "jpeg_roundtrip": _q_jpeg_roundtrip,
     }
 
 
@@ -1630,6 +1750,10 @@ def oracle_sql() -> dict[str, str]:
         "q5_revenue_by_nation": relational.Q5_ORACLE,
         "topk_orders_per_customer": relational.TOPK_ORACLE,
         "sessionize_events": relational.sessionize_oracle(30),
+        # stream replay == batch islands SQL once every session is
+        # flush-closed; us-long bounds are the streaming column shape
+        "sessionize_stream": relational.sessionize_us_oracle(30),
+        "corpus_clean": docquality.corpus_clean_oracle_sql(),
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
         "order_book_ckpt": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
@@ -1666,6 +1790,12 @@ def oracle_sql() -> dict[str, str]:
         # plane weights are emitted into the SQL as a VALUES CTE, so DuckDB
         # recomputes signatures + buckets + cosines from scratch
         "ann_lsh_pairs": ann_lsh_pairs_oracle_sql(64),
+        # stream replay == batch ann_lsh_pairs at the dedup-sweep
+        # geometry when no bucket exceeds the (10k) cap: same VALUES-CTE
+        # plane-weight oracle, dedup geometry + the 0.45 threshold
+        "embedding_dedup_stream": ann_lsh_pairs_oracle_sql(
+            64, min_cosine=0.45, tables=dedup.DEDUP_TABLES,
+            planes=dedup.DEDUP_PLANES),
         "ann_lsh_recall": ann_lsh_recall_oracle(),
         "embedding_dedup": dedup.embedding_dedup_oracle(),
         "embedding_dedup_lsh_recall": dedup.embedding_dedup_lsh_recall_oracle(),
@@ -1674,7 +1804,6 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_roundtrip": JPEG_ROUNDTRIP_ORACLE,
         "wav_roundtrip": WAV_ROUNDTRIP_ORACLE,
         "mjpeg_sample": mjpeg_sample_oracle_sql(),
-        "trading_period": level3_cte(trading_period_v0_oracle()),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag
         # entries additionally hash-check against a closed-form extrema oracle
@@ -1691,23 +1820,30 @@ def oracle_sql() -> dict[str, str]:
             get_depth_oracle_sql(EV_START, EV_END, frequency_s=GET_FREQ_S)),
         "get_spread_freq": level3_cte(
             get_spread_freq_oracle_sql(EV_START, EV_END, GET_FREQ_S)),
-        "depth_summary": level3_cte(depth_summary_oracle_sql()),
-        "depth_summary_freq": level3_cte(
-            grid_sample_l3_sql(depth_summary_oracle_sql(), GET_FREQ_S)),
-        "queues_freq": level3_cte(
-            grid_sample_l3_sql(queues_oracle_sql(), GET_FREQ_S)),
-        "depth_summary_range": level3_cte(
-            depth_summary_oracle_sql(start=EV_START, end=EV_END)),
-        "queues_range": level3_cte(
-            queues_oracle_sql(start=EV_START, end=EV_END)),
-        "trading_period_range": level3_cte(
-            trading_period_v0_range_oracle(EV_START, EV_END)),
+        # merged overload families (r12): every branch is the SAME oracle
+        # the retired per-overload key carried, tagged and unioned
+        "depth_summary": _variant_union_oracle(
+            base=level3_cte(depth_summary_oracle_sql()),
+            freq=level3_cte(
+                grid_sample_l3_sql(depth_summary_oracle_sql(), GET_FREQ_S)),
+            range=level3_cte(
+                depth_summary_oracle_sql(start=EV_START, end=EV_END))),
+        "queues": _variant_union_oracle(
+            base=level3_cte(queues_oracle_sql()),
+            freq=level3_cte(
+                grid_sample_l3_sql(queues_oracle_sql(), GET_FREQ_S)),
+            range=level3_cte(
+                queues_oracle_sql(start=EV_START, end=EV_END))),
+        "trading_period": _variant_union_oracle(
+            base=level3_cte(trading_period_v0_oracle()),
+            freq=level3_cte(
+                grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
+            range=level3_cte(
+                trading_period_v0_range_oracle(EV_START, EV_END))),
         "trading_strategy_range": level3_cte(trading_strategy_mid_oracle_sql(
             phi=0.0, mid_cte=_mid_range_cte(EV_START, EV_END))),
         "epsilon_draws_range": level3_cte(epsilon_draws_mid_oracle_sql(
             epsilon=0.0005, mid_cte=_mid_range_cte(EV_START, EV_END))),
-        "trading_period_freq": level3_cte(
-            grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
         "crossed_books": level3_cte(crossed_books_oracle()),
         "order_book_takers": level3_cte(invalid_takers_oracle_sql()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
@@ -1726,7 +1862,6 @@ def oracle_sql() -> dict[str, str]:
         "get_spread": level3_cte(get_spread_oracle_sql(EV_START, EV_END)),
         "spread_at": level3_cte(spread_at_oracle_sql(EV_START)),
         "depth_resample": level3_cte(depth_resample_oracle_sql()),
-        "queues": level3_cte(queues_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
         "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),
         "fix_chain_integrity": level3_cte("SELECT * FROM level3"),

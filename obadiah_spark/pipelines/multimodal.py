@@ -513,16 +513,24 @@ WHERE length(text) = octet_length(encode(text)) AND length(text) >= 2
 """
 
 
+# pmod forms ((doc_id % n) + n) % n throughout: the Python side indexes
+# with doc_id % n (non-negative for a positive modulus) while SQL's %
+# follows the dividend's sign — the pmod form selects the same
+# fmt/width/height for ANY doc_id, matching audio.py's convention
+# (ADVICE r11: the plain % forms diverged on negative ids).
 CODEC_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
-       CAST(2 + doc_id % 3 AS INT) AS width,
-       CAST(2 + doc_id % 2 AS INT) AS height,
-       md5(substring(text, 1, (2 + doc_id % 3) * (2 + doc_id % 2) * 3)) AS px_md5
+       CASE ((doc_id % 4) + 4) % 4
+            WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
+       CAST(2 + ((doc_id % 3) + 3) % 3 AS INT) AS width,
+       CAST(2 + ((doc_id % 2) + 2) % 2 AS INT) AS height,
+       md5(substring(text, 1, (2 + ((doc_id % 3) + 3) % 3)
+                              * (2 + ((doc_id % 2) + 2) % 2) * 3)) AS px_md5
 FROM documents
 WHERE length(text) = octet_length(encode(text))
-  AND length(text) >= (2 + doc_id % 3) * (2 + doc_id % 2) * 3
+  AND length(text) >= (2 + ((doc_id % 3) + 3) % 3)
+                      * (2 + ((doc_id % 2) + 2) % 2) * 3
 """
 
 

@@ -204,3 +204,15 @@ ORDER BY user_id, session_no
 
 
 SESSIONIZE_ORACLE = sessionize_oracle(30)
+
+
+def sessionize_us_oracle(gap_minutes: int = 30) -> str:
+    """``sessionize_oracle`` with microsecond-long window bounds — the
+    column shape of the STREAMING sessionizer (SESSIONS_SCHEMA in
+    streaming/sessionize_stream.py), so the stream-replay gate hashes
+    against the very same gaps-and-islands SQL the batch gate uses."""
+    return (sessionize_oracle(gap_minutes)
+            .replace("min(ts) AS session_start",
+                     "epoch_us(min(ts)) AS start_us")
+            .replace("max(ts) AS session_end",
+                     "epoch_us(max(ts)) AS end_us"))

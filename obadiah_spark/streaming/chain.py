@@ -187,7 +187,9 @@ def chain_events(key: tuple, pdfs: Iterator[pd.DataFrame], state
         ))
 
     if not emitted:          # every message was a stale replay — no change
-        yield pd.DataFrame({c: [] for c in _OUT_COLS})
+        # yield nothing at all: an empty all-object frame makes pandas'
+        # downstream concat warn (and, on a future pandas, change the
+        # result dtypes) — the generator protocol allows a bare return
         return
     yield pd.DataFrame(emitted)[_OUT_COLS]
 

@@ -36,7 +36,13 @@ shuffles on. Pairs for one document = one state lookup, not a corpus
 scan. Production deployments bound total state with
 ``state_timeout="<duration>"`` (idle buckets expire; a re-seen bucket
 restarts empty, trading recall across the gap for bounded memory — the
-standard streaming-dedup TTL compromise).
+standard streaming-dedup TTL compromise). Since r12 the TTL defaults to
+EVENT-time (``event_time_col`` + watermark, timeouts armed at last
+arrival + TTL): eviction is a function of the data, so a replay evicts
+the same buckets at the same micro-batches as the live run — the
+replay-equals-live property the differentials guarantee extends to the
+timeout path (VERDICT r11 #5). ``timeout_mode="processing"`` keeps
+wall-clock reaping for streams that go silent.
 """
 
 from __future__ import annotations
@@ -50,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                LongType, StringType, StructField,
-                               StructType)
+                               StructType, TimestampType)
 
 from obadiah_spark.pipelines.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K
 
@@ -96,47 +102,99 @@ def _band_sigs(text: str) -> list[str] | None:
     ]
 
 
-def minhash_bands_stream(docs: DataFrame) -> DataFrame:
+def _ts_ms(series: pd.Series) -> pd.Series:
+    """datetime64 pandas column → epoch-millisecond int64."""
+    return series.astype("datetime64[us]").astype("int64") // 1000
+
+
+def minhash_bands_stream(docs: DataFrame,
+                         event_time_col: str | None = None) -> DataFrame:
     """(doc_id, text) stream → (doc_id, band, band_sig) stream; stateless,
     shuffle-free, works on batch frames too (the differential tests run
-    it both ways)."""
+    it both ways).  ``event_time_col`` forwards the document's event
+    time as a ``ts`` TIMESTAMP column — the stateful stage's event-time
+    TTL arms from per-arrival times, and the watermark must be declared
+    on THIS stage's output (mapInPandas mints fresh attributes, so a
+    watermark tagged upstream does not survive the stage)."""
+
+    with_ts = event_time_col is not None
+    cols = ["doc_id", "band", "band_sig"] + (["ts"] if with_ts else [])
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            ts = pdf[event_time_col] if with_ts else None
+            for i, (doc_id, text) in enumerate(zip(pdf["doc_id"],
+                                                   pdf["text"])):
                 sigs = _band_sigs(text)
                 if sigs is None:
                     continue
-                rows.extend((int(doc_id), b, sig)
+                tail = (ts.iloc[i],) if with_ts else ()
+                rows.extend((int(doc_id), b, sig) + tail
                             for b, sig in enumerate(sigs))
-            yield pd.DataFrame(rows, columns=["doc_id", "band", "band_sig"])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(gen,
-                                                     schema=BANDS_SCHEMA)
+    schema = BANDS_SCHEMA
+    sel = ["doc_id", "text"]
+    if with_ts:
+        schema = StructType(BANDS_SCHEMA.fields
+                            + [StructField("ts", TimestampType())])
+        sel.append(event_time_col)
+    return docs.select(*sel).mapInPandas(gen, schema=schema)
 
 
 def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
-                       state_timeout: str | None = None) -> DataFrame:
+                       state_timeout: str | None = None,
+                       event_time_col: str | None = None,
+                       timeout_mode: str = "event",
+                       watermark_delay: str | None = None) -> DataFrame:
     """Streaming near-dup candidates: one (doc_a, doc_b, band) row per
     (new doc, already-enrolled doc) meeting in a band bucket
     (doc_a < doc_b). A pair meeting in several bands emits once per band
     — dedup downstream (``dropDuplicates`` on a stream, or at the sink)
-    exactly as the batch operator's ``distinct`` does."""
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout
-               else GroupStateTimeout.NoTimeout)
+    exactly as the batch operator's ``distinct`` does.
+
+    TTL: with ``state_timeout`` set, the default ``timeout_mode="event"``
+    needs ``event_time_col`` (a timestamp column on ``docs``); the
+    operator attaches a watermark (delay = ``watermark_delay`` or the
+    TTL) and arms each bucket's timeout at (last arrival's event time +
+    TTL) — eviction is then a function of the data, so a replay evicts
+    the same buckets at the same micro-batches as live (VERDICT r11 #5;
+    processing-time eviction cannot promise that).
+    ``timeout_mode="processing"`` keeps wall-clock reaping for streams
+    that go silent."""
+    use_event = state_timeout is not None and timeout_mode == "event"
+    if state_timeout is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif use_event:
+        if event_time_col is None:
+            raise ValueError(
+                "timeout_mode='event' needs event_time_col (a timestamp "
+                "column on docs); pass timeout_mode='processing' for "
+                "wall-clock TTL")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif timeout_mode == "processing":
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
+    from obadiah_spark.streaming.sessionize_stream import _duration_ms
+
+    ttl_ms = _duration_ms(state_timeout) if use_event else None
 
     def fn(key, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame([], columns=["doc_a", "doc_b", "band"])
             return
         (seen,) = state.get if state.exists else ([],)
         seen = list(seen)
         band = int(key[0])
         rows = []
+        last_ms = None
         for pdf in pdfs:
+            if use_event and len(pdf):
+                mx = int(_ts_ms(pdf["ts"]).max())
+                last_ms = mx if last_ms is None else max(last_ms, mx)
             # sort: deterministic enrollment order however the micro-batch
             # happened to partition (replays produce identical output)
             for doc in sorted(int(d) for d in pdf["doc_id"]):
@@ -150,10 +208,23 @@ def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
                 seen.append(doc)
         state.update((seen,))
         if state_timeout:
-            state.setTimeoutDuration(state_timeout)
-        yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band"])
+            if use_event:
+                # idle-in-event-time eviction; wm+1 clamp because the
+                # engine rejects a timeout at or before the watermark
+                wm = state.getCurrentWatermarkMs()
+                base = wm if last_ms is None else last_ms
+                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(state_timeout)
+        if rows:
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band"])
 
-    bands = minhash_bands_stream(docs)
+    bands = minhash_bands_stream(
+        docs, event_time_col if use_event else None)
+    if use_event:
+        # the watermark must tag the stateful op's DIRECT input — a
+        # watermark declared on docs is lost at the mapInPandas boundary
+        bands = bands.withWatermark("ts", watermark_delay or state_timeout)
     return (
         bands.groupBy("band", "band_sig")
         .applyInPandasWithState(fn, PAIRS_SCHEMA, _STATE_SCHEMA,
@@ -163,13 +234,19 @@ def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
 
 # ------------------------------------------------ embedding near-dup -------
 
-def _sigs_with_vecs(emb: DataFrame, tables: int, planes: int) -> DataFrame:
-    """(vec_id, table, sig, embedding): `similarity.lsh_signatures` with
-    the vector carried along — the stateful stage scores exact cosine
-    in-state, so the embedding must ride to the bucket."""
+def _sigs_with_vecs(emb: DataFrame, tables: int, planes: int,
+                    event_time_col: str | None = None) -> DataFrame:
+    """(vec_id, table, sig, embedding[, ts]): `similarity.lsh_signatures`
+    with the vector carried along — the stateful stage scores exact
+    cosine in-state, so the embedding must ride to the bucket.
+    ``event_time_col`` forwards arrival timestamps as ``ts`` for the
+    event-time TTL (same contract as minhash_bands_stream: the
+    watermark is declared on THIS stage's output)."""
     import numpy as np
 
     from obadiah_spark.pipelines.similarity import _plane_weights
+
+    with_ts = event_time_col is not None
 
     def compute(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = None
@@ -182,17 +259,21 @@ def _sigs_with_vecs(emb: DataFrame, tables: int, planes: int) -> DataFrame:
             out = []
             for t in range(tables):
                 bits = (e @ weights[t].T > 0).astype(np.uint8)
-                out.append(pd.DataFrame({
+                cols = {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "table": t,
                     "sig": ["".join(map(str, row)) for row in bits],
                     "embedding": pdf["embedding"].to_numpy(),
-                }))
+                }
+                if with_ts:
+                    cols["ts"] = pdf[event_time_col].to_numpy()
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out, ignore_index=True)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        compute,
-        "vec_id bigint, table int, sig string, embedding array<float>")
+    sel = ["vec_id", "embedding"] + ([event_time_col] if with_ts else [])
+    schema = ("vec_id bigint, table int, sig string, "
+              "embedding array<float>" + (", ts timestamp" if with_ts else ""))
+    return emb.select(*sel).mapInPandas(compute, schema)
 
 
 def _cosine9(a: list, b: list) -> float:
@@ -214,7 +295,10 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
                            tables: int | None = None,
                            planes: int | None = None,
                            max_bucket_size: int = 50,
-                           state_timeout: str | None = None) -> DataFrame:
+                           state_timeout: str | None = None,
+                           event_time_col: str | None = None,
+                           timeout_mode: str = "event",
+                           watermark_delay: str | None = None) -> DataFrame:
     """Streaming embedding near-duplicate pairs ON INGEST: sign-LSH
     buckets (default = the batch dedup sweep's DEDUP_TABLES x
     DEDUP_PLANES geometry) with per-bucket state carrying the enrolled
@@ -223,11 +307,15 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
     ``min_cosine`` (vec_a < vec_b; a pair colliding in several tables
     emits per table — dedup downstream like the batch `distinct`).
 
-    Same cap and TTL semantics as :func:`minhash_lsh_stream`; on corpora
-    where no bucket exceeds the cap, the pair set equals the batch
+    Same cap and TTL semantics as :func:`minhash_lsh_stream` — including
+    the event-time TTL contract (``event_time_col`` + watermark,
+    replay-deterministic eviction); on corpora where no bucket exceeds
+    the cap, the pair set equals the batch
     `ann_lsh_pairs(emb, min_cosine, tables, planes)` set exactly
-    (differential-tested)."""
+    (differential-tested; driver gate ``embedding_dedup_stream`` since
+    r12)."""
     from obadiah_spark.pipelines.dedup import DEDUP_PLANES, DEDUP_TABLES
+    from obadiah_spark.streaming.sessionize_stream import _duration_ms
 
     tables = DEDUP_TABLES if tables is None else tables
     planes = DEDUP_PLANES if planes is None else planes
@@ -241,20 +329,35 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
         # doubles round-trip the state store bit-exactly
         StructField("vecs", ArrayType(ArrayType(DoubleType()))),
     ])
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout
-               else GroupStateTimeout.NoTimeout)
+    use_event = state_timeout is not None and timeout_mode == "event"
+    if state_timeout is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif use_event:
+        if event_time_col is None:
+            raise ValueError(
+                "timeout_mode='event' needs event_time_col; pass "
+                "timeout_mode='processing' for wall-clock TTL")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif timeout_mode == "processing":
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
+    ttl_ms = _duration_ms(state_timeout) if use_event else None
 
     def fn(key, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame([], columns=["vec_a", "vec_b", "cosine"])
             return
         (ids, vecs) = state.get if state.exists else ([], [])
         ids = list(ids)
         vecs = [list(v) for v in vecs]
         rows = []
+        last_ms = None
         for pdf in pdfs:
+            if use_event and len(pdf):
+                mx = int(_ts_ms(pdf["ts"]).max())
+                last_ms = mx if last_ms is None else max(last_ms, mx)
             order = sorted(range(len(pdf)),
                            key=lambda i: int(pdf["vec_id"].iloc[i]))
             for i in order:
@@ -274,10 +377,20 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
                 vecs.append(vec)
         state.update((ids, vecs))
         if state_timeout:
-            state.setTimeoutDuration(state_timeout)
-        yield pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+            if use_event:
+                wm = state.getCurrentWatermarkMs()
+                base = wm if last_ms is None else last_ms
+                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(state_timeout)
+        if rows:
+            yield pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
 
-    sigs = _sigs_with_vecs(emb, tables, planes)
+    sigs = _sigs_with_vecs(emb, tables, planes,
+                           event_time_col if use_event else None)
+    if use_event:
+        # watermark on the stateful op's direct input (see minhash note)
+        sigs = sigs.withWatermark("ts", watermark_delay or state_timeout)
     return (
         sigs.groupBy("table", "sig")
         .applyInPandasWithState(fn, out_schema, state_schema,

@@ -44,9 +44,10 @@ keyed stateful pass; ``state_timeout`` bounds state to ACTIVE users by
 emitting-and-evicting idle ones (numbering continuity across the idle
 gap is the trade).
 
-Registered as a driver gate in r12 (the r11 rotation window is at its
-50-slot cap); until then the batch≡stream differentials in
-tests/test_sessionize_stream.py carry the correctness claim.
+Driver gate since r12 (``sessionize_stream`` row: the sf events table
+replayed through the operator, hashed against the batch islands SQL);
+the batch≡stream differentials in tests/test_sessionize_stream.py pin
+the fold semantics, including the timeout and sentinel paths.
 """
 from __future__ import annotations
 
@@ -89,9 +90,33 @@ def _cents(value: float) -> int:
     return int(Decimal(p).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def _fold_factory(gap_us: int, state_timeout: str | None):
+def _duration_ms(d: str) -> int:
+    """'<n> <unit>' duration string → milliseconds (the subset of
+    CalendarInterval syntax the timeout knobs use)."""
+    n, unit = d.split()
+    unit = unit.rstrip("s")
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000, "day": 86_400_000}[unit]
+    return int(n) * scale
+
+
+def _fold_factory(gap_us: int, state_timeout: str | None,
+                  timeout_mode: str = "processing",
+                  sentinels: bool = True):
     """The per-key stateful fold, exposed for direct unit tests (the
-    GroupState protocol is five methods — tests drive it with a fake)."""
+    GroupState protocol is five methods — tests drive it with a fake).
+
+    ``timeout_mode="event"`` arms ``setTimeoutTimestamp`` at (open
+    session's end + TTL) in EVENT time, clamped above the current
+    watermark — so eviction is a function of the DATA, and a replay
+    produces byte-identical output including the evicted sessions
+    (VERDICT r11 #5: processing-time eviction fires differently on
+    replay vs live, which breaks the replay-equals-live property the
+    differentials otherwise guarantee)."""
+    ttl_ms = (_duration_ms(state_timeout)
+              if state_timeout is not None and timeout_mode == "event"
+              else None)
+
     def fold(key: tuple, pdfs: Iterable[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
@@ -119,6 +144,14 @@ def _fold_factory(gap_us: int, state_timeout: str | None):
             for ev_id, ts, val in zip(pdf["event_id"], pdf["ts_us"],
                                       pdf["value"]):
                 if int(ev_id) < 0:
+                    if not sentinels:
+                        # sentinel ids disabled: a negative event_id is
+                        # corrupt input, not a flush — fail loudly
+                        # instead of silently closing the session and
+                        # dropping the event (ADVICE r11)
+                        raise ValueError(
+                            f"negative event_id {int(ev_id)} for user "
+                            f"{user_id} with sentinels disabled")
                     # flush sentinel, applied IN EVENT-TIME POSITION:
                     # close whatever is open here; later events in the
                     # same micro-batch start a fresh session
@@ -152,7 +185,19 @@ def _fold_factory(gap_us: int, state_timeout: str | None):
         state.update((int(sess_no), start, end, int(n),
                       None if cents is None else int(cents)))
         if state_timeout is not None:
-            state.setTimeoutDuration(state_timeout)
+            if ttl_ms is not None:
+                # event-time eviction: fire when the watermark passes
+                # (open end + TTL); an all-sentinel batch leaves end
+                # None — re-arm relative to the watermark so the empty
+                # state row is still reaped. setTimeoutTimestamp
+                # requires a value past the current watermark, hence
+                # the wm+1 clamp (a key fed only very-late data arms
+                # one tick ahead and is evicted at the next advance).
+                wm = state.getCurrentWatermarkMs()
+                base = wm if end is None else end // 1000
+                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(state_timeout)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SESSIONS_SCHEMA])
 
@@ -160,13 +205,44 @@ def _fold_factory(gap_us: int, state_timeout: str | None):
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
-                      state_timeout: str | None = None) -> DataFrame:
+                      state_timeout: str | None = None,
+                      timeout_mode: str = "event",
+                      watermark_delay: str | None = None,
+                      sentinels: bool = True) -> DataFrame:
     """Per-user session windows over a (streaming or batch) frame with
     columns ``event_id, ts_us, user_id, value``. Emits one row per
-    CLOSED session; ``event_id < 0`` rows are flush sentinels."""
-    fold = _fold_factory(gap_minutes * 60 * 1_000_000, state_timeout)
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if state_timeout is not None else GroupStateTimeout.NoTimeout)
+    CLOSED session; ``event_id < 0`` rows are flush sentinels.
+
+    ``state_timeout`` bounds state to active users by emitting-and-
+    evicting idle ones.  The default ``timeout_mode="event"`` derives a
+    watermark from ``ts_us`` (delay = ``watermark_delay`` or the TTL
+    itself) and evicts in EVENT time — replay-deterministic, so the
+    batch≡stream differentials extend to the timeout path.  Pass
+    ``timeout_mode="processing"`` for wall-clock eviction (live
+    deployments that must reap users even when the stream goes silent —
+    a watermark only advances with data).
+
+    ``sentinels=False`` rejects negative event_ids loudly (ValueError in
+    the fold) for deployments that never send flush markers — corrupt
+    ids then cannot silently corrupt session boundaries (ADVICE r11)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    if state_timeout is None:
+        timeout = GroupStateTimeout.NoTimeout
+        mode = "processing"
+    elif timeout_mode == "event":
+        timeout = GroupStateTimeout.EventTimeTimeout
+        mode = "event"
+        from pyspark.sql import functions as F
+
+        events = events.withColumn(
+            "_ts", F.timestamp_micros("ts_us")
+        ).withWatermark("_ts", watermark_delay or state_timeout)
+    elif timeout_mode == "processing":
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+        mode = "processing"
+    else:
+        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
+    fold = _fold_factory(gap_us, state_timeout, mode, sentinels)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(fold, SESSIONS_SCHEMA, _STATE_SCHEMA,

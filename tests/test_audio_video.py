@@ -85,38 +85,55 @@ def test_mjpeg_sample_fanout_cardinality(spark):
 def test_wav_pos_weighted_pins_sample_order(spark):
     """ADVICE r9: on the PCM leg every ASCII sample is negative, so
     zero_crossings is 0 there — pos_weighted is the order pin: same byte
-    multiset, different order => different value. Even doc_ids keep the
-    PCM leg (odd ones are mu-law since r11)."""
+    multiset, different order => different value. doc_id % 3 == 0 keeps
+    the PCM leg (1 is mu-law since r11, 2 is A-law since r12)."""
     from obadiah_spark.pipelines.audio import wav_roundtrip
 
-    docs = spark.createDataFrame([(0, "ab"), (2, "ba")],
+    docs = spark.createDataFrame([(0, "ab"), (3, "ba")],
                                  "doc_id bigint, text string")
     out = wav_roundtrip(docs).toPandas().set_index("doc_id")
     assert (out.codec == "pcm").all()
-    assert out.loc[0, "sum_sq"] == out.loc[2, "sum_sq"]
+    assert out.loc[0, "sum_sq"] == out.loc[3, "sum_sq"]
     assert (out.zero_crossings == 0).all()
     a, b = ord("a") - 128, ord("b") - 128
     assert out.loc[0, "pos_weighted"] == 1 * a + 2 * b
-    assert out.loc[2, "pos_weighted"] == 1 * b + 2 * a
-    assert out.loc[0, "pos_weighted"] != out.loc[2, "pos_weighted"]
+    assert out.loc[3, "pos_weighted"] == 1 * b + 2 * a
+    assert out.loc[0, "pos_weighted"] != out.loc[3, "pos_weighted"]
 
 
 def test_wav_gate_mulaw_leg_quantizes_and_crosses_zero(spark):
-    """Odd doc_ids run G.711: samples quantize to the companding grid
-    ('a','b' both land on -32), and quiet bytes (|v| < 4, e.g. '~')
-    decode to exactly 0, flipping the sign — the corpus fabric
-    (lowercase + space) never produces such a byte, so this pin, not
-    the gate hash, carries the 0-decode behavior."""
+    """doc_id % 3 == 1 runs G.711 mu-law: samples quantize to the
+    companding grid ('a','b' both land on -32), and quiet bytes
+    (|v| < 4, e.g. '~') decode to exactly 0, flipping the sign — the
+    corpus fabric (lowercase + space) never produces such a byte, so
+    this pin, not the gate hash, carries the 0-decode behavior."""
     from obadiah_spark.pipelines.audio import wav_roundtrip
 
-    docs = spark.createDataFrame([(1, "ab"), (3, "a~a")],
+    docs = spark.createDataFrame([(1, "ab"), (4, "a~a")],
                                  "doc_id bigint, text string")
     out = wav_roundtrip(docs).toPandas().set_index("doc_id")
     assert (out.codec == "ulaw").all() and (out.bits == 8).all()
     assert out.loc[1, "sum_sq"] == 32 * 32 * 2    # both quantize to -32
     # 'a' -> -32, '~' (126) -> v=-2 -> decodes to 0: two sign flips
-    assert out.loc[3, "zero_crossings"] == 2
-    assert out.loc[3, "pos_weighted"] == 1 * -32 + 2 * 0 + 3 * -32
+    assert out.loc[4, "zero_crossings"] == 2
+    assert out.loc[4, "pos_weighted"] == 1 * -32 + 2 * 0 + 3 * -32
+
+
+def test_wav_gate_alaw_leg_matches_segment0_closed_form(spark):
+    """doc_id % 3 == 2 runs G.711 A-law (fmt tag 6, driven r12): every
+    printable-ASCII magnitude sits in segment 0, where
+    decode(encode(v)) == -(16 * ((|v| - 1) // 16) + 8) — the oracle's
+    closed form. 'a' (v=-31, mag 30) -> -24; '~' (v=-2, mag 1) -> -8:
+    unlike mu-law, A-law has NO zero code, so no sign flips ever."""
+    from obadiah_spark.pipelines.audio import wav_roundtrip
+
+    docs = spark.createDataFrame([(2, "a~")],
+                                 "doc_id bigint, text string")
+    out = wav_roundtrip(docs).toPandas().set_index("doc_id")
+    assert (out.codec == "alaw").all() and (out.bits == 8).all()
+    assert out.loc[2, "sum_sq"] == 24 * 24 + 8 * 8
+    assert out.loc[2, "zero_crossings"] == 0
+    assert out.loc[2, "pos_weighted"] == 1 * -24 + 2 * -8
 
 
 def test_mjpeg_strictness():

@@ -23,11 +23,18 @@ def _batch_l3(level3):
     return level3.toPandas()
 
 
+def _split_frame(df, n):
+    """np.array_split for DataFrames without tripping the
+    DataFrame.swapaxes deprecation (np.array_split swaps axes
+    internally): split positions, slice with iloc."""
+    return [df.iloc[idx] for idx in np.array_split(np.arange(len(df)), n)]
+
+
 def test_ingestor_state_machine_vs_batch(spark, level3):
     """Unit: 4 ts-ordered pandas chunks through the state machine."""
     events = spark.table("events").toPandas().sort_values("ts").reset_index(drop=True)
     ing = Level3Ingestor()
-    for chunk in np.array_split(events, 4):
+    for chunk in _split_frame(events, 4):
         ing.process_batch(chunk)
     got = ing.finalize()
     want = _batch_l3(level3)
@@ -39,7 +46,7 @@ def test_ingestor_single_batch_equals_many(spark):
     one = Level3Ingestor()
     one.process_batch(events)
     many = Level3Ingestor()
-    for chunk in np.array_split(events, 7):
+    for chunk in _split_frame(events, 7):
         many.process_batch(chunk)
     a, b = one.finalize(), many.finalize()
     assert canonicalize(a).equals(canonicalize(b))
@@ -48,7 +55,7 @@ def test_ingestor_single_batch_equals_many(spark):
 def _write_event_chunks(spark, events, d, n_chunks=4):
     src = os.path.join(d, "events")
     os.makedirs(src)
-    for i, chunk in enumerate(np.array_split(events, n_chunks)):
+    for i, chunk in enumerate(_split_frame(events, n_chunks)):
         spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(src, f"chunk_{i:03d}"))
     flat = os.path.join(d, "flat")
@@ -141,7 +148,9 @@ def test_chain_events_carries_side_and_payload_in_state():
     st = FakeState()
     out1 = pd.concat(list(chain_events(key, iter([batch(5, 0)]), st)))
     out2 = pd.concat(list(chain_events(key, iter([batch(245, 1)]), st)))
-    rows = pd.concat([out1, out2])
+    # drop all-NA object columns (unset fill/link fields) before concat:
+    # pandas deprecated letting them ride through dtype resolution
+    rows = pd.concat([f.dropna(axis=1, how="all") for f in (out1, out2)])
     assert len(rows) == 3  # new, chained re-emit of the tail, new
     assert (rows["side"] == "s").all()
     assert (rows["price"] == 123.0).all()
@@ -154,7 +163,7 @@ def test_streaming_end_to_end(spark, level3):
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "events")
         os.makedirs(src)
-        for i, chunk in enumerate(np.array_split(events, 4)):
+        for i, chunk in enumerate(_split_frame(events, 4)):
             spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(src, f"chunk_{i:03d}"))
         # flatten: file source wants files in one dir
@@ -183,7 +192,7 @@ def test_streaming_spread_equals_batch(spark, level3):
               .sort_values(["microtimestamp", "order_id", "event_no"])
               .reset_index(drop=True))
     acc = StreamingSpread()
-    for chunk in np.array_split(events, 5):
+    for chunk in _split_frame(events, 5):
         acc.process_batch(chunk)
     got = acc.flush()
     want = spread_fold(level3).toPandas()
@@ -221,7 +230,7 @@ def test_streaming_depth_change_equals_batch(spark, level3):
               .sort_values(["microtimestamp", "order_id", "event_no"])
               .reset_index(drop=True))
     acc = StreamingDepthChange()
-    for chunk in np.array_split(events, 5):
+    for chunk in _split_frame(events, 5):
         acc.process_batch(chunk)
     got = acc.flush()
     want = depth_change_fold(level3).toPandas()
