@@ -438,6 +438,17 @@ def _q_corpus_clean(spark, sf_dir):
     return corpus_clean(_docs(spark, sf_dir))
 
 
+def _q_dup_spans(spark, sf_dir):
+    """NEW r12: corpus-wide duplicate-span marking + removal — the
+    n-gram form of ExactSubstr dedup (Lee et al. 2022); clean_md5
+    hashes the rewritten document byte-exactly, so the gate covers the
+    coverage rule AND the removal, both engines recomputing from the
+    raw corpus."""
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir))
+
+
 def _q_exact_dedup(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import exact_dedup
 
@@ -1530,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream": _q_sessionize_stream,
         "corpus_clean": _q_corpus_clean,
         "embedding_dedup_stream": _q_embedding_dedup_stream,
+        "dup_spans": _q_dup_spans,  # NEW r12: ExactSubstr-style dedup
         # -- (0b) merged overload families (VERDICT r11 #1: the registry
         #    exceeded the 50-slot rotation capacity, so each
         #    p_frequency/p_start_time family collapses 3 slots → 1 via a
@@ -1544,7 +1556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,  # \s+ tokenization (ADVICE)
         "codec_roundtrip": _q_codec_roundtrip,  # sign-stable oracle mod
         "ann_ivfpq": _q_ann_ivfpq,  # adaptive re-rank depth (r11 #4)
-        "dedup_stream": _q_dedup_stream,  # event-time timeout knob (r11 #5)
+        # dedup_stream yields its window slot to the NEW dup_spans gate:
+        # its r12 change (event-time timeout knob + conditional yield) is
+        # value-neutral for the gate's NoTimeout replay — r11-green row,
+        # batch≡stream pytest differentials, and a local oracle re-pass
+        # at HEAD carry it to its r13 window slot (the depth_chains/
+        # dup_clusters precedent from r11).
         # -- (1) rotated out of r11's 50 (last driver row: r10) — this
         #    39-entry tail fills the window so no entry's driver row ages
         #    past two rounds. -------------------------------------------
@@ -1592,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      the window in r13. With 95 registered keys the steady
         #      state is 45 expiring keys per round against the 50-slot
         #      cap: 5 slots of headroom for new gates each round. -------
+        "dedup_stream": _q_dedup_stream,  # see the (0c) note above
         "pii_scrub": _q_pii_scrub,
         "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
@@ -1754,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         # flush-closed; us-long bounds are the streaming column shape
         "sessionize_stream": relational.sessionize_us_oracle(30),
         "corpus_clean": docquality.corpus_clean_oracle_sql(),
+        "dup_spans": docquality.dup_spans_oracle_sql(),
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
         "order_book_ckpt": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),

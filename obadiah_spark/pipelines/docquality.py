@@ -1,6 +1,9 @@
-"""Document-quality filtering and PII scrubbing for LLM training corpora.
+"""Document-quality filtering, PII scrubbing, and corpus-wide duplicate
+span removal for LLM training corpora.
 
-Two operator families:
+Three operator families (plus the :func:`corpus_clean` composition and
+:func:`dup_spans`, the cross-document ExactSubstr-style dedup — see
+their own docstrings):
 
 * :func:`gopher_quality` — the repetition / well-formedness rules of the
   Gopher corpus pipeline (Rae et al. 2021, "Scaling Language Models:
@@ -453,4 +456,126 @@ JOIN dd ON dd.doc_id = d.doc_id
 JOIN gq ON gq.doc_id = d.doc_id
 JOIN scrub ON scrub.doc_id = d.doc_id
 WHERE NOT dd.is_duplicate AND gq.keep
+"""
+
+
+# ------------------------------------------------- dup_spans -------------
+# CORPUS-WIDE duplicate-span marking and removal, the n-gram form of
+# ExactSubstr deduplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): a token position is duplicated
+# when ANY word n-gram window over it occurs at least ``min_count``
+# times ACROSS THE WHOLE CORPUS (gopher_quality's dup-gram signal is the
+# within-document cousin).  Lee et al. build a suffix array for exact
+# arbitrary-length matches; the n-gram approximation is the standard
+# distributed relaxation — one corpus-wide gram-keyed groupBy instead of
+# a global sort, at the cost of a fixed match granularity.
+#
+# Scale shape: one corpus scan → doc-keyed gram windows (same
+# partitioning as gopher_quality) → ONE global groupBy on the gram text
+# (the only corpus-wide shuffle; partial map-side combine keeps it one
+# pass, and the n-gram keyspace spreads skew — the hottest key is the
+# corpus' most-repeated n-gram, counted not materialized) → a gram-keyed
+# join back to starts → doc-keyed coverage and rewrite.  No all-pairs
+# anything; memory per task is one gram-group.
+
+DUP_SPAN_N = 4          # 369/500 fabric docs carry a cross-doc dup 4-gram
+DUP_SPAN_MIN_COUNT = 2
+
+
+def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
+              min_count: int = DUP_SPAN_MIN_COUNT,
+              tok: DataFrame | None = None) -> DataFrame:
+    """Per-document corpus-wide duplicate-span accounting + rewrite.
+
+    Returns one row per doc_id (documents with at least one token):
+    n_words, char_sum, dup_words, dup_chars, dup_char_frac, and
+    clean_md5 = md5 of the document with every duplicated-span token
+    removed (kept tokens joined by single spaces — the shippable
+    ExactSubstr-style rewrite, hashed so the driver gate covers the
+    byte-exact removal, not just the counts).  Overlapping duplicated
+    windows count each position once.  ``tok`` — a pre-materialized
+    ``_words`` frame, same contract as :func:`gopher_quality`."""
+    if tok is None:
+        tok = _words(docs)
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    g = tok.withColumn("g", F.concat_ws(
+        " ", "w", *[F.lead("w", i).over(w_doc) for i in range(1, n)]))
+    g = (g.withColumn("nn", F.lead("w", n - 1).over(w_doc))
+         .filter(F.col("nn").isNotNull())
+         .select("doc_id", "pos", "g"))
+    dup_g = (g.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= min_count).select("g"))
+    covered = (
+        g.join(dup_g, "g")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1))
+                 .alias("pos"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    marked = (tok.join(covered, ["doc_id", "pos"], "left")
+              .withColumn("dup", F.coalesce("dup", F.lit(False))))
+    kept = F.when(~F.col("dup"), F.struct("pos", "w"))
+    out = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("char_sum"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup_words"),
+        F.sum(F.when(F.col("dup"), F.length("w")).otherwise(0))
+         .alias("dup_chars"),
+        F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)),
+                        lambda s: s["w"]), " ")).alias("clean_md5"),
+    )
+    return out.select(
+        "doc_id", "n_words", "char_sum", "dup_words", "dup_chars",
+        (F.col("dup_chars") / F.col("char_sum")).alias("dup_char_frac"),
+        "clean_md5",
+    )
+
+
+def dup_spans_oracle_sql(n: int = DUP_SPAN_N,
+                         min_count: int = DUP_SPAN_MIN_COUNT) -> str:
+    """DuckDB replica — same tokenization, same coverage rule, same
+    rewrite (string_agg skips the removed tokens exactly like the
+    collect_list of kept structs; an all-duplicated doc coalesces to the
+    empty string on both engines)."""
+    leads = " || ' ' || ".join(
+        f"lead(w, {i}) OVER dw" for i in range(1, n))
+    ofs_list = ", ".join(str(i) for i in range(n))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, u.w, u.pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
+               generate_subscripts(string_split_regex(text, '{WS_CLASS}'), 1) - 1 AS pos
+        FROM documents
+    ) u WHERE length(u.w) > 0
+), gn AS (
+    SELECT doc_id, pos,
+           w || ' ' || {leads} AS g,
+           lead(w, {n - 1}) OVER dw AS nn
+    FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+), g2 AS (
+    SELECT doc_id, pos, g FROM gn WHERE nn IS NOT NULL
+), dupg AS (
+    SELECT g FROM g2 GROUP BY g HAVING count(*) >= {min_count}
+), covered AS (
+    SELECT DISTINCT s.doc_id, s.pos + t.ofs AS pos
+    FROM (SELECT g2.doc_id, g2.pos FROM g2 JOIN dupg USING (g)) s,
+         unnest([{ofs_list}]) AS t(ofs)
+), m AS (
+    SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS dup
+    FROM tok t
+    LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS char_sum,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_words,
+       CAST(sum(CASE WHEN dup THEN length(w) ELSE 0 END) AS BIGINT) AS dup_chars,
+       CAST(sum(CASE WHEN dup THEN length(w) ELSE 0 END) AS BIGINT)
+         / CAST(sum(length(w)) AS BIGINT) AS dup_char_frac,
+       md5(coalesce(string_agg(CASE WHEN NOT dup THEN w END, ' '
+                               ORDER BY pos), '')) AS clean_md5
+FROM m GROUP BY doc_id
 """

@@ -164,3 +164,68 @@ def test_corpus_clean_oracle_differential(spark):
     assert len(sdf) == len(odf) > 100
     for c in sdf.columns:
         assert (sdf[c] == odf[c]).all(), c
+
+
+def test_dup_spans_hand_computed(spark):
+    """Corpus-wide ExactSubstr-style marking: docs 1 and 2 share the
+    exact 5-word run 'alpha beta gamma delta epsilon'; at n=4 its
+    positions are covered in BOTH docs (cross-document, unlike gopher's
+    within-doc signal), everything else is unique and survives."""
+    import hashlib
+
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} four five six"),
+        (3, "seven eight nine ten eleven twelve"),
+    ]
+    out = {r.doc_id: r.asDict()
+           for r in dup_spans(_docs(spark, rows), n=4).collect()}
+    # doc 1: positions 2..6 covered (two overlapping dup 4-grams)
+    assert out[1]["n_words"] == 8
+    assert out[1]["dup_words"] == 5
+    assert out[1]["dup_chars"] == len(shared.replace(" ", ""))
+    clean1 = "one two three"
+    assert out[1]["clean_md5"] == hashlib.md5(clean1.encode()).hexdigest()
+    # doc 2: positions 0..4 covered
+    assert out[2]["dup_words"] == 5
+    assert out[2]["clean_md5"] == hashlib.md5(
+        b"four five six").hexdigest()
+    # doc 3: untouched
+    assert out[3]["dup_words"] == 0 and out[3]["dup_char_frac"] == 0.0
+    assert out[3]["clean_md5"] == hashlib.md5(
+        b"seven eight nine ten eleven twelve").hexdigest()
+
+
+def test_dup_spans_all_duplicated_doc_hashes_empty(spark):
+    """A document that is one big duplicated span rewrites to the empty
+    string — both engines coalesce to md5('') (the oracle's
+    string_agg-of-NULLs edge)."""
+    import hashlib
+
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]
+    out = {r.doc_id: r.asDict()
+           for r in dup_spans(_docs(spark, rows), n=4).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    assert out[1]["clean_md5"] == empty and out[2]["clean_md5"] == empty
+    assert out[1]["dup_char_frac"] == 1.0
+
+
+def test_dup_spans_min_count_raises_threshold(spark):
+    """min_count=3: a run shared by only two docs is no longer marked."""
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    shared = "alpha beta gamma delta"
+    rows = [(1, f"{shared} one"), (2, f"{shared} two"),
+            (3, "x y z w v")]
+    out2 = {r.doc_id: r.dup_words
+            for r in dup_spans(_docs(spark, rows), n=4).collect()}
+    out3 = {r.doc_id: r.dup_words
+            for r in dup_spans(_docs(spark, rows), n=4,
+                               min_count=3).collect()}
+    assert out2[1] == 4 and out2[2] == 4
+    assert out3 == {1: 0, 2: 0, 3: 0}

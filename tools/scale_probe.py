@@ -412,13 +412,15 @@ def probe_ann_clustered(spark, emb_path: str, n_queries: int = 32,
     out["recall_ivfpq_trained"] = recall(
         ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=trained))
     # the ADC ordering isolated from the IVF probe ceiling: rerank=1
-    # (top-k straight by ADC distance, exact re-score depth k only)
+    # (top-k straight by ADC distance, exact re-score depth k only);
+    # rerank_frac=0 disarms the r12 adaptive floor, which would
+    # otherwise silently deepen this probe back to the full path
     out["recall_adc_seeded_rerank1"] = recall(
         ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=seeded,
-                  rerank=1))
+                  rerank=1, rerank_frac=0.0))
     out["recall_adc_trained_rerank1"] = recall(
         ann_ivfpq(emb, n_queries, k, codebook=cb, subcodebook=trained,
-                  rerank=1))
+                  rerank=1, rerank_frac=0.0))
     out["n"] = emb.count()
     out["n_queries"] = n_queries
     out["n_clusters"] = int(emb.agg(F.countDistinct("label"))
