@@ -341,29 +341,31 @@ def decode_image(payload: bytes) -> dict:
     """The genuinely-multimodal step. Uncompressed BMP, binary PPM, 8-bit
     non-interlaced PNG, baseline + progressive JPEG (grayscale /
     4:4:4 / 4:2:0 / 4:2:2 — huffman + IDCT + annex-G scan
-    accumulation, :mod:`.jpeg`), and single-image GIF87a/89a (LZW,
-    optional interlace, :mod:`.gif`) decode for real in pure Python +
-    numpy; the remaining formats (WebP, AVIF, ...) need a
-    codec library the container doesn't provide, so those stay an honest
-    stub behind a PIL import-try."""
+    accumulation, :mod:`.jpeg`), single-image GIF87a/89a (LZW,
+    optional interlace, :mod:`.gif`), and WebP VP8L lossless (prefix
+    codes, LZ77, color cache, all four transforms, :mod:`.webp`) decode
+    for real in pure Python + numpy; the remaining formats (lossy
+    WebP/VP8, AVIF, ...) need a codec library the container doesn't
+    provide, so those stay an honest stub behind a PIL import-try."""
     from obadiah_spark.pipelines.gif import gif_decode
     from obadiah_spark.pipelines.jpeg import jpeg_decode
+    from obadiah_spark.pipelines.webp import webp_decode
 
     raw = bytes(payload)
     decoded = (_try_decode_bmp(raw) or _try_decode_ppm(raw)
                or _try_decode_png(raw) or jpeg_decode(raw)
-               or gif_decode(raw))
+               or gif_decode(raw) or webp_decode(raw))
     if decoded is not None:
         return decoded
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "non-BMP/PPM/PNG/JPEG/GIF decode requires PIL; container "
-            "provides none (stub per driver brief)") from exc
+            "non-BMP/PPM/PNG/JPEG/GIF/WebP-lossless decode requires "
+            "PIL; container provides none (stub per driver brief)") from exc
     raise NotImplementedError(
-        "non-BMP/PPM/PNG/JPEG/GIF decode path not exercised in this "
-        "environment")
+        "non-BMP/PPM/PNG/JPEG/GIF/WebP-lossless decode path not "
+        "exercised in this environment")
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
@@ -402,28 +404,34 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     return extract_features(pack_blobs(docs))
 
 
-CODEC_FMTS = ("bmp", "ppm", "png", "gif")
+CODEC_FMTS = ("bmp", "ppm", "png", "gif", "webp")
 
 
 def codec_roundtrip(docs: DataFrame) -> DataFrame:
-    """Value-level gate for the four real lossless codecs (VERDICT r8
-    task #6; GIF added r11): per document, build a small image whose
-    pixel bytes are the first ``w*h*3`` bytes of the text, encode it
-    with the format selected by ``doc_id % 4`` (BMP / PPM / PNG / GIF —
-    the PNG scanline filter cycling through all five by ``doc_id % 5``,
-    the GIF leg alternating interlace by ``doc_id % 8 == 3`` so both
-    raster orders are driver-hashed), strictly decode it back, and
-    emit the decoded dims + pixel md5. The oracle predicts both WITHOUT
-    running any codec (the md5 of the text prefix), so a hash match
-    proves every encode→decode round-trip preserved pixel bytes exactly
-    (a ≤12-pixel image has ≤12 distinct colors, so the GIF palette path
-    is always losslessly encodable). Map-side only (one mapInPandas
-    pass), no shuffle — the 100 TB shape of a decode-validate pass over
-    a binary corpus.
+    """Value-level gate for the five real lossless codecs (VERDICT r8
+    task #6; GIF added r11, WebP VP8L r12): per document, build a small
+    image whose pixel bytes are the first ``w*h*3`` bytes of the text,
+    encode it with the format selected by ``doc_id % 5`` (BMP / PPM /
+    PNG / GIF / WEBP — the PNG scanline filter cycling through all five
+    by ``doc_id % 5``... for the PNG leg that is always filter 2, so
+    the filter cycle rides on ``(doc_id // 5) % 5`` since r12; the GIF
+    leg alternates interlace by ``doc_id % 2`` of the quotient; the
+    WebP leg cycles its transform knob — none / subtract-green /
+    predictor-by-quotient / cross-color / palette — by
+    ``(doc_id // 5) % 5`` so the driver hashes every VP8L transform
+    family), strictly decode it back, and emit the decoded dims + pixel
+    md5. The oracle predicts both WITHOUT running any codec (the md5 of
+    the text prefix), so a hash match proves every encode→decode
+    round-trip preserved pixel bytes exactly (a ≤12-pixel image has ≤12
+    distinct colors, so the GIF/WebP palette paths are always
+    losslessly encodable). Map-side only (one mapInPandas pass), no
+    shuffle — the 100 TB shape of a decode-validate pass over a binary
+    corpus.
 
     Docs are restricted to ASCII text (length == octet_length) so the
     byte-prefix and the oracle's character-substring agree."""
     from obadiah_spark.pipelines.gif import encode_gif
+    from obadiah_spark.pipelines.webp import encode_webp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -432,16 +440,32 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 w, h = 2 + doc_id % 3, 2 + doc_id % 2
                 raw = text.encode("utf-8")[:w * h * 3]
-                fmt = CODEC_FMTS[doc_id % 4]
+                fmt = CODEC_FMTS[doc_id % 5]
+                q = (doc_id // 5) % 5
                 if fmt == "bmp":
                     blob = encode_bmp(w, h, raw)
                 elif fmt == "ppm":
                     blob = encode_ppm(w, h, raw)
                 elif fmt == "gif":
                     blob = encode_gif(w, h, raw,
-                                      interlace=doc_id % 8 == 3)
+                                      interlace=q % 2 == 1)
+                elif fmt == "webp":
+                    if q == 0:
+                        blob = encode_webp(w, h, raw)
+                    elif q == 1:
+                        blob = encode_webp(w, h, raw,
+                                           subtract_green=True,
+                                           cache_bits=4)
+                    elif q == 2:
+                        blob = encode_webp(w, h, raw,
+                                           predictor=(doc_id // 25) % 14)
+                    elif q == 3:
+                        blob = encode_webp(w, h, raw,
+                                           color_transform=(23, 201, 5))
+                    else:
+                        blob = encode_webp(w, h, raw, palette=True)
                 else:
-                    blob = encode_png(w, h, raw, filter_type=doc_id % 5)
+                    blob = encode_png(w, h, raw, filter_type=q)
                 img = decode_image(blob)
                 if (img["width"], img["height"]) != (w, h):
                     raise AssertionError(
@@ -520,9 +544,9 @@ WHERE length(text) = octet_length(encode(text)) AND length(text) >= 2
 # (ADVICE r11: the plain % forms diverged on negative ids).
 CODEC_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
-       CASE ((doc_id % 4) + 4) % 4
-            WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-            WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
+       CASE ((doc_id % 5) + 5) % 5
+            WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
+            WHEN 3 THEN 'gif' ELSE 'webp' END AS fmt,
        CAST(2 + ((doc_id % 3) + 3) % 3 AS INT) AS width,
        CAST(2 + ((doc_id % 2) + 2) % 2 AS INT) AS height,
        md5(substring(text, 1, (2 + ((doc_id % 3) + 3) % 3)

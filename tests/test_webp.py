@@ -1,0 +1,128 @@
+"""WebP VP8L codec: roundtrip sweeps over every bitstream feature the
+encoder can emit (all 14 predictor modes, cross-color, subtract-green,
+palette incl. sub-byte bundling, color cache, LZ77, simple + normal
+prefix codes), strictness, and the distance-map table pin."""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest  # noqa: E402
+
+from obadiah_spark.pipelines.webp import (  # noqa: E402
+    _DIST_MAP, encode_webp, webp_decode)
+
+
+def _rt(w, h, px, **kw):
+    out = webp_decode(encode_webp(w, h, px, **kw))
+    assert out is not None, kw
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == px, kw
+    return out
+
+
+def test_plain_roundtrip_random_dims():
+    rng = random.Random(1)
+    for _ in range(8):
+        w, h = rng.randint(1, 13), rng.randint(1, 13)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        _rt(w, h, px)
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_all_predictor_modes_roundtrip(mode):
+    rng = random.Random(100 + mode)
+    w, h = rng.randint(2, 9), rng.randint(2, 9)
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    _rt(w, h, px, predictor=mode)
+
+
+def test_transform_compositions_roundtrip():
+    rng = random.Random(7)
+    for _ in range(4):
+        w, h = rng.randint(1, 12), rng.randint(1, 12)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        _rt(w, h, px, subtract_green=True)
+        _rt(w, h, px, color_transform=(rng.randrange(256),
+                                       rng.randrange(256),
+                                       rng.randrange(256)))
+        _rt(w, h, px, subtract_green=True, predictor=rng.randrange(14),
+            color_transform=(rng.randrange(256), rng.randrange(256),
+                             rng.randrange(256)))
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 4, 9, 16, 17, 200])
+def test_palette_roundtrip_incl_bundling(ncol):
+    """≤2 colors bundle 8 indices/byte, ≤4 → 4, ≤16 → 2, else plain —
+    every packing arm decodes back byte-exactly."""
+    rng = random.Random(ncol)
+    w, h = 7, 5
+    cols = [tuple(rng.randrange(256) for _ in range(3))
+            for _ in range(ncol)]
+    px = b"".join(bytes(cols[rng.randrange(ncol)]) for _ in range(w * h))
+    _rt(w, h, px, palette=True)
+
+
+def test_color_cache_and_lz77_roundtrip():
+    rng = random.Random(3)
+    base = [bytes((i % 7 * 30, i % 5 * 40, i % 3 * 50)) for i in range(8)]
+    px = b"".join(base[rng.randrange(8)] for _ in range(60))
+    for cb in (1, 4, 8):
+        _rt(10, 6, px, cache_bits=cb)
+    runs = bytes([5, 6, 7]) * 30 + bytes(
+        rng.randrange(256) for _ in range(30))
+    _rt(10, 4, runs)                      # dist-1 copies via plane code
+    _rt(10, 4, runs, use_lz77=False)      # pure literal stream
+    _rt(10, 4, runs, cache_bits=6)        # cache + copies interleaved
+
+
+def test_strictness_returns_none_never_garbage():
+    blob = encode_webp(3, 3, bytes(range(27)))
+    assert webp_decode(blob) is not None
+    assert webp_decode(blob[:-2]) is None         # truncated
+    assert webp_decode(blob + b"x") is None       # trailing garbage
+    assert webp_decode(b"RIFF\x00\x00\x00\x00WEBP") is None
+    bad = bytearray(blob)
+    bad[12:16] = b"VP8 "                          # lossy chunk: not ours
+    assert webp_decode(bytes(bad)) is None
+    bad2 = bytearray(blob)
+    bad2[20] = 0x2E                               # wrong signature byte
+    assert webp_decode(bytes(bad2)) is None
+
+
+def test_distance_map_matches_spec_prefix():
+    """The generative ordering rule must reproduce the specification's
+    published table prefix verbatim, and the (1..8, 0) column positions
+    implied by the reference plane-code layout."""
+    spec_prefix = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+        (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+        (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2),
+        (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1),
+        (3, 3), (-3, 3), (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5),
+    ]
+    assert _DIST_MAP[:len(spec_prefix)] == spec_prefix
+    assert len(_DIST_MAP) == 120
+    for p, want in [((1, 0), 1), ((2, 0), 5), ((3, 0), 13), ((4, 0), 23),
+                    ((5, 0), 39), ((6, 0), 55), ((7, 0), 73),
+                    ((8, 0), 96)]:
+        assert _DIST_MAP.index(p) == want
+
+
+def test_decode_image_dispatch_recognizes_webp():
+    from obadiah_spark.pipelines.multimodal import decode_image
+
+    px = bytes(range(2 * 2 * 3))
+    out = decode_image(encode_webp(2, 2, px))
+    assert out["pixels"] == px and out["width"] == 2
+
+
+def test_single_color_image_simple_codes():
+    """A constant image drives the simple-code path for every channel
+    plus a full-image LZ77 run."""
+    px = bytes([9, 8, 7]) * 64
+    _rt(8, 8, px)
+    _rt(8, 8, px, use_lz77=False)
