@@ -282,12 +282,19 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
           .agg(F.max("top_2gram_char_frac"), F.sum("n_words")).collect())
     timed("pii_scrub", lambda: pii_gate_frame(docs)
           .agg(F.max("redacted_md5"), F.sum("n_ips")).collect())
-    # the 4-codec round-trip (BMP/PPM/PNG/GIF since r11 — the GIF leg's
-    # LZW decode rides inside this line)
+    # the 5-codec round-trip (BMP/PPM/PNG/GIF since r11, +WebP VP8L r12
+    # — the GIF LZW and VP8L transform legs ride inside this line)
     from obadiah_spark.pipelines.multimodal import codec_roundtrip
 
     timed("codec_roundtrip", lambda: codec_roundtrip(docs)
           .agg(F.max("px_md5")).collect())
+    # round-12 addition: corpus-wide duplicate-span removal — ONE
+    # global gram-keyed groupBy; its exponent is the cost story for the
+    # ExactSubstr-style dedup at growing corpus size
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    timed("dup_spans", lambda: dup_spans(docs)
+          .agg(F.max("clean_md5"), F.sum("dup_chars")).collect())
     return out
 
 
