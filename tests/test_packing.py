@@ -1,0 +1,81 @@
+"""Sequence packing: hand-computed next-fit boundaries, overflow
+handling, shard independence, and budget-sweep sanity."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def _pack(spark, rows, **kw):
+    from obadiah_spark.pipelines.packing import pack_sequences
+
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(docs, **kw).collect()
+    return {r.doc_id: (r.shard, r.seq_no, r.offset, r.n_tokens,
+                       r.overflow) for r in out}
+
+
+def test_next_fit_hand_computed(spark):
+    """One shard, budget 10: docs of 4/5/3/10/2/11 tokens must pack as
+    [4,5][3][10][2... wait — next-fit: 4+5=9 fits, +3 > 10 closes;
+    3+10 > 10 closes; 10 fills seq 3 exactly; 2 opens seq 4; 11
+    overflows into its own seq 5."""
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(0, words(4)), (8, words(5)), (16, words(3)),
+            (24, words(10)), (32, words(2)), (40, words(11))]
+    got = _pack(spark, rows, budget=10, n_shards=8)
+    assert got[0] == (0, 1, 0, 4, False)
+    assert got[8] == (0, 1, 4, 5, False)     # appended at offset 4
+    assert got[16] == (0, 2, 0, 3, False)    # 9+3 > 10: new sequence
+    assert got[24] == (0, 3, 0, 10, False)   # 3+10 > 10: new, exact fit
+    assert got[32] == (0, 4, 0, 2, False)    # 10+2 > 10: new
+    assert got[40] == (0, 5, 0, 11, True)    # > budget: own seq, flagged
+
+
+def test_shards_pack_independently(spark):
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(i, words(6)) for i in range(8)]
+    got = _pack(spark, rows, budget=12, n_shards=4)
+    # shard k holds docs k and k+4: 6+6 = 12 fits exactly in one seq
+    for k in range(4):
+        assert got[k] == (k, 1, 0, 6, False)
+        assert got[k + 4] == (k, 1, 6, 6, False)
+
+
+def test_blank_and_whitespace_docs_count_zero(spark):
+    rows = [(0, "a b c"), (8, "   "), (16, "\t\n")]
+    got = _pack(spark, rows, budget=4, n_shards=8)
+    assert got[0] == (0, 1, 0, 3, False)
+    assert got[8] == (0, 1, 3, 0, False)     # zero tokens ride along
+    assert got[16] == (0, 1, 3, 0, False)
+
+
+def test_budget_sweep_total_tokens_conserved(spark, sf_dir):
+    """On the real fabric: every doc appears once, per-(shard, seq) fill
+    never exceeds the budget except single-doc overflow sequences, and
+    token totals are conserved across budgets."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.packing import pack_sequences
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    totals = set()
+    for budget in (64, 256):
+        out = pack_sequences(docs, budget=budget)
+        assert out.count() == n_docs
+        fills = (out.groupBy("shard", "seq_no")
+                 .agg(F.sum("n_tokens").alias("fill"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.max("overflow").alias("ov")).collect())
+        for r in fills:
+            assert r.fill <= budget or (r.n == 1 and r.ov)
+        totals.add(out.agg(F.sum("n_tokens")).collect()[0][0])
+    assert len(totals) == 1  # counter independent of packing budget
