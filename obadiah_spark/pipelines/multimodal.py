@@ -322,9 +322,10 @@ def image_dims(raw: bytes) -> dict | None:
     O(chunk walk) for PNG, and O(marker walk) for JPEG."""
     from obadiah_spark.pipelines.gif import gif_header
     from obadiah_spark.pipelines.jpeg import jpeg_header
+    from obadiah_spark.pipelines.webp import webp_header
 
     hd = (_bmp_header(raw) or _ppm_header(raw) or _png_header(raw)
-          or jpeg_header(raw) or gif_header(raw))
+          or jpeg_header(raw) or gif_header(raw) or webp_header(raw))
     return ({"width": hd["width"], "height": hd["height"]}
             if hd is not None else None)
 

@@ -1070,3 +1070,20 @@ def encode_webp(width: int, height: int, pixels: bytes, *,
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_header(raw: bytes) -> dict | None:
+    """Header-only (width, height) — the RIFF walk plus the VP8L
+    signature and the 28 dimension bits; O(1), no entropy decode (the
+    cheap dims path image_dims dispatches to)."""
+    try:
+        if len(raw) < 25 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+            return None
+        if struct.unpack("<I", raw[4:8])[0] + 8 != len(raw):
+            return None
+        if raw[12:16] != b"VP8L" or raw[20] != 0x2F:
+            return None
+        br = _BitReader(raw[21:25])
+        return {"width": br.read(14) + 1, "height": br.read(14) + 1}
+    except (ValueError, struct.error):
+        return None

@@ -126,3 +126,15 @@ def test_single_color_image_simple_codes():
     px = bytes([9, 8, 7]) * 64
     _rt(8, 8, px)
     _rt(8, 8, px, use_lz77=False)
+
+
+def test_webp_header_dims_only():
+    """O(1) dims path: image_dims answers from the RIFF walk + the 28
+    dimension bits without any entropy decode."""
+    from obadiah_spark.pipelines.multimodal import image_dims
+    from obadiah_spark.pipelines.webp import webp_header
+
+    blob = encode_webp(5, 3, bytes(range(45)))
+    assert webp_header(blob) == {"width": 5, "height": 3}
+    assert image_dims(blob) == {"width": 5, "height": 3}
+    assert webp_header(blob[:-1]) is None

@@ -278,6 +278,74 @@ def bench_level1(spark, work: str, sf_dir: str) -> dict:
     return rec
 
 
+def bench_llm_ingest(spark, work: str, sf_dir: str,
+                     reps: int = 20) -> list[dict]:
+    """The r12 LLM-ingest operators over a ``reps``×-replicated
+    documents corpus (scale_probe's decorrelated replication — per-
+    replica character bijections, so buckets spread like a genuinely
+    larger corpus): MinHash-LSH dedup ON INGEST and the full
+    corpus_clean composition, both as real streaming queries replayed
+    in 8 file-chunks."""
+    from tools.scale_probe import build_docs
+
+    from obadiah_spark.streaming.corpus_stream import (
+        dedup_first_seen_stream, quality_scrub)
+    from obadiah_spark.streaming.dedup_stream import minhash_lsh_stream
+
+    docs_path = build_docs(spark, sf_dir, work, reps)
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    src = os.path.join(work, "docs_chunks")
+    (docs.repartitionByRange(8, "doc_id")
+     .write.mode("overwrite").parquet(src))
+    flat = os.path.join(work, "docs_flat")
+    os.makedirs(flat)
+    n = 0
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(src, f),
+                      os.path.join(flat, f"{n:03d}.parquet"))
+            n += 1
+    _pin_mtimes(flat)
+    rows_in = docs.count()
+    out = []
+
+    t0 = time.perf_counter()
+    # one file per trigger = ONE input partition per micro-batch, which
+    # would serialize the Python signature stage on a single core; the
+    # ingest gate makes the same layout-normalizing repartition
+    par = spark.sparkContext.defaultParallelism
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(flat)
+              .repartition(par))
+    q = (minhash_lsh_stream(stream)
+         .writeStream.format("memory").queryName("sb_dedup")
+         .option("checkpointLocation", os.path.join(work, "dd_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rec = _report("dedup_stream", rows_in, time.perf_counter() - t0,
+                  _batch_durations(q))
+    rec["rows_out"] = spark.table("sb_dedup").count()
+    out.append(rec)
+
+    t0 = time.perf_counter()
+    kept = []
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(flat)
+              .repartition(par))
+    q = (dedup_first_seen_stream(stream)
+         .writeStream
+         .foreachBatch(lambda b, _i: kept.append(
+             quality_scrub(b).count()))
+         .option("checkpointLocation", os.path.join(work, "cc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rec = _report("corpus_clean_stream", rows_in,
+                  time.perf_counter() - t0, _batch_durations(q))
+    rec["rows_out"] = int(sum(kept))
+    out.append(rec)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from obadiah_spark.session import get_spark
@@ -285,13 +353,16 @@ def main() -> None:
     spark = get_spark("stream_bench")
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     work = tempfile.mkdtemp(prefix="stream_bench_")
+    llm_only = "--llm-only" in sys.argv[1:]
     try:
-        stages = [
+        stages = ([*bench_llm_ingest(spark, work, sf_dir)] if llm_only
+                  else [
             *bench_capture(spark, work, n_events),
             *bench_parse(spark, work, n_events),
             bench_chain(spark, work, sf_dir),
             bench_level1(spark, work, sf_dir),
-        ]
+            *bench_llm_ingest(spark, work, sf_dir),
+        ])
         print(json.dumps({"metric": "stream_bench", "sf_dir": sf_dir,
                           "stages": {s["stage"]: s for s in stages}}))
     finally:
