@@ -138,3 +138,52 @@ def test_webp_header_dims_only():
     assert webp_header(blob) == {"width": 5, "height": 3}
     assert image_dims(blob) == {"width": 5, "height": 3}
     assert webp_header(blob[:-1]) is None
+
+
+def test_hypothesis_random_images_and_knobs():
+    """Property: ANY image roundtrips byte-exactly under ANY legal knob
+    combination (the composed-transform bit paths are where off-by-one
+    bit bugs would hide)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    knob = st.fixed_dictionaries({
+        "subtract_green": st.booleans(),
+        "predictor": st.one_of(st.none(), st.integers(0, 13)),
+        "color_transform": st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 255), st.integers(0, 255),
+                      st.integers(0, 255))),
+        "cache_bits": st.sampled_from([0, 0, 3, 7]),
+        "use_lz77": st.booleans(),
+    })
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 10), h=st.integers(1, 10),
+           data=st.data(), kw=knob)
+    def check(w, h, data, kw):
+        px = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * 3,
+            max_size=w * h * 3)))
+        _rt(w, h, px, **kw)
+
+    check()
+
+
+def test_hypothesis_palette_images():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 9),
+           ncol=st.integers(1, 40), data=st.data())
+    def check(w, h, ncol, data):
+        cols = [bytes(data.draw(st.tuples(
+            st.integers(0, 255), st.integers(0, 255),
+            st.integers(0, 255)))) for _ in range(ncol)]
+        px = b"".join(
+            cols[data.draw(st.integers(0, ncol - 1))]
+            for _ in range(w * h))
+        _rt(w, h, px, palette=True)
+
+    check()
