@@ -330,3 +330,83 @@ SELECT doc_id, term, tf, df, rank FROM (
     FROM tf t JOIN df d USING (term)
 ) x WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- bigram rarity ---------
+# The CCNet/RedPajama-style "perplexity filter" signal with the repo's
+# integer-exact discipline: documents are scored against the CORPUS'S
+# OWN bigram distribution, but in whole-bit surprisal —
+# floor(log2(N)) - floor(log2(count)) per bigram instance — instead of
+# a floating -log p. length(bin(c)) - 1 == floor(log2(c)) exactly on
+# both engines (no libm call whose last ulp could fork them — the same
+# reasoning that made tfidf_top_terms log-free). High mean_bits =
+# unusual word transitions = the docs a perplexity filter would flag;
+# rank ordering is what the filter consumes, and whole-bit resolution
+# preserves it to ±1 bit.
+#
+# Scale shape: doc-keyed bigram window → ONE corpus-wide gram-keyed
+# groupBy (map-side combinable) → gram-keyed join back → doc-keyed
+# aggregation. The corpus-total row is a broadcast one-row frame
+# (a degenerate one-row join, not a data cross join).
+
+def bigram_rarity(docs: DataFrame) -> DataFrame:
+    """One row per document with >= 1 bigram: n_bigrams, rarity_bits
+    (sum of whole-bit surprisals), min_count (the rarest transition's
+    corpus count), max_bits, mean_bits."""
+    from obadiah_spark.pipelines.docquality import _words
+
+    tok = _words(docs.select("doc_id", "text"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (tok.withColumn("w2", F.lead("w", 1).over(w_doc))
+          .filter(F.col("w2").isNotNull())
+          .select("doc_id", F.concat_ws(" ", "w", "w2").alias("g")))
+    cnt = bi.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("n_total"))
+    bits = (F.length(F.bin(F.col("n_total")))
+            - F.length(F.bin(F.col("c")))).cast("long")
+    scored = (bi.join(cnt, "g").crossJoin(F.broadcast(total))
+              .select("doc_id", F.col("c"), bits.alias("bits")))
+    return (scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("rarity_bits"),
+        F.min("c").alias("min_count"),
+        F.max("bits").alias("max_bits"))
+        .select("doc_id", "n_bigrams", "rarity_bits", "min_count",
+                "max_bits",
+                (F.col("rarity_bits") / F.col("n_bigrams"))
+                .alias("mean_bits")))
+
+
+def bigram_rarity_oracle_sql() -> str:
+    from obadiah_spark.pipelines.docquality import WS_CLASS
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, u.w, u.pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
+               generate_subscripts(string_split_regex(text, '{WS_CLASS}'), 1) - 1 AS pos
+        FROM documents
+    ) u WHERE length(u.w) > 0
+), bi AS (
+    SELECT doc_id,
+           w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM tok QUALIFY g IS NOT NULL
+), cnt AS (
+    SELECT g, count(*) AS c FROM bi GROUP BY g
+), total AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt
+), scored AS (
+    SELECT bi.doc_id, cnt.c,
+           CAST(length(bin(total.n_total)) - length(bin(cnt.c)) AS BIGINT)
+             AS bits
+    FROM bi JOIN cnt USING (g) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS rarity_bits,
+       CAST(min(c) AS BIGINT) AS min_count,
+       CAST(max(bits) AS BIGINT) AS max_bits,
+       CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_bits
+FROM scored GROUP BY doc_id
+"""
