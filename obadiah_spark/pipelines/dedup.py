@@ -25,10 +25,19 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------ exact dedup --
 
+def norm_text_expr(col: str = "text"):
+    """THE fingerprint normalizer (whitespace-collapsed lowercase) —
+    one definition shared by :func:`exact_dedup` and the streaming
+    first-seen dedup (streaming/corpus_stream.py), so the batch window
+    and the ingest state can never fingerprint differently (review r12
+    finding)."""
+    return F.lower(F.trim(
+        F.regexp_replace(F.col(col), r"[ \t\n\r\x0B\f]+", " ")))
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on whitespace-normalized lowercase text."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
-    f = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    f = docs.select("doc_id", F.md5(norm_text_expr()).alias("fingerprint"))
     w = W.partitionBy("fingerprint")
     return f.select(
         "doc_id", "fingerprint",

@@ -622,20 +622,21 @@ def webp_decode(raw: bytes) -> dict | None:
 
 
 def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
-    """Code lengths from symbol frequencies (heap Huffman); falls back
-    to a balanced fixed-length code if any length would exceed
-    ``max_len`` (rare at gate image sizes; correctness over ratio)."""
+    """Code lengths from symbol frequencies (heap Huffman). If any
+    length would exceed ``max_len`` (Fibonacci-like histograms), fall
+    back to the balanced complete code over the live symbols:
+    ``k = 2^L - n`` most-frequent symbols at length L-1, the rest at L
+    (Kraft-exact by construction; correctness over ratio)."""
     import heapq
 
     live = [(f, s) for s, f in enumerate(freqs) if f]
     if not live:
         raise ValueError("empty histogram")
+    lengths = [0] * len(freqs)
     if len(live) == 1:
-        lengths = [0] * len(freqs)
         lengths[live[0][1]] = 1  # callers use the simple form instead
         return lengths
-    heap = [(f, s, (s,)) for f, s in
-            ((f, s) for f, s in live)]
+    heap = [(f, s, (s,)) for f, s in live]
     heapq.heapify(heap)
     depth = {s: 0 for _, s in live}
     while len(heap) > 1:
@@ -645,16 +646,13 @@ def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
             depth[s] += 1
         heapq.heappush(heap, (f1 + f2, t2, m1 + m2))
     if max(depth.values()) > max_len:
-        # balanced fallback: smallest uniform length covering the count
         n = len(live)
-        ln = max(1, (n - 1).bit_length())
-        # complete the code space: give 2^ln - n unused... a uniform
-        # length code is complete only when n is a power of two, so
-        # round the alphabet up by assigning the shortfall to the
-        # lowest-frequency symbols at length ln (Kraft-complete via
-        # the canonical builder's check)
-        raise ValueError("huffman depth exceeded; image too adversarial")
-    lengths = [0] * len(freqs)
+        big = n.bit_length() if n & (n - 1) else n.bit_length() - 1
+        short = (1 << big) - n  # symbols promoted to length big-1
+        by_freq = sorted(live, key=lambda fs: (-fs[0], fs[1]))
+        for i, (_, s) in enumerate(by_freq):
+            lengths[s] = big - 1 if i < short else big
+        return lengths
     for s, d in depth.items():
         lengths[s] = d
     return lengths
@@ -821,17 +819,23 @@ def _sub_green(p: int) -> int:
     return (p & 0xFF00FF00) | (r << 16) | b
 
 
+# the 24-symbol length prefix alphabet tops out at value 4096
+# (symbol 23: offset 3<<10, max extra 1023, +1)
+_LZ77_MAX_LEN = 4096
+
+
 def _lz77_runs(argb: list[int], min_len: int = 3):
     """(pos, kind, payload) token stream: 'lit' literals and 'copy'
     dist-1 runs (the classic previous-pixel run — enough to exercise
     the reference path end-to-end; general matching is a ratio knob,
-    not a correctness one)."""
+    not a correctness one). Runs are capped at the length alphabet's
+    4096 maximum — a longer run emits back-to-back copies."""
     tokens = []
     i = 0
     n = len(argb)
     while i < n:
         run = 0
-        while (i + run < n and i >= 1
+        while (i + run < n and i >= 1 and run < _LZ77_MAX_LEN
                and argb[i + run] == argb[i + run - 1]):
             run += 1
         if run >= min_len:
@@ -915,30 +919,14 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, h: int,
         bw.write(0, 1)  # no meta prefix image
 
     cache_size = (1 << cache_bits) if cache_bits else 0
-    cache = [None] * cache_size
 
-    # tokenize with cache lookups folded in
     raw_tokens = (_lz77_runs(data) if use_lz77
                   else [("lit", p, None) for p in data])
-    tokens = []
-    for kind, a, b in raw_tokens:
-        if kind == "lit":
-            p = a
-            if cache_size:
-                k = _cache_key(p, cache_bits)
-                if cache[k] == p:
-                    tokens.append(("cache", k, None))
-                    continue
-                cache[k] = p
-            tokens.append(("lit", p, None))
-        else:  # copy of length a at distance b — cache state must
-            # track every emitted pixel exactly like the decoder
-            tokens.append(("copy", a, b))
-            if cache_size:
-                # dist-1 runs copy one repeated pixel
-                pass  # inserted below after we know the pixel
-    # second pass for cache correctness on copies: rebuild precisely
-    if cache_size:
+    if not cache_size:
+        tokens = raw_tokens
+    else:
+        # fold cache lookups in, tracking EVERY emitted pixel (copies
+        # included) exactly like the decoder's insert-on-emit rule
         cache = [None] * cache_size
         tokens = []
         out_px = []
@@ -993,7 +981,6 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, h: int,
     enc_a = _Encoder(bw, afr)
     enc_d = _Encoder(bw, dfr)
 
-    li = di = 0
     for kind, a, b in tokens:
         if kind == "lit":
             enc_g.emit((a >> 8) & 0xFF)
@@ -1007,13 +994,11 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, h: int,
             enc_g.emit(256 + ls)
             if lb:
                 bw.write(le, lb)
-            li += 1
             code = _DIST_CODE.get((1, 0), 0) if b == 1 else b + 120
             ds, de, db = _value_to_prefix(code)
             enc_d.emit(ds)
             if db:
                 bw.write(de, db)
-            di += 1
 
 
 def encode_webp(width: int, height: int, pixels: bytes, *,

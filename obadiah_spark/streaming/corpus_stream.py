@@ -25,10 +25,10 @@ event-time default bounds state to recently-seen fingerprints (a
 re-seen fingerprint past the TTL is re-admitted — the standard
 streaming-dedup recall trade, replay-deterministic under a watermark).
 
-Registered r13 gate candidate; until then
-tests/test_corpus_stream.py's batch≡stream differential (chunked replay
-of the sf corpus must equal ``corpus_clean`` exactly) carries the
-claim.
+Driver gate since r12 (``corpus_clean_stream`` row: the documents table
+replayed in doc_id order, hashed against the batch corpus_clean SQL);
+tests/test_corpus_stream.py's batch≡stream differentials pin the
+semantics, including cross-micro-batch duplicates.
 """
 
 from __future__ import annotations
@@ -38,9 +38,12 @@ from typing import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType, TimestampType)
+
+from obadiah_spark.streaming.state_ttl import (arm_event_timeout,
+                                               resolve_timeout)
 
 _SURVIVOR_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -53,12 +56,13 @@ _SEEN_SCHEMA = StructType([
 
 
 def fingerprinted(docs: DataFrame) -> DataFrame:
-    """Adds the batch operator's exact fingerprint column (md5 of
-    whitespace-normalized lowercase text) — a pure expression, legal on
-    streams."""
-    norm = F.lower(F.trim(F.regexp_replace(
-        F.col("text"), r"[ \t\n\r\x0B\f]+", " ")))
-    return docs.withColumn("fingerprint", F.md5(norm))
+    """Adds the batch operator's exact fingerprint column — the
+    normalizer expression is SHARED with ``exact_dedup`` (one
+    definition, so the batch window and the ingest state can never
+    fingerprint differently); a pure expression, legal on streams."""
+    from obadiah_spark.pipelines.dedup import norm_text_expr
+
+    return docs.withColumn("fingerprint", F.md5(norm_text_expr()))
 
 
 def dedup_first_seen_stream(docs: DataFrame,
@@ -72,22 +76,8 @@ def dedup_first_seen_stream(docs: DataFrame,
     SMALLEST doc_id (matching the batch min-doc_id canonical for
     same-batch arrivals); across micro-batches, first arrival wins.
     Timeout knobs as in :mod:`.dedup_stream` (event-time default)."""
-    from obadiah_spark.streaming.sessionize_stream import _duration_ms
-
-    use_event = state_timeout is not None and timeout_mode == "event"
-    if state_timeout is None:
-        timeout = GroupStateTimeout.NoTimeout
-    elif use_event:
-        if event_time_col is None:
-            raise ValueError(
-                "timeout_mode='event' needs event_time_col; pass "
-                "timeout_mode='processing' for wall-clock TTL")
-        timeout = GroupStateTimeout.EventTimeTimeout
-    elif timeout_mode == "processing":
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
-    else:
-        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
-    ttl_ms = _duration_ms(state_timeout) if use_event else None
+    timeout, ttl_ms, use_event = resolve_timeout(
+        state_timeout, timeout_mode, event_time_col)
 
     def fn(key, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -95,7 +85,12 @@ def dedup_first_seen_stream(docs: DataFrame,
             state.remove()
             return
         seen = state.exists
-        out = []
+        # the min must span EVERY Arrow chunk of the group — a
+        # micro-batch larger than maxRecordsPerBatch arrives in several
+        # pdfs, and the minimum doc_id may sit in a later one (review
+        # r12 finding: first-chunk-only broke the min-doc_id tie-break)
+        best_id = None
+        best_text = None
         last_ms = None
         for pdf in pdfs:
             if use_event and len(pdf):
@@ -105,18 +100,18 @@ def dedup_first_seen_stream(docs: DataFrame,
             if seen or len(pdf) == 0:
                 continue
             i = int(pdf["doc_id"].astype("int64").idxmin())
-            out.append((int(pdf["doc_id"].loc[i]), pdf["text"].loc[i]))
-            seen = True
+            did = int(pdf["doc_id"].loc[i])
+            if best_id is None or did < best_id:
+                best_id, best_text = did, pdf["text"].loc[i]
         state.update((1,))
         if state_timeout:
             if use_event:
-                wm = state.getCurrentWatermarkMs()
-                base = wm if last_ms is None else last_ms
-                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+                arm_event_timeout(state, last_ms, ttl_ms)
             else:
                 state.setTimeoutDuration(state_timeout)
-        if out:
-            yield pd.DataFrame(out, columns=["doc_id", "text"])
+        if best_id is not None:
+            yield pd.DataFrame([(best_id, best_text)],
+                               columns=["doc_id", "text"])
 
     sel = ["doc_id", "text"]
     fp = fingerprinted(docs)
@@ -133,16 +128,29 @@ def dedup_first_seen_stream(docs: DataFrame,
     )
 
 
-def quality_scrub(survivors: DataFrame, dup_n: int | None = None) -> DataFrame:
+def quality_scrub(survivors: DataFrame, dup_n: int | None = None,
+                  materialize: bool = True) -> DataFrame:
     """The per-document tail of ``corpus_clean`` (Gopher keep-filter +
     PII scrub + audit projection), applied to an already-deduplicated
     batch frame. Shared verbatim by the batch composition's semantics:
-    both read nothing outside the document."""
+    both read nothing outside the document.
+
+    ``materialize`` localCheckpoints the survivors frame (and the token
+    frame) first — the same scan discipline as batch corpus_clean:
+    gopher's three aggregates + the scrub join would otherwise re-plan
+    the input subtree ~5 times, and when that subtree is the stateful
+    first-seen fold of a micro-batch, re-executing a state-store read
+    five times per trigger is both slow and an idempotence gamble
+    (review r12 finding)."""
     from obadiah_spark.pipelines.docquality import (
-        DUP_NGRAM_N, gopher_quality, pii_scrub)
+        DUP_NGRAM_N, _words, gopher_quality, pii_scrub)
 
     dup_n = DUP_NGRAM_N if dup_n is None else dup_n
-    keep = (gopher_quality(survivors, dup_n=dup_n)
+    tok = None
+    if materialize:
+        survivors = survivors.localCheckpoint()
+        tok = _words(survivors).localCheckpoint()
+    keep = (gopher_quality(survivors, dup_n=dup_n, tok=tok)
             .select("doc_id", "n_words", "keep"))
     kept = (survivors.join(keep, "doc_id")
             .filter(F.col("keep")).drop("keep"))

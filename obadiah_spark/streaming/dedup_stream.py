@@ -53,7 +53,10 @@ from typing import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
+
+from obadiah_spark.streaming.state_ttl import (arm_event_timeout,
+                                               resolve_timeout)
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                LongType, StringType, StructField,
                                StructType, TimestampType)
@@ -163,23 +166,8 @@ def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
     processing-time eviction cannot promise that).
     ``timeout_mode="processing"`` keeps wall-clock reaping for streams
     that go silent."""
-    use_event = state_timeout is not None and timeout_mode == "event"
-    if state_timeout is None:
-        timeout = GroupStateTimeout.NoTimeout
-    elif use_event:
-        if event_time_col is None:
-            raise ValueError(
-                "timeout_mode='event' needs event_time_col (a timestamp "
-                "column on docs); pass timeout_mode='processing' for "
-                "wall-clock TTL")
-        timeout = GroupStateTimeout.EventTimeTimeout
-    elif timeout_mode == "processing":
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
-    else:
-        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
-    from obadiah_spark.streaming.sessionize_stream import _duration_ms
-
-    ttl_ms = _duration_ms(state_timeout) if use_event else None
+    timeout, ttl_ms, use_event = resolve_timeout(
+        state_timeout, timeout_mode, event_time_col)
 
     def fn(key, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -209,11 +197,7 @@ def minhash_lsh_stream(docs: DataFrame, max_bucket_size: int = 50,
         state.update((seen,))
         if state_timeout:
             if use_event:
-                # idle-in-event-time eviction; wm+1 clamp because the
-                # engine rejects a timeout at or before the watermark
-                wm = state.getCurrentWatermarkMs()
-                base = wm if last_ms is None else last_ms
-                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+                arm_event_timeout(state, last_ms, ttl_ms)
             else:
                 state.setTimeoutDuration(state_timeout)
         if rows:
@@ -315,7 +299,6 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
     (differential-tested; driver gate ``embedding_dedup_stream`` since
     r12)."""
     from obadiah_spark.pipelines.dedup import DEDUP_PLANES, DEDUP_TABLES
-    from obadiah_spark.streaming.sessionize_stream import _duration_ms
 
     tables = DEDUP_TABLES if tables is None else tables
     planes = DEDUP_PLANES if planes is None else planes
@@ -329,20 +312,8 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
         # doubles round-trip the state store bit-exactly
         StructField("vecs", ArrayType(ArrayType(DoubleType()))),
     ])
-    use_event = state_timeout is not None and timeout_mode == "event"
-    if state_timeout is None:
-        timeout = GroupStateTimeout.NoTimeout
-    elif use_event:
-        if event_time_col is None:
-            raise ValueError(
-                "timeout_mode='event' needs event_time_col; pass "
-                "timeout_mode='processing' for wall-clock TTL")
-        timeout = GroupStateTimeout.EventTimeTimeout
-    elif timeout_mode == "processing":
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
-    else:
-        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
-    ttl_ms = _duration_ms(state_timeout) if use_event else None
+    timeout, ttl_ms, use_event = resolve_timeout(
+        state_timeout, timeout_mode, event_time_col)
 
     def fn(key, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -378,9 +349,7 @@ def embedding_dedup_stream(emb: DataFrame, min_cosine: float = 0.45,
         state.update((ids, vecs))
         if state_timeout:
             if use_event:
-                wm = state.getCurrentWatermarkMs()
-                base = wm if last_ms is None else last_ms
-                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+                arm_event_timeout(state, last_ms, ttl_ms)
             else:
                 state.setTimeoutDuration(state_timeout)
         if rows:

@@ -57,7 +57,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 from pyspark.sql.types import LongType, StructField, StructType
 
 EVENTS_IN_SCHEMA = ("event_id long, ts_us long, user_id long, "
@@ -90,14 +90,10 @@ def _cents(value: float) -> int:
     return int(Decimal(p).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def _duration_ms(d: str) -> int:
-    """'<n> <unit>' duration string → milliseconds (the subset of
-    CalendarInterval syntax the timeout knobs use)."""
-    n, unit = d.split()
-    unit = unit.rstrip("s")
-    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
-             "hour": 3_600_000, "day": 86_400_000}[unit]
-    return int(n) * scale
+# shared TTL policy (re-exported: tests and older callers import the
+# underscore name from here)
+from obadiah_spark.streaming.state_ttl import (  # noqa: E402,F401
+    arm_event_timeout, duration_ms as _duration_ms, resolve_timeout)
 
 
 def _fold_factory(gap_us: int, state_timeout: str | None,
@@ -188,14 +184,10 @@ def _fold_factory(gap_us: int, state_timeout: str | None,
             if ttl_ms is not None:
                 # event-time eviction: fire when the watermark passes
                 # (open end + TTL); an all-sentinel batch leaves end
-                # None — re-arm relative to the watermark so the empty
-                # state row is still reaped. setTimeoutTimestamp
-                # requires a value past the current watermark, hence
-                # the wm+1 clamp (a key fed only very-late data arms
-                # one tick ahead and is evicted at the next advance).
-                wm = state.getCurrentWatermarkMs()
-                base = wm if end is None else end // 1000
-                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+                # None — arm_event_timeout then re-arms relative to
+                # the watermark so the empty state row is still reaped
+                arm_event_timeout(
+                    state, None if end is None else end // 1000, ttl_ms)
             else:
                 state.setTimeoutDuration(state_timeout)
         if out:
@@ -226,23 +218,18 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     the fold) for deployments that never send flush markers — corrupt
     ids then cannot silently corrupt session boundaries (ADVICE r11)."""
     gap_us = gap_minutes * 60 * 1_000_000
-    if state_timeout is None:
-        timeout = GroupStateTimeout.NoTimeout
-        mode = "processing"
-    elif timeout_mode == "event":
-        timeout = GroupStateTimeout.EventTimeTimeout
-        mode = "event"
+    # sessionize derives its own event-time column from ts_us, so the
+    # sentinel "present" satisfies resolve_timeout's column requirement
+    timeout, _, use_event = resolve_timeout(state_timeout, timeout_mode)
+    if use_event:
         from pyspark.sql import functions as F
 
         events = events.withColumn(
             "_ts", F.timestamp_micros("ts_us")
         ).withWatermark("_ts", watermark_delay or state_timeout)
-    elif timeout_mode == "processing":
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
-        mode = "processing"
-    else:
-        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
-    fold = _fold_factory(gap_us, state_timeout, mode, sentinels)
+    fold = _fold_factory(gap_us, state_timeout,
+                         "event" if use_event else "processing",
+                         sentinels)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(fold, SESSIONS_SCHEMA, _STATE_SCHEMA,
