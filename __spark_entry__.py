@@ -503,6 +503,67 @@ def _q_dup_spans(spark, sf_dir):
     return dup_spans(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """NEW r12: benchmark decontamination — flag training docs sharing
+    any word n-gram with the benchmark split (GPT-3 appendix C / FineWeb;
+    n=13 in production, the gate pins n=4 where the fabric's planted
+    duplicates give 49/475 flagged docs at sf0.01 — n>=5 degenerates to
+    2, a near-vacuous gate).  Benchmark = pmod(doc_id, 20) == 0; the
+    bench gram set broadcasts, so corpus data never shuffles before the
+    doc-keyed hit aggregation."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    pm = ((F.col("doc_id") % 20) + 20) % 20
+    return decontaminate(docs.filter(pm != 0), docs.filter(pm == 0), n=4)
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """NEW r12: naive-Bayes quality classifier in whole-bit integer
+    surprisal — trains token weights from the corpus's own
+    gopher_quality keep labels (the CCNet/LLaMA distill-then-score
+    pattern) and scores every doc; the oracle re-runs the full gopher
+    SQL for labels plus the same bin()-length train/score arithmetic,
+    so the hash pins weights, margins, and predictions."""
+    from obadiah_spark.pipelines.classifier import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
+def _q_bigram_rarity(spark, sf_dir):
+    """NEW r12: perplexity-filter signal — per-doc surprisal against
+    the corpus's own bigram distribution in whole bits (log-free:
+    length(bin(x))-1 on both engines)."""
+    from obadiah_spark.pipelines.text import bigram_rarity
+
+    return bigram_rarity(_docs(spark, sf_dir))
+
+
+# the hash_sample gate's mixing weights: fractions spanning 1.0 → 0.1
+# across four strata, every other stratum dropped (the explicit-contract
+# rule), nested under one salt
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _q_hash_sample(spark, sf_dir):
+    """NEW r12: deterministic data mixing — 60-bit md5-threshold
+    sampling as ONE variant-union gate: base = flat 20% corpus sample,
+    strat = per-stratum mixing weights over ``source`` (unlisted strata
+    dropped).  Pure map, no shuffle; the oracle recomputes every hash,
+    so the gate pins exact row membership, not counts."""
+    from obadiah_spark.pipelines.sampling import (hash_sample,
+                                                  stratified_sample)
+
+    docs = _docs(spark, sf_dir)
+    return _variant_union(
+        ("base", hash_sample(docs, 0.2, salt="gate")),
+        ("strat", stratified_sample(docs, MIX_FRACTIONS, "source",
+                                    salt="gate")),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import exact_dedup
 
@@ -979,6 +1040,33 @@ def _q_trading_period(spark, sf_dir):
                                      frequency_s=GET_FREQ_S)),
         ("range", trading_period_fold(l3, volume=0.0,
                                       start=EV_START, end=EV_END)),
+    )
+
+
+def _q_trading_strategy_merged(spark, sf_dir):
+    """T2 + its overloads (get_schema.sql:740) as ONE gate (r12 capacity
+    merge, continuing VERDICT r11 #1): base = full-history mid-price
+    discovery at 1 bps commission; zigzag = the closed-form extrema
+    fabric; freq = discovery over the grid-resampled log; range = the
+    range-restricted mid stream at zero commission.  The rho>0 overload
+    stays its own key (trading_strategy_rho) — its r11 row is current
+    and its parameter interaction is documented there."""
+    return _variant_union(
+        ("base", _q_trading_strategy(spark, sf_dir)),
+        ("zigzag", _q_trading_strategy_zigzag(spark, sf_dir)),
+        ("freq", _q_trading_strategy_freq(spark, sf_dir)),
+        ("range", _q_trading_strategy_range(spark, sf_dir)),
+    )
+
+
+def _q_get_events_merged(spark, sf_dir):
+    """E1 + its p_frequency overload (get_schema.sql:307) as ONE gate
+    (r12 capacity merge): base = the flagship classification window;
+    freq = the same window with prevailing best-bid/ask read from the
+    grid-sampled level1 stream."""
+    return _variant_union(
+        ("base", _q_get_events(spark, sf_dir)),
+        ("freq", _q_get_events_freq(spark, sf_dir)),
     )
 
 
@@ -1598,6 +1686,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,  # NEW r12: ExactSubstr-style dedup
         "corpus_clean_stream": _q_corpus_clean_stream,  # NEW r12
         "pack_sequences": _q_pack_sequences,  # NEW r12
+        "decontaminate": _q_decontaminate,  # NEW r12: benchmark overlap
+        "quality_classifier": _q_quality_classifier,  # NEW r12: NB distill
+        "bigram_rarity": _q_bigram_rarity,  # NEW r12: perplexity signal
+        "hash_sample": _q_hash_sample,  # NEW r12: data-mixing sampler
         # -- (0b) merged overload families (VERDICT r11 #1: the registry
         #    exceeded the 50-slot rotation capacity, so each
         #    p_frequency/p_start_time family collapses 3 slots → 1 via a
@@ -1607,6 +1699,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_summary": _q_depth_summary,
         "queues": _q_queues,
         "trading_period": _q_trading_period,
+        #    r12 additions to the merge set (freed the four window slots
+        #    the four NEW gates above occupy): trading_strategy absorbs
+        #    its zigzag/freq/range overloads (rho stays separate — r11
+        #    row current), get_events absorbs its freq overload; the
+        #    retired keys were trading_strategy_zigzag/_freq/_range and
+        #    get_events_freq, every branch keeping its exact oracle.
+        "trading_strategy": _q_trading_strategy_merged,
+        "get_events": _q_get_events_merged,
         # -- (0c) r11-green but VALUES changed in r12 (must re-verify
         #    in-window) --------------------------------------------------
         "wav_roundtrip": _q_wav_roundtrip,  # %3 cycle adds the A-law leg
@@ -1644,10 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
         "staging_summary": _q_staging_summary,
-        "get_events_freq": _q_get_events_freq,
-        "trading_strategy_range": _q_trading_strategy_range,
         "epsilon_draws_range": _q_epsilon_draws_range,
-        "trading_strategy_freq": _q_trading_strategy_freq,
         "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
         "fix_chain_integrity": _q_fix_chain_integrity,
         "order_book": _q_order_book,
@@ -1655,7 +1752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread": _q_spread,
         "depth_change": _q_depth_change,
         "spread_periods": _q_spread_periods,
-        "get_events": _q_get_events,
         "get_trades": _q_get_trades,
         "events_intervals": _q_intervals,
         "summary": _q_summary,
@@ -1668,8 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "era_reassign": _q_era_reassign,
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
-        "trading_strategy": _q_trading_strategy,
-        "trading_strategy_zigzag": _q_trading_strategy_zigzag,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         # ---- slot 51+: r11 driver-green (CORRECTNESS_r11 rows), values
         #      unchanged this round — they rotate back into the window
@@ -1808,7 +1902,8 @@ def oracle_sql() -> dict[str, str]:
         trading_strategy_mid_oracle_sql,
         trading_strategy_zigzag_oracle_sql,
     )
-    from obadiah_spark.pipelines import dedup, docquality, packing
+    from obadiah_spark.pipelines import (classifier, decontam, dedup,
+                                         docquality, packing, sampling)
     from obadiah_spark.pipelines.multimodal import (
         CODEC_ROUNDTRIP_ORACLE,
         JPEG_ROUNDTRIP_ORACLE,
@@ -1829,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         TEXT_STATS_ORACLE,
         WINNOW_ORACLE,
         WINNOW_PAIRS_ORACLE,
+        bigram_rarity_oracle_sql,
         tfidf_top_terms_oracle,
     )
     from obadiah_spark.pipelines.tokenize import TOKENIZE_REGEX_ORACLE
@@ -1849,15 +1945,25 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean_stream": docquality.corpus_clean_oracle_sql(),
         "dup_spans": docquality.dup_spans_oracle_sql(),
         "pack_sequences": packing.pack_sequences_oracle_sql(),
+        "decontaminate": decontam.decontaminate_oracle_sql(4),
+        "quality_classifier": classifier.quality_classifier_oracle_sql(),
+        "bigram_rarity": bigram_rarity_oracle_sql(),
+        "hash_sample": _variant_union_oracle(
+            base=sampling.hash_sample_oracle_sql(0.2, salt="gate"),
+            strat=sampling.stratified_sample_oracle_sql(
+                MIX_FRACTIONS, "source", salt="gate")),
         "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
         "order_book_ckpt": level3_cte(order_book_oracle_sql(OB_AT)),
         "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
         "spread_periods": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
-        "get_events": level3_matches_cte(events_oracle_sql(EV_START, EV_END)),
-        "get_events_freq": level3_matches_cte(events_oracle_sql(
-            EV_START, EV_END,
-            l1_ctes=grid_sample_l3_sql(SPREAD_L1_CTES, GET_FREQ_S))),
+        # merged E1 family (r12): base + freq, each branch the exact
+        # oracle its retired key carried
+        "get_events": _variant_union_oracle(
+            base=level3_matches_cte(events_oracle_sql(EV_START, EV_END)),
+            freq=level3_matches_cte(events_oracle_sql(
+                EV_START, EV_END,
+                l1_ctes=grid_sample_l3_sql(SPREAD_L1_CTES, GET_FREQ_S)))),
         "get_trades": level3_matches_cte(trades_oracle_sql(TR_START, TR_END)),
         "events_intervals": level3_cte(intervals_oracle_sql(HORIZON)),
         "summary": level3_matches_cte(SUMMARY_ORACLE_BODY),
@@ -1902,13 +2008,18 @@ def oracle_sql() -> dict[str, str]:
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag
         # entries additionally hash-check against a closed-form extrema oracle
-        "trading_strategy": level3_cte(trading_strategy_mid_oracle_sql(phi=0.0001)),
+        # merged T2 family (r12): base/zigzag/freq/range, each branch
+        # the exact oracle its retired key carried (rho stays separate)
+        "trading_strategy": _variant_union_oracle(
+            base=level3_cte(trading_strategy_mid_oracle_sql(phi=0.0001)),
+            zigzag=trading_strategy_zigzag_oracle_sql(),
+            freq=level3_cte(grid_sample_l3_sql(
+                trading_strategy_mid_oracle_sql(phi=0.0001), GET_FREQ_S)),
+            range=level3_cte(trading_strategy_mid_oracle_sql(
+                phi=0.0, mid_cte=_mid_range_cte(EV_START, EV_END)))),
         "trading_strategy_rho": level3_cte(trading_strategy_mid_oracle_sql(
             phi=0.0001, rho=STRATEGY_RHO)),
-        "trading_strategy_freq": level3_cte(grid_sample_l3_sql(
-            trading_strategy_mid_oracle_sql(phi=0.0001), GET_FREQ_S)),
         "epsilon_draws": level3_cte(epsilon_draws_mid_oracle_sql(epsilon=0.0005)),
-        "trading_strategy_zigzag": trading_strategy_zigzag_oracle_sql(),
         "epsilon_draws_zigzag": epsilon_draws_zigzag_oracle_sql(),
         "get_depth": level3_cte(get_depth_oracle_sql(EV_START, EV_END)),
         "get_depth_freq": level3_cte(
@@ -1935,8 +2046,6 @@ def oracle_sql() -> dict[str, str]:
                 grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
             range=level3_cte(
                 trading_period_v0_range_oracle(EV_START, EV_END))),
-        "trading_strategy_range": level3_cte(trading_strategy_mid_oracle_sql(
-            phi=0.0, mid_cte=_mid_range_cte(EV_START, EV_END))),
         "epsilon_draws_range": level3_cte(epsilon_draws_mid_oracle_sql(
             epsilon=0.0005, mid_cte=_mid_range_cte(EV_START, EV_END))),
         "crossed_books": level3_cte(crossed_books_oracle()),

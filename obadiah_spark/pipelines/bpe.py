@@ -1,0 +1,210 @@
+"""Byte-pair encoding — a real trained subword tokenizer on Spark.
+
+Training-data pipelines meter everything in TOKENS (packing budgets,
+mixing weights, per-source caps), and the tokenizer is BPE (Sennrich et
+al. 2016; GPT-2's byte-level variant).  This module implements both
+halves with the repo's exactness discipline:
+
+* :func:`bpe_train` — learn ``num_merges`` merge rules from the corpus.
+  The corpus-side work is ONE distributed aggregation (distinct-word
+  frequencies — the classic BPE trainer consumes the vocabulary
+  histogram, not the corpus); the merge loop then runs on that
+  histogram, which is vocabulary-sized (≪ corpus — at web scale the
+  histogram is further capped with :func:`~obadiah_spark.pipelines.
+  sampling.hash_sample`'s deterministic threshold on the WORD, keeping
+  the trainer O(vocab) regardless of corpus size).  Ties break by
+  (count DESC, pair lexicographic ASC) so training is deterministic.
+
+* :func:`bpe_encode` — apply the merge table to every document.  Each
+  DISTINCT word is encoded once (the per-word merge loop runs
+  Arrow-batched over the deduplicated vocabulary, never over the
+  corpus), then a vocabulary equi-join maps encodings back onto the
+  token stream and a doc-keyed aggregation emits per-document token
+  counts plus an md5 over the full encoded string — so a value gate
+  pins every merge decision, not just counts.
+
+Oracle strategy (the ann_lsh_pairs precedent: learned/seeded model
+parameters are emitted INTO the SQL as a VALUES CTE): the DuckDB oracle
+receives the trained merge table and RE-ENCODES every word from
+scratch with a recursive CTE — state ``(word, rank, sym)`` where each
+step applies one left-to-right replace pass of merge ``rank`` (or
+advances to the next rank at fixpoint).  Replace passes on the
+space-joined symbol string equal BPE's non-overlapping symbol-space
+merge because every symbol is space-delimited; adjacent occurrences
+share a separator space, which exactly one extra pass per adjacency
+run resolves — the recursion is bounded by ``num_merges + len(word)``
+steps.  Training itself is differential-tested against an independent
+reference trainer in pytest (tests/test_bpe.py).
+
+No reference-repo counterpart (market-data engine); LLM-pipeline brief.
+r13 gate candidate (the r12 rotation window is full); the oracle below
+is exercised in-pytest meanwhile.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, functions as F
+
+from obadiah_spark.pipelines.docquality import WS_CLASS, _words
+
+BPE_NUM_MERGES = 48
+# deterministic vocabulary cap for the trainer at extreme scale: keep a
+# word's histogram row iff its 60-bit keyed hash clears the fraction —
+# None disables (the test fabrics' vocabularies are tiny)
+BPE_TRAIN_SAMPLE: float | None = None
+
+
+def _merge_pass(sym: str, a: str, b: str) -> str:
+    """One left-to-right non-overlapping merge pass in symbol space."""
+    toks = sym.split(" ")
+    out, i, n = [], 0, len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return " ".join(out)
+
+
+def _encode_word(word: str, merges: list[tuple[str, str]]) -> str:
+    """Apply the merge table in rank order (full symbol-space passes)."""
+    sym = " ".join(word)
+    for a, b in merges:
+        if a in sym and b in sym:  # cheap skip
+            sym = _merge_pass(sym, a, b)
+    return sym
+
+
+def bpe_train(docs: DataFrame, num_merges: int = BPE_NUM_MERGES,
+              sample: float | None = BPE_TRAIN_SAMPLE) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` (a, b) merge rules from the corpus.
+
+    One distributed pass builds the distinct-word histogram; the greedy
+    merge loop consumes the histogram only.  Returns the rank-ordered
+    merge list."""
+    vocab_df = (_words(docs.select("doc_id", "text"))
+                .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    if sample is not None:
+        from obadiah_spark.pipelines.sampling import hash_sample
+
+        vocab_df = hash_sample(vocab_df, sample, key_col="w",
+                               salt="bpe_train").drop("sample_u")
+    vocab = {r.w: int(r.n) for r in vocab_df.collect()}
+
+    syms = {w: " ".join(w) for w in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            s = syms[w].split(" ")
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        # tie-break: highest count, then lexicographically smallest pair
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            if a in syms[w] and b in syms[w]:
+                syms[w] = _merge_pass(syms[w], a, b)
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Per-document BPE stats under ``merges``: one row per doc with
+    ``n_words``, ``n_tokens`` (post-merge symbol count) and ``enc_md5``
+    (md5 over the per-word encodings joined in document order with
+    ``" | "`` — pins every merge decision byte-exactly).
+
+    Plan shape: tokenize (map-side) → DISTINCT vocabulary → the merge
+    loop runs Arrow-batched over the vocabulary only (``mapInPandas``)
+    → broadcast the encoded vocabulary back onto the token stream →
+    one doc-keyed aggregation."""
+    import pandas as pd
+
+    tok = _words(docs.select("doc_id", "text"))
+    vocab = tok.select("w").distinct()
+
+    def enc_part(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "enc": [_encode_word(w, merges) for w in pdf["w"]],
+            })
+
+    enc = vocab.mapInPandas(enc_part, "w string, enc string")
+    joined = tok.join(F.broadcast(enc), "w")
+    return (joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split("enc", " "))).alias("n_tokens"),
+        F.md5(F.concat_ws(
+            " | ", F.array_sort(F.collect_list(F.struct("pos", "enc")))
+            .getField("enc"))).alias("enc_md5")))
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_encode_oracle_sql(merges: list[tuple[str, str]],
+                          table: str = "documents") -> str:
+    """DuckDB replica of :func:`bpe_encode`: the merge table rides in as
+    a VALUES CTE and a recursive CTE re-encodes every distinct word —
+    one replace pass per step, advancing rank at fixpoint (see module
+    docstring for why replace passes equal symbol-space merges)."""
+    if not merges:
+        values = "SELECT NULL AS rank, NULL AS a, NULL AS b WHERE FALSE"
+    else:
+        rows = ", ".join(
+            f"({i}, {_sql_quote(a)}, {_sql_quote(b)})"
+            for i, (a, b) in enumerate(merges))
+        values = f"SELECT * FROM (VALUES {rows}) m(rank, a, b)"
+    n = len(merges)
+    return f"""
+WITH RECURSIVE merges AS (
+    {values}
+), tok AS (
+    SELECT doc_id, u.w, u.pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
+               generate_subscripts(string_split_regex(text, '{WS_CLASS}'), 1)
+                   - 1 AS pos
+        FROM {table}
+    ) u WHERE length(u.w) > 0
+), vocab AS (
+    SELECT DISTINCT w FROM tok
+), enc0 AS (
+    SELECT w, 0 AS rank,
+           ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
+    FROM vocab
+), rec AS (
+    SELECT * FROM enc0
+    UNION ALL
+    SELECT r.w,
+           CASE WHEN replace(r.sym, ' ' || m.a || ' ' || m.b || ' ',
+                             ' ' || m.a || m.b || ' ') <> r.sym
+                THEN r.rank
+                ELSE r.rank + 1 END AS rank,
+           replace(r.sym, ' ' || m.a || ' ' || m.b || ' ',
+                   ' ' || m.a || m.b || ' ') AS sym
+    FROM rec r JOIN merges m ON m.rank = r.rank
+    WHERE r.rank < {n}
+), final AS (
+    SELECT w, trim(sym) AS enc,
+           len(string_split(trim(sym), ' ')) AS n_sym
+    FROM rec QUALIFY row_number() OVER (
+        PARTITION BY w ORDER BY rank DESC, length(sym) ASC) = 1
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.n_sym) AS BIGINT) AS n_tokens,
+       md5(string_agg(f.enc, ' | ' ORDER BY t.pos)) AS enc_md5
+FROM tok t JOIN final f USING (w)
+GROUP BY t.doc_id
+"""

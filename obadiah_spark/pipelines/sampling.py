@@ -90,3 +90,24 @@ SELECT * FROM (
     FROM {table}
 ) s WHERE sample_u < {_threshold(fraction)}
 """
+
+
+def stratified_sample_oracle_sql(fractions: dict, strata_col: str,
+                                 key_col: str = "doc_id",
+                                 salt: str = "sample",
+                                 table: str = "documents") -> str:
+    """DuckDB replica of :func:`stratified_sample` (strata without an
+    entry are dropped by the NULL threshold)."""
+    cases = "\n        ".join(
+        f"WHEN {strata_col} = '{stratum}' THEN {_threshold(frac)}"
+        for stratum, frac in sorted(fractions.items(),
+                                    key=lambda kv: str(kv[0])))
+    return f"""
+SELECT * EXCLUDE (_thr) FROM (
+    SELECT *, CAST(('0x' || substr(md5('{salt}' || '#' ||
+                                   CAST({key_col} AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS sample_u,
+           CASE {cases} ELSE NULL END AS _thr
+    FROM {table}
+) s WHERE _thr IS NOT NULL AND sample_u < _thr
+"""

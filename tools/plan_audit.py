@@ -57,6 +57,12 @@ ALLOWED_BNLJ = {
         "snapshot_multi era resolution: distinct (pair, era) rows "
         "range-joined (era <= at_ts) to the broadcast instants frame — "
         "O(#pairs x #eras x #instants), all metadata-sized",
+    "bigram_rarity":
+        "the corpus bigram total is a ONE-ROW broadcast crossJoin "
+        "(surprisal denominator) — bounded by construction",
+    "quality_classifier":
+        "two ONE-ROW broadcast crossJoins: the class token totals and "
+        "the class prior — bounded by construction",
 }
 
 
