@@ -238,3 +238,95 @@ def test_wav_gate_excludes_control_bytes(spark):
         "doc_id bigint, text string")
     out = wav_roundtrip(docs).toPandas()
     assert set(out.doc_id) == {1}
+
+
+def test_adpcm_roundtrip_properties():
+    """IMA ADPCM: first sample of every block exact, all decoded values
+    in int16 range, bounded tracking error on slowly-varying signals,
+    multi-block trimming to the fact count."""
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import (ADPCM_BLOCK_ALIGN,
+                                               encode_wav, wav_decode)
+
+    per_block = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    rng = np.random.default_rng(12)
+    for n in (1, 2, 7, per_block, per_block + 1, 3 * per_block - 5):
+        s = rng.integers(-30000, 30000, n).astype(np.int32)
+        d = wav_decode(encode_wav(s, 8000, codec="adpcm"))
+        assert d is not None and d["codec"] == "adpcm"
+        got = d["samples"][:, 0]
+        assert len(got) == n
+        assert got.min() >= -32768 and got.max() <= 32767
+        for b in range(0, n, per_block):  # block headers carry sample 0
+            assert got[b] == s[b]
+    # slow signal: the adaptive step tracks within a small bound
+    t = np.arange(2000)
+    s = (12000 * np.sin(t / 60)).astype(np.int32)
+    got = wav_decode(encode_wav(s, 8000, codec="adpcm"))["samples"][:, 0]
+    assert int(np.abs(got - s).max()) < 1500
+
+
+def test_adpcm_state_machine_hand_pin():
+    """First steps from pred=0, idx=0 (step size 7) computed by hand."""
+    from obadiah_spark.pipelines.audio import (_adpcm_decode_step,
+                                               _adpcm_step)
+
+    # sample 10, pred 0, step 7: delta=10 -> code 4|0|1? 10>=7 (b2),
+    # rem 3 >= 3 (b1), rem 0 < 1 -> code 6; diff = 7//8 + 7 + 3 = 10
+    code, pred, idx = _adpcm_step(10, 0, 0)
+    assert (code, pred, idx) == (6, 10, 6)
+    assert _adpcm_decode_step(6, 0, 0) == (10, 6)
+    # negative: sample -10 -> sign bit 8, same magnitude path
+    code, pred, idx = _adpcm_step(-10, 0, 0)
+    assert (code, pred, idx) == (8 | 6, -10, 6)
+    # clamp: at max step a full-scale jump sets only the step bit
+    # (delta == step leaves no remainder for the half/quarter bits) and
+    # the +2 index adaptation clamps at 88
+    code, pred, idx = _adpcm_step(32767, 0, 88)
+    assert code == 4 and pred == 32767 and idx == 88
+    # code 7 needs delta >= step + step/2 + step/4: step 7 -> delta 12;
+    # reconstruction is step/8 + step + step/2 + step/4 = 0+7+3+1 = 11
+    code, pred, idx = _adpcm_step(12, 0, 0)
+    assert code == 7 and pred == 11 and idx == 8
+
+
+def test_adpcm_header_strictness():
+    """fact chunk is REQUIRED and must land in the final block."""
+    import struct
+
+    import numpy as np
+
+    from obadiah_spark.pipelines.audio import encode_wav, wav_decode
+
+    s = np.arange(100, dtype=np.int32)
+    wav = bytearray(encode_wav(s, 8000, codec="adpcm"))
+    assert wav_decode(bytes(wav)) is not None
+    fact_pos = bytes(wav).index(b"fact")
+    # fact count beyond the single block's capacity -> reject
+    bad = bytearray(wav)
+    bad[fact_pos + 8:fact_pos + 12] = struct.pack("<I", 600)
+    assert wav_decode(bytes(bad)) is None
+    # fact chunk excised entirely -> reject (compressed needs fact)
+    no_fact = wav[:fact_pos] + wav[fact_pos + 12:]
+    no_fact[4:8] = struct.pack("<I", len(no_fact) - 8)
+    assert wav_decode(bytes(no_fact)) is None
+
+
+def test_adpcm_gate_duckdb_differential(spark, sf_dir, duck):
+    """The r13 gate oracle: the recursive-CTE state machine must equal
+    the Python codec on every document."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.verify_local import canonicalize
+
+    from obadiah_spark.pipelines.audio import (adpcm_roundtrip,
+                                               adpcm_roundtrip_oracle_sql)
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = adpcm_roundtrip(docs).toPandas()
+    want = duck.execute(adpcm_roundtrip_oracle_sql()).df()
+    assert canonicalize(got).equals(canonicalize(want))
+    assert len(got) > 0 and (got.peak > 0).all()

@@ -295,6 +295,32 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
 
     timed("dup_spans", lambda: dup_spans(docs)
           .agg(F.max("clean_md5"), F.sum("dup_chars")).collect())
+    # round-12 additions: decontamination (broadcast bench-gram join —
+    # bench side held at 1× size while the corpus grows, the realistic
+    # regime), the NB quality classifier (train + score: one word-keyed
+    # and two doc-keyed shuffles), the perplexity-filter signal (one
+    # gram-keyed groupBy), and BPE encode (merge loop over the DISTINCT
+    # vocabulary only — its exponent measures how vocabulary growth,
+    # not corpus growth, drives tokenizer cost)
+    from pyspark.sql import functions as FF
+
+    from obadiah_spark.pipelines.bpe import bpe_encode, bpe_train
+    from obadiah_spark.pipelines.classifier import quality_classifier
+    from obadiah_spark.pipelines.decontam import decontaminate
+    from obadiah_spark.pipelines.text import bigram_rarity
+
+    pm = ((FF.col("doc_id") % 20) + 20) % 20
+    bench = docs.filter(pm == 0).limit(500)  # eval sets don't scale
+    timed("decontaminate",
+          lambda: decontaminate(docs.filter(pm != 0), bench, n=4)
+          .agg(F.sum("n_hits"), F.max("first_hit")).collect())
+    timed("quality_classifier", lambda: quality_classifier(docs)
+          .agg(F.sum("margin_bits"), F.sum("n_tokens")).collect())
+    timed("bigram_rarity", lambda: bigram_rarity(docs)
+          .agg(F.sum("rarity_bits"), F.max("max_bits")).collect())
+    merges = bpe_train(docs, 32)
+    timed("bpe_encode", lambda: bpe_encode(docs, merges)
+          .agg(F.sum("n_tokens"), F.max("enc_md5")).collect())
     return out
 
 
