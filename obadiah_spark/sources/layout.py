@@ -1,0 +1,117 @@
+"""Z-order (Morton) clustering for multi-dimensional parquet pruning.
+
+Parquet pruning is min/max zone maps per row group: a scan skips a row
+group when the predicate excludes its [min, max] interval.  Sorting the
+table by ONE column makes that column prunable and leaves every other
+dimension scattered — a rectangle predicate (ts range AND key range)
+still reads everything.  The standard fix (Delta/Iceberg OPTIMIZE
+ZORDER) is to sort by the interleaved-bit Morton key instead: each row
+group then covers a small hyper-rectangle of the key space, so BOTH
+dimensions prune.
+
+Everything is integer arithmetic so the DuckDB oracle reproduces keys
+bit-for-bit:
+
+* each column is bucketed to ``bits`` bits by exact bigint scaling
+  ``(v - min) * (2^bits - 1) DIV max(max - min, 1)`` (corpus min/max
+  come from one tiny aggregate, broadcast);
+* the Morton key interleaves the bucket bits — column j contributes
+  bit i to key bit ``i * n_cols + j``.
+
+``zorder_write`` is the layout operator: ``repartitionByRange`` on the
+key (range partitioner → each output file owns a contiguous key range
+→ each file covers a compact hyper-rectangle) + ``sortWithinPartitions``
+so row groups WITHIN a file stay compact too.  At 100 TB this is one
+range-shuffle write — the same cost as any global sort the table
+needed anyway, paid once at layout time to make every later rectangle
+scan prune.
+
+No reference-repo counterpart (the reference stores rows in Postgres
+monthly partitions; era/month pruning is covered by the silver layout —
+SCALE.md §1); this is the LLM-pipeline / lakehouse-layout brief.
+r13 gate candidate (the r12 rotation window is full); the oracle below
+is exercised in-pytest meanwhile, and SCALE.md §1 records the measured
+row-group pruning win.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ZORDER_BITS = 16
+
+
+def _bucket_expr(col: str, cmin: str, cmax: str, bits: int) -> Column:
+    """Exact bigint scaling of ``col`` onto [0, 2^bits - 1]."""
+    m = (1 << bits) - 1
+    return F.expr(
+        f"(({col} - {cmin}) * {m}) DIV greatest({cmax} - {cmin}, 1)")
+
+
+def _morton(bucket_cols: list[str], bits: int) -> Column:
+    """Interleave the bucket columns' bits into one bigint key."""
+    n = len(bucket_cols)
+    terms = []
+    for j, c in enumerate(bucket_cols):
+        for i in range(bits):
+            terms.append(f"((({c} >> {i}) & 1) * {1 << (i * n + j)})")
+    return F.expr(" + ".join(terms))
+
+
+def zorder_keys(df: DataFrame, cols: list[str],
+                bits: int = ZORDER_BITS) -> DataFrame:
+    """``df`` plus per-column buckets (``zb_<col>``) and the Morton key
+    (``zkey``).  One tiny min/max aggregate broadcasts; the key itself
+    is a pure map expression."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    bnames = []
+    for c in cols:
+        b = f"zb_{c}"
+        out = out.withColumn(
+            b, _bucket_expr(c, f"_min_{c}", f"_max_{c}", bits))
+        bnames.append(b)
+    out = out.withColumn("zkey", _morton(bnames, bits))
+    return out.drop(*[f"_min_{c}" for c in cols],
+                    *[f"_max_{c}" for c in cols])
+
+
+def zorder_write(df: DataFrame, cols: list[str], path: str,
+                 n_files: int = 32, bits: int = ZORDER_BITS) -> None:
+    """Write ``df`` parquet in Z-order layout: range-partition on the
+    Morton key (each file owns a contiguous key range) and sort within
+    partitions (compact row groups inside each file)."""
+    keyed = zorder_keys(df, cols, bits)
+    (keyed.repartitionByRange(n_files, "zkey")
+     .sortWithinPartitions("zkey")
+     .drop("zkey", *[f"zb_{c}" for c in cols])
+     .write.mode("overwrite").parquet(path))
+
+
+def zorder_keys_oracle_sql(cols: list[str], bits: int = ZORDER_BITS,
+                           table: str = "events",
+                           id_col: str = "event_id") -> str:
+    """DuckDB replica of :func:`zorder_keys` projected to (id, buckets,
+    zkey) — the value-gate shape."""
+    n = len(cols)
+    m = (1 << bits) - 1
+    stat_sel = ", ".join(
+        f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in cols)
+    bucket_sel = ", ".join(
+        f"((t.{c} - s.min_{c}) * {m}) // greatest(s.max_{c} - s.min_{c}, 1)"
+        f" AS zb_{c}" for c in cols)
+    terms = " + ".join(
+        f"(((zb_{c} >> {i}) & 1) * {1 << (i * n + j)})"
+        for j, c in enumerate(cols) for i in range(bits))
+    zb_cols = ", ".join(f"CAST(zb_{c} AS BIGINT) AS zb_{c}" for c in cols)
+    return f"""
+WITH s AS (
+    SELECT {stat_sel} FROM {table}
+), b AS (
+    SELECT t.{id_col}, {bucket_sel} FROM {table} t CROSS JOIN s
+)
+SELECT {id_col}, {zb_cols}, CAST({terms} AS BIGINT) AS zkey FROM b
+"""
