@@ -1769,10 +1769,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      unchanged this round — they rotate back into the window
         #      in r13. With 98 registered keys the steady state is 48
         #      expiring keys per round against the 50-slot cap: 2 slots
-        #      of headroom for new r13 gates. More headroom is one
-        #      family-merge away (the trading_strategy freq/range
-        #      overloads are the next depth_summary-style candidates,
-        #      same variant-union pattern, 2 slots each). ---------------
+        #      of headroom for new r13 gates (candidates with oracles
+        #      already shipped: bpe_encode, adpcm_roundtrip,
+        #      zorder_keys). More headroom is one family-merge away —
+        #      get_depth/_freq (2→1) and get_spread/_freq/spread_at
+        #      (3→1) below are the next depth_summary-style merges; a
+        #      merge retires more keys than the one window slot its
+        #      union gate occupies, so each NETS +1/+2 slots. ----------
         "dedup_stream": _q_dedup_stream,  # see the (0c) slot notes
         "gopher_quality": _q_gopher_quality,  # see the (0c) slot notes
         "ann_ivfpq": _q_ann_ivfpq,  # see the (0c) slot notes

@@ -582,3 +582,71 @@ WITH RECURSIVE pairs AS (
 SELECT doc_id, cluster_id, cluster_size
 FROM lab JOIN sizes USING (cluster_id)
 """
+
+
+# ---- index-backed incremental dedup ----------------------------------
+# At 100 TB you cannot re-minhash the corpus every time a batch of new
+# documents arrives.  The standard shape is a PERSISTED band-signature
+# index: minhash the corpus once, store (doc_id, band, band_sig)
+# partitioned by band, and dedup each increment by hashing ONLY the new
+# documents and joining their band signatures against the index — the
+# corpus text column is never touched again.  The streaming twin
+# (streaming/dedup_stream.py) holds the same signatures in operator
+# state; this is the batch/lakehouse form with the index on storage.
+
+
+def write_minhash_index(docs: DataFrame, path: str) -> None:
+    """Materialize the band-signature index for ``docs``: one shingle →
+    16-hash → min pass (the exact `_minhash_bands` arithmetic), written
+    partitioned by band so band-wise joins prune to one directory."""
+    _minhash_bands(docs).write.mode("overwrite").partitionBy(
+        "band").parquet(path)
+
+
+def minhash_lsh_incremental(spark, index_path: str, new_docs: DataFrame,
+                            max_bucket_size: int = 50) -> DataFrame:
+    """Candidate pairs INVOLVING A NEW DOC — new×index plus new×new —
+    equal to the full-corpus :func:`minhash_lsh_candidates` restricted
+    to pairs with at least one new side (pytest-differential-pinned).
+
+    Cost shape: shingling/hashing touches only the increment; the index
+    contributes a column-pruned (band, band_sig) scan for the hot-bucket
+    census and the band equi-join.  The hot-bucket cap is computed over
+    index ∪ increment, exactly like the batch operator's window, so a
+    bucket pushed over the cap by new arrivals drops out on both
+    paths."""
+    idx = spark.read.parquet(index_path).select(
+        "doc_id", "band", "band_sig")
+    new_bands = _minhash_bands(new_docs).persist()
+    census = (idx.unionByName(new_bands)
+              .groupBy("band", "band_sig")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .drop("_n"))
+    idx_ok = idx.join(census, ["band", "band_sig"])
+    new_ok = new_bands.join(census, ["band", "band_sig"])
+    n = new_ok.select(F.col("doc_id").alias("doc_n"), "band", "band_sig")
+    o = idx_ok.select(F.col("doc_id").alias("doc_o"), "band", "band_sig")
+    cross = (n.join(o, ["band", "band_sig"])
+             .select(F.least("doc_n", "doc_o").alias("doc_a"),
+                     F.greatest("doc_n", "doc_o").alias("doc_b")))
+    n2 = new_ok.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    m2 = new_ok.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    intra = (n2.join(m2, ["band", "band_sig"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+    return cross.unionByName(intra).distinct()
+
+
+def minhash_incremental_oracle_sql(new_mod: int = 2,
+                                   max_bucket_size: int = 50) -> str:
+    """DuckDB replica of the incremental gate fabric: index = docs with
+    pmod(doc_id, new_mod) = 0, increment = the rest; the result is the
+    full-corpus LSH pair set restricted to pairs with a new side."""
+    return f"""
+SELECT doc_a, doc_b FROM (
+{minhash_lsh_oracle(max_bucket_size)}
+) p
+WHERE ((doc_a % {new_mod}) + {new_mod}) % {new_mod} <> 0
+   OR ((doc_b % {new_mod}) + {new_mod}) % {new_mod} <> 0
+"""
