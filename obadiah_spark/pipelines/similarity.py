@@ -948,3 +948,115 @@ SELECT 'ann_lsh_recall' AS metric,
        TRUE AS {flag}
 FROM d WHERE cosine >= {min_cosine!r}
 """
+
+
+# ---- persisted IVF-PQ index -------------------------------------------
+# The codebooks were already materialize-once (train_ivf_codebook /
+# pq_train_subcodebooks); at 100 TB the OTHER two derived states are
+# the expensive ones — the per-vector cell ASSIGNMENT and the PQ CODES
+# are full corpus passes.  A real vector index persists all of it:
+# write (vec_id, embedding, codes, cell) partitioned by cell, so a
+# query's n_probe cell reads become DIRECTORY reads (Spark partition
+# pruning / dynamic partition pruning on the probe join) — query cost
+# is proportional to the probed lists, enforced by the storage layout
+# rather than by a filter the scan might not push.
+
+
+def write_ivfpq_index(emb: DataFrame, path: str,
+                      n_cells: int = IVF_CELLS, stride: int = IVF_STRIDE,
+                      iters: int = IVF_ITERS,
+                      train_stride: int = IVF_TRAIN_STRIDE,
+                      train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
+                      ksub: int = PQ_KSUB, dim: int = PQ_DIM,
+                      train_pq: bool = True) -> None:
+    """Build the full IVF-PQ index at ``path``: ``codebook/`` (n_cells
+    rows), ``subcodebook/`` (m × ksub rows, Lloyd-trained by default),
+    and ``vectors/`` — one row per vector with its raw embedding (for
+    the exact re-rank), its PQ code array (m entries, subspace order)
+    and its IVF cell, PARTITIONED BY cell.  Train + assign + encode run
+    once; every later query reads only its probed cell directories."""
+    import os
+
+    spark = emb.sparkSession
+    cb = train_ivf_codebook(emb, os.path.join(path, "codebook"),
+                            n_cells, stride, iters, train_stride,
+                            train_max)
+    subcb = (pq_train_subcodebooks(emb, iters, stride, m, ksub, dim,
+                                   train_stride, train_max)
+             if train_pq else pq_subcodebooks(emb, stride, m, ksub, dim))
+    subcb.write.mode("overwrite").parquet(os.path.join(path,
+                                                       "subcodebook"))
+    subcb = spark.read.parquet(os.path.join(path, "subcodebook"))
+    assign = (
+        _rank_cells(emb.select("vec_id", "embedding"), cb,
+                    "vec_id", "embedding")
+        .filter(F.col("cr") == 1).select("vec_id", "cell")
+    )
+    codes = (pq_encode(emb, subcb, m, dim)
+             .groupBy("vec_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "code"))),
+                 lambda s: s["code"]).alias("codes")))
+    (emb.select("vec_id", "embedding")
+     .join(assign, "vec_id").join(codes, "vec_id")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(path, "vectors")))
+
+
+def ann_ivfpq_query(spark, path: str, q: DataFrame, k: int = 5,
+                    n_probe: int = IVF_PROBE, m: int = PQ_M,
+                    rerank: int = PQ_RERANK, dim: int = PQ_DIM,
+                    rerank_frac: float = PQ_RERANK_FRAC) -> DataFrame:
+    """Search a :func:`write_ivfpq_index` index: ``q`` is (q_id, q_emb).
+    Identical math to :func:`ann_ivfpq` (ADC fold order, adaptive
+    re-rank depth, round-9 cosine, tiebreaks), so results are
+    bit-identical to the in-memory operator given the same codebooks —
+    pytest-pinned.  The probe join hits the cell-partitioned vectors
+    table, so only the probed directories are read."""
+    import os
+
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    subcb = spark.read.parquet(os.path.join(path, "subcodebook"))
+    vec = spark.read.parquet(os.path.join(path, "vectors"))
+    probes = (
+        _rank_cells(q, cb, "q_id", "q_emb")
+        .filter(F.col("cr") <= n_probe).select("q_id", "cell")
+    )
+    cand = (
+        F.broadcast(probes).join(vec, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    lut = _subvectors(
+        q.select("q_id",
+                 F.expr(_CAST_DOUBLE_ARR.format(col="q_emb")).alias("emb")),
+        "q_id", "emb", m, dim).join(F.broadcast(subcb), "m").select(
+        "q_id", "m", F.col("j").alias("code"), _l2sq("sv", "sc").alias("d"))
+    adc = (
+        cand.select("q_id", "vec_id",
+                    F.posexplode("codes").alias("m", "code"))
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("m", "d"))),
+                        lambda s: s["d"]),
+            F.lit(0.0), lambda acc, v: acc + v), 9).alias("adc"))
+    )
+    wa = W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    wq = W.partitionBy("q_id")
+    survivors = (adc.withColumn("ar", F.row_number().over(wa))
+                 .withColumn("n_cand", F.count(F.lit(1)).over(wq))
+                 .filter(F.col("ar") <= F.greatest(
+                     F.lit(rerank * k),
+                     F.ceil(F.lit(rerank_frac) * F.col("n_cand"))))
+                 .select("q_id", "vec_id"))
+    ev = vec.select("vec_id", F.col("embedding").alias("emb_v"))
+    scored = (
+        survivors.join(ev, "vec_id").join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", _cosine("emb_v", "q_emb").alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
