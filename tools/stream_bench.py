@@ -343,6 +343,24 @@ def bench_llm_ingest(spark, work: str, sf_dir: str,
                   time.perf_counter() - t0, _batch_durations(q))
     rec["rows_out"] = int(sum(kept))
     out.append(rec)
+
+    # r12 second wave: sequence packing on ingest — per-shard next-fit
+    # fold, three scalars of state per shard
+    from obadiah_spark.streaming.pack_stream import pack_stream
+
+    t0 = time.perf_counter()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(flat)
+              .repartition(par))
+    q = (pack_stream(stream)
+         .writeStream.format("memory").queryName("sb_pack")
+         .option("checkpointLocation", os.path.join(work, "pk_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rec = _report("pack_stream", rows_in, time.perf_counter() - t0,
+                  _batch_durations(q))
+    rec["rows_out"] = spark.table("sb_pack").count()
+    out.append(rec)
     return out
 
 
