@@ -204,10 +204,13 @@ def gopher_quality(docs: DataFrame, dup_n: int = DUP_NGRAM_N,
     )
 
 
-def gopher_quality_oracle_sql(dup_n: int = DUP_NGRAM_N) -> str:
+def gopher_quality_oracle_sql(dup_n: int = DUP_NGRAM_N,
+                              table: str = "documents") -> str:
     """DuckDB replica — same tokenization, same tie-break, same operand
     order in every division.  Integer outputs are CAST to BIGINT (DuckDB
-    sums are HUGEINT, Spark's are long)."""
+    sums are HUGEINT, Spark's are long).  ``table`` may name an
+    enclosing CTE (compositions run this as a subquery; DuckDB CTE
+    scoping lets the inner WITH see it)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     leads = " || ' ' || ".join(
         f"lead(w, {i}) OVER dw" for i in range(1, dup_n))
@@ -218,7 +221,7 @@ WITH tok AS (
         SELECT doc_id,
                unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
                generate_subscripts(string_split_regex(text, '{WS_CLASS}'), 1) - 1 AS pos
-        FROM documents
+        FROM {table}
     ) u WHERE length(u.w) > 0
 ), base AS (
     SELECT doc_id,
@@ -578,4 +581,162 @@ SELECT doc_id,
        md5(coalesce(string_agg(CASE WHEN NOT dup THEN w END, ' '
                                ORDER BY pos), '')) AS clean_md5
 FROM m GROUP BY doc_id
+"""
+
+
+def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
+                   bench_mod: int = 20, decontam_n: int = 4,
+                   dup_n: int = DUP_NGRAM_N,
+                   budget: int | None = None,
+                   n_shards: int | None = None) -> DataFrame:
+    """The COMPLETE training-data preparation pass, raw documents →
+    packed training sequences: exact dedup ∘ Gopher quality ∘ benchmark
+    decontamination ∘ PII scrub ∘ next-fit sequence packing — every
+    stage the engine's own (individually gate-verified) operator,
+    composed in the order a production pipeline runs them.
+
+    ``bench`` is the held-out evaluation corpus; when None the fabric
+    split pmod(doc_id, bench_mod) == 0 supplies it and only the
+    remaining training split flows through the pipeline.  Output: one
+    row per SURVIVING training document — (doc_id, shard, seq_no,
+    offset, n_tokens, overflow, redacted_md5) — where n_tokens counts
+    the REDACTED text (what training actually consumes) and the packing
+    runs over survivors only, so sequence slots are dense.
+
+    Scan discipline (corpus_clean precedent): the projected corpus and
+    the token frame are localCheckpoint'd once; dedup/gopher/decontam/
+    scrub all read executor-local blocks.  The scrub output is
+    checkpointed too — both its consumers (token counts for packing,
+    the audit md5) reuse one regex pass."""
+    from obadiah_spark.pipelines.decontam import decontaminate
+    from obadiah_spark.pipelines.dedup import exact_dedup
+    from obadiah_spark.pipelines.packing import (PACK_BUDGET, PACK_SHARDS,
+                                                 pack_sequences)
+
+    budget = PACK_BUDGET if budget is None else budget
+    n_shards = PACK_SHARDS if n_shards is None else n_shards
+    d = docs.select("doc_id", "text").localCheckpoint()
+    if bench is None:
+        pm = F.pmod(F.col("doc_id"), F.lit(bench_mod))
+        bench, train = d.filter(pm == 0), d.filter(pm != 0)
+    else:
+        train = d
+    tok = _words(train).localCheckpoint()
+    surv = (
+        exact_dedup(train).select("doc_id", "is_duplicate")
+        .join(gopher_quality(train, dup_n=dup_n, tok=tok)
+              .select("doc_id", "keep"), "doc_id")
+        .join(decontaminate(train, bench, n=decontam_n)
+              .select("doc_id", "contaminated"), "doc_id")
+        .filter(~F.col("is_duplicate") & F.col("keep")
+                & ~F.col("contaminated"))
+        .select("doc_id")
+    )
+    scrub = (pii_scrub(train.join(surv, "doc_id"))
+             .select("doc_id", "redacted").localCheckpoint())
+    arr = F.split(F.col("redacted"), WS_CLASS)
+    counts = scrub.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda w: F.length(w) > 0))
+        .cast("long").alias("n_tokens"))
+    packed = pack_sequences(scrub, budget=budget, n_shards=n_shards,
+                            count_col=counts)
+    return packed.join(
+        scrub.select("doc_id", F.md5("redacted").alias("redacted_md5")),
+        "doc_id")
+
+
+def corpus_prepare_oracle_sql(bench_mod: int = 20, decontam_n: int = 4,
+                              dup_n: int = DUP_NGRAM_N,
+                              budget: int | None = None,
+                              n_shards: int | None = None) -> str:
+    """DuckDB replica of the full composition: each stage is the exact
+    oracle its standalone gate carries (the gopher SQL runs as a
+    subquery over the ``train`` CTE), with the pack recursion walking
+    the scrubbed survivors in doc_id order."""
+    from obadiah_spark.pipelines.packing import PACK_BUDGET, PACK_SHARDS
+
+    budget = PACK_BUDGET if budget is None else budget
+    n_shards = PACK_SHARDS if n_shards is None else n_shards
+    n = decontam_n
+    m = bench_mod
+    em, ip, ph = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    gopher = gopher_quality_oracle_sql(dup_n, table="train")
+    return f"""
+WITH RECURSIVE split AS (
+    SELECT doc_id, ((doc_id % {m}) + {m}) % {m} = 0 AS is_bench, text
+    FROM documents
+), train AS (
+    SELECT doc_id, text FROM split WHERE NOT is_bench
+), dd AS (
+    SELECT doc_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+    FROM (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text,
+                   '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')))) AS fp
+        FROM train)
+), gq AS (
+    SELECT doc_id, keep FROM ({gopher})
+), dwords AS (
+    SELECT doc_id, is_bench,
+           list_filter(string_split_regex(text, '{WS_CLASS}'),
+                       w -> length(w) > 0) AS ws
+    FROM split
+), dpos AS (
+    SELECT doc_id, is_bench, ws,
+           unnest(generate_series(1, greatest(len(ws) - {n} + 1, 0))) AS i
+    FROM dwords
+), dgrams AS (
+    SELECT DISTINCT doc_id, is_bench,
+           array_to_string(ws[i:i + {n} - 1], ' ') AS g
+    FROM dpos
+), dbench AS (
+    SELECT DISTINCT g FROM dgrams WHERE is_bench
+), dc AS (
+    SELECT g.doc_id, TRUE AS contaminated
+    FROM dgrams g JOIN dbench b USING (g)
+    WHERE NOT g.is_bench GROUP BY g.doc_id
+), surv AS (
+    SELECT dd.doc_id
+    FROM dd JOIN gq USING (doc_id) LEFT JOIN dc USING (doc_id)
+    WHERE NOT dd.is_duplicate AND gq.keep
+      AND NOT coalesce(dc.contaminated, FALSE)
+), scrub AS (
+    SELECT t.doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t.text,
+               '{em}', '<EMAIL>', 'g'),
+               '{ip}', '<IP>', 'g'),
+               '{ph}', '<PHONE>', 'g') AS redacted
+    FROM train t JOIN surv USING (doc_id)
+), t AS (
+    SELECT doc_id,
+           CAST(((doc_id % {n_shards}) + {n_shards}) % {n_shards} AS INT)
+             AS shard,
+           CAST(len(list_filter(string_split_regex(redacted, '{WS_CLASS}'),
+                                w -> length(w) > 0)) AS BIGINT)
+             AS n_tokens,
+           row_number() OVER (
+               PARTITION BY ((doc_id % {n_shards}) + {n_shards}) % {n_shards}
+               ORDER BY doc_id) AS rn
+    FROM scrub
+), p AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(1 AS BIGINT) AS seq_no, CAST(0 AS BIGINT) AS "offset",
+           n_tokens AS fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+           CASE WHEN p.fill + t.n_tokens > {budget}
+                THEN p.seq_no + 1 ELSE p.seq_no END,
+           CASE WHEN p.fill + t.n_tokens > {budget}
+                THEN CAST(0 AS BIGINT) ELSE p.fill END,
+           CASE WHEN p.fill + t.n_tokens > {budget}
+                THEN t.n_tokens ELSE p.fill + t.n_tokens END
+    FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT p.doc_id, p.shard, p.seq_no, p."offset", p.n_tokens,
+       p.n_tokens > {budget} AS overflow,
+       md5(s.redacted) AS redacted_md5
+FROM p JOIN scrub s ON s.doc_id = p.doc_id
 """

@@ -1,0 +1,93 @@
+"""corpus_prepare — the full raw-docs → packed-training-sequences
+composition: DuckDB value differential (the r13 gate oracle) plus
+stage-consistency pins against the standalone operators."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest  # noqa: E402
+
+from tools.verify_local import canonicalize  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, sf_dir):
+    from obadiah_spark.pipelines.docquality import corpus_prepare
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs, corpus_prepare(docs).toPandas()
+
+
+def test_prepare_duckdb_differential(prepared, duck):
+    from obadiah_spark.pipelines.docquality import corpus_prepare_oracle_sql
+
+    _, got = prepared
+    want = duck.execute(corpus_prepare_oracle_sql()).df()
+    assert canonicalize(got).equals(canonicalize(want))
+    assert len(got) > 0
+
+
+def test_prepare_consistent_with_standalone_stages(prepared, spark):
+    """Survivor set = dedup-canonical ∩ gopher-keep ∩ not-contaminated
+    on the train split; packing is dense per shard (seq_nos start at 1
+    with no gaps) and every offset fits the budget unless flagged."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.decontam import decontaminate
+    from obadiah_spark.pipelines.dedup import exact_dedup
+    from obadiah_spark.pipelines.docquality import gopher_quality
+    from obadiah_spark.pipelines.packing import PACK_BUDGET
+
+    docs, got = prepared
+    pm = F.pmod(F.col("doc_id"), F.lit(20))
+    train, bench = docs.filter(pm != 0), docs.filter(pm == 0)
+    dd = {r.doc_id for r in exact_dedup(train)
+          .filter("NOT is_duplicate").select("doc_id").collect()}
+    gq = {r.doc_id for r in gopher_quality(train)
+          .filter("keep").select("doc_id").collect()}
+    dc = {r.doc_id for r in decontaminate(train, bench, n=4)
+          .filter("NOT contaminated").select("doc_id").collect()}
+    assert set(got.doc_id) == dd & gq & dc
+    for (_, seq), g in got.groupby(["shard", "seq_no"]):
+        pass
+    per_shard = got.groupby("shard").seq_no
+    assert (per_shard.min() == 1).all()
+    # dense numbering: max seq_no == distinct seq count per shard
+    assert (per_shard.max()
+            == got.groupby("shard").seq_no.nunique()).all()
+    ok = got[~got.overflow]
+    assert ((ok.offset + ok.n_tokens) <= PACK_BUDGET).all()
+
+
+def test_prepare_counts_redacted_tokens(spark):
+    """Token budget is charged on the SCRUBBED text: a long email
+    redacts to one <EMAIL> token."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.docquality import corpus_prepare
+
+    # >= 50 words, no repeated 3-grams (gopher would drop the doc), two
+    # distinct stopwords, mean word length inside [3, 10]
+    filler = ("the gopher rules and want varied tokens " +
+              " ".join(f"word{i:02d}" for i in range(48)) + " ")
+    text = filler + "contact someone.with.a.very.long.address@example.com"
+    docs = spark.createDataFrame(
+        [(1, text), (21, text + " extra")],
+        "doc_id long, text string")
+    out = corpus_prepare(docs, bench=docs.sparkSession.createDataFrame(
+        [(0, "unrelated benchmark words entirely")],
+        "doc_id long, text string")).toPandas()
+    n_words_raw = len(text.split())
+    got = out[out.doc_id == 1]
+    assert len(got) == 1
+    # the email collapsed to <EMAIL>: same token count as raw (1 token
+    # replaced by 1 token) — but the md5 differs from the raw text
+    import hashlib
+
+    assert got.n_tokens.iloc[0] == n_words_raw
+    assert got.redacted_md5.iloc[0] != hashlib.md5(
+        text.encode()).hexdigest()
