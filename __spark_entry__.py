@@ -1710,8 +1710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0c) r11-green but VALUES changed in r12 (must re-verify
         #    in-window) --------------------------------------------------
         "wav_roundtrip": _q_wav_roundtrip,  # %3 cycle adds the A-law leg
-        "codec_roundtrip": _q_codec_roundtrip,  # %5 cycle adds the WebP
-        #   VP8L leg; oracle moduli made sign-stable
+        "codec_roundtrip": _q_codec_roundtrip,  # r12: %5 added the WebP
+        #   VP8L leg (oracle moduli made sign-stable), then the second
+        #   wave widened to %6 with the TIFF leg (PackBits x endianness
+        #   on the quotient) — in-window, so it re-verifies either way
         # Slot notes — keys that yielded their window slots to the FIVE
         # new r12 gates (the depth_chains/dup_clusters value-neutrality
         # precedent from r11; all five were re-verified green through

@@ -350,12 +350,14 @@ def decode_image(payload: bytes) -> dict:
     provide, so those stay an honest stub behind a PIL import-try."""
     from obadiah_spark.pipelines.gif import gif_decode
     from obadiah_spark.pipelines.jpeg import jpeg_decode
+    from obadiah_spark.pipelines.tiff import tiff_decode
     from obadiah_spark.pipelines.webp import webp_decode
 
     raw = bytes(payload)
     decoded = (_try_decode_bmp(raw) or _try_decode_ppm(raw)
                or _try_decode_png(raw) or jpeg_decode(raw)
-               or gif_decode(raw) or webp_decode(raw))
+               or gif_decode(raw) or webp_decode(raw)
+               or tiff_decode(raw))
     if decoded is not None:
         return decoded
     try:
@@ -405,33 +407,33 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     return extract_features(pack_blobs(docs))
 
 
-CODEC_FMTS = ("bmp", "ppm", "png", "gif", "webp")
+CODEC_FMTS = ("bmp", "ppm", "png", "gif", "webp", "tiff")
 
 
 def codec_roundtrip(docs: DataFrame) -> DataFrame:
-    """Value-level gate for the five real lossless codecs (VERDICT r8
-    task #6; GIF added r11, WebP VP8L r12): per document, build a small
-    image whose pixel bytes are the first ``w*h*3`` bytes of the text,
-    encode it with the format selected by ``doc_id % 5`` (BMP / PPM /
-    PNG / GIF / WEBP — the PNG scanline filter cycling through all five
-    by ``doc_id % 5``... for the PNG leg that is always filter 2, so
-    the filter cycle rides on ``(doc_id // 5) % 5`` since r12; the GIF
-    leg alternates interlace by ``doc_id % 2`` of the quotient; the
-    WebP leg cycles its transform knob — none / subtract-green /
-    predictor-by-quotient / cross-color / palette — by
-    ``(doc_id // 5) % 5`` so the driver hashes every VP8L transform
-    family), strictly decode it back, and emit the decoded dims + pixel
-    md5. The oracle predicts both WITHOUT running any codec (the md5 of
-    the text prefix), so a hash match proves every encode→decode
-    round-trip preserved pixel bytes exactly (a ≤12-pixel image has ≤12
-    distinct colors, so the GIF/WebP palette paths are always
-    losslessly encodable). Map-side only (one mapInPandas pass), no
-    shuffle — the 100 TB shape of a decode-validate pass over a binary
-    corpus.
+    """Value-level gate for the six real lossless codecs (VERDICT r8
+    task #6; GIF added r11, WebP VP8L r12, TIFF r12 second wave): per
+    document, build a small image whose pixel bytes are the first
+    ``w*h*3`` bytes of the text, encode it with the format selected by
+    ``doc_id % 6`` (BMP / PPM / PNG / GIF / WEBP / TIFF), strictly
+    decode it back, and emit the decoded dims + pixel md5.  Per-format
+    knobs ride on the quotient ``q = (doc_id // 6) % 5``: the PNG leg
+    cycles its scanline filter through all five; the GIF leg alternates
+    interlace by ``q % 2``; the WebP leg cycles its transform — none /
+    subtract-green / predictor-by-quotient / cross-color / palette; the
+    TIFF leg cycles PackBits×endianness by ``q % 4`` so the driver
+    hashes both compressions in both byte orders.  The oracle predicts
+    dims + md5 WITHOUT running any codec (the md5 of the text prefix),
+    so a hash match proves every encode→decode round-trip preserved
+    pixel bytes exactly (a ≤12-pixel image has ≤12 distinct colors, so
+    the GIF/WebP palette paths are always losslessly encodable).
+    Map-side only (one mapInPandas pass), no shuffle — the 100 TB shape
+    of a decode-validate pass over a binary corpus.
 
     Docs are restricted to ASCII text (length == octet_length) so the
     byte-prefix and the oracle's character-substring agree."""
     from obadiah_spark.pipelines.gif import encode_gif
+    from obadiah_spark.pipelines.tiff import encode_tiff
     from obadiah_spark.pipelines.webp import encode_webp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -441,8 +443,8 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 w, h = 2 + doc_id % 3, 2 + doc_id % 2
                 raw = text.encode("utf-8")[:w * h * 3]
-                fmt = CODEC_FMTS[doc_id % 5]
-                q = (doc_id // 5) % 5
+                fmt = CODEC_FMTS[doc_id % 6]
+                q = (doc_id // 6) % 5
                 if fmt == "bmp":
                     blob = encode_bmp(w, h, raw)
                 elif fmt == "ppm":
@@ -459,12 +461,16 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                                            cache_bits=4)
                     elif q == 2:
                         blob = encode_webp(w, h, raw,
-                                           predictor=(doc_id // 25) % 14)
+                                           predictor=(doc_id // 30) % 14)
                     elif q == 3:
                         blob = encode_webp(w, h, raw,
                                            color_transform=(23, 201, 5))
                     else:
                         blob = encode_webp(w, h, raw, palette=True)
+                elif fmt == "tiff":
+                    blob = encode_tiff(w, h, raw,
+                                       packbits=q % 2 == 1,
+                                       big_endian=(q // 2) % 2 == 1)
                 else:
                     blob = encode_png(w, h, raw, filter_type=q)
                 img = decode_image(blob)
@@ -545,9 +551,9 @@ WHERE length(text) = octet_length(encode(text)) AND length(text) >= 2
 # (ADVICE r11: the plain % forms diverged on negative ids).
 CODEC_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
-       CASE ((doc_id % 5) + 5) % 5
+       CASE ((doc_id % 6) + 6) % 6
             WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
-            WHEN 3 THEN 'gif' ELSE 'webp' END AS fmt,
+            WHEN 3 THEN 'gif' WHEN 4 THEN 'webp' ELSE 'tiff' END AS fmt,
        CAST(2 + ((doc_id % 3) + 3) % 3 AS INT) AS width,
        CAST(2 + ((doc_id % 2) + 2) % 2 AS INT) AS height,
        md5(substring(text, 1, (2 + ((doc_id % 3) + 3) % 3)
