@@ -628,6 +628,10 @@ def minhash_lsh_incremental(spark, index_path: str, new_docs: DataFrame,
     n = new_ok.select(F.col("doc_id").alias("doc_n"), "band", "band_sig")
     o = idx_ok.select(F.col("doc_id").alias("doc_o"), "band", "band_sig")
     cross = (n.join(o, ["band", "band_sig"])
+             # a re-ingested doc_id present in BOTH index and increment
+             # would self-match on every band — the batch operator's
+             # strict doc_a < doc_b never emits such a pair
+             .filter(F.col("doc_n") != F.col("doc_o"))
              .select(F.least("doc_n", "doc_o").alias("doc_a"),
                      F.greatest("doc_n", "doc_o").alias("doc_b")))
     n2 = new_ok.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")

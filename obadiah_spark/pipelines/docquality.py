@@ -634,11 +634,11 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
     )
     scrub = (pii_scrub(train.join(surv, "doc_id"))
              .select("doc_id", "redacted").localCheckpoint())
-    arr = F.split(F.col("redacted"), WS_CLASS)
-    counts = scrub.select(
-        "doc_id",
-        F.size(F.filter(arr, lambda w: F.length(w) > 0))
-        .cast("long").alias("n_tokens"))
+    # the pack gate pins this exact counter — reuse it, don't re-spell it
+    from obadiah_spark.pipelines.packing import _token_counts
+
+    counts = _token_counts(
+        scrub.select("doc_id", F.col("redacted").alias("text")))
     packed = pack_sequences(scrub, budget=budget, n_shards=n_shards,
                             count_col=counts)
     return packed.join(

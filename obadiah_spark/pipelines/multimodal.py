@@ -482,7 +482,13 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "fmt", "width", "height", "px_md5"])
 
-    nb = (2 + F.col("doc_id") % 3) * (2 + F.col("doc_id") % 2) * 3
+    # pmod forms: Spark's % follows the dividend's sign, the Python row
+    # loop and the oracle are non-negative — a plain % here would let a
+    # negative doc_id's too-short doc through the filter (nb
+    # underestimates) and fork the gate's row set (the one plain-% site
+    # the r12 sign-stability pass missed)
+    nb = ((2 + F.pmod(F.col("doc_id"), F.lit(3)))
+          * (2 + F.pmod(F.col("doc_id"), F.lit(2))) * 3)
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
                     & (F.length("text") >= nb))

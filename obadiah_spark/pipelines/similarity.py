@@ -1031,15 +1031,22 @@ def ann_ivfpq_query(spark, path: str, q: DataFrame, k: int = 5,
                  F.expr(_CAST_DOUBLE_ARR.format(col="q_emb")).alias("emb")),
         "q_id", "emb", m, dim).join(F.broadcast(subcb), "m").select(
         "q_id", "m", F.col("j").alias("code"), _l2sq("sv", "sc").alias("d"))
+    # the raw embedding rides THROUGH the ADC aggregation (functionally
+    # dependent on vec_id, so first() is deterministic): the exact
+    # re-rank then needs NO second read of the vectors table — a
+    # survivors-join back to `vec` would full-scan every cell directory
+    # and defeat the pruned-probe contract the index exists for
     adc = (
-        cand.select("q_id", "vec_id",
+        cand.select("q_id", "vec_id", "embedding",
                     F.posexplode("codes").alias("m", "code"))
         .join(F.broadcast(lut), ["q_id", "m", "code"])
         .groupBy("q_id", "vec_id")
-        .agg(F.round(F.aggregate(
-            F.transform(F.array_sort(F.collect_list(F.struct("m", "d"))),
-                        lambda s: s["d"]),
-            F.lit(0.0), lambda acc, v: acc + v), 9).alias("adc"))
+        .agg(F.first("embedding").alias("emb_v"),
+             F.round(F.aggregate(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("m", "d"))),
+                     lambda s: s["d"]),
+                 F.lit(0.0), lambda acc, v: acc + v), 9).alias("adc"))
     )
     wa = W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     wq = W.partitionBy("q_id")
@@ -1048,10 +1055,9 @@ def ann_ivfpq_query(spark, path: str, q: DataFrame, k: int = 5,
                  .filter(F.col("ar") <= F.greatest(
                      F.lit(rerank * k),
                      F.ceil(F.lit(rerank_frac) * F.col("n_cand"))))
-                 .select("q_id", "vec_id"))
-    ev = vec.select("vec_id", F.col("embedding").alias("emb_v"))
+                 .select("q_id", "vec_id", "emb_v"))
     scored = (
-        survivors.join(ev, "vec_id").join(F.broadcast(q), "q_id")
+        survivors.join(F.broadcast(q), "q_id")
         .select("q_id", "vec_id", _cosine("emb_v", "q_emb").alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")

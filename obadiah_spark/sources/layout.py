@@ -58,11 +58,29 @@ def _morton(bucket_cols: list[str], bits: int) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def _check_geometry(n_cols: int, bits: int) -> None:
+    """The Morton key must fit a signed BIGINT: the highest bit index is
+    ``bits * n_cols - 1`` and must stay below 63.  Bucket scaling needs
+    headroom too: ``(v - min) * (2^bits - 1)`` must not wrap, so value
+    RANGES above ``2^(63 - bits)`` (~2^47 at the default 16 bits — e.g.
+    nanosecond timestamps over years) need fewer bits; that bound
+    depends on data, so it is documented here and the caller picks
+    ``bits`` to suit (microsecond timestamps over a century fit)."""
+    if n_cols < 1:
+        raise ValueError("need at least one layout column")
+    if bits < 1 or bits * n_cols > 63:
+        raise ValueError(
+            f"bits * n_cols must be in [1, 63] to fit a signed BIGINT "
+            f"key (got {bits} * {n_cols} = {bits * n_cols}); lower "
+            f"bits for wider layouts (e.g. 4 columns -> bits <= 15)")
+
+
 def zorder_keys(df: DataFrame, cols: list[str],
                 bits: int = ZORDER_BITS) -> DataFrame:
     """``df`` plus per-column buckets (``zb_<col>``) and the Morton key
     (``zkey``).  One tiny min/max aggregate broadcasts; the key itself
     is a pure map expression."""
+    _check_geometry(len(cols), bits)
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
@@ -96,6 +114,7 @@ def zorder_keys_oracle_sql(cols: list[str], bits: int = ZORDER_BITS,
                            id_col: str = "event_id") -> str:
     """DuckDB replica of :func:`zorder_keys` projected to (id, buckets,
     zkey) — the value-gate shape."""
+    _check_geometry(len(cols), bits)
     n = len(cols)
     m = (1 << bits) - 1
     stat_sel = ", ".join(

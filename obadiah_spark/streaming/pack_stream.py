@@ -63,9 +63,15 @@ def _fold_factory(budget: int):
         else:
             seq_no, fill, open_ = 0, 0, False
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+        # the group may arrive as MULTIPLE Arrow chunks whose relative
+        # order is arbitrary — sorting each chunk alone would fold
+        # cross-chunk doc_ids out of order (the batch twin receives the
+        # whole group as one frame), so concat first, sort once
+        chunks = list(pdfs)
+        if chunks:
+            whole = (pd.concat(chunks) if len(chunks) > 1
+                     else chunks[0]).sort_values("doc_id")
+            for doc_id, n_tok in zip(whole["doc_id"], whole["n_tokens"]):
                 n_tok = int(n_tok)
                 if not open_ or fill + n_tok > budget:
                     seq_no += 1

@@ -52,8 +52,6 @@ def test_prepare_consistent_with_standalone_stages(prepared, spark):
     dc = {r.doc_id for r in decontaminate(train, bench, n=4)
           .filter("NOT contaminated").select("doc_id").collect()}
     assert set(got.doc_id) == dd & gq & dc
-    for (_, seq), g in got.groupby(["shard", "seq_no"]):
-        pass
     per_shard = got.groupby("shard").seq_no
     assert (per_shard.min() == 1).all()
     # dense numbering: max seq_no == distinct seq count per shard

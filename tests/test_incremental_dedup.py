@@ -76,3 +76,21 @@ def test_incremental_duckdb_differential(spark, sf_dir, duck, tmp_path):
     got = minhash_lsh_incremental(spark, path, new).toPandas()
     want = duck.execute(minhash_incremental_oracle_sql()).df()
     assert canonicalize(got).equals(canonicalize(want))
+
+
+def test_reingested_doc_is_not_its_own_duplicate(spark, tmp_path):
+    """A doc_id present in BOTH the index and the increment must not
+    emit a degenerate (x, x) pair (the batch operator's strict
+    doc_a < doc_b never does)."""
+    from obadiah_spark.pipelines.dedup import (minhash_lsh_incremental,
+                                               write_minhash_index)
+
+    docs = spark.createDataFrame(
+        [(1, "a long enough shared text for minhash shingles to exist"),
+         (2, "a long enough shared text for minhash shingles to exist")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_reingest")
+    write_minhash_index(docs, path)           # index holds 1 AND 2
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_incremental(spark, path, docs).collect()}
+    assert pairs == {(1, 2)}                  # no (1,1)/(2,2)

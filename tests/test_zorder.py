@@ -116,3 +116,19 @@ def test_zorder_write_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
     assert back.select(F.sum("event_id")).first()[0] == \
         ev.select(F.sum("event_id")).first()[0]
+
+
+def test_geometry_validation():
+    """bits * n_cols must fit a signed BIGINT key; both the operator
+    and the oracle builder reject an overflowing layout."""
+    import pytest
+
+    from obadiah_spark.sources.layout import (zorder_keys,
+                                              zorder_keys_oracle_sql)
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_keys_oracle_sql(["a", "b", "c", "d"], bits=16)
+    # 4 columns fit at 15 bits
+    assert "zkey" in zorder_keys_oracle_sql(list("abcd"), bits=15)
+    with pytest.raises(ValueError):
+        zorder_keys_oracle_sql([], bits=16)
