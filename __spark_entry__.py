@@ -1772,8 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      in r13. With 98 registered keys the steady state is 48
         #      expiring keys per round against the 50-slot cap: 2 slots
         #      of headroom for new r13 gates (candidates with oracles
-        #      already shipped: bpe_encode, adpcm_roundtrip,
-        #      zorder_keys). More headroom is one family-merge away —
+        #      already shipped: bpe_encode, adpcm_roundtrip, zorder_keys,
+        #      minhash_lsh_incremental, chunk_documents, corpus_prepare).
+        #      More headroom is one family-merge away —
         #      get_depth/_freq (2→1) and get_spread/_freq/spread_at
         #      (3→1) below are the next depth_summary-style merges; a
         #      merge retires more keys than the one window slot its
