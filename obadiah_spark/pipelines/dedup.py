@@ -654,3 +654,69 @@ SELECT doc_a, doc_b FROM (
 WHERE ((doc_a % {new_mod}) + {new_mod}) % {new_mod} <> 0
    OR ((doc_b % {new_mod}) + {new_mod}) % {new_mod} <> 0
 """
+
+
+# ---- candidate verification by edit distance --------------------------
+# LSH generates CANDIDATES; production dedup pipelines verify them with
+# an exact similarity before acting (ExactSubstr/NearDup verify stages).
+# Both engines ship the same unit-cost Levenshtein, so the verify stage
+# is JVM-side on Spark and oracle-exact on DuckDB — no Python DP loop.
+
+NEAR_DUP_MIN_SIM = 0.8
+
+
+def near_dup_verify(pairs: DataFrame, docs: DataFrame,
+                    min_sim: float = NEAR_DUP_MIN_SIM) -> DataFrame:
+    """Verify candidate pairs (doc_a, doc_b) by normalized edit
+    similarity on the fingerprint-normalized text: sim = 1 - lev/maxlen.
+    Returns (doc_a, doc_b, dist, sim, is_near_dup).
+
+    Scale shape: two doc-keyed equi-joins hydrate the candidate pairs
+    with their normalized texts (candidates ≪ corpus — LSH already did
+    the pruning), then the edit distance runs inside codegen on the
+    pair rows only.  Never all-pairs; cost is O(candidates × len²) with
+    the length bounded by the join's own text column."""
+    norm = docs.select(
+        "doc_id", F.lower(F.trim(F.regexp_replace(
+            F.col("text"), "[ \\t\\n\\r\\x0B\\f]+", " "))).alias("t"))
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.when(maxlen > 0, 1.0 - dist / maxlen).otherwise(F.lit(1.0))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    dist.cast("long").alias("dist"),
+                    F.round(sim, 9).alias("sim"),
+                    (F.round(sim, 9) >= min_sim).alias("is_near_dup")))
+
+
+def near_dup_verify_oracle_sql(min_sim: float = NEAR_DUP_MIN_SIM,
+                               max_bucket_size: int = 50) -> str:
+    """DuckDB replica at the gate fabric: MinHash-LSH candidates
+    (the registered minhash_lsh oracle) verified by the same
+    normalized Levenshtein."""
+    return f"""
+WITH pairs AS (
+{minhash_lsh_oracle(max_bucket_size)}
+), norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text,
+               '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g'))) AS t
+    FROM documents
+), hydrated AS (
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(na.t, nb.t) AS dist,
+           greatest(length(na.t), length(nb.t)) AS maxlen
+    FROM pairs p
+    JOIN norm na ON na.doc_id = p.doc_a
+    JOIN norm nb ON nb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
+       round(CASE WHEN maxlen > 0
+                  THEN 1.0 - dist / maxlen ELSE 1.0 END, 9) AS sim,
+       round(CASE WHEN maxlen > 0
+                  THEN 1.0 - dist / maxlen ELSE 1.0 END, 9)
+           >= {min_sim} AS is_near_dup
+FROM hydrated
+"""

@@ -94,3 +94,41 @@ def test_reingested_doc_is_not_its_own_duplicate(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b) for r in
              minhash_lsh_incremental(spark, path, docs).collect()}
     assert pairs == {(1, 2)}                  # no (1,1)/(2,2)
+
+
+def test_near_dup_verify_flags_and_oracle(spark, sf_dir, duck):
+    """Edit-distance verification of LSH candidates: DuckDB value
+    differential over the gate oracle, plus a constructed mixed pairs
+    frame so BOTH flag classes are exercised (the fabric's LSH
+    candidates are all true near-dups)."""
+    import sys as _s
+
+    _s.path.insert(0, "/root/repo")
+    from tools.verify_local import canonicalize
+
+    from obadiah_spark.pipelines.dedup import (minhash_lsh_candidates,
+                                               near_dup_verify,
+                                               near_dup_verify_oracle_sql)
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = near_dup_verify(minhash_lsh_candidates(docs), docs).toPandas()
+    want = duck.execute(near_dup_verify_oracle_sql()).df()
+    assert canonicalize(got).equals(canonicalize(want))
+
+    mini = spark.createDataFrame(
+        [(1, "the same sentence exactly"),
+         (2, "the same sentence exactli"),     # 1 real edit (case is
+                                                # erased by the
+                                                # fingerprint normalizer)
+         (3, "a completely different text body here")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)],
+                                  "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): r for r in
+           near_dup_verify(pairs, mini).collect()}
+    near = out[(1, 2)]
+    assert near.dist == 1 and near.is_near_dup
+    far = out[(1, 3)]
+    assert far.dist > 10 and not far.is_near_dup
+    assert 0.0 <= far.sim < 0.8 <= near.sim <= 1.0
