@@ -588,7 +588,9 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
                    bench_mod: int = 20, decontam_n: int = 4,
                    dup_n: int = DUP_NGRAM_N,
                    budget: int | None = None,
-                   n_shards: int | None = None) -> DataFrame:
+                   n_shards: int | None = None,
+                   sample_fraction: float | None = None,
+                   sample_salt: str = "mix") -> DataFrame:
     """The COMPLETE training-data preparation pass, raw documents →
     packed training sequences: exact dedup ∘ Gopher quality ∘ benchmark
     decontamination ∘ PII scrub ∘ next-fit sequence packing — every
@@ -602,6 +604,12 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
     offset, n_tokens, overflow, redacted_md5) — where n_tokens counts
     the REDACTED text (what training actually consumes) and the packing
     runs over survivors only, so sequence slots are dense.
+
+    ``sample_fraction`` inserts the deterministic mixing stage
+    (:func:`~obadiah_spark.pipelines.sampling.hash_sample` on doc_id
+    under ``sample_salt``) between the filters and the scrub — the
+    down-sampling a mixing recipe applies per source, placed BEFORE the
+    regex pass so dropped docs never pay it.  None disables the stage.
 
     Scan discipline (corpus_clean precedent): the projected corpus and
     the token frame are localCheckpoint'd once; dedup/gopher/decontam/
@@ -632,6 +640,11 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
                 & ~F.col("contaminated"))
         .select("doc_id")
     )
+    if sample_fraction is not None:
+        from obadiah_spark.pipelines.sampling import hash_sample
+
+        surv = hash_sample(surv, sample_fraction,
+                           salt=sample_salt).drop("sample_u")
     scrub = (pii_scrub(train.join(surv, "doc_id"))
              .select("doc_id", "redacted").localCheckpoint())
     # the pack gate pins this exact counter — reuse it, don't re-spell it
@@ -646,10 +659,23 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
         "doc_id")
 
 
+def _mix_clause(sample_fraction: float | None, salt: str) -> str:
+    """Optional AND-clause replica of the hash_sample mixing stage."""
+    if sample_fraction is None:
+        return ""
+    from obadiah_spark.pipelines.sampling import _threshold
+
+    return (f"\n      AND CAST(('0x' || substr(md5('{salt}' || '#' || "
+            f"CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            f"< {_threshold(sample_fraction)}")
+
+
 def corpus_prepare_oracle_sql(bench_mod: int = 20, decontam_n: int = 4,
                               dup_n: int = DUP_NGRAM_N,
                               budget: int | None = None,
-                              n_shards: int | None = None) -> str:
+                              n_shards: int | None = None,
+                              sample_fraction: float | None = None,
+                              sample_salt: str = "mix") -> str:
     """DuckDB replica of the full composition: each stage is the exact
     oracle its standalone gate carries (the gopher SQL runs as a
     subquery over the ``train`` CTE), with the pack recursion walking
@@ -701,7 +727,7 @@ WITH RECURSIVE split AS (
     SELECT dd.doc_id
     FROM dd JOIN gq USING (doc_id) LEFT JOIN dc USING (doc_id)
     WHERE NOT dd.is_duplicate AND gq.keep
-      AND NOT coalesce(dc.contaminated, FALSE)
+      AND NOT coalesce(dc.contaminated, FALSE){_mix_clause(sample_fraction, sample_salt)}
 ), scrub AS (
     SELECT t.doc_id,
            regexp_replace(regexp_replace(regexp_replace(t.text,

@@ -130,3 +130,47 @@ SELECT doc_id, shard, seq_no, "offset", n_tokens,
        n_tokens > {budget} AS overflow
 FROM p
 """
+
+
+def render_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                     n_shards: int = PACK_SHARDS) -> DataFrame:
+    """Materialize the training sequences themselves — the artifact a
+    trainer consumes: one row per (shard, seq_no) with the member
+    count, the packed token total, and the sequence TEXT (member docs
+    joined in offset order with a single space, exactly the token-
+    stream concatenation the budget was charged for).
+
+    Plan shape: :func:`pack_sequences` emits the assignment, a doc-keyed
+    join hydrates member texts, and one (shard, seq_no)-keyed
+    aggregation orders members by offset and concatenates — the same
+    key the pack fold already sharded on, so at scale the render is one
+    co-keyed shuffle after the fold.  ``seq_md5`` pins the byte-exact
+    sequence content for the oracle."""
+    packed = pack_sequences(docs, budget=budget, n_shards=n_shards)
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    members = F.array_sort(F.collect_list(F.struct("offset", "doc_id",
+                                                   "text")))
+    return (joined.groupBy("shard", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.transform(members, lambda s: s["text"])))
+        .alias("seq_md5")))
+
+
+def render_sequences_oracle_sql(budget: int = PACK_BUDGET,
+                                n_shards: int = PACK_SHARDS) -> str:
+    """DuckDB replica: the pack recursion's assignment aggregated per
+    sequence with an offset-ordered string_agg."""
+    pack = pack_sequences_oracle_sql(budget, n_shards)
+    return f"""
+WITH packed AS (
+{pack}
+)
+SELECT p.shard, p.seq_no,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(d.text, ' ' ORDER BY p."offset", p.doc_id))
+           AS seq_md5
+FROM packed p JOIN documents d USING (doc_id)
+GROUP BY p.shard, p.seq_no
+"""

@@ -89,3 +89,37 @@ def test_prepare_counts_redacted_tokens(spark):
     assert got.n_tokens.iloc[0] == n_words_raw
     assert got.redacted_md5.iloc[0] != hashlib.md5(
         text.encode()).hexdigest()
+
+
+def test_prepare_mixing_stage(spark, sf_dir, duck):
+    """sample_fraction inserts the deterministic hash_sample stage:
+    survivors are the unsampled run's survivors filtered by the 60-bit
+    threshold, packing renumbers densely, and the oracle reproduces the
+    row set exactly."""
+    from obadiah_spark.pipelines.docquality import (
+        corpus_prepare, corpus_prepare_oracle_sql)
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = corpus_prepare(docs).toPandas()
+    mixed = corpus_prepare(docs, sample_fraction=0.5).toPandas()
+    assert 0 < len(mixed) < len(full)
+    assert set(mixed.doc_id) < set(full.doc_id)
+    want = duck.execute(
+        corpus_prepare_oracle_sql(sample_fraction=0.5)).df()
+    assert canonicalize(mixed).equals(canonicalize(want))
+
+
+def test_render_sequences_materializes_the_artifact(spark, sf_dir, duck):
+    """render_sequences: the per-sequence artifact (member count, token
+    total, byte-exact content md5) hash-matches the recursive pack
+    oracle + offset-ordered string_agg."""
+    from obadiah_spark.pipelines.packing import (render_sequences,
+                                                 render_sequences_oracle_sql)
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = render_sequences(docs).toPandas()
+    want = duck.execute(render_sequences_oracle_sql()).df()
+    assert canonicalize(got).equals(canonicalize(want))
+    assert (got.n_docs > 1).any()     # real multi-doc sequences
