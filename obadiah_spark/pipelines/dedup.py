@@ -671,12 +671,23 @@ def near_dup_verify(pairs: DataFrame, docs: DataFrame,
     similarity on the fingerprint-normalized text: sim = 1 - lev/maxlen.
     Returns (doc_a, doc_b, dist, sim, is_near_dup).
 
-    Scale shape: two doc-keyed equi-joins hydrate the candidate pairs
-    with their normalized texts (candidates ≪ corpus — LSH already did
-    the pruning), then the edit distance runs inside codegen on the
-    pair rows only.  Never all-pairs; cost is O(candidates × len²) with
-    the length bounded by the join's own text column."""
-    norm = docs.select(
+    Scale shape: the corpus is first SEMI-JOINED down to the candidate
+    doc_ids (candidates ≪ corpus — LSH already did the pruning), so the
+    normalization regex and the text shuffle are paid only for pair
+    members, then the edit distance runs inside codegen on the pair
+    rows.  Never all-pairs; cost is O(candidates × len²).
+
+    Engine variance note: Spark's levenshtein counts CODEPOINT edits,
+    DuckDB's counts BYTE edits — identical on ASCII, divergent on
+    multi-byte text (`café`/`cafe`: 1 vs 2).  The gate fabric is ASCII
+    by contract (the oracle filters to it, the same
+    length == octet_length guard as the codec gates); on a non-ASCII
+    corpus the Spark semantics are the intended ones and the oracle
+    does not apply."""
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    norm = docs.join(ids, "doc_id").select(
         "doc_id", F.lower(F.trim(F.regexp_replace(
             F.col("text"), "[ \\t\\n\\r\\x0B\\f]+", " "))).alias("t"))
     a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
@@ -700,10 +711,14 @@ def near_dup_verify_oracle_sql(min_sim: float = NEAR_DUP_MIN_SIM,
 WITH pairs AS (
 {minhash_lsh_oracle(max_bucket_size)}
 ), norm AS (
+    -- ASCII guard: DuckDB levenshtein is byte-based, Spark's is
+    -- codepoint-based; the gate contract restricts to the domain where
+    -- they coincide (see near_dup_verify docstring)
     SELECT doc_id,
            lower(trim(regexp_replace(text,
                '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g'))) AS t
     FROM documents
+    WHERE length(text) = octet_length(encode(text))
 ), hydrated AS (
     SELECT p.doc_a, p.doc_b,
            levenshtein(na.t, nb.t) AS dist,

@@ -660,13 +660,13 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
 
 
 def _mix_clause(sample_fraction: float | None, salt: str) -> str:
-    """Optional AND-clause replica of the hash_sample mixing stage."""
+    """Optional AND-clause replica of the hash_sample mixing stage
+    (hash expression shared with the sampling oracles)."""
     if sample_fraction is None:
         return ""
-    from obadiah_spark.pipelines.sampling import _threshold
+    from obadiah_spark.pipelines.sampling import _threshold, sample_u_sql
 
-    return (f"\n      AND CAST(('0x' || substr(md5('{salt}' || '#' || "
-            f"CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+    return (f"\n      AND {sample_u_sql('dd.doc_id', salt)} "
             f"< {_threshold(sample_fraction)}")
 
 

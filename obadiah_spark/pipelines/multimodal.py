@@ -651,7 +651,9 @@ def pack_image_blobs(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "media_type",
                                               "payload", "meta"])
 
-    nb = (4 + 2 * (F.col("doc_id") % 2)) * 4 * 3
+    # pmod: the Python loop's % is non-negative; Spark's follows the
+    # dividend's sign (the codec_roundtrip fix's sibling site)
+    nb = (4 + 2 * F.pmod(F.col("doc_id"), F.lit(2))) * 4 * 3
     return (
         docs.filter((F.length("text") == F.octet_length("text"))
                     & (F.length("text") >= nb))
@@ -732,10 +734,11 @@ def resize_images_oracle(target_w: int = RESIZE_GATE_W,
     assert (target_w, target_h) == (2, 2), "oracle is derived for 2x2"
     return """
 WITH v AS (
-    SELECT doc_id, text, 4 + 2 * (doc_id % 2) AS sw
+    SELECT doc_id, text,
+           4 + 2 * (((doc_id % 2) + 2) % 2) AS sw
     FROM documents
     WHERE length(text) = octet_length(encode(text))
-      AND length(text) >= (4 + 2 * (doc_id % 2)) * 12
+      AND length(text) >= (4 + 2 * (((doc_id % 2) + 2) % 2)) * 12
 ), comp AS (
     SELECT doc_id, text, sw, sw // 2 AS fx, u.i AS idx,
            u.i // 6 AS oy, (u.i % 6) // 3 AS ox, u.i % 3 AS c

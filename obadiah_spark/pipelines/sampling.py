@@ -78,15 +78,22 @@ def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
             .drop("_thr"))
 
 
+def sample_u_sql(key_expr: str, salt: str) -> str:
+    """THE sampling hash as a DuckDB expression — one definition shared
+    by every oracle that replicates :func:`sample_key` (hash_sample,
+    stratified_sample, corpus_prepare's mixing clause), so the md5 /
+    60-bit convention cannot fork between them (review r12 finding)."""
+    return (f"CAST(('0x' || substr(md5('{salt}' || '#' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+
 def hash_sample_oracle_sql(fraction: float, key_col: str = "doc_id",
                            salt: str = "sample",
                            table: str = "documents") -> str:
     """DuckDB replica of :func:`hash_sample` over ``table``."""
     return f"""
 SELECT * FROM (
-    SELECT *, CAST(('0x' || substr(md5('{salt}' || '#' ||
-                                   CAST({key_col} AS VARCHAR)), 1, 15))
-                   AS BIGINT) AS sample_u
+    SELECT *, {sample_u_sql(key_col, salt)} AS sample_u
     FROM {table}
 ) s WHERE sample_u < {_threshold(fraction)}
 """
@@ -104,9 +111,7 @@ def stratified_sample_oracle_sql(fractions: dict, strata_col: str,
                                     key=lambda kv: str(kv[0])))
     return f"""
 SELECT * EXCLUDE (_thr) FROM (
-    SELECT *, CAST(('0x' || substr(md5('{salt}' || '#' ||
-                                   CAST({key_col} AS VARCHAR)), 1, 15))
-                   AS BIGINT) AS sample_u,
+    SELECT *, {sample_u_sql(key_col, salt)} AS sample_u,
            CASE {cases} ELSE NULL END AS _thr
     FROM {table}
 ) s WHERE _thr IS NOT NULL AND sample_u < _thr
