@@ -134,3 +134,106 @@ WITH s AS (
 )
 SELECT {id_col}, {zb_cols}, CAST({terms} AS BIGINT) AS zkey FROM b
 """
+
+
+# ---- Hilbert curve (2-D) ----------------------------------------------
+# Z-order's weakness is the "seam" jumps: consecutive keys can sit far
+# apart in space, so a chunk's bounding rectangle is occasionally huge.
+# The Hilbert curve removes them — consecutive keys are ALWAYS adjacent
+# cells (unit Manhattan step), so chunk bounding boxes are tight and
+# worst-case pruning beats Z-order (why Delta's OPTIMIZE grew a Hilbert
+# mode).  The classic xy2d walk is a per-bit state machine (reflect +
+# rotate); with a FIXED ``bits`` it unrolls into straight-line integer
+# arithmetic, so both engines compute it in codegen'd expressions — no
+# UDF, no recursion.
+
+
+def hilbert_keys(df: DataFrame, cols: list[str],
+                 bits: int = ZORDER_BITS) -> DataFrame:
+    """``df`` plus buckets and the 2-D Hilbert index ``hkey``.  Exactly
+    :func:`zorder_keys`'s bucketing (same min/max broadcast, same exact
+    bigint scaling), then the unrolled xy2d walk.  2-D only — the
+    classic curve; higher dimensions use :func:`zorder_keys`."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_keys is 2-D; use zorder_keys for "
+                         f"other dimensionalities (got {len(cols)})")
+    _check_geometry(2, bits)
+    out = zorder_keys(df, cols, bits)
+    base = [c for c in out.columns]
+    cx, cy = (f"zb_{c}" for c in cols)
+    # one PROJECTION per level (not one composed expression): each
+    # level's x/y/d reference the previous projection's attributes —
+    # a single nested expression would double in size per level
+    # (2^bits nodes, OOM at plan time; measured)
+    out = out.select(*base, F.col(cx).alias("_hx"),
+                     F.col(cy).alias("_hy"),
+                     F.lit(0).cast("long").alias("_hd"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx = F.when((x.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        ry = F.when((y.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        # s*s*3 exceeds int32 at the top level — keep the literal long
+        nd = d + (F.lit(s * s).cast("long")
+                  * ((F.lit(3) * rx).bitwiseXOR(ry)))
+        # reflect/rotate the quadrant frame for the next level
+        nx = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)) \
+             .otherwise(x)
+        ny = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)) \
+             .otherwise(y)
+        out = out.select(*base, nx.alias("_hx"), ny.alias("_hy"),
+                         nd.alias("_hd"))
+    return (out.withColumn("hkey", F.col("_hd").cast("long"))
+            .drop("_hx", "_hy", "_hd"))
+
+
+def hilbert_keys_oracle_sql(cols: list[str], bits: int = ZORDER_BITS,
+                            table: str = "events",
+                            id_col: str = "event_id") -> str:
+    """DuckDB replica of :func:`hilbert_keys`: the same bucketing CTE as
+    the zorder oracle, then the unrolled walk as a chain of per-level
+    CTEs carrying (x, y, d)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert oracle is 2-D")
+    _check_geometry(2, bits)
+    m = (1 << bits) - 1
+    a, b = cols
+    stat_sel = ", ".join(
+        f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in cols)
+    bucket_sel = ", ".join(
+        f"((t.{c} - s.min_{c}) * {m}) // greatest(s.max_{c} - s.min_{c}, 1)"
+        f" AS zb_{c}" for c in cols)
+    steps = []
+    prev = "h_in"
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        steps.append(f"""h{i} AS (
+    SELECT {id_col}, zb_{a}, zb_{b},
+           d + CAST({s} AS BIGINT) * {s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                               (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d,
+           CASE WHEN (y & {s}) = 0
+                THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END
+                ELSE x END AS x,
+           CASE WHEN (y & {s}) = 0
+                THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END
+                ELSE y END AS y
+    FROM {prev}
+)""")
+        prev = f"h{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH s AS (
+    SELECT {stat_sel} FROM {table}
+), h_in AS (
+    SELECT t.{id_col}, b.zb_{a}, b.zb_{b},
+           b.zb_{a} AS x, b.zb_{b} AS y, CAST(0 AS BIGINT) AS d
+    FROM {table} t CROSS JOIN s
+    JOIN LATERAL (SELECT {bucket_sel}) b ON TRUE
+),
+{chain}
+SELECT {id_col}, CAST(zb_{a} AS BIGINT) AS zb_{a},
+       CAST(zb_{b} AS BIGINT) AS zb_{b}, CAST(d AS BIGINT) AS hkey
+FROM {prev}
+"""

@@ -132,3 +132,77 @@ def test_geometry_validation():
     assert "zkey" in zorder_keys_oracle_sql(list("abcd"), bits=15)
     with pytest.raises(ValueError):
         zorder_keys_oracle_sql([], bits=16)
+
+
+def _xy2d_ref(order_bits, x, y):
+    """Independent reference xy2d (the classic iterative form)."""
+    d = 0
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_matches_reference_and_is_adjacent(spark):
+    """Full 4-bit grid: every cell's hkey equals the independent xy2d,
+    and consecutive keys are ALWAYS unit Manhattan steps — the locality
+    property Z-order lacks (its seams jump)."""
+    from obadiah_spark.sources.layout import hilbert_keys
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(
+        (x, y) for x in range(16) for y in range(16))]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = hilbert_keys(df, ["x", "y"], bits=4).collect()
+    inv = {}
+    for r in out:
+        assert r.hkey == _xy2d_ref(4, r.zb_x, r.zb_y)
+        inv[r.hkey] = (r.zb_x, r.zb_y)
+    assert sorted(inv) == list(range(256))
+    assert all(abs(inv[d][0] - inv[d + 1][0])
+               + abs(inv[d][1] - inv[d + 1][1]) == 1 for d in range(255))
+    # z-order provably jumps somewhere on the same grid
+    zinv = {}
+    for r in out:
+        zkey = sum((((r.zb_x >> i) & 1) << (2 * i))
+                   + (((r.zb_y >> i) & 1) << (2 * i + 1))
+                   for i in range(4))
+        zinv[zkey] = (r.zb_x, r.zb_y)
+    assert any(abs(zinv[d][0] - zinv[d + 1][0])
+               + abs(zinv[d][1] - zinv[d + 1][1]) > 1 for d in range(255))
+
+
+def test_hilbert_duckdb_differential(spark, sf_dir, duck):
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.session import read_table
+    from obadiah_spark.sources.layout import (hilbert_keys,
+                                              hilbert_keys_oracle_sql)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .select("event_id", F.unix_micros("ts").alias("ts_us"),
+                  "user_id"))
+    got = (hilbert_keys(ev, ["ts_us", "user_id"])
+           .select("event_id", "zb_ts_us", "zb_user_id", "hkey")
+           .toPandas())
+    duck.execute("""CREATE OR REPLACE VIEW _ev_h AS
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id
+        FROM events""")
+    want = duck.execute(
+        hilbert_keys_oracle_sql(["ts_us", "user_id"], table="_ev_h")).df()
+    assert canonicalize(got).equals(canonicalize(want))
+
+
+def test_hilbert_rejects_non_2d():
+    import pytest
+
+    from obadiah_spark.sources.layout import hilbert_keys_oracle_sql
+
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_keys_oracle_sql(["a", "b", "c"])
