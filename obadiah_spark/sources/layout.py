@@ -98,14 +98,25 @@ def zorder_keys(df: DataFrame, cols: list[str],
 
 
 def zorder_write(df: DataFrame, cols: list[str], path: str,
-                 n_files: int = 32, bits: int = ZORDER_BITS) -> None:
-    """Write ``df`` parquet in Z-order layout: range-partition on the
-    Morton key (each file owns a contiguous key range) and sort within
-    partitions (compact row groups inside each file)."""
-    keyed = zorder_keys(df, cols, bits)
-    (keyed.repartitionByRange(n_files, "zkey")
-     .sortWithinPartitions("zkey")
-     .drop("zkey", *[f"zb_{c}" for c in cols])
+                 n_files: int = 32, bits: int = ZORDER_BITS,
+                 curve: str = "z") -> None:
+    """Write ``df`` parquet in space-filling-curve layout:
+    range-partition on the curve key (each file owns a contiguous key
+    range) and sort within partitions (compact row groups inside each
+    file).  ``curve="z"`` uses the Morton key (any dimensionality);
+    ``curve="hilbert"`` uses the 2-D Hilbert index (tighter chunk
+    bounding boxes — see :func:`hilbert_keys`)."""
+    if curve == "z":
+        keyed, key = zorder_keys(df, cols, bits), "zkey"
+        extra = []
+    elif curve == "hilbert":
+        keyed, key = hilbert_keys(df, cols, bits), "hkey"
+        extra = ["zkey"]
+    else:
+        raise ValueError(f"curve must be 'z' or 'hilbert', got {curve!r}")
+    (keyed.repartitionByRange(n_files, key)
+     .sortWithinPartitions(key)
+     .drop(key, *extra, *[f"zb_{c}" for c in cols])
      .write.mode("overwrite").parquet(path))
 
 

@@ -206,3 +206,24 @@ def test_hilbert_rejects_non_2d():
 
     with pytest.raises(ValueError, match="2-D"):
         hilbert_keys_oracle_sql(["a", "b", "c"])
+
+
+def test_write_hilbert_curve_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.session import read_table
+    from obadiah_spark.sources.layout import zorder_write
+
+    ev = (read_table(spark, sf_dir, "events")
+          .select("event_id", F.unix_micros("ts").alias("ts_us"),
+                  "user_id"))
+    path = str(tmp_path / "ev_h")
+    zorder_write(ev, ["ts_us", "user_id"], path, n_files=4,
+                 curve="hilbert")
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"event_id", "ts_us", "user_id"}
+    assert back.count() == ev.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="curve"):
+        zorder_write(ev, ["ts_us", "user_id"], path, curve="peano")
