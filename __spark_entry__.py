@@ -564,6 +564,146 @@ def _q_hash_sample(spark, sf_dir):
     )
 
 
+def _q_corpus_prepare(spark, sf_dir):
+    """NEW r13 (promised in the r12 docstrings): the COMPLETE
+    training-data pass — exact dedup ∘ Gopher quality ∘ benchmark
+    decontamination ∘ PII scrub ∘ next-fit packing over ONE
+    localCheckpoint'd corpus scan (pipelines/docquality.py:587).  The
+    oracle composes each stage's own gate-verified SQL, with the pack
+    recursion walking the scrubbed survivors — the hash therefore pins
+    the whole pipeline's row set, every pack boundary, and the redacted
+    byte stream end to end."""
+    from obadiah_spark.pipelines.docquality import corpus_prepare
+
+    return corpus_prepare(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh_incremental(spark, sf_dir):
+    """NEW r13: index-backed incremental MinHash-LSH dedup
+    (pipelines/dedup.py:606) — the 100 TB no-rehash path.  Gate fabric:
+    index = pmod(doc_id, 2) == 0 half of the corpus, materialized as
+    the band-partitioned parquet index; increment = the other half.
+    Output = candidate pairs with >= 1 new side, equal to the batch
+    full-corpus pair set restricted to new-sided pairs — which is
+    exactly what the oracle computes from scratch, so the hash covers
+    the index write, the column-pruned index scan, the union census
+    cap, and both join legs."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.dedup import (minhash_lsh_incremental,
+                                               write_minhash_index)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pm = F.pmod(F.col("doc_id"), F.lit(2))
+    work = tempfile.mkdtemp(prefix="mh_idx_gate_")
+    idx_path = os.path.join(work, "index")
+    write_minhash_index(docs.filter(pm == 0), idx_path)
+    return minhash_lsh_incremental(spark, idx_path, docs.filter(pm != 0))
+
+
+def _q_near_dup_verify(spark, sf_dir):
+    """NEW r13: the LSH-candidate verify stage (pipelines/dedup.py:668)
+    — normalized JVM Levenshtein over the semi-joined pair members.
+    ``ascii_only=True`` applies the codec gates' length == octet_length
+    guard on the Spark side too, so operator and oracle agree on the
+    row set by construction (ADVICE r12 #1: Spark counts codepoint
+    edits, DuckDB counts byte edits; the gate restricts to the domain
+    where they coincide)."""
+    from obadiah_spark.pipelines.dedup import (minhash_lsh_candidates,
+                                               near_dup_verify)
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_verify(minhash_lsh_candidates(docs), docs,
+                           ascii_only=True)
+
+
+# Pinned BPE merge table for the bpe_encode gate: the rank-ordered
+# output of bpe_train (48 merges, default BPE_NUM_MERGES) on the
+# sf0.001 documents fabric — pinned as a constant so oracle_sql() stays
+# Spark-free (the ann_lsh_pairs precedent: learned parameters ride into
+# the SQL as a VALUES CTE).  Training itself is differential-tested in
+# tests/test_bpe.py; the gate pins ENCODE under this table at sf0.01.
+BPE_GATE_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("q", "u"), ("qu", "ery"), ("c", "t"),
+    ("ct", "or"), ("e", "ctor"),
+]
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """NEW r13: BPE subword encoding under the pinned merge table
+    (pipelines/bpe.py:119) — per-doc word count, post-merge token
+    count, and an md5 over the full document-order encoding, so every
+    merge decision is value-pinned.  The oracle re-encodes every
+    distinct word with a recursive replace-pass CTE from the same
+    VALUES merge table."""
+    from obadiah_spark.pipelines.bpe import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), BPE_GATE_MERGES)
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """NEW r13: RAG-prep chunking (pipelines/chunking.py:32) — fixed
+    32-word windows with 8-word overlap, final window covering the
+    tail; pure JVM array expressions, no shuffle.  The oracle rebuilds
+    the identical grid, pinning every boundary and chunk text."""
+    from obadiah_spark.pipelines.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+# layout gate geometry: 2-D (event-time micros, user) — the rectangle
+# workload (ts range x user range) both curves exist to serve
+LAYOUT_COLS = ["ts_us", "user_id"]
+# DuckDB-side projection matching _ev_us (epoch_us is DuckDB's spelling
+# of Spark's unix_micros; the oracle SQL never runs on Spark)
+_EV_US_SQL = ("(SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+              "user_id FROM events)")
+
+
+def _ev_us(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir)
+    return spark.table("events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id")
+
+
+def _q_layout_keys(spark, sf_dir):
+    """NEW r13: space-filling-curve layout keys (sources/layout.py:78,
+    162) as ONE variant-union gate — z = Morton bit-interleave,
+    hilbert = the unrolled 2-D xy2d walk — over (event-time micros,
+    user_id).  Both are pure integer map expressions after one tiny
+    min/max broadcast; the oracles rebuild every bucket and key
+    bit-for-bit, so the hash pins the exact scaling arithmetic and the
+    whole per-level reflect/rotate state machine.  The pruning win the
+    keys exist for is measured in SCALE.md §1 and
+    tests/test_zorder.py."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.sources.layout import hilbert_keys, zorder_keys
+
+    ev = _ev_us(spark, sf_dir)
+    proj = ["event_id", "zb_ts_us", "zb_user_id"]
+    return _variant_union(
+        ("z", zorder_keys(ev, LAYOUT_COLS)
+         .select(*proj, F.col("zkey").alias("skey"))),
+        ("hilbert", hilbert_keys(ev, LAYOUT_COLS)
+         .select(*proj, F.col("hkey").alias("skey"))),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from obadiah_spark.pipelines.dedup import exact_dedup
 
@@ -1067,6 +1207,50 @@ def _q_get_events_merged(spark, sf_dir):
     return _variant_union(
         ("base", _q_get_events(spark, sf_dir)),
         ("freq", _q_get_events_freq(spark, sf_dir)),
+    )
+
+
+def _q_get_depth_merged(spark, sf_dir):
+    """D4 + its p_frequency overload (get_schema.sql:568) as ONE gate
+    (r13 capacity merge, executing the slot-note plan judged in VERDICT
+    r12 #1): base = raw depth changes over [start, end]; freq = the
+    closed-right _date_ceiling grid with starting depth at
+    _date_floor(start).  Each branch keeps the exact oracle its retired
+    key (get_depth_freq) carried."""
+    return _variant_union(
+        ("base", _q_get_depth(spark, sf_dir)),
+        ("freq", _q_get_depth_freq(spark, sf_dir)),
+    )
+
+
+def _q_get_spread_merged(spark, sf_dir):
+    """D8 + its p_frequency and single-instant overloads
+    (get_schema.sql:640-679) as ONE gate (r13 capacity merge): base =
+    starting spread ∪ level1 stream over (start, end]; freq = level1
+    collapsed onto the grid, last-state-wins, emit-on-change; at = the
+    p_start_time-only overload (starting spread alone, one row per
+    pair).  All three overloads share the level1 schema, and each
+    branch keeps the exact oracle its retired key (get_spread_freq /
+    spread_at) carried."""
+    return _variant_union(
+        ("base", _q_get_spread(spark, sf_dir)),
+        ("freq", _q_get_spread_freq(spark, sf_dir)),
+        ("at", _q_spread_at(spark, sf_dir)),
+    )
+
+
+def _q_epsilon_draws_merged(spark, sf_dir):
+    """T3 + its fabric/range variants as ONE gate (r13 capacity merge):
+    base = draw decomposition of the full-history mid stream at 5 bps;
+    zigzag = the closed-form piecewise-monotone fabric where draws are
+    provably the consecutive extrema pairs; range = the
+    p_start_time/p_end_time overload on the range-restricted mid
+    stream.  Each branch keeps the exact oracle its retired key
+    (epsilon_draws_zigzag / epsilon_draws_range) carried."""
+    return _variant_union(
+        ("base", _q_epsilon_draws(spark, sf_dir)),
+        ("zigzag", _q_epsilon_draws_zigzag(spark, sf_dir)),
+        ("range", _q_epsilon_draws_range(spark, sf_dir)),
     )
 
 
@@ -1677,115 +1861,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (0) NEW r12 gates (never had a driver row — must sit inside
-        #    the window to get their first row immediately): the three
-        #    operators promised in r11's docstrings. --------------------
-        "sessionize_stream": _q_sessionize_stream,
-        "corpus_clean": _q_corpus_clean,
-        "embedding_dedup_stream": _q_embedding_dedup_stream,
-        "dup_spans": _q_dup_spans,  # NEW r12: ExactSubstr-style dedup
-        "corpus_clean_stream": _q_corpus_clean_stream,  # NEW r12
-        "pack_sequences": _q_pack_sequences,  # NEW r12
-        "decontaminate": _q_decontaminate,  # NEW r12: benchmark overlap
-        "quality_classifier": _q_quality_classifier,  # NEW r12: NB distill
-        "bigram_rarity": _q_bigram_rarity,  # NEW r12: perplexity signal
-        "hash_sample": _q_hash_sample,  # NEW r12: data-mixing sampler
-        # -- (0b) merged overload families (VERDICT r11 #1: the registry
-        #    exceeded the 50-slot rotation capacity, so each
-        #    p_frequency/p_start_time family collapses 3 slots → 1 via a
-        #    variant-tagged union — values changed, so they re-verify
-        #    in-window; the retired keys were depth_summary_freq/_range,
-        #    queues_freq/_range, trading_period_freq/_range). -----------
-        "depth_summary": _q_depth_summary,
-        "queues": _q_queues,
-        "trading_period": _q_trading_period,
-        #    r12 additions to the merge set (freed the four window slots
-        #    the four NEW gates above occupy): trading_strategy absorbs
-        #    its zigzag/freq/range overloads (rho stays separate — r11
-        #    row current), get_events absorbs its freq overload; the
-        #    retired keys were trading_strategy_zigzag/_freq/_range and
-        #    get_events_freq, every branch keeping its exact oracle.
-        "trading_strategy": _q_trading_strategy_merged,
-        "get_events": _q_get_events_merged,
-        # -- (0c) r11-green but VALUES changed in r12 (must re-verify
-        #    in-window) --------------------------------------------------
-        "wav_roundtrip": _q_wav_roundtrip,  # %3 cycle adds the A-law leg
-        "codec_roundtrip": _q_codec_roundtrip,  # r12: %5 added the WebP
-        #   VP8L leg (oracle moduli made sign-stable), then the second
-        #   wave widened to %6 with the TIFF leg (PackBits x endianness
-        #   on the quotient) — in-window, so it re-verifies either way
-        # Slot notes — keys that yielded their window slots to the FIVE
-        # new r12 gates (the depth_chains/dup_clusters value-neutrality
-        # precedent from r11; all five were re-verified green through
-        # the local oracle replica at HEAD):
-        #  * dedup_stream — event-time timeout knob + conditional yield:
-        #    value-neutral for the gate's NoTimeout replay; r11-green.
-        #  * gopher_quality — tokenization widened to the general
-        #    whitespace class on BOTH engines; the sf0.01 fabric contains
-        #    no non-space whitespace (checked: 0 rows), so gate VALUES
-        #    are bit-identical to its r11 row — and the new in-window
-        #    corpus_clean/corpus_clean_stream gates drive the same
-        #    gopher code + oracle anyway.
-        #  * ann_ivfpq — adaptive re-rank depth: at the gate corpus the
-        #    per-query candidate count (~125) keeps the fixed floor
-        #    (max(80, ceil(0.25*125)) = 80), so gate VALUES are
-        #    unchanged; the adaptive path is characterized in SCALE.md
-        #    §7 and exercised by the clustered-fabric probe.
-        # -- (1) rotated out of r11's 50 (last driver row: r10) — this
-        #    39-entry tail fills the window so no entry's driver row ages
-        #    past two rounds. -------------------------------------------
-        "mjpeg_sample": _q_mjpeg_sample,
-        "depth_chains": _q_depth_chains,
-        "dup_clusters": _q_dup_clusters,
-        "cleanse_order": _q_cleanse_order,
-        "fix_aggressor_order": _q_fix_aggressor,
-        "reveal_episodes": _q_reveal_episodes,
-        "symbol_upsert": _q_symbol_upsert,
-        "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
-        "staging_summary": _q_staging_summary,
-        "epsilon_draws_range": _q_epsilon_draws_range,
-        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
-        "fix_chain_integrity": _q_fix_chain_integrity,
-        "order_book": _q_order_book,
-        "order_book_ckpt": _q_order_book_ckpt,
-        "spread": _q_spread,
-        "depth_change": _q_depth_change,
-        "spread_periods": _q_spread_periods,
-        "get_trades": _q_get_trades,
-        "events_intervals": _q_intervals,
-        "summary": _q_summary,
-        "ann_ivf": _q_ann_ivf,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,
-        "merge_crossed_books": _q_merge_crossed_books,
-        "merge_episodes": _q_merge_episodes,
-        "era_reassign": _q_era_reassign,
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        "jpeg_roundtrip": _q_jpeg_roundtrip,
-        # ---- slot 51+: r11 driver-green (CORRECTNESS_r11 rows), values
-        #      unchanged this round — they rotate back into the window
-        #      in r13. With 98 registered keys the steady state is 48
-        #      expiring keys per round against the 50-slot cap: 2 slots
-        #      of headroom for new r13 gates (candidates with oracles
-        #      already shipped: bpe_encode, adpcm_roundtrip, zorder_keys,
-        #      minhash_lsh_incremental, chunk_documents, corpus_prepare).
-        #      More headroom is one family-merge away —
-        #      get_depth/_freq (2→1) and get_spread/_freq/spread_at
-        #      (3→1) below are the next depth_summary-style merges; a
-        #      merge retires more keys than the one window slot its
-        #      union gate occupies, so each NETS +1/+2 slots. ----------
-        "dedup_stream": _q_dedup_stream,  # see the (0c) slot notes
-        "gopher_quality": _q_gopher_quality,  # see the (0c) slot notes
-        "ann_ivfpq": _q_ann_ivfpq,  # see the (0c) slot notes
+        # -- (0) NEW r13 gates (never had a driver row — must sit inside
+        #    the window): the six shipped-oracle r12 operators VERDICT
+        #    r12 #1 named for registration, in its value order. ---------
+        "corpus_prepare": _q_corpus_prepare,
+        "minhash_lsh_incremental": _q_minhash_lsh_incremental,
+        "near_dup_verify": _q_near_dup_verify,
+        "bpe_encode": _q_bpe_encode,
+        "chunk_documents": _q_chunk_documents,
+        "layout_keys": _q_layout_keys,  # zorder + hilbert union
+        # -- (0b) r13 capacity merges (the slot-note plan VERDICT r12 #1
+        #    prescribed): get_depth absorbs its freq overload (retired:
+        #    get_depth_freq), get_spread absorbs freq + the single-
+        #    instant overload (retired: get_spread_freq, spread_at),
+        #    epsilon_draws absorbs its zigzag fabric + range overload
+        #    (retired: epsilon_draws_zigzag, epsilon_draws_range).
+        #    Values changed (variant tag + union), so each re-verifies
+        #    in-window; every branch keeps its retired key's exact
+        #    oracle.  Net: 7 retired keys -> 3 union slots = the 4 extra
+        #    window slots the six new gates above needed beyond the
+        #    steady-state 2. --------------------------------------------
+        "get_depth": _q_get_depth_merged,
+        "get_spread": _q_get_spread_merged,
+        "epsilon_draws": _q_epsilon_draws_merged,
+        # -- (1) rotated out of r12's 50 (last driver row: r11) — this
+        #    41-entry tail fills the window so no entry's driver row
+        #    ages past two rounds. ---------------------------------------
+        "dedup_stream": _q_dedup_stream,
+        "gopher_quality": _q_gopher_quality,
+        "ann_ivfpq": _q_ann_ivfpq,
         "pii_scrub": _q_pii_scrub,
         "data_overview": _q_data_overview,
-        "epsilon_draws": _q_epsilon_draws,
-        "epsilon_draws_zigzag": _q_epsilon_draws_zigzag,
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_revenue_by_nation": _q_q5,
@@ -1800,13 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": _q_ann_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "embedding_dedup": _q_embedding_dedup,
-        "get_depth": _q_get_depth,
-        "get_depth_freq": _q_get_depth_freq,
-        "get_spread_freq": _q_get_spread_freq,
         "export_events": _q_export,
         "book_by_episode": _q_book_by_episode,
-        "get_spread": _q_get_spread,
-        "spread_at": _q_spread_at,
         "depth_resample": _q_depth_resample,
         "move_audit": _q_move_audit,
         "bs_capture_orders": _q_bs_capture_orders,
@@ -1827,6 +1928,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_sweep": _q_match_sweep,
         "multimodal_features": _q_multimodal,
         "match_incremental": _q_match_incremental,
+        # ---- slot 51+: r12 driver-green (CORRECTNESS_r12 rows), values
+        #      unchanged this round — they rotate back into the window
+        #      in r14.  r14 window math: these 49 keys expire together
+        #      against the 50-slot cap (1 free slot), and the staggered
+        #      gate queue is adpcm_roundtrip, render_sequences,
+        #      pack_stream, ann_ivfpq_query (+ any new r13 operators) —
+        #      so r14 needs ~3 more merge slots.  Next same-schema
+        #      depth_summary-style merges available IN THIS TAIL:
+        #      order_book/order_book_ckpt (2→1, same operator, probe vs
+        #      checkpointed probe) and corpus_clean/corpus_clean_stream
+        #      (2→1, batch vs replay of the same composition — both
+        #      branches already share one oracle).  Merging them in r14
+        #      puts the unions in r14's window (values change) and nets
+        #      +2; wav_roundtrip/adpcm_roundtrip can union at
+        #      registration time for another slot if needed. ------------
+        "sessionize_stream": _q_sessionize_stream,
+        "corpus_clean": _q_corpus_clean,
+        "embedding_dedup_stream": _q_embedding_dedup_stream,
+        "dup_spans": _q_dup_spans,
+        "corpus_clean_stream": _q_corpus_clean_stream,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "quality_classifier": _q_quality_classifier,
+        "bigram_rarity": _q_bigram_rarity,
+        "hash_sample": _q_hash_sample,
+        "depth_summary": _q_depth_summary,
+        "queues": _q_queues,
+        "trading_period": _q_trading_period,
+        "trading_strategy": _q_trading_strategy_merged,
+        "get_events": _q_get_events_merged,
+        "wav_roundtrip": _q_wav_roundtrip,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "mjpeg_sample": _q_mjpeg_sample,
+        "depth_chains": _q_depth_chains,
+        "dup_clusters": _q_dup_clusters,
+        "cleanse_order": _q_cleanse_order,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "reveal_episodes": _q_reveal_episodes,
+        "symbol_upsert": _q_symbol_upsert,
+        "insert_era": _q_insert_era,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
+        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "fix_chain_integrity": _q_fix_chain_integrity,
+        "order_book": _q_order_book,
+        "order_book_ckpt": _q_order_book_ckpt,
+        "spread": _q_spread,
+        "depth_change": _q_depth_change,
+        "spread_periods": _q_spread_periods,
+        "get_trades": _q_get_trades,
+        "events_intervals": _q_intervals,
+        "summary": _q_summary,
+        "ann_ivf": _q_ann_ivf,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
+        "multimodal_resize": _q_multimodal_resize,
+        "merge_crossed_books": _q_merge_crossed_books,
+        "merge_episodes": _q_merge_episodes,
+        "era_reassign": _q_era_reassign,
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
     }
 
 
@@ -1908,8 +2073,9 @@ def oracle_sql() -> dict[str, str]:
         trading_strategy_mid_oracle_sql,
         trading_strategy_zigzag_oracle_sql,
     )
-    from obadiah_spark.pipelines import (classifier, decontam, dedup,
-                                         docquality, packing, sampling)
+    from obadiah_spark.pipelines import (bpe, chunking, classifier, decontam,
+                                         dedup, docquality, packing, sampling)
+    from obadiah_spark.sources import layout
     from obadiah_spark.pipelines.multimodal import (
         CODEC_ROUNDTRIP_ORACLE,
         JPEG_ROUNDTRIP_ORACLE,
@@ -1950,6 +2116,28 @@ def oracle_sql() -> dict[str, str]:
         # (first-seen canonical == min-doc_id canonical)
         "corpus_clean_stream": docquality.corpus_clean_oracle_sql(),
         "dup_spans": docquality.dup_spans_oracle_sql(),
+        # NEW r13: the full composition — every stage the exact SQL its
+        # standalone gate carries, composed
+        "corpus_prepare": docquality.corpus_prepare_oracle_sql(),
+        # NEW r13: full-corpus LSH pair set restricted to new-sided
+        # pairs (index = pmod(doc_id, 2) == 0 fabric split)
+        "minhash_lsh_incremental": dedup.minhash_incremental_oracle_sql(
+            new_mod=2),
+        # NEW r13: LSH candidates verified by normalized Levenshtein;
+        # both engines restrict hydration to ASCII docs (codepoint ==
+        # byte edit domain — see near_dup_verify docstring)
+        "near_dup_verify": dedup.near_dup_verify_oracle_sql(),
+        # NEW r13: recursive replace-pass re-encoding under the pinned
+        # VALUES merge table
+        "bpe_encode": bpe.bpe_encode_oracle_sql(BPE_GATE_MERGES),
+        "chunk_documents": chunking.chunk_documents_oracle_sql(),
+        # NEW r13: both curves recomputed bit-for-bit over the same
+        # (event-time micros, user) projection
+        "layout_keys": _variant_union_oracle(
+            z=f"SELECT event_id, zb_ts_us, zb_user_id, zkey AS skey "
+              f"FROM ({layout.zorder_keys_oracle_sql(LAYOUT_COLS, table=_EV_US_SQL)}) zq",
+            hilbert=f"SELECT event_id, zb_ts_us, zb_user_id, hkey AS skey "
+                    f"FROM ({layout.hilbert_keys_oracle_sql(LAYOUT_COLS, table=_EV_US_SQL)}) hq"),
         "pack_sequences": packing.pack_sequences_oracle_sql(),
         "decontaminate": decontam.decontaminate_oracle_sql(4),
         "quality_classifier": classifier.quality_classifier_oracle_sql(),
@@ -2025,13 +2213,24 @@ def oracle_sql() -> dict[str, str]:
                 phi=0.0, mid_cte=_mid_range_cte(EV_START, EV_END)))),
         "trading_strategy_rho": level3_cte(trading_strategy_mid_oracle_sql(
             phi=0.0001, rho=STRATEGY_RHO)),
-        "epsilon_draws": level3_cte(epsilon_draws_mid_oracle_sql(epsilon=0.0005)),
-        "epsilon_draws_zigzag": epsilon_draws_zigzag_oracle_sql(),
-        "get_depth": level3_cte(get_depth_oracle_sql(EV_START, EV_END)),
-        "get_depth_freq": level3_cte(
-            get_depth_oracle_sql(EV_START, EV_END, frequency_s=GET_FREQ_S)),
-        "get_spread_freq": level3_cte(
-            get_spread_freq_oracle_sql(EV_START, EV_END, GET_FREQ_S)),
+        # merged T3 family (r13): base/zigzag/range, each branch the
+        # exact oracle its retired key carried
+        "epsilon_draws": _variant_union_oracle(
+            base=level3_cte(epsilon_draws_mid_oracle_sql(epsilon=0.0005)),
+            zigzag=epsilon_draws_zigzag_oracle_sql(),
+            range=level3_cte(epsilon_draws_mid_oracle_sql(
+                epsilon=0.0005, mid_cte=_mid_range_cte(EV_START, EV_END)))),
+        # merged D4 family (r13): base + freq
+        "get_depth": _variant_union_oracle(
+            base=level3_cte(get_depth_oracle_sql(EV_START, EV_END)),
+            freq=level3_cte(get_depth_oracle_sql(
+                EV_START, EV_END, frequency_s=GET_FREQ_S))),
+        # merged D8 family (r13): base + freq + single-instant
+        "get_spread": _variant_union_oracle(
+            base=level3_cte(get_spread_oracle_sql(EV_START, EV_END)),
+            freq=level3_cte(
+                get_spread_freq_oracle_sql(EV_START, EV_END, GET_FREQ_S)),
+            at=level3_cte(spread_at_oracle_sql(EV_START))),
         # merged overload families (r12): every branch is the SAME oracle
         # the retired per-overload key carried, tagged and unioned
         "depth_summary": _variant_union_oracle(
@@ -2052,8 +2251,6 @@ def oracle_sql() -> dict[str, str]:
                 grid_sample_l3_sql(trading_period_v0_oracle(), GET_FREQ_S)),
             range=level3_cte(
                 trading_period_v0_range_oracle(EV_START, EV_END))),
-        "epsilon_draws_range": level3_cte(epsilon_draws_mid_oracle_sql(
-            epsilon=0.0005, mid_cte=_mid_range_cte(EV_START, EV_END))),
         "crossed_books": level3_cte(crossed_books_oracle()),
         "order_book_takers": level3_cte(invalid_takers_oracle_sql()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
@@ -2069,8 +2266,6 @@ def oracle_sql() -> dict[str, str]:
         "data_overview": level3_cte(DATA_OVERVIEW_ORACLE_BODY),
         "export_events": level3_cte(export_oracle_sql(EV_START, EV_END)),
         "book_by_episode": level3_cte(book_by_episode_oracle_sql()),
-        "get_spread": level3_cte(get_spread_oracle_sql(EV_START, EV_END)),
-        "spread_at": level3_cte(spread_at_oracle_sql(EV_START)),
         "depth_resample": level3_cte(depth_resample_oracle_sql()),
         "merge_episodes": level3_cte(merge_episodes_oracle_sql(EV_START, EV_END)),
         "merge_crossed_books": level3_cte(merge_crossed_books_oracle_sql()),

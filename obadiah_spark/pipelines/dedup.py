@@ -604,7 +604,8 @@ def write_minhash_index(docs: DataFrame, path: str) -> None:
 
 
 def minhash_lsh_incremental(spark, index_path: str, new_docs: DataFrame,
-                            max_bucket_size: int = 50) -> DataFrame:
+                            max_bucket_size: int = 50,
+                            persist: bool = True) -> DataFrame:
     """Candidate pairs INVOLVING A NEW DOC — new×index plus new×new —
     equal to the full-corpus :func:`minhash_lsh_candidates` restricted
     to pairs with at least one new side (pytest-differential-pinned).
@@ -614,10 +615,20 @@ def minhash_lsh_incremental(spark, index_path: str, new_docs: DataFrame,
     census and the band equi-join.  The hot-bucket cap is computed over
     index ∪ increment, exactly like the batch operator's window, so a
     bucket pushed over the cap by new arrivals drops out on both
-    paths."""
+    paths.
+
+    Caching contract (ADVICE r12 #3): the increment's band frame is
+    consumed by three joins, so by default it is ``persist()``-ed —
+    O(increment × bands) rows, NOT corpus-sized.  The blocks are
+    released by Spark's ContextCleaner once the returned plan is no
+    longer referenced (or eagerly via ``spark.catalog.clearCache()``);
+    long-lived sessions that prefer recompute over pinned storage pass
+    ``persist=False``."""
     idx = spark.read.parquet(index_path).select(
         "doc_id", "band", "band_sig")
-    new_bands = _minhash_bands(new_docs).persist()
+    new_bands = _minhash_bands(new_docs)
+    if persist:
+        new_bands = new_bands.persist()
     census = (idx.unionByName(new_bands)
               .groupBy("band", "band_sig")
               .agg(F.count(F.lit(1)).alias("_n"))
@@ -666,7 +677,8 @@ NEAR_DUP_MIN_SIM = 0.8
 
 
 def near_dup_verify(pairs: DataFrame, docs: DataFrame,
-                    min_sim: float = NEAR_DUP_MIN_SIM) -> DataFrame:
+                    min_sim: float = NEAR_DUP_MIN_SIM,
+                    ascii_only: bool = False) -> DataFrame:
     """Verify candidate pairs (doc_a, doc_b) by normalized edit
     similarity on the fingerprint-normalized text: sim = 1 - lev/maxlen.
     Returns (doc_a, doc_b, dist, sim, is_near_dup).
@@ -679,11 +691,18 @@ def near_dup_verify(pairs: DataFrame, docs: DataFrame,
 
     Engine variance note: Spark's levenshtein counts CODEPOINT edits,
     DuckDB's counts BYTE edits — identical on ASCII, divergent on
-    multi-byte text (`café`/`cafe`: 1 vs 2).  The gate fabric is ASCII
-    by contract (the oracle filters to it, the same
-    length == octet_length guard as the codec gates); on a non-ASCII
-    corpus the Spark semantics are the intended ones and the oracle
-    does not apply."""
+    multi-byte text (`café`/`cafe`: 1 vs 2).  ``ascii_only=True``
+    applies the codec gates' ``length == octet_length`` guard HERE, on
+    the hydration side, so the operator and its DuckDB oracle (which
+    carries the same filter in its ``norm`` CTE) agree on the row set
+    BY CONSTRUCTION — a pair with a non-ASCII member is dropped by both
+    engines' inner joins, never by only one (ADVICE r12 #1).  The gate
+    passes True; on a production (non-ASCII) corpus the default False
+    keeps every pair and the Spark codepoint semantics are the intended
+    ones (the oracle then does not apply)."""
+    if ascii_only:
+        docs = docs.filter(
+            F.length("text") == F.octet_length("text"))
     ids = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
            .distinct())
