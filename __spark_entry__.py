@@ -486,10 +486,12 @@ def _q_pack_sequences(spark, sf_dir):
     """NEW r12: training-sequence packing — per-shard next-fit fold
     into fixed-token-budget sequences; the oracle replays the fold as a
     per-shard recursive CTE, so the hash pins every boundary decision,
-    offset, and overflow flag."""
-    from obadiah_spark.pipelines.packing import pack_sequences
+    offset, and overflow flag.  n_shards pins PACK_SHARDS (r13: the
+    production default became the corpus-count auto rule; the gate's
+    shard column stays fixed)."""
+    from obadiah_spark.pipelines.packing import PACK_SHARDS, pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir))
+    return pack_sequences(_docs(spark, sf_dir), n_shards=PACK_SHARDS)
 
 
 def _q_dup_spans(spark, sf_dir):
@@ -572,10 +574,13 @@ def _q_corpus_prepare(spark, sf_dir):
     oracle composes each stage's own gate-verified SQL, with the pack
     recursion walking the scrubbed survivors — the hash therefore pins
     the whole pipeline's row set, every pack boundary, and the redacted
-    byte stream end to end."""
+    byte stream end to end.  n_shards pins PACK_SHARDS: shard
+    assignment is part of the output, so the gate fixes it while
+    production defaults to the corpus-count auto rule."""
     from obadiah_spark.pipelines.docquality import corpus_prepare
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
 
-    return corpus_prepare(_docs(spark, sf_dir))
+    return corpus_prepare(_docs(spark, sf_dir), n_shards=PACK_SHARDS)
 
 
 def _q_minhash_lsh_incremental(spark, sf_dir):

@@ -47,7 +47,20 @@ from pyspark.sql import DataFrame, functions as F
 from obadiah_spark.pipelines.docquality import WS_CLASS
 
 PACK_BUDGET = 256   # tokens per training sequence (gate setting)
+# the GATE's pinned shard count (shard assignment is part of the gate
+# output, so the driver gate passes this explicitly); production sizing
+# is the auto rule below
 PACK_SHARDS = 8
+# auto-sizing rule (VERDICT r12 what's-wrong #4: a fixed shard count is
+# both the parallelism ceiling and a per-task memory bound): with
+# n_shards=None the operator derives ceil(n_docs / PACK_DOCS_PER_SHARD)
+# shards, so each pandas fold group holds at most ~250k (doc_id,
+# n_tokens) pairs (~4 MB of int64 columns — flat per task at ANY corpus
+# size) and parallelism grows linearly with the corpus (100 TB at ~5 KB
+# docs → ~2·10¹⁰ docs → ~80k shards).  The rule depends only on the
+# corpus count, so the layout stays replay-deterministic — the same
+# corpus packs identically on any cluster.
+PACK_DOCS_PER_SHARD = 250_000
 
 
 def _token_counts(docs: DataFrame) -> DataFrame:
@@ -59,12 +72,18 @@ def _token_counts(docs: DataFrame) -> DataFrame:
 
 
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
-                   n_shards: int = PACK_SHARDS,
+                   n_shards: int | None = None,
                    count_col: DataFrame | None = None) -> DataFrame:
     """One row per document: (doc_id, shard, seq_no, offset, n_tokens,
     overflow). ``count_col`` overrides the token counter with a
-    (doc_id, n_tokens) frame."""
+    (doc_id, n_tokens) frame.  ``n_shards=None`` auto-sizes shards from
+    the corpus count (see ``PACK_DOCS_PER_SHARD``) at the cost of one
+    column-pruned count action; pass an explicit value when the shard
+    assignment itself must be pinned (the driver gate pins
+    ``PACK_SHARDS``)."""
     counts = _token_counts(docs) if count_col is None else count_col
+    if n_shards is None:
+        n_shards = max(1, -(-counts.count() // PACK_DOCS_PER_SHARD))
     sharded = counts.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
 

@@ -16,10 +16,13 @@ from tools.verify_local import canonicalize  # noqa: E402
 @pytest.fixture(scope="module")
 def prepared(spark, sf_dir):
     from obadiah_spark.pipelines.docquality import corpus_prepare
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
     from obadiah_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs, corpus_prepare(docs).toPandas()
+    # pinned like the driver gate: the default is the corpus-count auto
+    # rule, and the oracle reproduces a FIXED shard assignment
+    return docs, corpus_prepare(docs, n_shards=PACK_SHARDS).toPandas()
 
 
 def test_prepare_duckdb_differential(prepared, duck):
@@ -98,11 +101,13 @@ def test_prepare_mixing_stage(spark, sf_dir, duck):
     row set exactly."""
     from obadiah_spark.pipelines.docquality import (
         corpus_prepare, corpus_prepare_oracle_sql)
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
     from obadiah_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    full = corpus_prepare(docs).toPandas()
-    mixed = corpus_prepare(docs, sample_fraction=0.5).toPandas()
+    full = corpus_prepare(docs, n_shards=PACK_SHARDS).toPandas()
+    mixed = corpus_prepare(docs, sample_fraction=0.5,
+                           n_shards=PACK_SHARDS).toPandas()
     assert 0 < len(mixed) < len(full)
     assert set(mixed.doc_id) < set(full.doc_id)
     want = duck.execute(

@@ -41,8 +41,12 @@ def test_stream_equals_batch_on_real_fabric(spark, sf_dir, tmp_path):
     from obadiah_spark.pipelines.packing import pack_sequences
     from obadiah_spark.session import read_table
 
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = {tuple(r) for r in pack_sequences(docs).collect()}
+    # pin the stream's shard count (batch default is the auto rule)
+    batch = {tuple(r) for r in
+             pack_sequences(docs, n_shards=PACK_SHARDS).collect()}
     rows = sorted((int(r.doc_id), r.text) for r in docs.collect())
     streamed = _replay(spark, tmp_path, rows, chunks=3)
     assert streamed == batch

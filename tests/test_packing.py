@@ -56,6 +56,24 @@ def test_blank_and_whitespace_docs_count_zero(spark):
     assert got[16] == (0, 1, 3, 0, False)
 
 
+def test_auto_shard_rule_scales_with_corpus(spark, monkeypatch):
+    """n_shards=None derives ceil(n_docs / PACK_DOCS_PER_SHARD): the
+    shard count grows with the corpus (parallelism) while per-shard
+    group size stays ~PACK_DOCS_PER_SHARD (fold memory flat)."""
+    import obadiah_spark.pipelines.packing as packing
+
+    rows = [(i, "a b c") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    monkeypatch.setattr(packing, "PACK_DOCS_PER_SHARD", 4)
+    out = packing.pack_sequences(docs, budget=4).toPandas()
+    # ceil(10 / 4) = 3 shards, shard = pmod(doc_id, 3)
+    assert set(out["shard"]) == {0, 1, 2}
+    assert out.groupby("shard").size().max() <= 4
+    # explicit n_shards still wins (the gate pin)
+    pinned = packing.pack_sequences(docs, budget=4, n_shards=8).toPandas()
+    assert set(pinned["shard"]) == set(range(8))
+
+
 def test_budget_sweep_total_tokens_conserved(spark, sf_dir):
     """On the real fabric: every doc appears once, per-(shard, seq) fill
     never exceeds the budget except single-doc overflow sequences, and
