@@ -8,12 +8,15 @@ quarantined as raw text instead of silently dropped or job-fatally
 raised (the streaming capture's rule — nothing is silently lost,
 nothing kills the job; `streaming/capture.py`).
 
-Spark mechanics: ``PERMISSIVE`` mode with ``columnNameOfCorruptRecord``
-keeps every malformed line's raw text in a side column; the reader
-splits the frame into (clean, quarantine) on it.  The required-field
-check runs AFTER the JSON parse (a syntactically valid object missing
-``doc_id``/``text`` is quarantined too, carrying its raw line).  One
-scan, no shuffle; at 100 TB parallelism = line-splittable input files.
+Spark mechanics: the file is read ONCE as plain text, so every line's
+original bytes ride alongside its ``from_json`` parse (PERMISSIVE with
+``columnNameOfCorruptRecord``).  The quarantine is therefore VERBATIM
+for every failure mode — malformed JSON, type mismatches, AND
+syntactically-valid objects missing ``doc_id``/``text`` — including
+any extra fields the line carried that the declared schema would have
+dropped (ADVICE r12 #2: re-serializing the parsed struct loses those).
+One scan, no shuffle; at 100 TB parallelism = line-splittable input
+files.
 
 ``write_documents_jsonl`` is the inverse (one compact object per line,
 Spark's native JSON sink), so round-trips are pytest-checkable.
@@ -28,32 +31,39 @@ DOCS_JSONL_SCHEMA = ("doc_id long, text string, lang string, "
                      "source string, n_chars long, "
                      f"{_CORRUPT} string")
 REQUIRED = ("doc_id", "text")
+_FIELDS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
-def read_documents_jsonl(spark: SparkSession, path: str
+def read_documents_jsonl(spark: SparkSession, path: str,
+                         cache: bool = True
                          ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean carries the documents schema rows
     whose required fields parsed; quarantine carries one ``raw`` column
-    with every malformed or incomplete line verbatim."""
-    raw = (spark.read.schema(DOCS_JSONL_SCHEMA)
-           .option("mode", "PERMISSIVE")
-           .option("columnNameOfCorruptRecord", _CORRUPT)
-           .json(path)
-           # the corrupt column is only materialized when referenced
-           # alongside others; cache so the split reads one parse
-           .cache())
-    ok = F.col(_CORRUPT).isNull()
+    with every malformed or incomplete line VERBATIM (the original
+    line, not a re-serialized projection).
+
+    Caching contract (ADVICE r12 #3): with ``cache=True`` (default)
+    the parsed frame is ``cache()``-d so materializing both halves
+    costs one parse; the blocks are released by Spark's ContextCleaner
+    once neither returned frame is referenced, or eagerly via
+    ``spark.catalog.clearCache()``.  Long-lived sessions that prefer
+    recompute over pinned storage pass ``cache=False`` (each half then
+    re-parses on materialization)."""
+    parsed = (spark.read.text(path)
+              .select(F.col("value").alias("_line"),
+                      F.from_json(
+                          "_line", DOCS_JSONL_SCHEMA,
+                          {"mode": "PERMISSIVE",
+                           "columnNameOfCorruptRecord": _CORRUPT})
+                      .alias("_p")))
+    if cache:
+        parsed = parsed.cache()
+    ok = F.col(f"_p.{_CORRUPT}").isNull()
     for c in REQUIRED:
-        ok = ok & F.col(c).isNotNull()
-    clean = raw.filter(ok).drop(_CORRUPT)
-    # a missing-required line has no corrupt record (it parsed) — carry
-    # the re-serialized object so the quarantine is still actionable
-    quarantine = (raw.filter(~ok)
-                  .select(F.coalesce(
-                      F.col(_CORRUPT),
-                      F.to_json(F.struct(*[c for c in raw.columns
-                                           if c != _CORRUPT])))
-                      .alias("raw")))
+        ok = ok & F.col(f"_p.{c}").isNotNull()
+    clean = parsed.filter(ok).select(
+        *[F.col(f"_p.{c}").alias(c) for c in _FIELDS])
+    quarantine = parsed.filter(~ok).select(F.col("_line").alias("raw"))
     return clean, quarantine
 
 
