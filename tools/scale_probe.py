@@ -329,6 +329,27 @@ def probe_docs(spark, docs_path: str) -> dict[str, float]:
 
     timed("pack_sequences", lambda: pack_sequences(docs)
           .agg(F.max("seq_no"), F.sum("n_tokens")).collect())
+    # r13: the auto-shard rule under a probe-sized PACK_DOCS_PER_SHARD —
+    # shard count must grow ~linearly with the corpus while the LARGEST
+    # per-shard pandas group stays ~flat (the fold-memory bound VERDICT
+    # r12 what's-wrong #4 asked to demonstrate)
+    import obadiah_spark.pipelines.packing as packing_mod
+
+    saved = packing_mod.PACK_DOCS_PER_SHARD
+    packing_mod.PACK_DOCS_PER_SHARD = 500
+    try:
+        def _autoshard():
+            stats = (pack_sequences(docs)
+                     .groupBy("shard").count()
+                     .agg(F.countDistinct("shard").alias("n_shards"),
+                          F.max("count").alias("max_group")).collect()[0])
+            out["pack_autoshard_n_shards"] = float(stats["n_shards"])
+            out["pack_autoshard_max_group"] = float(stats["max_group"])
+            return int(stats["n_shards"])
+
+        timed("pack_autoshard", _autoshard)
+    finally:
+        packing_mod.PACK_DOCS_PER_SHARD = saved
     timed("corpus_prepare", lambda: corpus_prepare(docs)
           .agg(F.max("seq_no"), F.sum("n_tokens"),
                F.max("redacted_md5")).collect())
