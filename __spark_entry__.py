@@ -1938,7 +1938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      in r14.  r14 window math: these 49 keys expire together
         #      against the 50-slot cap (1 free slot), and the staggered
         #      gate queue is adpcm_roundtrip, render_sequences,
-        #      pack_stream, ann_ivfpq_query (+ any new r13 operators) —
+        #      pack_stream, ann_ivfpq_query, and the NEW r13 operators
+        #      semdedup (oracle shipped, pipelines/dedup.py — gate at
+        #      threshold 0.3 per tests/test_semdedup.py's fabric note)
+        #      and append_ivfpq_index (differential-pinned; gate via an
+        #      ann_ivfpq_query row over an appended index) —
         #      so r14 needs ~3 more merge slots.  Next same-schema
         #      depth_summary-style merges available IN THIS TAIL:
         #      order_book/order_book_ckpt (2→1, same operator, probe vs

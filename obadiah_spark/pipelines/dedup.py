@@ -452,6 +452,147 @@ FROM dup
 """
 
 
+# --------------------------------------------------------- SemDeDup --------
+# Cluster-then-dedup over embeddings (SemDeDup, Abbas et al. 2023,
+# arXiv:2303.09540): k-means the corpus into cells, then compare pairs
+# ONLY within a cell — the clusters bound the quadratic instead of
+# random LSH planes, which is the paper's point: semantic duplicates
+# land in the same cluster with data-adaptive (not chance) probability.
+# The engine reuses its deterministic IVF machinery end to end — the
+# O(1)-in-corpus capped Lloyd trainer, the broadcast argmax-cosine
+# assignment, round-9 cosine at every compare site — so the whole
+# operator (training included) hash-checks against DuckDB through the
+# shared `_ivf_codebook_ctes` replica.
+#
+# Scale shape: train is O(1) (capped sample), assignment is map-side
+# against a broadcast n_cells-row codebook, and the pairwise stage is
+# ONE equi-join on `cell` whose fanout is Σ|cell|² — bounded by sizing
+# n_cells ~ corpus/target_cell_size (the IVF discipline) plus the
+# `max_cell_size` census guard below (the minhash hot-bucket precedent:
+# an over-cap cell yields no pairs rather than a quadratic blowup, and
+# its vectors are kept, never silently dropped).
+
+SEMDEDUP_THRESHOLD = 0.95  # the paper's operating range on real corpora
+
+
+def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
+             n_cells: int | None = None, stride: int | None = None,
+             iters: int | None = None, train_stride: int | None = None,
+             train_max: int | None = None,
+             max_cell_size: int | None = None,
+             codebook: DataFrame | None = None) -> DataFrame:
+    """One row per vector: ``(vec_id, cell, nn_id, nn_cos, is_dup,
+    canon_id)``.
+
+    ``nn_id``/``nn_cos`` = the most-similar SMALLER-id vector in the
+    same cell (ties broken to the smallest id; null when the vector is
+    its cell's smallest id or the cell is over ``max_cell_size``) —
+    emitted unconditionally so a value gate pins every within-cell
+    cosine, not just the rare above-threshold verdicts.  ``is_dup`` =
+    nn_cos >= threshold; ``canon_id`` = the smallest same-cell id
+    within threshold (the keep-first representative, matching
+    :func:`embedding_dedup`'s rule).  IVF knobs default to the
+    similarity module's; pass ``codebook`` (from
+    :func:`~obadiah_spark.pipelines.similarity.train_ivf_codebook`) to
+    skip in-query training — the production path."""
+    from obadiah_spark.pipelines.similarity import (
+        IVF_CELLS, IVF_ITERS, IVF_STRIDE, IVF_TRAIN_MAX, IVF_TRAIN_STRIDE,
+        _cosine, _rank_cells, ivf_centroids)
+
+    n_cells = IVF_CELLS if n_cells is None else n_cells
+    stride = IVF_STRIDE if stride is None else stride
+    iters = IVF_ITERS if iters is None else iters
+    train_stride = IVF_TRAIN_STRIDE if train_stride is None else train_stride
+    train_max = IVF_TRAIN_MAX if train_max is None else train_max
+    cents = codebook if codebook is not None else ivf_centroids(
+        emb, n_cells, stride, iters, train_stride, train_max)
+    assign = (
+        _rank_cells(emb.select("vec_id", "embedding"), cents,
+                    "vec_id", "embedding")
+        .filter(F.col("cr") == 1).select("vec_id", "cell")
+    )
+    v = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    paired = v
+    if max_cell_size is not None:
+        census = (v.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+                  .filter(F.col("_n") <= max_cell_size).drop("_n"))
+        paired = v.join(census, "cell")
+    a = paired.select("cell", F.col("vec_id").alias("a_id"),
+                      F.col("embedding").alias("a_emb"))
+    b = paired.select("cell", F.col("vec_id").alias("b_id"),
+                      F.col("embedding").alias("b_emb"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("b_id", "a_id", _cosine("a_emb", "b_emb").alias("cos")))
+    w = W.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))
+    nn = (pairs.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 1)
+          .select(F.col("b_id").alias("vec_id"),
+                  F.col("a_id").alias("nn_id"),
+                  F.col("cos").alias("nn_cos")))
+    canon = (pairs.filter(F.col("cos") >= threshold)
+             .groupBy(F.col("b_id").alias("vec_id"))
+             .agg(F.min("a_id").alias("canon_id")))
+    return (v.select("vec_id", "cell")
+            .join(nn, "vec_id", "left").join(canon, "vec_id", "left")
+            .select("vec_id", "cell", "nn_id", "nn_cos",
+                    F.coalesce(F.col("nn_cos") >= threshold,
+                               F.lit(False)).alias("is_dup"),
+                    "canon_id"))
+
+
+def semdedup_oracle_sql(threshold: float = SEMDEDUP_THRESHOLD,
+                        n_cells: int | None = None,
+                        stride: int | None = None, iters: int | None = None,
+                        train_stride: int | None = None,
+                        train_max: int | None = None) -> str:
+    """DuckDB replica including the k-means training (the shared
+    `_ivf_codebook_ctes` chain the ann_ivf oracle uses), the argmax
+    assignment, and the within-cell nearest-smaller-id rule."""
+    from obadiah_spark.pipelines.similarity import (
+        IVF_CELLS, IVF_ITERS, IVF_STRIDE, IVF_TRAIN_MAX, IVF_TRAIN_STRIDE,
+        _ivf_codebook_ctes)
+
+    n_cells = IVF_CELLS if n_cells is None else n_cells
+    stride = IVF_STRIDE if stride is None else stride
+    iters = IVF_ITERS if iters is None else iters
+    train_stride = IVF_TRAIN_STRIDE if train_stride is None else train_stride
+    train_max = IVF_TRAIN_MAX if train_max is None else train_max
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), {_ivf_codebook_ctes(n_cells, stride, iters, train_stride, train_max)}, ar AS (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.emb, c.c_emb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 9) DESC,
+               c.cell) AS cr
+    FROM e CROSS JOIN c
+), v AS MATERIALIZED (
+    SELECT e.vec_id, e.emb, a.cell
+    FROM e JOIN (SELECT vec_id, cell FROM ar WHERE cr = 1) a USING (vec_id)
+), p AS MATERIALIZED (
+    SELECT b.vec_id AS b_id, a.vec_id AS a_id,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 9) AS cos
+    FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), nn AS (
+    SELECT b_id AS vec_id, a_id AS nn_id, cos AS nn_cos
+    FROM p QUALIFY row_number() OVER (
+        PARTITION BY b_id ORDER BY cos DESC, a_id) = 1
+), canon AS (
+    SELECT b_id AS vec_id, min(a_id) AS canon_id
+    FROM p WHERE cos >= {threshold!r} GROUP BY b_id
+)
+SELECT v.vec_id, v.cell, nn.nn_id, nn.nn_cos,
+       coalesce(nn.nn_cos >= {threshold!r}, FALSE) AS is_dup,
+       canon.canon_id
+FROM v LEFT JOIN nn USING (vec_id) LEFT JOIN canon USING (vec_id)
+"""
+
+
 # --------------------------------------------- duplicate clustering --------
 # Connected components over the verified near-dup pairs — the step that
 # turns pairwise dedup into "keep one representative per cluster". The

@@ -987,6 +987,17 @@ def write_ivfpq_index(emb: DataFrame, path: str,
     subcb.write.mode("overwrite").parquet(os.path.join(path,
                                                        "subcodebook"))
     subcb = spark.read.parquet(os.path.join(path, "subcodebook"))
+    _encode_vectors(emb, cb, subcb, m, dim).write.mode(
+        "overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors"))
+
+
+def _encode_vectors(emb: DataFrame, cb: DataFrame, subcb: DataFrame,
+                    m: int, dim: int) -> DataFrame:
+    """(vec_id, embedding, cell, codes) under FROZEN codebooks — the
+    one assignment + PQ-encode pass both the initial build and every
+    later increment run, so batch and incremental index rows cannot
+    diverge by construction."""
     assign = (
         _rank_cells(emb.select("vec_id", "embedding"), cb,
                     "vec_id", "embedding")
@@ -997,10 +1008,31 @@ def write_ivfpq_index(emb: DataFrame, path: str,
              .agg(F.transform(
                  F.array_sort(F.collect_list(F.struct("m", "code"))),
                  lambda s: s["code"]).alias("codes")))
-    (emb.select("vec_id", "embedding")
-     .join(assign, "vec_id").join(codes, "vec_id")
-     .write.mode("overwrite").partitionBy("cell")
-     .parquet(os.path.join(path, "vectors")))
+    return (emb.select("vec_id", "embedding")
+            .join(assign, "vec_id").join(codes, "vec_id"))
+
+
+def append_ivfpq_index(spark, path: str, new_emb: DataFrame,
+                       m: int = PQ_M, dim: int = PQ_DIM) -> None:
+    """Grow a :func:`write_ivfpq_index` index WITHOUT retraining — the
+    100 TB ingest path (the minhash_lsh_incremental twin for ANN): at
+    corpus scale you cannot re-encode the index every time a batch of
+    new vectors arrives.  The codebooks are FROZEN (the standard IVF
+    discipline — retrain is a deliberate offline event on drift, never
+    an ingest side effect), so only the increment pays assignment + PQ
+    encoding, and the new rows APPEND into the same cell-partitioned
+    layout: existing cell files are untouched, queries prune over
+    old ∪ new identically, and — because the increment runs the exact
+    `_encode_vectors` pass the initial build ran — an appended index is
+    row-identical to one built in a single shot under the same
+    codebooks (pytest-pinned)."""
+    import os
+
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    subcb = spark.read.parquet(os.path.join(path, "subcodebook"))
+    _encode_vectors(new_emb, cb, subcb, m, dim).write.mode(
+        "append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors"))
 
 
 def ann_ivfpq_query(spark, path: str, q: DataFrame, k: int = 5,

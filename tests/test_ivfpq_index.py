@@ -66,3 +66,76 @@ def test_indexed_query_prunes_cell_partitions(spark, sf_dir, tmp_path):
     # layout's PartitionFilters test
     assert "dynamicpruning" in plan, plan[:2000]
     assert df.count() > 0
+
+
+def test_append_grows_index_without_retraining(spark, sf_dir, tmp_path):
+    """append_ivfpq_index: build on the even half, append the odd half —
+    the vectors table must be ROW-IDENTICAL to a single-shot encode of
+    the full corpus under the same (frozen) codebooks, existing cell
+    files must survive untouched, and a query over the appended index
+    must surface appended vectors."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.similarity import (_encode_vectors,
+                                                    append_ivfpq_index,
+                                                    ann_ivfpq_query,
+                                                    write_ivfpq_index)
+
+    emb = _emb(spark, sf_dir)
+    pm = F.pmod(F.col("vec_id"), F.lit(2))
+    half0, half1 = emb.filter(pm == 0), emb.filter(pm != 0)
+    path = str(tmp_path / "ivfpq_a")
+    write_ivfpq_index(half0, path, train_pq=False)
+    before = {}
+    vec_dir = os.path.join(path, "vectors")
+    for d in os.listdir(vec_dir):
+        if d.startswith("cell="):
+            full = os.path.join(vec_dir, d)
+            before[d] = sorted(os.listdir(full))
+    append_ivfpq_index(spark, path, half1)
+    # existing files untouched (append, not rewrite)
+    for d, files in before.items():
+        now = set(os.listdir(os.path.join(vec_dir, d)))
+        assert set(files) <= now, d
+    # row-identical to the one-shot encode under the same codebooks
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    subcb = spark.read.parquet(os.path.join(path, "subcodebook"))
+    got = {(r.vec_id, r.cell, tuple(r.codes))
+           for r in spark.read.parquet(vec_dir)
+           .select("vec_id", "cell", "codes").collect()}
+    want = {(r.vec_id, r.cell, tuple(r.codes))
+            for r in _encode_vectors(emb, cb, subcb, 4, 64)
+            .select("vec_id", "cell", "codes").collect()}
+    assert got == want and len(got) == emb.count()
+    # a query can now surface odd (appended) vectors
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    res = ann_ivfpq_query(spark, path, q, k=5).toPandas()
+    assert len(res) == 20
+    assert (res.vec_id % 2 == 1).any()
+
+
+def test_append_in_chunks_equals_one_append(spark, sf_dir, tmp_path):
+    """Incremental composition: two appends land the same rows as one."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.similarity import (append_ivfpq_index,
+                                                    write_ivfpq_index)
+
+    emb = _emb(spark, sf_dir)
+    pm = F.pmod(F.col("vec_id"), F.lit(3))
+    base = emb.filter(pm == 0)
+    p1 = str(tmp_path / "chunked")
+    p2 = str(tmp_path / "oneshot")
+    for p in (p1, p2):
+        write_ivfpq_index(base, p, train_pq=False)
+    append_ivfpq_index(spark, p1, emb.filter(pm == 1))
+    append_ivfpq_index(spark, p1, emb.filter(pm == 2))
+    append_ivfpq_index(spark, p2, emb.filter(pm != 0))
+    rows = []
+    for p in (p1, p2):
+        rows.append({(r.vec_id, r.cell, tuple(r.codes))
+                     for r in spark.read.parquet(
+                         os.path.join(p, "vectors"))
+                     .select("vec_id", "cell", "codes").collect()})
+    assert rows[0] == rows[1]
