@@ -63,6 +63,10 @@ ALLOWED_BNLJ = {
     "quality_classifier":
         "two ONE-ROW broadcast crossJoins: the class token totals and "
         "the class prior — bounded by construction",
+    "layout_keys":
+        "one ONE-ROW broadcast crossJoin per curve variant: the corpus "
+        "min/max stats frame every bucket expression scales against "
+        "(sources/layout.py zorder_keys) — bounded by construction",
 }
 
 
