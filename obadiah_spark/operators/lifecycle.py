@@ -384,7 +384,17 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
     Scale: the expensive part — the per-offset lead-window over the full
     event stream — runs ONCE per offset (``sequential_event_pairs``,
     checkpointed), not once per grid cell: a 5×4 grid costs 4 windows plus
-    20 cheap equi-joins against broadcast-size state frames. Each cell's
+    at most 20 cheap equi-joins against broadcast-size state frames.
+    Three further bit-identical prunes (r13) cut the dead-cell overhead:
+    a fused per-offset stats pass counts feasible rows at EACH grid
+    tolerance, so cells with zero feasible candidates are skipped without
+    running any jobs (exact: resolve filters on feasibility at the cell's
+    tolerance over a subset of the counted frame); the claimed-state
+    broadcasts drop their defensive ``distinct`` (anti-joins are invariant
+    under duplicate build rows); and the grid short-circuit bound is the
+    distinct matchable-trade count across the feasible frames rather than
+    the raw trade count, so it fires even when some trades are
+    unmatchable at every cell. Each cell's
     result is checkpointed, so the threaded state (anti-join frames) stays
     a union of tiny in-memory leaves and the logical plan depth is bounded
     per cell, not cumulative across the grid. ``period_s`` passes through
@@ -409,39 +419,83 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
     from concurrent.futures import ThreadPoolExecutor
 
     from obadiah_spark.operators.matching import (
-        match_candidates, match_feasible, match_resolve)
+        match_candidates, match_feasible, match_resolve, match_rule)
 
     offsets = range(1, max_offset + 1)
     max_tol = max(tolerances)
 
-    def _cand_for(off: int) -> DataFrame:
+    def _feasible_at(tol_pct: float):
+        # mirror of match_feasible's rule pair at ONE grid tolerance —
+        # used only for provable-emptiness stats, never to produce rows
+        tol = F.lit(tol_pct) * F.col("t_price")
+        mr = match_rule(F.col("t_amount"), F.col("t_price"),
+                        F.col("amount"), F.col("fill"), F.col("is_del"), tol)
+        n_mr = match_rule(F.col("t_amount"), F.col("t_price"),
+                          F.col("n_amount"), F.col("n_fill"),
+                          F.col("n_is_del"), tol)
+        return mr.isNotNull() & n_mr.isNotNull()
+
+    def _cand_for(off: int):
         p = sequential_event_pairs(l3, off, period_s)
-        return match_feasible(
+        c = match_feasible(
             match_candidates(p, trades), max_tol).localCheckpoint(eager=True)
+        # fused stats pass over the checkpointed leaf (replaces the old
+        # isEmpty probe — same job count): per grid tolerance, how many
+        # candidate rows are feasible. The F7 rule's non-NULL set is
+        # monotone in tolerance and the claimed/matched anti-joins only
+        # SHRINK the frame, so a (tolerance, offset) cell whose count is
+        # zero here is PROVABLY empty — it can be skipped without running
+        # any of its jobs, bit-identically (an empty cell contributes
+        # nothing to the union). At the gate grid this skips the
+        # low-tolerance cells of the sparse offsets >= 2.
+        row = c.agg(*[
+            F.sum(_feasible_at(t).cast("int")).alias(f"f{i}")
+            for i, t in enumerate(tolerances)]).first()
+        return c, [row[f"f{i}"] or 0 for i in range(len(tolerances))]
 
     with ThreadPoolExecutor(max_workers=min(4, max_offset)) as pool:
-        cand0 = dict(zip(offsets, pool.map(_cand_for, offsets)))
-    # an offset whose feasible set is empty stays empty under the
-    # shrink-only claimed/matched anti-joins — skip its cells outright
-    # (an empty cell contributes nothing to the union)
-    alive = {off: not cand0[off].isEmpty() for off in offsets}
-    # short-circuit (r11): a trade matches in at most one cell, so once
-    # every trade is matched the remaining grid is all-empty — break out
-    # of it. This costs NOTHING extra (the per-cell count reads the
-    # already-materialized checkpoint; the trades count is one action on
-    # the checkpointed input); output is bit-identical. A per-cell
-    # candidate-emptiness probe was tried and REJECTED: on productive
-    # grids (the gate's shape) the extra action per cell costs more than
-    # the cells it ever skips.
-    n_trades = trades.count() if cache_inputs else None
+        res = dict(zip(offsets, pool.map(_cand_for, offsets)))
+    cand0 = {off: c for off, (c, _) in res.items()}
+    feas = {off: f for off, (_, f) in res.items()}
+    # short-circuit (r11, tightened r13): a trade matches in at most one
+    # cell, so once every MATCHABLE trade is matched the remaining grid is
+    # all-empty — break out of it. The bound is the distinct count of
+    # trades appearing in ANY offset's feasible candidate frame (one tiny
+    # job over the checkpointed leaves) — strictly tighter than the old
+    # trades.count() bound, which never fired when some trades are
+    # unmatchable at every cell. Output is bit-identical: a cell past the
+    # bound could only match a NEW trade, and every matchable trade is
+    # feasible somewhere, hence already counted. A per-cell
+    # candidate-emptiness probe (WITH the anti-joins) was tried and
+    # REJECTED: on productive grids (the gate's shape) the extra action
+    # per cell costs more than the cells it ever skips; the monotone
+    # zero-count skip above is the free subset of it.
+    idx_max = tolerances.index(max_tol)
+    n_matchable = None
+    if cache_inputs:
+        ids = [cand0[off].select("pair_id", "exchange_trade_id")
+               for off in offsets if feas[off][idx_max] > 0]
+        if ids:
+            u = ids[0]
+            for d in ids[1:]:
+                u = u.unionByName(d)
+            n_matchable = u.distinct().count()
+        else:
+            n_matchable = 0
     n_matched = 0
     out: DataFrame | None = None
-    for tol in tolerances:
-        if n_trades is not None and n_matched >= n_trades:
-            break  # every trade matched — the rest of the grid is empty
+    for ti, tol in enumerate(tolerances):
+        if n_matchable is not None and n_matched >= n_matchable:
+            break  # every matchable trade matched — the rest is empty
+        # (a row-start probe — one anti-join job per tolerance row to skip
+        # cells whose feasible trades are all matched — was tried in r13
+        # and REVERTED: the gate's dead mid-grid cells die in RESOLVE
+        # (claimed events, one-event-one-trade dedup), not in the trade
+        # anti-join, so the probe count stays positive, skips nothing,
+        # and its jobs made the warm grid 26.0 -> 30.9 s at sf0.1.)
         for off in range(1, max_offset + 1):
-            if not alive[off]:
-                continue
+            if feas[off][ti] == 0:
+                continue  # provably empty at this tolerance (see above)
             cl = claimed
             cand = cand0[off]
             if out is not None:
@@ -454,8 +508,11 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
                 # claimed exclusion on the candidate frame — identical to
                 # filtering the pair frame (the trade equi-join commutes
                 # with a filter on the event-side columns) and still AFTER
-                # the lead window, the reference's filter placement
-                cl = cl.distinct()
+                # the lead window, the reference's filter placement.
+                # No distinct: left_anti is invariant under duplicate build
+                # rows, claims are unique by construction (one event per
+                # trade, resolve dedups within a cell), and the distinct
+                # was a shuffle inside BOTH broadcast builds every cell
                 cand = cand.join(
                     F.broadcast(cl),
                     ["pair_id", "era", "microtimestamp", "order_id",
@@ -473,6 +530,10 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
             # broadcast claimed-state, which would otherwise re-derive it
             # per consumer (measured slower lazy: the broadcast build
             # forces evaluation anyway, without the reuse)
+            # (lazy proposed on tiny offsets was ALSO tried in r13 and
+            # reverted: re-evaluating the anti-join chain twice per cell
+            # took the warm grid 26.0 -> 62.8 s — the eager default wins
+            # on every cell shape, confirming the knob docstring's A/B)
             m = (
                 match_resolve(cand, tol)
                 .withColumn("tolerance", F.lit(float(tol)))
@@ -481,7 +542,7 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
             )
             n_matched += m.count()  # free: materialized by the checkpoint
             out = m if out is None else out.unionByName(m)
-            if n_trades is not None and n_matched >= n_trades:
+            if n_matchable is not None and n_matched >= n_matchable:
                 break
     if out is None:  # every offset infeasible — a correctly-typed empty
         out = (match_resolve(cand0[1], float(tolerances[0]))
