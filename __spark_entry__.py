@@ -1937,12 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      unchanged this round — they rotate back into the window
         #      in r14.  r14 window math: these 49 keys expire together
         #      against the 50-slot cap (1 free slot), and the staggered
-        #      gate queue is adpcm_roundtrip, render_sequences,
-        #      pack_stream, ann_ivfpq_query, and the NEW r13 operators
-        #      semdedup (oracle shipped, pipelines/dedup.py — gate at
-        #      threshold 0.3 per tests/test_semdedup.py's fabric note)
-        #      and append_ivfpq_index (differential-pinned; gate via an
-        #      ann_ivfpq_query row over an appended index) —
+        #      gate queue is STAGED AND PRE-VERIFIED (r13 second
+        #      session): pending_queries()/pending_oracle_sql() below
+        #      hold runner+oracle for semdedup, adpcm_roundtrip,
+        #      render_sequences, pack_stream, and ann_ivfpq_query (the
+        #      append_ivfpq_index differential), all green via
+        #      `tools/verify_local.py <sf> --pending` at sf0.01 —
+        #      r14 registration is a dict move —
         #      so r14 needs ~3 more merge slots.  Next same-schema
         #      depth_summary-style merges available IN THIS TAIL:
         #      order_book/order_book_ckpt (2→1, same operator, probe vs
@@ -2001,6 +2002,269 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
+    }
+
+
+# ======================================================================
+# r14 REGISTRATION QUEUE — staged gates, NOT in queries()/oracle_sql().
+# The rotation protocol requires brand-new keys to enter inside the
+# first-50 window, and the r13 window is exactly full; these runners and
+# oracles are complete and pre-verifiable NOW via
+#   python tools/verify_local.py /root/testdata/sf0.01 --pending
+# so r14 registration is a dict move, not a build.
+# ======================================================================
+
+
+def _pq_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cell-bucketed within-cell
+    nearest-smaller-id cosine with keep-first representatives — the
+    semantic tier above embedding_dedup's exact-threshold pairs.  Gate
+    threshold 0.3: the driver embeddings are uniform random, so the
+    paper's 0.95 yields an all-False verdict column (vacuous); 0.3
+    gives a real mixed verdict set (tests/test_semdedup.py fabric
+    note).  Reuses the session's trained coarse codebook like
+    ann_ivfpq."""
+    from obadiah_spark.pipelines.dedup import semdedup
+    from obadiah_spark.pipelines.similarity import train_ivf_codebook
+
+    _load(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(
+            spark.table("embeddings"))
+    return semdedup(spark.table("embeddings"), threshold=0.3, codebook=cb)
+
+
+def _pq_adpcm_roundtrip(spark, sf_dir):
+    """IMA ADPCM encode→strict-parse→decode roundtrip over the wav
+    gate's synthetic sample stream; the oracle replays the whole
+    predictor/step-index state machine as a recursive CTE.  r14 NOTE:
+    can register standalone OR as the ('adpcm') leg of a wav_roundtrip
+    variant union (schemas differ — wav emits header fields — so a
+    union needs allowMissingColumns surgery; standalone is cleaner)."""
+    from obadiah_spark.pipelines.audio import adpcm_roundtrip
+
+    return adpcm_roundtrip(_docs(spark, sf_dir))
+
+
+def _pq_render_sequences(spark, sf_dir):
+    """Materialized training sequences: pack_sequences' assignment
+    hydrated with member texts and concatenated per (shard, seq_no) in
+    offset order; seq_md5 pins the byte-exact sequence content.  Same
+    pinned shard count as the pack_sequences gate."""
+    from obadiah_spark.pipelines.packing import PACK_SHARDS, render_sequences
+
+    return render_sequences(_docs(spark, sf_dir), n_shards=PACK_SHARDS)
+
+
+def _pq_pack_stream(spark, sf_dir):
+    """Streaming packing ON INGEST: the documents table replayed as a
+    3-micro-batch doc_id-ordered file stream through
+    applyInPandasWithState keyed on shard (state = three scalars: open
+    seq_no, filled tokens, next offset).  Under per-shard doc_id-ordered
+    arrival the cumulative output equals batch pack_sequences exactly —
+    including sequences straddling micro-batch boundaries — so the
+    oracle is the batch pack recursion (tests/test_pack_stream.py
+    differential)."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
+    from obadiah_spark.streaming.pack_stream import pack_stream
+
+    docs = sorted(
+        (int(r.doc_id), r.text)
+        for r in _docs(spark, sf_dir).select("doc_id", "text").collect())
+    work = tempfile.mkdtemp(prefix="pack_stream_gate_")
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    per = (len(docs) + 2) // 3
+    now = time.time()
+    for i in range(3):
+        chunk = docs[i * per:(i + 1) * per]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+            "text": pa.array([r[1] for r in chunk], pa.string()),
+        })
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        # strictly increasing mtimes pin micro-batch replay order
+        # (file streams replay in mtime order; same-ms ties reorder)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"pack_stream_{uuid.uuid4().hex[:8]}"
+    q = (pack_stream(stream, n_shards=PACK_SHARDS)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _pq_ann_ivfpq_query(spark, sf_dir):
+    """Index-backed IVF-PQ search over an APPENDED index — the 100 TB
+    ingest differential: codebooks trained on the full set
+    (write_ivfpq_index's train_emb knob), the initial build indexes the
+    even vec_ids only, append_ivfpq_index grows it with the odd half
+    under the frozen codebooks, and the query runs over old ∪ new.
+    Because the increment runs the exact _encode_vectors pass the build
+    ran, the appended index is row-identical to a single-shot full
+    build, so the oracle is ann_ivfpq_oracle() VERBATIM — the hash
+    proves the persisted layout, the append path, and the query plan
+    against the same SQL that pins the in-memory operator."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.similarity import (
+        ann_ivfpq_query, append_ivfpq_index, write_ivfpq_index)
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    work = tempfile.mkdtemp(prefix="ivfpq_idx_gate_")
+    path = os.path.join(work, "index")
+    even = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+    # train_pq=False: the ann_ivfpq gate (and ann_ivfpq_oracle) use the
+    # stride-SEED sub-codebooks; the Lloyd-trained PQ default would fork
+    # the ADC ordering from the SQL oracle (found by --pending verify)
+    write_ivfpq_index(emb.filter(even), path, train_emb=emb,
+                      train_pq=False)
+    append_ivfpq_index(spark, path, emb.filter(~even))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return ann_ivfpq_query(spark, path, q)
+
+
+def _pq_order_book_union(spark, sf_dir):
+    """r14 capacity merge (2→1): L2/order_book probe + the
+    silver-checkpoint-seeded probe as one variant-tagged gate — same
+    operator, both branches keep their exact oracles."""
+    return _variant_union(
+        ("base", _q_order_book(spark, sf_dir)),
+        ("ckpt", _q_order_book_ckpt(spark, sf_dir)),
+    )
+
+
+def _pq_corpus_clean_union(spark, sf_dir):
+    """r14 capacity merge (2→1): the batch cleaning composition and its
+    streaming replay as one gate — the branches already share one
+    oracle (the replay differential), so the union oracle is that SQL
+    twice under the two tags."""
+    return _variant_union(
+        ("batch", _q_corpus_clean(spark, sf_dir)),
+        ("stream", _q_corpus_clean_stream(spark, sf_dir)),
+    )
+
+
+def _pq_wav_adpcm_union(spark, sf_dir):
+    """r14 capacity merge (wav_roundtrip absorbs the NEW adpcm leg):
+    the ADPCM branch pads to the wav schema with its real header
+    constants (codec='adpcm', 8 kHz mono, 4-bit nibbles — every gate
+    file is encoded with exactly those), so the union needs no
+    missing-column surgery and each branch keeps its exact oracle."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.audio import WAV_RATE
+
+    wav = _q_wav_roundtrip(spark, sf_dir)
+    adpcm = _pq_adpcm_roundtrip(spark, sf_dir).select(
+        "doc_id", F.lit("adpcm").alias("codec"), "n_samples",
+        F.lit(WAV_RATE).cast("bigint").alias("sample_rate"),
+        F.lit(1).cast("bigint").alias("channels"),
+        F.lit(4).cast("bigint").alias("bits"),
+        "sum_sq", "peak", "zero_crossings", "pos_weighted")
+    return _variant_union(("wav", wav), ("adpcm", adpcm))
+
+
+def _pq_wav_adpcm_union_oracle() -> str:
+    from obadiah_spark.pipelines.audio import (
+        WAV_RATE, WAV_ROUNDTRIP_ORACLE, adpcm_roundtrip_oracle_sql)
+
+    adpcm_padded = f"""SELECT doc_id, 'adpcm' AS codec, n_samples,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels, CAST(4 AS BIGINT) AS bits,
+       sum_sq, peak, zero_crossings, pos_weighted
+FROM (
+{adpcm_roundtrip_oracle_sql()}
+)"""
+    return _variant_union_oracle(wav=WAV_ROUNDTRIP_ORACLE,
+                                 adpcm=adpcm_padded)
+
+
+def _pq_spread_union(spark, sf_dir):
+    """r14 capacity merge (2→1): the full L1 emit-on-change spread
+    stream and its period-boundary sampling as one variant-tagged gate
+    (same output schema — the period leg is the base stream's
+    p_frequency-style overload)."""
+    return _variant_union(
+        ("base", _q_spread(spark, sf_dir)),
+        ("periods", _q_spread_periods(spark, sf_dir)),
+    )
+
+
+def pending_queries() -> dict:
+    """The staged r14 gates — same contract as queries(), invisible to
+    the driver until moved there inside r14's first-50 window.  The
+    four union entries REPLACE their member keys at registration
+    (order_book+order_book_ckpt, corpus_clean+corpus_clean_stream,
+    wav_roundtrip+adpcm_roundtrip, spread+spread_periods), netting +4
+    window slots — r14 window math: 49 expiring − 7 retired members
+    + 4 unions + 4 new standalones (semdedup, render_sequences,
+    pack_stream, ann_ivfpq_query) = exactly 50.  Standalone
+    adpcm_roundtrip stays staged only as the fallback if the wav union
+    is not taken.  r15 reserve (its window = the 50 r13 keys, zero
+    free): the 7-key level3-repair schema family (cleanse_order,
+    fix_aggressor_order, reveal_episodes, insert_era, csv_roundtrip,
+    merge_crossed_books, merge_episodes) all share one output schema
+    and can union in pairs as needed."""
+    return {
+        "semdedup": _pq_semdedup,
+        "adpcm_roundtrip": _pq_adpcm_roundtrip,
+        "render_sequences": _pq_render_sequences,
+        "pack_stream": _pq_pack_stream,
+        "ann_ivfpq_query": _pq_ann_ivfpq_query,
+        "order_book": _pq_order_book_union,
+        "corpus_clean": _pq_corpus_clean_union,
+        "wav_roundtrip": _pq_wav_adpcm_union,
+        "spread": _pq_spread_union,
+    }
+
+
+def pending_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for pending_queries(), keyed identically."""
+    from obadiah_spark.pipelines.audio import adpcm_roundtrip_oracle_sql
+    from obadiah_spark.pipelines.dedup import semdedup_oracle_sql
+    from obadiah_spark.pipelines.packing import (
+        PACK_SHARDS,
+        pack_sequences_oracle_sql,
+        render_sequences_oracle_sql,
+    )
+    from obadiah_spark.pipelines.similarity import ann_ivfpq_oracle
+
+    full = oracle_sql()
+    return {
+        "semdedup": semdedup_oracle_sql(threshold=0.3),
+        "adpcm_roundtrip": adpcm_roundtrip_oracle_sql(),
+        "render_sequences": render_sequences_oracle_sql(
+            n_shards=PACK_SHARDS),
+        "pack_stream": pack_sequences_oracle_sql(n_shards=PACK_SHARDS),
+        "ann_ivfpq_query": ann_ivfpq_oracle(),
+        # the union oracles compose the registered members' exact SQL
+        "order_book": _variant_union_oracle(
+            base=full["order_book"], ckpt=full["order_book_ckpt"]),
+        "corpus_clean": _variant_union_oracle(
+            batch=full["corpus_clean"], stream=full["corpus_clean_stream"]),
+        "wav_roundtrip": _pq_wav_adpcm_union_oracle(),
+        "spread": _variant_union_oracle(
+            base=full["spread"], periods=full["spread_periods"]),
     }
 
 

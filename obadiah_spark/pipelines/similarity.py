@@ -968,22 +968,33 @@ def write_ivfpq_index(emb: DataFrame, path: str,
                       train_stride: int = IVF_TRAIN_STRIDE,
                       train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
                       ksub: int = PQ_KSUB, dim: int = PQ_DIM,
-                      train_pq: bool = True) -> None:
+                      train_pq: bool = True,
+                      train_emb: DataFrame | None = None) -> None:
     """Build the full IVF-PQ index at ``path``: ``codebook/`` (n_cells
     rows), ``subcodebook/`` (m × ksub rows, Lloyd-trained by default),
     and ``vectors/`` — one row per vector with its raw embedding (for
     the exact re-rank), its PQ code array (m entries, subspace order)
     and its IVF cell, PARTITIONED BY cell.  Train + assign + encode run
-    once; every later query reads only its probed cell directories."""
+    once; every later query reads only its probed cell directories.
+
+    ``train_emb`` decouples the TRAINING corpus from the INDEXED one
+    (default: train on ``emb`` itself) — the production shape where
+    codebooks come from an offline sample or a reference snapshot and
+    the index then grows past it via :func:`append_ivfpq_index` under
+    those frozen codebooks.  An index built over a subset with
+    ``train_emb`` = the full set and then appended up to the full set
+    is row-identical to a single-shot full build (pytest-pinned via
+    ``_encode_vectors`` being the one shared encode pass)."""
     import os
 
     spark = emb.sparkSession
-    cb = train_ivf_codebook(emb, os.path.join(path, "codebook"),
+    tr = emb if train_emb is None else train_emb
+    cb = train_ivf_codebook(tr, os.path.join(path, "codebook"),
                             n_cells, stride, iters, train_stride,
                             train_max)
-    subcb = (pq_train_subcodebooks(emb, iters, stride, m, ksub, dim,
+    subcb = (pq_train_subcodebooks(tr, iters, stride, m, ksub, dim,
                                    train_stride, train_max)
-             if train_pq else pq_subcodebooks(emb, stride, m, ksub, dim))
+             if train_pq else pq_subcodebooks(tr, stride, m, ksub, dim))
     subcb.write.mode("overwrite").parquet(os.path.join(path,
                                                        "subcodebook"))
     subcb = spark.read.parquet(os.path.join(path, "subcodebook"))

@@ -42,6 +42,23 @@ def test_no_orphan_oracles():
     assert not orphans, f"oracles without a query: {orphans}"
 
 
+def test_pending_queue_is_oracle_backed_and_callable():
+    """The staged next-round registration queue (pending_queries) must
+    stay registration-ready: every staged key callable and oracle-backed
+    (value verification is `tools/verify_local.py <sf> --pending`)."""
+    pq = entry.pending_queries()
+    po = entry.pending_oracle_sql()
+    assert pq, "pending queue unexpectedly empty"
+    missing = [k for k in pq if k not in po]
+    assert not missing, f"pending keys without oracle: {missing}"
+    orphans = [k for k in po if k not in pq]
+    assert not orphans, f"pending oracles without a query: {orphans}"
+    for k, fn in pq.items():
+        assert callable(fn), f"pending {k} is not callable"
+        assert isinstance(po[k], str) and po[k].strip(), (
+            f"pending {k} oracle is not a SQL string")
+
+
 def _recent_correctness(n: int = 2) -> tuple[list[str], dict]:
     """Union of the *n* newest CORRECTNESS_r*.json files at the repo root.
 

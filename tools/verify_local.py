@@ -113,8 +113,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--pending"]
+    pending = "--pending" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from obadiah_spark.session import get_spark, load_tables
@@ -126,8 +128,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if pending:
+        # the staged next-round registration queue (not visible to the
+        # driver): pre-verify before moving keys into queries()
+        qs = entrymod.pending_queries()
+        oracles = entrymod.pending_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for key, fn in qs.items():
         if only and key not in only:
