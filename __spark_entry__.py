@@ -2210,6 +2210,41 @@ def _pq_spread_union(spark, sf_dir):
     )
 
 
+def _pq_ann_ivfpq_trained(spark, sf_dir):
+    """IVF-PQ with Lloyd-TRAINED sub-codebooks — the production default
+    of write_ivfpq_index, now value-pinnable: ann_ivfpq_oracle(
+    train_pq=True) replays the per-subspace training as a CTE chain
+    (same fold-ordered means / argmin tiebreaks as the coarse codebook
+    chain).  r15 candidate; same output schema as ann_ivfpq, so it can
+    union with it at registration."""
+    from obadiah_spark.pipelines.similarity import (
+        ann_ivfpq, pq_train_subcodebooks, train_ivf_codebook)
+
+    _load(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(
+            spark.table("embeddings"))
+    emb = spark.table("embeddings")
+    return ann_ivfpq(emb, codebook=cb,
+                     subcodebook=pq_train_subcodebooks(emb))
+
+
+def _pq_shuffle_sequences(spark, sf_dir):
+    """NEW r13 (second session): deterministic global corpus shuffle —
+    every packed training sequence gets a reproducible pseudorandom
+    (out_shard, out_pos) via the repo's 60-bit md5 sampling hash; no
+    global sort (pmod buckets + per-out-shard windows).  Completes the
+    pipeline's last mile: prepare → pack → render → SHUFFLE.  Pins the
+    gate shard counts like the pack gates."""
+    from obadiah_spark.pipelines.packing import (
+        PACK_SHARDS, pack_sequences, shuffle_sequences)
+
+    return shuffle_sequences(
+        pack_sequences(_docs(spark, sf_dir), n_shards=PACK_SHARDS))
+
+
 def pending_queries() -> dict:
     """The staged r14 gates — same contract as queries(), invisible to
     the driver until moved there inside r14's first-50 window.  The
@@ -2224,7 +2259,12 @@ def pending_queries() -> dict:
     free): the 7-key level3-repair schema family (cleanse_order,
     fix_aggressor_order, reveal_episodes, insert_era, csv_roundtrip,
     merge_crossed_books, merge_episodes) all share one output schema
-    and can union in pairs as needed."""
+    and can union in pairs as needed; minhash_lsh +
+    minhash_lsh_incremental + dedup_stream all emit (doc_a, doc_b) —
+    a 3→1 union nets +2; ann_lsh_recall/embedding_dedup_lsh_recall
+    share (metric, n, recall) modulo one column rename.
+    shuffle_sequences below is the first r15-targeted standalone (r14
+    is already at exactly 50)."""
     return {
         "semdedup": _pq_semdedup,
         "adpcm_roundtrip": _pq_adpcm_roundtrip,
@@ -2235,6 +2275,8 @@ def pending_queries() -> dict:
         "corpus_clean": _pq_corpus_clean_union,
         "wav_roundtrip": _pq_wav_adpcm_union,
         "spread": _pq_spread_union,
+        "shuffle_sequences": _pq_shuffle_sequences,
+        "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
     }
 
 
@@ -2246,6 +2288,7 @@ def pending_oracle_sql() -> dict[str, str]:
         PACK_SHARDS,
         pack_sequences_oracle_sql,
         render_sequences_oracle_sql,
+        shuffle_sequences_oracle_sql,
     )
     from obadiah_spark.pipelines.similarity import ann_ivfpq_oracle
 
@@ -2265,6 +2308,9 @@ def pending_oracle_sql() -> dict[str, str]:
         "wav_roundtrip": _pq_wav_adpcm_union_oracle(),
         "spread": _variant_union_oracle(
             base=full["spread"], periods=full["spread_periods"]),
+        "shuffle_sequences": shuffle_sequences_oracle_sql(
+            n_shards=PACK_SHARDS),
+        "ann_ivfpq_trained": ann_ivfpq_oracle(train_pq=True),
     }
 
 

@@ -517,11 +517,24 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
         census = (v.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
                   .filter(F.col("_n") <= max_cell_size).drop("_n"))
         paired = v.join(census, "cell")
+    # replicate-and-bucket the within-cell self-join: keyed on cell
+    # alone, post-shuffle parallelism is AT MOST n_cells (16 default) —
+    # a 1000-executor cluster would idle.  Bucketing the b side by
+    # pmod(b_id, R) and exploding the a side into all R buckets keys
+    # the join on (cell, bucket) instead — n_cells × R partitions, the
+    # standard salt for a low-cardinality-key join.  Every (a, b) pair
+    # still meets exactly once (in b's bucket), so the pair SET — and
+    # every downstream value — is unchanged; R is physical only.
+    r = max(1, (2 * emb.sparkSession.sparkContext.defaultParallelism
+                + n_cells - 1) // n_cells)
     a = paired.select("cell", F.col("vec_id").alias("a_id"),
-                      F.col("embedding").alias("a_emb"))
+                      F.col("embedding").alias("a_emb"),
+                      F.explode(F.array(
+                          *[F.lit(i) for i in range(r)])).alias("bkt"))
     b = paired.select("cell", F.col("vec_id").alias("b_id"),
-                      F.col("embedding").alias("b_emb"))
-    pairs = (a.join(b, "cell")
+                      F.col("embedding").alias("b_emb"),
+                      F.pmod(F.col("vec_id"), F.lit(r)).alias("bkt"))
+    pairs = (a.join(b, ["cell", "bkt"])
              .filter(F.col("a_id") < F.col("b_id"))
              .select("b_id", "a_id", _cosine("a_emb", "b_emb").alias("cos")))
     w = W.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))

@@ -176,6 +176,85 @@ def render_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
         .alias("seq_md5")))
 
 
+SHUFFLE_SALT = "shuffle"
+# the GATE's pinned output-shard count; production sets it to the
+# trainer's file/writer count (10⁹ sequences / 10⁵ shards → 10⁴-row
+# windows, flat per task)
+SHUFFLE_OUT_SHARDS = 16
+
+
+def shuffle_sequences(packed: DataFrame, n_out: int = SHUFFLE_OUT_SHARDS,
+                      salt: str = SHUFFLE_SALT) -> DataFrame:
+    """Deterministic GLOBAL corpus shuffle — the trainer-facing step
+    after packing: every (shard, seq_no) training sequence gets a
+    pseudorandom but reproducible position, as (out_shard, out_pos).
+
+    Training loaders need the corpus in an order uncorrelated with the
+    ingest order (source runs, doc_id locality), reproducible across
+    reruns, and computable WITHOUT a global sort: position = a keyed
+    60-bit md5 (the repo's sampling-hash convention,
+    :func:`~obadiah_spark.pipelines.sampling.sample_key`) used twice —
+    ``pmod`` buckets sequences into ``n_out`` output shards, and a
+    per-out-shard ``row_number`` over the hash orders within the shard.
+    Different ``salt`` values give independent epoch orders from one
+    corpus (the multi-epoch reshuffle, no re-pack needed).
+
+    Scale shape: one aggregation per sequence key (co-keyed with the
+    pack fold's own shuffle), a pure-map hash, ONE shuffle on
+    ``out_shard``, and a window per out-shard — window size is
+    n_sequences / n_out, flat per task when ``n_out`` scales with the
+    corpus; no global row_number, no driver state.  Output:
+    (shard, seq_no, n_docs, n_tokens, shuffle_u, out_shard, out_pos).
+    """
+    if n_out < 1:
+        raise ValueError("n_out must be >= 1")
+    from pyspark.sql import Window as W
+
+    seqs = packed.groupBy("shard", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt),
+                              F.concat_ws(":", F.col("shard"),
+                                          F.col("seq_no")))), 1, 15),
+        16, 10).cast("bigint")
+    w = W.partitionBy("out_shard").orderBy("shuffle_u", "shard", "seq_no")
+    return (seqs.withColumn("shuffle_u", u)
+            .withColumn("out_shard",
+                        F.pmod(F.col("shuffle_u"), F.lit(n_out)))
+            .withColumn("out_pos", F.row_number().over(w).cast("bigint")))
+
+
+def shuffle_sequences_oracle_sql(budget: int = PACK_BUDGET,
+                                 n_shards: int = PACK_SHARDS,
+                                 n_out: int = SHUFFLE_OUT_SHARDS,
+                                 salt: str = SHUFFLE_SALT) -> str:
+    """DuckDB replica over the pack recursion; the hash is the shared
+    :func:`~obadiah_spark.pipelines.sampling.sample_u_sql` convention."""
+    from obadiah_spark.pipelines.sampling import sample_u_sql
+
+    key = "CAST(shard AS VARCHAR) || ':' || CAST(seq_no AS VARCHAR)"
+    pack = pack_sequences_oracle_sql(budget, n_shards)
+    return f"""
+WITH packed AS (
+{pack}
+), seqs AS (
+    SELECT shard, seq_no,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard, seq_no
+), keyed AS (
+    SELECT *, {sample_u_sql(key, salt)} AS shuffle_u FROM seqs
+)
+SELECT shard, seq_no, n_docs, n_tokens, shuffle_u,
+       shuffle_u % {n_out} AS out_shard,
+       row_number() OVER (PARTITION BY shuffle_u % {n_out}
+                          ORDER BY shuffle_u, shard, seq_no) AS out_pos
+FROM keyed
+"""
+
+
 def render_sequences_oracle_sql(budget: int = PACK_BUDGET,
                                 n_shards: int = PACK_SHARDS) -> str:
     """DuckDB replica: the pack recursion's assignment aggregated per

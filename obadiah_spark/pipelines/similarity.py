@@ -781,11 +781,19 @@ def ann_ivfpq_oracle(n_queries: int = 10, k: int = 5,
                      train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
                      ksub: int = PQ_KSUB, rerank: int = PQ_RERANK,
                      dim: int = PQ_DIM,
-                     rerank_frac: float = PQ_RERANK_FRAC) -> str:
+                     rerank_frac: float = PQ_RERANK_FRAC,
+                     train_pq: bool = False) -> str:
     """The full IVF-PQ pipeline in DuckDB: same coarse codebook CTEs as
     ``ann_ivf``, sub-codebooks as slices of the rank-ordered seed vectors,
     L2^2 via three list_dot_products rounded 9 dp, ADC sums as m-ordered
-    list_reduce folds, and the same adaptive re-rank depth."""
+    list_reduce folds, and the same adaptive re-rank depth.
+
+    ``train_pq=True`` additionally replays :func:`pq_train_subcodebooks`
+    — per-subspace Lloyd refinement of the seed books over the capped
+    deterministic sample — as a CTE chain (the same fold-ordered means
+    and argmin/tiebreak discipline as the coarse `_ivf_codebook_ctes`),
+    so the PRODUCTION sub-codebook path (write_ivfpq_index's default)
+    is value-pinnable too, not just the stride-seeded gate form."""
     sub = dim // m
     slices = " UNION ALL ".join(
         f"SELECT {mm} AS m, j, emb[{mm * sub + 1}:{(mm + 1) * sub}] AS sc "
@@ -801,6 +809,48 @@ def ann_ivfpq_oracle(n_queries: int = 10, k: int = 5,
         return (f"round(list_dot_product({a}, {a}) "
                 f"+ list_dot_product({b}, {b}) "
                 f"- 2 * list_dot_product({a}, {b}), 9)")
+
+    if train_pq:
+        pslices = " UNION ALL ".join(
+            f"SELECT vec_id, {mm} AS m, emb[{mm * sub + 1}:{(mm + 1) * sub}]"
+            f" AS sv FROM ps" for mm in range(m))
+        tc = [f"pq0 AS ({slices}\n)", f"""ps AS MATERIALIZED (
+    SELECT vec_id, emb FROM e WHERE vec_id % {train_stride} = 0
+    ORDER BY vec_id LIMIT {train_max}
+)""", f"psv AS MATERIALIZED ({pslices}\n)"]
+        for i in range(1, iters + 1):
+            prev = f"pq{i - 1}"
+            tc.append(f"""pqa{i} AS (
+    SELECT vec_id, m, j FROM (
+        SELECT v.vec_id, v.m, s.j,
+               row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+                   {l2('v.sv', 's.sc')} ASC, s.j ASC) AS r
+        FROM psv v JOIN {prev} s USING (m)
+    ) t WHERE r = 1
+)""")
+            tc.append(f"""pqx{i} AS (
+    SELECT a.m, a.j, v.vec_id,
+           unnest(v.sv) AS val, generate_subscripts(v.sv, 1) AS pos
+    FROM pqa{i} a JOIN psv v ON v.vec_id = a.vec_id AND v.m = a.m
+)""")
+            tc.append(f"""pqm{i} AS (
+    SELECT m, j, pos,
+           list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+           / count(*) AS mu
+    FROM pqx{i} GROUP BY m, j, pos
+)""")
+            tc.append(f"""pqt{i} AS (
+    SELECT m, j, list(mu ORDER BY pos) AS sc FROM pqm{i} GROUP BY m, j
+)""")
+            tc.append(f"""pq{i} AS (
+    SELECT p.m, p.j, coalesce(t.sc, p.sc) AS sc
+    FROM {prev} p LEFT JOIN pqt{i} t USING (m, j)
+)""")
+        subcb_sql = (", ".join(tc)
+                     + f", subcb AS MATERIALIZED (\n"
+                       f"    SELECT m, j, sc FROM pq{iters}\n)")
+    else:
+        subcb_sql = f"subcb AS MATERIALIZED ({slices}\n)"
 
     return f"""
 WITH e AS MATERIALIZED (
@@ -835,8 +885,7 @@ WITH e AS MATERIALIZED (
     SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM (
         SELECT vec_id, emb FROM e WHERE vec_id % {stride} = 0
         ORDER BY vec_id LIMIT {ksub})
-), subcb AS MATERIALIZED ({slices}
-), vsv AS ({vslices}
+), {subcb_sql}, vsv AS ({vslices}
 ), codes AS MATERIALIZED (
     SELECT vec_id, m, code FROM (
         SELECT v.vec_id, v.m, s.j AS code,

@@ -97,3 +97,58 @@ def test_budget_sweep_total_tokens_conserved(spark, sf_dir):
             assert r.fill <= budget or (r.n == 1 and r.ov)
         totals.add(out.agg(F.sum("n_tokens")).collect()[0][0])
     assert len(totals) == 1  # counter independent of packing budget
+
+
+def test_shuffle_sequences_is_a_permutation_and_deterministic(spark, sf_dir):
+    """Every packed sequence gets exactly one (out_shard, out_pos) slot;
+    positions are contiguous 1..n per out shard; a rerun reproduces the
+    identical layout and a different salt gives a different order."""
+    from obadiah_spark.pipelines.packing import (
+        PACK_SHARDS, pack_sequences, shuffle_sequences)
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(docs, n_shards=PACK_SHARDS).localCheckpoint()
+    a = shuffle_sequences(packed).toPandas()
+    n_seqs = packed.select("shard", "seq_no").distinct().count()
+    assert len(a) == n_seqs
+    # one slot per sequence, contiguous per out shard
+    assert not a.duplicated(["out_shard", "out_pos"]).any()
+    for _, g in a.groupby("out_shard"):
+        assert sorted(g["out_pos"]) == list(range(1, len(g) + 1))
+    # deterministic
+    b = shuffle_sequences(packed).toPandas()
+    key = ["shard", "seq_no"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+    # a different salt reorders (independent epoch order)
+    c = shuffle_sequences(packed, salt="epoch2").toPandas()
+    merged = a.merge(c, on=key, suffixes=("_a", "_c"))
+    assert (merged["out_pos_a"] != merged["out_pos_c"]).any()
+    # order is uncorrelated with the ingest key: within some out shard,
+    # consecutive positions come from non-consecutive sequences
+    g = a[a["out_shard"] == a["out_shard"].iloc[0]].sort_values("out_pos")
+    assert (g["seq_no"].diff().dropna() != 1).any()
+
+
+def test_shuffle_sequences_duckdb_oracle_matches(spark, sf_dir):
+    """Value-level cross-engine differential for the shuffle layout."""
+    import os
+
+    import duckdb
+
+    from obadiah_spark.pipelines.packing import (
+        PACK_SHARDS, pack_sequences, shuffle_sequences,
+        shuffle_sequences_oracle_sql)
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {tuple(r) for r in shuffle_sequences(
+        pack_sequences(docs, n_shards=PACK_SHARDS)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    want = {tuple(r) for r in con.execute(
+        shuffle_sequences_oracle_sql()).fetchall()}
+    assert got == want and got

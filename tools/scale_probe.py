@@ -493,9 +493,115 @@ def probe_ann_clustered(spark, emb_path: str, n_queries: int = 32,
     return out
 
 
+def probe_staged(spark, emb_path: str, docs_path: str, work: str,
+                 tag: str) -> dict[str, float]:
+    """r13 staged-gate family at probe scale: SemDeDup (within-cell
+    pair fan-out is THE hazard — probed at fixed cells, at the guard
+    cap, and at paper-style cells-grow-with-corpus), the persisted
+    IVF-PQ index lifecycle (build half / append half / query), and the
+    sequence render + streaming pack over the documents table."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.dedup import semdedup
+    from obadiah_spark.pipelines.packing import render_sequences
+    from obadiah_spark.pipelines.similarity import (
+        IVF_CELLS, ann_ivfpq_query, append_ivfpq_index, train_ivf_codebook,
+        write_ivfpq_index)
+
+    emb = spark.read.parquet(emb_path)
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        _timed(out, name, fn)
+
+    cbd: dict = {}
+    timed("semdedup_train", lambda: cbd.setdefault(
+        "cb", train_ivf_codebook(emb)).count())
+    timed("semdedup_fixed_cells", lambda: semdedup(
+        emb, threshold=0.3, codebook=cbd["cb"]).count())
+    # the production guard: cells over the cap keep their vectors
+    # (nn_id null) instead of exploding the pair join
+    timed("semdedup_capped", lambda: semdedup(
+        emb, threshold=0.3, codebook=cbd["cb"],
+        max_cell_size=2_000).count())
+    # the paper's scale discipline: cells grow WITH the corpus (x1 -> 16,
+    # x10 -> 160), so the per-cell population (and the pair fan-out per
+    # cell) stays flat — the exponent of THIS line is the honest scale
+    # story; fixed-cells documents the hazard
+    factor = 10 if tag == "x10" else 1
+    n_sc = IVF_CELLS * factor
+    timed("semdedup_scaled_cells", lambda: semdedup(
+        emb, threshold=0.3, n_cells=n_sc,
+        codebook=train_ivf_codebook(emb, n_cells=n_sc)).count())
+
+    idx = os.path.join(work, f"ivfpq_idx_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    even = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+    timed("ivfpq_build_half", lambda: write_ivfpq_index(
+        emb.filter(even), idx, train_emb=emb, train_pq=False) or 1)
+    timed("ivfpq_append_half", lambda: append_ivfpq_index(
+        spark, idx, emb.filter(~even)) or 1)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    timed("ivfpq_query_k5", lambda: ann_ivfpq_query(spark, idx, q).count())
+
+    # production defaults: the corpus-count auto-shard rule sizes the
+    # fold groups, so per-task memory stays flat as the corpus grows
+    timed("render_sequences", lambda: render_sequences(docs)
+          .agg(F.max("seq_md5")).collect() and 1)
+    timed("pack_stream_replay",
+          lambda: _pack_stream_replay(spark, docs, work, tag))
+    return out
+
+
+def _pack_stream_replay(spark, docs, work: str, tag: str) -> int:
+    """Replay the documents through the streaming packer in 3 doc_id-
+    range micro-batches (the fold sorts within a batch; ranges carry
+    the per-shard order across batches) — all chunking stays
+    distributed, no driver collect."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.streaming.pack_stream import pack_stream
+
+    src = os.path.join(work, f"pack_stream_src_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    os.makedirs(src)
+    bounds = docs.select(
+        F.percentile_approx("doc_id", [1 / 3, 2 / 3], 10_000)).first()[0]
+    base = time.time()
+    sel = docs.select("doc_id", "text")
+    chunks = [sel.filter(F.col("doc_id") <= bounds[0]),
+              sel.filter((F.col("doc_id") > bounds[0])
+                         & (F.col("doc_id") <= bounds[1])),
+              sel.filter(F.col("doc_id") > bounds[1])]
+    for i, ch in enumerate(chunks):
+        d = os.path.join(src, f"{i:03d}")
+        ch.write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (base + 10 * i, base + 10 * i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 64)
+              .parquet(os.path.join(src, "*")))
+    name = f"pack_probe_{uuid.uuid4().hex[:8]}"
+    # checkpoint OUTSIDE src — the source glob src/* would read it as input
+    q = (pack_stream(stream)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", src + "_ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).count()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--docs-only", "--ann-clustered")]
+            if a not in ("--docs-only", "--ann-clustered", "--staged-only")]
     docs_only = "--docs-only" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     work = args[1] if len(args) > 1 else "/tmp/obadiah_scale_probe"
@@ -513,6 +619,16 @@ def main() -> None:
             p = build_clustered_embs(spark, work, n)
             res[f"x{n}"] = probe_ann_clustered(spark, p)
         print(json.dumps({"fabric": "mixture_of_gaussians", **res}))
+        return
+    if "--staged-only" in sys.argv[1:]:  # the r13 staged-gate family
+        s1 = probe_staged(spark, build_embs(spark, sf_dir, work, 1),
+                          build_docs(spark, sf_dir, work, 1), work, "x1")
+        s10 = probe_staged(spark, build_embs(spark, sf_dir, work, 10),
+                           build_docs(spark, sf_dir, work, 10), work, "x10")
+        exps = {k: round(math.log10(max(s10[k], 1e-3) / max(s1[k], 1e-3)), 2)
+                for k in s1}
+        print(json.dumps({"sf_base": sf_dir, "x1": s1, "x10": s10,
+                          "scaling_exponent_log10": exps}))
         return
     if docs_only:  # just the documents-table family (fast re-probe)
         d1 = probe_docs(spark, build_docs(spark, sf_dir, work, 1))
