@@ -47,7 +47,11 @@ ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
                  # m x ksub(=64)-row sub-codebook broadcast into the
                  # per-subspace encode, and the 16-row coarse codebook as
                  # in ann_ivf; the candidate/ADC joins are equi-joins
-                 "ann_ivfpq"}
+                 "ann_ivfpq",
+                 # staged pending gates with the identical bounded IVF
+                 # patterns: coarse/sub-codebook broadcasts only; the
+                 # pair/candidate joins are (cell, bucket) equi-joins
+                 "semdedup", "ann_ivfpq_query", "ann_ivfpq_trained"}
 
 # annotated non-equi joins where BOTH sides are metadata-sized by
 # construction — reviewed, not a scale risk; a NEW name appearing here
@@ -115,7 +119,8 @@ def main() -> int:
     # foot-gun guard: `plan_audit.py some_key` (sf_dir omitted) must not
     # audit every query against a data dir named "some_key" and overwrite
     # PLANS.json with 79 error stubs
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--pending"]
+    pending = "--pending" in sys.argv[1:]
     if args and not os.path.isdir(args[0]):
         sf_dir, keys = "/root/testdata/sf0.001", args
     else:
@@ -125,7 +130,11 @@ def main() -> int:
     import __spark_entry__ as em
     from obadiah_spark.session import get_spark
 
-    qs = em.queries()
+    # --pending audits the staged next-round queue into a separate
+    # PENDING_PLANS.json (the pytest guard covers PLANS.json only).
+    # Streaming-replay runners (pack_stream) EXECUTE in the runner and
+    # return a memory-sink scan — their audit records that trivially.
+    qs = em.pending_queries() if pending else em.queries()
     unknown = [k for k in keys if k not in qs]
     if unknown:
         print(f"unknown query key(s) {unknown} — a mistyped sf_dir lands "
@@ -156,7 +165,8 @@ def main() -> int:
         print(f"{name}: exchanges={res['exchanges']} windows={res['windows']}"
               f" scans={res['scans']} cross={cross}{flag}")
 
-    plans_path = os.path.join(REPO, "PLANS.json")
+    plans_path = os.path.join(
+        REPO, "PENDING_PLANS.json" if pending else "PLANS.json")
     if keys:
         # subset run: MERGE into the existing file — a partial audit must
         # never shrink coverage (the pytest guard checks every query has
@@ -169,7 +179,7 @@ def main() -> int:
         except (OSError, ValueError):
             merged = {}
         merged.update(out)
-        live = set(em.queries())
+        live = set(em.pending_queries() if pending else em.queries())
         out = {k: v for k, v in merged.items() if k in live}
     with open(plans_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
