@@ -473,10 +473,17 @@ FROM dup
 # its vectors are kept, never silently dropped).
 
 SEMDEDUP_THRESHOLD = 0.95  # the paper's operating range on real corpora
+# the auto-cells rule (n_cells="auto"): cells ~ corpus / target cell
+# size, so the per-cell population — and the Σ|cell|² pair fan-out per
+# row — stays FLAT as the corpus grows (the x10 probe: fixed 16 cells
+# scale at exponent 0.78, corpus-proportional cells at 0.46).  Same
+# shape as packing's PACK_DOCS_PER_SHARD rule; depends only on the
+# corpus count, so the clustering stays replay-deterministic.
+SEMDEDUP_VECS_PER_CELL = 1_000
 
 
 def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
-             n_cells: int | None = None, stride: int | None = None,
+             n_cells: int | str | None = None, stride: int | None = None,
              iters: int | None = None, train_stride: int | None = None,
              train_max: int | None = None,
              max_cell_size: int | None = None,
@@ -494,11 +501,18 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
     :func:`embedding_dedup`'s rule).  IVF knobs default to the
     similarity module's; pass ``codebook`` (from
     :func:`~obadiah_spark.pipelines.similarity.train_ivf_codebook`) to
-    skip in-query training — the production path."""
+    skip in-query training — the production path.  ``n_cells="auto"``
+    derives ceil(count / SEMDEDUP_VECS_PER_CELL) cells — the
+    corpus-proportional sizing that keeps the pair fan-out per row flat
+    at any scale (ignored when ``codebook`` is given: the codebook
+    already fixes the cell count)."""
     from obadiah_spark.pipelines.similarity import (
         IVF_CELLS, IVF_ITERS, IVF_STRIDE, IVF_TRAIN_MAX, IVF_TRAIN_STRIDE,
         _cosine, _rank_cells, ivf_centroids)
 
+    if n_cells == "auto":
+        n_cells = (max(1, -(-emb.count() // SEMDEDUP_VECS_PER_CELL))
+                   if codebook is None else None)
     n_cells = IVF_CELLS if n_cells is None else n_cells
     stride = IVF_STRIDE if stride is None else stride
     iters = IVF_ITERS if iters is None else iters

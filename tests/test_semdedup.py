@@ -103,3 +103,29 @@ def test_semdedup_offline_codebook_path(spark, sf_dir):
     b = semdedup(emb, threshold=FABRIC_THRESHOLD,
                  codebook=cb).toPandas()
     assert canonicalize(a).equals(canonicalize(b))
+
+
+def test_auto_cells_rule(spark, sf_dir):
+    """n_cells="auto" sizes cells to the corpus: 500 vectors at
+    1000/cell -> 1 cell (the brute-force regime at tiny scale), and a
+    replicated 2500-vector frame -> 3 cells; the output still covers
+    every vector exactly once."""
+    from pyspark.sql import functions as F
+
+    from obadiah_spark.pipelines.dedup import semdedup
+    from obadiah_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = semdedup(emb, threshold=FABRIC_THRESHOLD, n_cells="auto")
+    got = out.select("cell").distinct().count()
+    assert got == max(1, -(-n // 1000))
+    assert out.count() == n
+    big = emb
+    for k in (1, 2, 3, 4):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 100_000 * k).alias("vec_id"),
+                       "embedding", "label"))
+    cells = (semdedup(big, threshold=FABRIC_THRESHOLD, n_cells="auto")
+             .select("cell").distinct().count())
+    assert cells == max(1, -(-(5 * n) // 1000))
