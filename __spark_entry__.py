@@ -2210,6 +2210,24 @@ def _pq_spread_union(spark, sf_dir):
     )
 
 
+# per-source mixing weights for the stratified_sample gate: every
+# stratum present with a distinct fraction, so the gate pins the
+# per-stratum threshold arithmetic at 20 different values
+_MIX_FRACTIONS = {f"src{k}": round((k + 1) / 20, 2) for k in range(20)}
+
+
+def _pq_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum data mixing over the documents table's
+    source column — the hash_sample gate's data-mixing form (r15
+    candidate): each source keeps its own 60-bit-hash fraction, strata
+    without an entry drop.  Same sample_u convention as hash_sample /
+    corpus_prepare's mixing clause."""
+    from obadiah_spark.pipelines.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), _MIX_FRACTIONS,
+                             "source")
+
+
 def _pq_ann_ivfpq_trained(spark, sf_dir):
     """IVF-PQ with Lloyd-TRAINED sub-codebooks — the production default
     of write_ivfpq_index, now value-pinnable: ann_ivfpq_oracle(
@@ -2277,6 +2295,7 @@ def pending_queries() -> dict:
         "spread": _pq_spread_union,
         "shuffle_sequences": _pq_shuffle_sequences,
         "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
+        "stratified_sample": _pq_stratified_sample,
     }
 
 
@@ -2290,6 +2309,7 @@ def pending_oracle_sql() -> dict[str, str]:
         render_sequences_oracle_sql,
         shuffle_sequences_oracle_sql,
     )
+    from obadiah_spark.pipelines.sampling import stratified_sample_oracle_sql
     from obadiah_spark.pipelines.similarity import ann_ivfpq_oracle
 
     full = oracle_sql()
@@ -2311,6 +2331,8 @@ def pending_oracle_sql() -> dict[str, str]:
         "shuffle_sequences": shuffle_sequences_oracle_sql(
             n_shards=PACK_SHARDS),
         "ann_ivfpq_trained": ann_ivfpq_oracle(train_pq=True),
+        "stratified_sample": stratified_sample_oracle_sql(
+            _MIX_FRACTIONS, "source"),
     }
 
 
