@@ -2281,8 +2281,13 @@ def pending_queries() -> dict:
     minhash_lsh_incremental + dedup_stream all emit (doc_a, doc_b) —
     a 3→1 union nets +2; ann_lsh_recall/embedding_dedup_lsh_recall
     share (metric, n, recall) modulo one column rename.
-    shuffle_sequences below is the first r15-targeted standalone (r14
-    is already at exactly 50)."""
+
+    r15 math with the three r15-targeted standalones below
+    (shuffle_sequences, ann_ivfpq_trained, stratified_sample): the 50
+    r13-window keys expire into r15 → 50 + 3 = 53, so take the minhash
+    3→1 union (+2) and one repair-family pair union (+1) = exactly 50.
+    Alternatively ann_ivfpq_trained can union with ann_ivfpq (same
+    schema) instead of standing alone — another +1 if needed."""
     return {
         "semdedup": _pq_semdedup,
         "adpcm_roundtrip": _pq_adpcm_roundtrip,
