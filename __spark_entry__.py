@@ -2210,6 +2210,30 @@ def _pq_spread_union(spark, sf_dir):
     )
 
 
+def _pq_lsh_recall_union(spark, sf_dir):
+    """r15 capacity merge (2→1): the two one-row LSH recall bounds —
+    similarity-search recall vs the exact strong-pair set, and the
+    dedup sweep's recall vs the exact duplicate set — as one
+    variant-tagged gate.  The count column is unified to ``n_pairs``
+    (n_strong / n_exact_dups in the standalone keys); each branch keeps
+    its exact oracle with the same rename."""
+    from pyspark.sql import functions as F
+
+    a = _q_ann_lsh_recall(spark, sf_dir).withColumnRenamed(
+        "n_strong", "n_pairs")
+    b = _q_embedding_dedup_lsh_recall(spark, sf_dir).withColumnRenamed(
+        "n_exact_dups", "n_pairs")
+    return _variant_union(("search", a), ("dedup", b))
+
+
+def _pq_lsh_recall_union_oracle(full: dict) -> str:
+    a = (f"SELECT metric, n_strong AS n_pairs, recall_ge_0_5 FROM (\n"
+         f"{full['ann_lsh_recall']}\n)")
+    b = (f"SELECT metric, n_exact_dups AS n_pairs, recall_ge_0_5 FROM (\n"
+         f"{full['embedding_dedup_lsh_recall']}\n)")
+    return _variant_union_oracle(search=a, dedup=b)
+
+
 # per-source mixing weights for the stratified_sample gate: every
 # stratum present with a distinct fraction, so the gate pins the
 # per-stratum threshold arithmetic at 20 different values
@@ -2301,6 +2325,7 @@ def pending_queries() -> dict:
         "shuffle_sequences": _pq_shuffle_sequences,
         "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
         "stratified_sample": _pq_stratified_sample,
+        "lsh_recall": _pq_lsh_recall_union,
     }
 
 
@@ -2338,6 +2363,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "ann_ivfpq_trained": ann_ivfpq_oracle(train_pq=True),
         "stratified_sample": stratified_sample_oracle_sql(
             _MIX_FRACTIONS, "source"),
+        "lsh_recall": _pq_lsh_recall_union_oracle(full),
     }
 
 

@@ -51,7 +51,10 @@ ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
                  # staged pending gates with the identical bounded IVF
                  # patterns: coarse/sub-codebook broadcasts only; the
                  # pair/candidate joins are (cell, bucket) equi-joins
-                 "semdedup", "ann_ivfpq_query", "ann_ivfpq_trained"}
+                 "semdedup", "ann_ivfpq_query", "ann_ivfpq_trained",
+                 # the union of the two recall bounds inherits both
+                 # members' documented bounded exact sides
+                 "lsh_recall"}
 
 # annotated non-equi joins where BOTH sides are metadata-sized by
 # construction — reviewed, not a scale risk; a NEW name appearing here
