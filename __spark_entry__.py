@@ -2210,6 +2210,18 @@ def _pq_spread_union(spark, sf_dir):
     )
 
 
+def _pq_minhash_pairs_union(spark, sf_dir):
+    """r15 capacity merge (3→1): the three (doc_a, doc_b) MinHash-LSH
+    candidate-pair gates — batch, persisted-index incremental, and the
+    streaming-replay form — as one variant-tagged gate; each branch
+    keeps its exact oracle."""
+    return _variant_union(
+        ("batch", _q_minhash_lsh(spark, sf_dir)),
+        ("incremental", _q_minhash_lsh_incremental(spark, sf_dir)),
+        ("stream", _q_dedup_stream(spark, sf_dir)),
+    )
+
+
 def _pq_lsh_recall_union(spark, sf_dir):
     """r15 capacity merge (2→1): the two one-row LSH recall bounds —
     similarity-search recall vs the exact strong-pair set, and the
@@ -2306,12 +2318,13 @@ def pending_queries() -> dict:
     a 3→1 union nets +2; ann_lsh_recall/embedding_dedup_lsh_recall
     share (metric, n, recall) modulo one column rename.
 
-    r15 math with the three r15-targeted standalones below
-    (shuffle_sequences, ann_ivfpq_trained, stratified_sample): the 50
-    r13-window keys expire into r15 → 50 + 3 = 53, so take the minhash
-    3→1 union (+2) and one repair-family pair union (+1) = exactly 50.
-    Alternatively ann_ivfpq_trained can union with ann_ivfpq (same
-    schema) instead of standing alone — another +1 if needed."""
+    r15 math — SOLVED the same way as r14's: both planned merges are
+    staged and pre-verified below.  The 50 r13-window keys expire into
+    r15; the minhash_pairs union retires 3 of them and the lsh_recall
+    union retires 2 → 45 remaining + 2 unions + 3 standalones
+    (shuffle_sequences, ann_ivfpq_trained, stratified_sample) = exactly
+    50.  Further slack if ever needed: ann_ivfpq_trained can union with
+    ann_ivfpq (same schema), and the 7-key repair family above."""
     return {
         "semdedup": _pq_semdedup,
         "adpcm_roundtrip": _pq_adpcm_roundtrip,
@@ -2326,6 +2339,7 @@ def pending_queries() -> dict:
         "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
         "stratified_sample": _pq_stratified_sample,
         "lsh_recall": _pq_lsh_recall_union,
+        "minhash_pairs": _pq_minhash_pairs_union,
     }
 
 
@@ -2364,6 +2378,10 @@ def pending_oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_oracle_sql(
             _MIX_FRACTIONS, "source"),
         "lsh_recall": _pq_lsh_recall_union_oracle(full),
+        "minhash_pairs": _variant_union_oracle(
+            batch=full["minhash_lsh"],
+            incremental=full["minhash_lsh_incremental"],
+            stream=full["dedup_stream"]),
     }
 
 
