@@ -38,6 +38,22 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
     load_tables(spark, sf_dir)
 
 
+def _gate_tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree.  Gate work dirs (stream replay sources,
+    checkpoint dirs, persisted-index copies) must outlive the LAZY frame
+    a runner returns — the driver materializes it after the runner exits
+    — so cleanup is deferred to interpreter exit instead of eager;
+    repeated driver/verify runs then stop accumulating copies in /tmp
+    (each run is its own process)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # keyed by the live session object, not id() (see _CKPT_SILVER note)
 _L3_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
@@ -264,7 +280,6 @@ def _q_dedup_stream(spark, sf_dir):
     (signature arithmetic, state carry across micro-batches, and the
     pair fan-out). First streaming-replay gate in the registry."""
     import os
-    import tempfile
     import time
     import uuid
 
@@ -276,7 +291,7 @@ def _q_dedup_stream(spark, sf_dir):
     docs = sorted(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select("doc_id", "text").collect())
-    work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    work = _gate_tmpdir("dedup_stream_gate_")
     src = os.path.join(work, "docs")
     os.makedirs(src)
     per = (len(docs) + 2) // 3
@@ -321,7 +336,6 @@ def _q_sessionize_stream(spark, sf_dir):
     stateful session fold, the per-row HALF_UP cents rounding, and
     state carry across micro-batches."""
     import os
-    import tempfile
     import time
     import uuid
 
@@ -347,7 +361,7 @@ def _q_sessionize_stream(spark, sf_dir):
     # flush sentinels (event_id < 0) in a final batch, one per user,
     # timestamped past every event so they close the open sessions
     parts.append([(last + 1, -1 - u, u, 0.0) for u in users])
-    work = tempfile.mkdtemp(prefix="sess_stream_gate_")
+    work = _gate_tmpdir("sess_stream_gate_")
     src = os.path.join(work, "events")
     os.makedirs(src)
     now = time.time()
@@ -385,7 +399,6 @@ def _q_embedding_dedup_stream(spark, sf_dir):
     and cosines from the md5-seeded plane weights, exactly like the
     batch ann_lsh_pairs gate."""
     import os
-    import tempfile
     import time
     import uuid
 
@@ -398,7 +411,7 @@ def _q_embedding_dedup_stream(spark, sf_dir):
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in spark.read.parquet(
             os.path.join(sf_dir, "embeddings.parquet")).collect())
-    work = tempfile.mkdtemp(prefix="emb_stream_gate_")
+    work = _gate_tmpdir("emb_stream_gate_")
     src = os.path.join(work, "emb")
     os.makedirs(src)
     per = (len(rows) + 2) // 3
@@ -448,7 +461,6 @@ def _q_corpus_clean_stream(spark, sf_dir):
     covers the fingerprint state carry, the eviction-free dedup, and
     the composed scrub byte-exactly."""
     import os
-    import tempfile
     import time
     import uuid
 
@@ -462,7 +474,7 @@ def _q_corpus_clean_stream(spark, sf_dir):
         for r in spark.read.parquet(
             os.path.join(sf_dir, "documents.parquet"))
         .select("doc_id", "text").collect())
-    work = tempfile.mkdtemp(prefix="cc_stream_gate_")
+    work = _gate_tmpdir("cc_stream_gate_")
     src = os.path.join(work, "docs")
     os.makedirs(src)
     per = (len(docs) + 2) // 3
@@ -594,7 +606,6 @@ def _q_minhash_lsh_incremental(spark, sf_dir):
     the index write, the column-pruned index scan, the union census
     cap, and both join legs."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -603,7 +614,7 @@ def _q_minhash_lsh_incremental(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     pm = F.pmod(F.col("doc_id"), F.lit(2))
-    work = tempfile.mkdtemp(prefix="mh_idx_gate_")
+    work = _gate_tmpdir("mh_idx_gate_")
     idx_path = os.path.join(work, "index")
     write_minhash_index(docs.filter(pm == 0), idx_path)
     return minhash_lsh_incremental(spark, idx_path, docs.filter(pm != 0))
@@ -1715,11 +1726,10 @@ def _q_symbol_upsert(spark, sf_dir):
 def _q_csv_roundtrip(spark, sf_dir):
     """SRC7: write the level3 log to CSV (±infinity text) and read it back
     typed; must equal the original rows."""
-    import tempfile
 
     from obadiah_spark.sources.csv_io import csv_roundtrip
 
-    return csv_roundtrip(_l3(spark, sf_dir), tempfile.mkdtemp(prefix="l3csv_"))
+    return csv_roundtrip(_l3(spark, sf_dir), _gate_tmpdir("l3csv_"))
 
 
 def _staged_trades(spark, sf_dir):
@@ -1866,32 +1876,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (0) NEW r13 gates (never had a driver row — must sit inside
-        #    the window): the six shipped-oracle r12 operators VERDICT
-        #    r12 #1 named for registration, in its value order. ---------
+        # -- (0) NEW r14 gates (never had a driver row — must sit inside
+        #    the window): the four staged standalones the r13 queue
+        #    pre-verified (VERDICT r13 #1), in its value order. ---------
+        "semdedup": _q_semdedup,
+        "render_sequences": _q_render_sequences,
+        "pack_stream": _q_pack_stream,
+        "ann_ivfpq_query": _q_ann_ivfpq_query,
+        # -- (0b) r14 capacity merges (staged + pre-verified in r13):
+        #    order_book absorbs the checkpoint-seeded probe (retired:
+        #    order_book_ckpt), corpus_clean absorbs its streaming
+        #    replay (retired: corpus_clean_stream), wav_roundtrip
+        #    absorbs the NEW adpcm leg padded to the wav schema, spread
+        #    absorbs its period-boundary sampling overload (retired:
+        #    spread_periods).  Values changed (variant tag + union), so
+        #    each re-verifies in-window; every branch keeps its retired
+        #    key's exact oracle.  Net: 7 retired keys -> 4 union slots
+        #    = the window math below. --------------------------------
+        "order_book": _q_order_book_union,
+        "corpus_clean": _q_corpus_clean_union,
+        "wav_roundtrip": _q_wav_adpcm_union,
+        "spread": _q_spread_union,
+        # -- (1) rotated out of r13's 50 (last driver row: r12) — this
+        #    42-entry tail fills the window so no entry's driver row
+        #    ages past two rounds.  Window math: 49 expiring − 7
+        #    retired members + 4 unions + 4 new = exactly 50. ----------
+        "sessionize_stream": _q_sessionize_stream,
+        "embedding_dedup_stream": _q_embedding_dedup_stream,
+        "dup_spans": _q_dup_spans,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "quality_classifier": _q_quality_classifier,
+        "bigram_rarity": _q_bigram_rarity,
+        "hash_sample": _q_hash_sample,
+        "depth_summary": _q_depth_summary,
+        "queues": _q_queues,
+        "trading_period": _q_trading_period,
+        "trading_strategy": _q_trading_strategy_merged,
+        "get_events": _q_get_events_merged,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "mjpeg_sample": _q_mjpeg_sample,
+        "depth_chains": _q_depth_chains,
+        "dup_clusters": _q_dup_clusters,
+        "cleanse_order": _q_cleanse_order,
+        "fix_aggressor_order": _q_fix_aggressor,
+        "reveal_episodes": _q_reveal_episodes,
+        "symbol_upsert": _q_symbol_upsert,
+        "insert_era": _q_insert_era,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "move_events": _q_move_events,
+        "move_trades": _q_move_trades,
+        "staging_summary": _q_staging_summary,
+        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
+        "fix_chain_integrity": _q_fix_chain_integrity,
+        "depth_change": _q_depth_change,
+        "get_trades": _q_get_trades,
+        "events_intervals": _q_intervals,
+        "summary": _q_summary,
+        "ann_ivf": _q_ann_ivf,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
+        "multimodal_resize": _q_multimodal_resize,
+        "merge_crossed_books": _q_merge_crossed_books,
+        "merge_episodes": _q_merge_episodes,
+        "era_reassign": _q_era_reassign,
+        "crossed_books": _q_crossed_books,
+        "order_book_takers": _q_order_book_takers,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
+        # ---- slot 51+: r13 driver-green (CORRECTNESS_r13 rows), values
+        #      unchanged this round — they rotate back into the window
+        #      in r15.  r15 window math — SOLVED (staged + pre-verified
+        #      in pending_queries()/pending_oracle_sql() below): these
+        #      50 keys expire together; the minhash_pairs union retires
+        #      3 of them (minhash_lsh, minhash_lsh_incremental,
+        #      dedup_stream) and the lsh_recall union retires 2
+        #      (ann_lsh_recall, embedding_dedup_lsh_recall) → 45
+        #      remaining + 2 unions + 3 standalones (shuffle_sequences,
+        #      ann_ivfpq_trained, stratified_sample) = exactly 50. -----
         "corpus_prepare": _q_corpus_prepare,
         "minhash_lsh_incremental": _q_minhash_lsh_incremental,
         "near_dup_verify": _q_near_dup_verify,
         "bpe_encode": _q_bpe_encode,
         "chunk_documents": _q_chunk_documents,
         "layout_keys": _q_layout_keys,  # zorder + hilbert union
-        # -- (0b) r13 capacity merges (the slot-note plan VERDICT r12 #1
-        #    prescribed): get_depth absorbs its freq overload (retired:
-        #    get_depth_freq), get_spread absorbs freq + the single-
-        #    instant overload (retired: get_spread_freq, spread_at),
-        #    epsilon_draws absorbs its zigzag fabric + range overload
-        #    (retired: epsilon_draws_zigzag, epsilon_draws_range).
-        #    Values changed (variant tag + union), so each re-verifies
-        #    in-window; every branch keeps its retired key's exact
-        #    oracle.  Net: 7 retired keys -> 3 union slots = the 4 extra
-        #    window slots the six new gates above needed beyond the
-        #    steady-state 2. --------------------------------------------
         "get_depth": _q_get_depth_merged,
         "get_spread": _q_get_spread_merged,
         "epsilon_draws": _q_epsilon_draws_merged,
-        # -- (1) rotated out of r12's 50 (last driver row: r11) — this
-        #    41-entry tail fills the window so no entry's driver row
-        #    ages past two rounds. ---------------------------------------
         "dedup_stream": _q_dedup_stream,
         "gopher_quality": _q_gopher_quality,
         "ann_ivfpq": _q_ann_ivfpq,
@@ -1933,89 +2003,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_sweep": _q_match_sweep,
         "multimodal_features": _q_multimodal,
         "match_incremental": _q_match_incremental,
-        # ---- slot 51+: r12 driver-green (CORRECTNESS_r12 rows), values
-        #      unchanged this round — they rotate back into the window
-        #      in r14.  r14 window math: these 49 keys expire together
-        #      against the 50-slot cap (1 free slot), and the staggered
-        #      gate queue is STAGED AND PRE-VERIFIED (r13 second
-        #      session): pending_queries()/pending_oracle_sql() below
-        #      hold runner+oracle for semdedup, adpcm_roundtrip,
-        #      render_sequences, pack_stream, and ann_ivfpq_query (the
-        #      append_ivfpq_index differential), all green via
-        #      `tools/verify_local.py <sf> --pending` at sf0.01 —
-        #      r14 registration is a dict move —
-        #      so r14 needs ~3 more merge slots.  Next same-schema
-        #      depth_summary-style merges available IN THIS TAIL:
-        #      order_book/order_book_ckpt (2→1, same operator, probe vs
-        #      checkpointed probe) and corpus_clean/corpus_clean_stream
-        #      (2→1, batch vs replay of the same composition — both
-        #      branches already share one oracle).  Merging them in r14
-        #      puts the unions in r14's window (values change) and nets
-        #      +2; wav_roundtrip/adpcm_roundtrip can union at
-        #      registration time for another slot if needed. ------------
-        "sessionize_stream": _q_sessionize_stream,
-        "corpus_clean": _q_corpus_clean,
-        "embedding_dedup_stream": _q_embedding_dedup_stream,
-        "dup_spans": _q_dup_spans,
-        "corpus_clean_stream": _q_corpus_clean_stream,
-        "pack_sequences": _q_pack_sequences,
-        "decontaminate": _q_decontaminate,
-        "quality_classifier": _q_quality_classifier,
-        "bigram_rarity": _q_bigram_rarity,
-        "hash_sample": _q_hash_sample,
-        "depth_summary": _q_depth_summary,
-        "queues": _q_queues,
-        "trading_period": _q_trading_period,
-        "trading_strategy": _q_trading_strategy_merged,
-        "get_events": _q_get_events_merged,
-        "wav_roundtrip": _q_wav_roundtrip,
-        "codec_roundtrip": _q_codec_roundtrip,
-        "mjpeg_sample": _q_mjpeg_sample,
-        "depth_chains": _q_depth_chains,
-        "dup_clusters": _q_dup_clusters,
-        "cleanse_order": _q_cleanse_order,
-        "fix_aggressor_order": _q_fix_aggressor,
-        "reveal_episodes": _q_reveal_episodes,
-        "symbol_upsert": _q_symbol_upsert,
-        "insert_era": _q_insert_era,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "move_events": _q_move_events,
-        "move_trades": _q_move_trades,
-        "staging_summary": _q_staging_summary,
-        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
-        "fix_chain_integrity": _q_fix_chain_integrity,
-        "order_book": _q_order_book,
-        "order_book_ckpt": _q_order_book_ckpt,
-        "spread": _q_spread,
-        "depth_change": _q_depth_change,
-        "spread_periods": _q_spread_periods,
-        "get_trades": _q_get_trades,
-        "events_intervals": _q_intervals,
-        "summary": _q_summary,
-        "ann_ivf": _q_ann_ivf,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
-        "multimodal_resize": _q_multimodal_resize,
-        "merge_crossed_books": _q_merge_crossed_books,
-        "merge_episodes": _q_merge_episodes,
-        "era_reassign": _q_era_reassign,
-        "crossed_books": _q_crossed_books,
-        "order_book_takers": _q_order_book_takers,
-        "jpeg_roundtrip": _q_jpeg_roundtrip,
     }
 
 
 # ======================================================================
-# r14 REGISTRATION QUEUE — staged gates, NOT in queries()/oracle_sql().
-# The rotation protocol requires brand-new keys to enter inside the
-# first-50 window, and the r13 window is exactly full; these runners and
-# oracles are complete and pre-verifiable NOW via
+# r14 REGISTERED GATES (moved from the staged queue this round) followed
+# by the r15 REGISTRATION QUEUE — staged gates NOT yet in
+# queries()/oracle_sql().  The rotation protocol requires brand-new keys
+# to enter inside the first-50 window; staged runners and oracles are
+# complete and pre-verifiable NOW via
 #   python tools/verify_local.py /root/testdata/sf0.01 --pending
-# so r14 registration is a dict move, not a build.
+# so each round's registration is a dict move, not a build.
 # ======================================================================
 
 
-def _pq_semdedup(spark, sf_dir):
+def _q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): IVF-cell-bucketed within-cell
     nearest-smaller-id cosine with keep-first representatives — the
     semantic tier above embedding_dedup's exact-threshold pairs.  Gate
@@ -2036,7 +2038,7 @@ def _pq_semdedup(spark, sf_dir):
     return semdedup(spark.table("embeddings"), threshold=0.3, codebook=cb)
 
 
-def _pq_adpcm_roundtrip(spark, sf_dir):
+def _q_adpcm_roundtrip(spark, sf_dir):
     """IMA ADPCM encode→strict-parse→decode roundtrip over the wav
     gate's synthetic sample stream; the oracle replays the whole
     predictor/step-index state machine as a recursive CTE.  r14 NOTE:
@@ -2048,7 +2050,7 @@ def _pq_adpcm_roundtrip(spark, sf_dir):
     return adpcm_roundtrip(_docs(spark, sf_dir))
 
 
-def _pq_render_sequences(spark, sf_dir):
+def _q_render_sequences(spark, sf_dir):
     """Materialized training sequences: pack_sequences' assignment
     hydrated with member texts and concatenated per (shard, seq_no) in
     offset order; seq_md5 pins the byte-exact sequence content.  Same
@@ -2058,7 +2060,7 @@ def _pq_render_sequences(spark, sf_dir):
     return render_sequences(_docs(spark, sf_dir), n_shards=PACK_SHARDS)
 
 
-def _pq_pack_stream(spark, sf_dir):
+def _q_pack_stream(spark, sf_dir):
     """Streaming packing ON INGEST: the documents table replayed as a
     3-micro-batch doc_id-ordered file stream through
     applyInPandasWithState keyed on shard (state = three scalars: open
@@ -2068,7 +2070,6 @@ def _pq_pack_stream(spark, sf_dir):
     oracle is the batch pack recursion (tests/test_pack_stream.py
     differential)."""
     import os
-    import tempfile
     import time
     import uuid
 
@@ -2081,7 +2082,7 @@ def _pq_pack_stream(spark, sf_dir):
     docs = sorted(
         (int(r.doc_id), r.text)
         for r in _docs(spark, sf_dir).select("doc_id", "text").collect())
-    work = tempfile.mkdtemp(prefix="pack_stream_gate_")
+    work = _gate_tmpdir("pack_stream_gate_")
     src = os.path.join(work, "docs")
     os.makedirs(src)
     per = (len(docs) + 2) // 3
@@ -2108,7 +2109,7 @@ def _pq_pack_stream(spark, sf_dir):
     return spark.table(name)
 
 
-def _pq_ann_ivfpq_query(spark, sf_dir):
+def _q_ann_ivfpq_query(spark, sf_dir):
     """Index-backed IVF-PQ search over an APPENDED index — the 100 TB
     ingest differential: codebooks trained on the full set
     (write_ivfpq_index's train_emb knob), the initial build indexes the
@@ -2120,7 +2121,6 @@ def _pq_ann_ivfpq_query(spark, sf_dir):
     proves the persisted layout, the append path, and the query plan
     against the same SQL that pins the in-memory operator."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -2129,7 +2129,7 @@ def _pq_ann_ivfpq_query(spark, sf_dir):
 
     _load(spark, sf_dir)
     emb = spark.table("embeddings")
-    work = tempfile.mkdtemp(prefix="ivfpq_idx_gate_")
+    work = _gate_tmpdir("ivfpq_idx_gate_")
     path = os.path.join(work, "index")
     even = F.pmod(F.col("vec_id"), F.lit(2)) == 0
     # train_pq=False: the ann_ivfpq gate (and ann_ivfpq_oracle) use the
@@ -2143,7 +2143,7 @@ def _pq_ann_ivfpq_query(spark, sf_dir):
     return ann_ivfpq_query(spark, path, q)
 
 
-def _pq_order_book_union(spark, sf_dir):
+def _q_order_book_union(spark, sf_dir):
     """r14 capacity merge (2→1): L2/order_book probe + the
     silver-checkpoint-seeded probe as one variant-tagged gate — same
     operator, both branches keep their exact oracles."""
@@ -2153,7 +2153,7 @@ def _pq_order_book_union(spark, sf_dir):
     )
 
 
-def _pq_corpus_clean_union(spark, sf_dir):
+def _q_corpus_clean_union(spark, sf_dir):
     """r14 capacity merge (2→1): the batch cleaning composition and its
     streaming replay as one gate — the branches already share one
     oracle (the replay differential), so the union oracle is that SQL
@@ -2164,7 +2164,7 @@ def _pq_corpus_clean_union(spark, sf_dir):
     )
 
 
-def _pq_wav_adpcm_union(spark, sf_dir):
+def _q_wav_adpcm_union(spark, sf_dir):
     """r14 capacity merge (wav_roundtrip absorbs the NEW adpcm leg):
     the ADPCM branch pads to the wav schema with its real header
     constants (codec='adpcm', 8 kHz mono, 4-bit nibbles — every gate
@@ -2175,7 +2175,7 @@ def _pq_wav_adpcm_union(spark, sf_dir):
     from obadiah_spark.pipelines.audio import WAV_RATE
 
     wav = _q_wav_roundtrip(spark, sf_dir)
-    adpcm = _pq_adpcm_roundtrip(spark, sf_dir).select(
+    adpcm = _q_adpcm_roundtrip(spark, sf_dir).select(
         "doc_id", F.lit("adpcm").alias("codec"), "n_samples",
         F.lit(WAV_RATE).cast("bigint").alias("sample_rate"),
         F.lit(1).cast("bigint").alias("channels"),
@@ -2184,7 +2184,7 @@ def _pq_wav_adpcm_union(spark, sf_dir):
     return _variant_union(("wav", wav), ("adpcm", adpcm))
 
 
-def _pq_wav_adpcm_union_oracle() -> str:
+def _q_wav_adpcm_union_oracle() -> str:
     from obadiah_spark.pipelines.audio import (
         WAV_RATE, WAV_ROUNDTRIP_ORACLE, adpcm_roundtrip_oracle_sql)
 
@@ -2199,7 +2199,7 @@ FROM (
                                  adpcm=adpcm_padded)
 
 
-def _pq_spread_union(spark, sf_dir):
+def _q_spread_union(spark, sf_dir):
     """r14 capacity merge (2→1): the full L1 emit-on-change spread
     stream and its period-boundary sampling as one variant-tagged gate
     (same output schema — the period leg is the base stream's
@@ -2300,41 +2300,25 @@ def _pq_shuffle_sequences(spark, sf_dir):
 
 
 def pending_queries() -> dict:
-    """The staged r14 gates — same contract as queries(), invisible to
-    the driver until moved there inside r14's first-50 window.  The
-    four union entries REPLACE their member keys at registration
-    (order_book+order_book_ckpt, corpus_clean+corpus_clean_stream,
-    wav_roundtrip+adpcm_roundtrip, spread+spread_periods), netting +4
-    window slots — r14 window math: 49 expiring − 7 retired members
-    + 4 unions + 4 new standalones (semdedup, render_sequences,
-    pack_stream, ann_ivfpq_query) = exactly 50.  Standalone
-    adpcm_roundtrip stays staged only as the fallback if the wav union
-    is not taken.  r15 reserve (its window = the 50 r13 keys, zero
-    free): the 7-key level3-repair schema family (cleanse_order,
+    """The staged r15 gates — same contract as queries(), invisible to
+    the driver until moved there inside r15's first-50 window.  All
+    five were staged and pre-verified in r13 (`verify_local --pending`)
+    and the r14 registration (this round) moved its own eight keys out
+    of this queue, leaving exactly the r15 window plan.
+
+    r15 window math — SOLVED: the 50 r14-window keys rotate to the
+    tail and the 50 r13-green tail keys expire into r15's window; the
+    minhash_pairs union retires 3 of them (minhash_lsh,
+    minhash_lsh_incremental, dedup_stream) and the lsh_recall union
+    retires 2 (ann_lsh_recall, embedding_dedup_lsh_recall) → 45
+    remaining + 2 unions + 3 standalones (shuffle_sequences,
+    ann_ivfpq_trained, stratified_sample) = exactly 50.  Further slack
+    if ever needed: ann_ivfpq_trained can union with ann_ivfpq (same
+    schema); the 7-key level3-repair schema family (cleanse_order,
     fix_aggressor_order, reveal_episodes, insert_era, csv_roundtrip,
     merge_crossed_books, merge_episodes) all share one output schema
-    and can union in pairs as needed; minhash_lsh +
-    minhash_lsh_incremental + dedup_stream all emit (doc_a, doc_b) —
-    a 3→1 union nets +2; ann_lsh_recall/embedding_dedup_lsh_recall
-    share (metric, n, recall) modulo one column rename.
-
-    r15 math — SOLVED the same way as r14's: both planned merges are
-    staged and pre-verified below.  The 50 r13-window keys expire into
-    r15; the minhash_pairs union retires 3 of them and the lsh_recall
-    union retires 2 → 45 remaining + 2 unions + 3 standalones
-    (shuffle_sequences, ann_ivfpq_trained, stratified_sample) = exactly
-    50.  Further slack if ever needed: ann_ivfpq_trained can union with
-    ann_ivfpq (same schema), and the 7-key repair family above."""
+    and can union in pairs."""
     return {
-        "semdedup": _pq_semdedup,
-        "adpcm_roundtrip": _pq_adpcm_roundtrip,
-        "render_sequences": _pq_render_sequences,
-        "pack_stream": _pq_pack_stream,
-        "ann_ivfpq_query": _pq_ann_ivfpq_query,
-        "order_book": _pq_order_book_union,
-        "corpus_clean": _pq_corpus_clean_union,
-        "wav_roundtrip": _pq_wav_adpcm_union,
-        "spread": _pq_spread_union,
         "shuffle_sequences": _pq_shuffle_sequences,
         "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
         "stratified_sample": _pq_stratified_sample,
@@ -2345,12 +2329,8 @@ def pending_queries() -> dict:
 
 def pending_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for pending_queries(), keyed identically."""
-    from obadiah_spark.pipelines.audio import adpcm_roundtrip_oracle_sql
-    from obadiah_spark.pipelines.dedup import semdedup_oracle_sql
     from obadiah_spark.pipelines.packing import (
         PACK_SHARDS,
-        pack_sequences_oracle_sql,
-        render_sequences_oracle_sql,
         shuffle_sequences_oracle_sql,
     )
     from obadiah_spark.pipelines.sampling import stratified_sample_oracle_sql
@@ -2358,26 +2338,13 @@ def pending_oracle_sql() -> dict[str, str]:
 
     full = oracle_sql()
     return {
-        "semdedup": semdedup_oracle_sql(threshold=0.3),
-        "adpcm_roundtrip": adpcm_roundtrip_oracle_sql(),
-        "render_sequences": render_sequences_oracle_sql(
-            n_shards=PACK_SHARDS),
-        "pack_stream": pack_sequences_oracle_sql(n_shards=PACK_SHARDS),
-        "ann_ivfpq_query": ann_ivfpq_oracle(),
-        # the union oracles compose the registered members' exact SQL
-        "order_book": _variant_union_oracle(
-            base=full["order_book"], ckpt=full["order_book_ckpt"]),
-        "corpus_clean": _variant_union_oracle(
-            batch=full["corpus_clean"], stream=full["corpus_clean_stream"]),
-        "wav_roundtrip": _pq_wav_adpcm_union_oracle(),
-        "spread": _variant_union_oracle(
-            base=full["spread"], periods=full["spread_periods"]),
         "shuffle_sequences": shuffle_sequences_oracle_sql(
             n_shards=PACK_SHARDS),
         "ann_ivfpq_trained": ann_ivfpq_oracle(train_pq=True),
         "stratified_sample": stratified_sample_oracle_sql(
             _MIX_FRACTIONS, "source"),
         "lsh_recall": _pq_lsh_recall_union_oracle(full),
+        # the union oracles compose the registered members' exact SQL
         "minhash_pairs": _variant_union_oracle(
             batch=full["minhash_lsh"],
             incremental=full["minhash_lsh_incremental"],
@@ -2480,7 +2447,6 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh_recall_oracle,
     )
     from obadiah_spark.pipelines import langid
-    from obadiah_spark.pipelines.audio import WAV_ROUNDTRIP_ORACLE
     from obadiah_spark.pipelines.video import mjpeg_sample_oracle_sql
     from obadiah_spark.pipelines.text import (
         TEXT_STATS_ORACLE,
@@ -2501,10 +2467,13 @@ def oracle_sql() -> dict[str, str]:
         # stream replay == batch islands SQL once every session is
         # flush-closed; us-long bounds are the streaming column shape
         "sessionize_stream": relational.sessionize_us_oracle(30),
-        "corpus_clean": docquality.corpus_clean_oracle_sql(),
-        # stream == batch composition under the doc_id-ordered replay
-        # (first-seen canonical == min-doc_id canonical)
-        "corpus_clean_stream": docquality.corpus_clean_oracle_sql(),
+        # merged r14 (2→1): the batch cleaning composition + its
+        # streaming replay — stream == batch under the doc_id-ordered
+        # replay (first-seen canonical == min-doc_id canonical), so
+        # both tags carry the same member SQL
+        "corpus_clean": _variant_union_oracle(
+            batch=docquality.corpus_clean_oracle_sql(),
+            stream=docquality.corpus_clean_oracle_sql()),
         "dup_spans": docquality.dup_spans_oracle_sql(),
         # NEW r13: the full composition — every stage the exact SQL its
         # standalone gate carries, composed
@@ -2529,6 +2498,17 @@ def oracle_sql() -> dict[str, str]:
             hilbert=f"SELECT event_id, zb_ts_us, zb_user_id, hkey AS skey "
                     f"FROM ({layout.hilbert_keys_oracle_sql(LAYOUT_COLS, table=_EV_US_SQL)}) hq"),
         "pack_sequences": packing.pack_sequences_oracle_sql(),
+        # NEW r14: pack assignments hydrated + concatenated per
+        # (shard, seq_no); seq_md5 pins byte-exact sequence content
+        "render_sequences": packing.render_sequences_oracle_sql(
+            n_shards=packing.PACK_SHARDS),
+        # NEW r14: streaming packing ON INGEST == batch pack under the
+        # per-shard doc_id-ordered replay (test_pack_stream differential)
+        "pack_stream": packing.pack_sequences_oracle_sql(
+            n_shards=packing.PACK_SHARDS),
+        # NEW r14: IVF-cell-bucketed within-cell cosine, keep-first
+        # representatives (threshold=0.3 — fabric note in the runner)
+        "semdedup": dedup.semdedup_oracle_sql(threshold=0.3),
         "decontaminate": decontam.decontaminate_oracle_sql(4),
         "quality_classifier": classifier.quality_classifier_oracle_sql(),
         "bigram_rarity": bigram_rarity_oracle_sql(),
@@ -2536,11 +2516,17 @@ def oracle_sql() -> dict[str, str]:
             base=sampling.hash_sample_oracle_sql(0.2, salt="gate"),
             strat=sampling.stratified_sample_oracle_sql(
                 MIX_FRACTIONS, "source", salt="gate")),
-        "order_book": level3_cte(order_book_oracle_sql(OB_AT)),
-        "order_book_ckpt": level3_cte(order_book_oracle_sql(OB_AT)),
-        "spread": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
+        # merged r14 (2→1): L2 probe + checkpoint-seeded probe — the
+        # branches are the same operator, so both tags carry its SQL
+        "order_book": _variant_union_oracle(
+            base=level3_cte(order_book_oracle_sql(OB_AT)),
+            ckpt=level3_cte(order_book_oracle_sql(OB_AT))),
+        # merged r14 (2→1): emit-on-change L1 stream + period-boundary
+        # sampling (both pin to the same linear-interpolation SQL)
+        "spread": _variant_union_oracle(
+            base=level3_cte(SPREAD_LINEAR_ORACLE_BODY),
+            periods=level3_cte(SPREAD_LINEAR_ORACLE_BODY)),
         "depth_change": level3_cte(DEPTH_CHANGE_ORACLE_BODY),
-        "spread_periods": level3_cte(SPREAD_LINEAR_ORACLE_BODY),
         # merged E1 family (r12): base + freq, each branch the exact
         # oracle its retired key carried
         "get_events": _variant_union_oracle(
@@ -2571,6 +2557,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ann_bruteforce_oracle(),
         "ann_ivf": ann_ivf_oracle(),
         "ann_ivfpq": ann_ivfpq_oracle(),
+        # NEW r14: appended index ≡ single-shot full build (the append
+        # runs the exact _encode_vectors pass the build ran), so the
+        # index-backed query gate reuses the in-memory operator's SQL
+        "ann_ivfpq_query": ann_ivfpq_oracle(),
         # dim=64 is the TESTDATA.md embeddings contract (all sf dirs); the
         # plane weights are emitted into the SQL as a VALUES CTE, so DuckDB
         # recomputes signatures + buckets + cosines from scratch
@@ -2587,7 +2577,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": MULTIMODAL_ORACLE,
         "codec_roundtrip": CODEC_ROUNDTRIP_ORACLE,
         "jpeg_roundtrip": JPEG_ROUNDTRIP_ORACLE,
-        "wav_roundtrip": WAV_ROUNDTRIP_ORACLE,
+        # merged r14: wav + the NEW adpcm leg padded to the wav schema
+        "wav_roundtrip": _q_wav_adpcm_union_oracle(),
         "mjpeg_sample": mjpeg_sample_oracle_sql(),
         # real-book T2/T3: recursive-CTE replay of the state machines in mid
         # mode (phi/epsilon must match the _q_* calls above); the *_zigzag

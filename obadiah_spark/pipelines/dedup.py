@@ -20,6 +20,8 @@ Charikar 2002) as required by the driver's pipeline mandate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -483,7 +485,7 @@ SEMDEDUP_VECS_PER_CELL = 1_000
 
 
 def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
-             n_cells: int | str | None = None, stride: int | None = None,
+             n_cells: int | str | None = "auto", stride: int | None = None,
              iters: int | None = None, train_stride: int | None = None,
              train_max: int | None = None,
              max_cell_size: int | None = None,
@@ -502,9 +504,12 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
     similarity module's; pass ``codebook`` (from
     :func:`~obadiah_spark.pipelines.similarity.train_ivf_codebook`) to
     skip in-query training — the production path.  ``n_cells="auto"``
-    derives ceil(count / SEMDEDUP_VECS_PER_CELL) cells — the
-    corpus-proportional sizing that keeps the pair fan-out per row flat
-    at any scale (ignored when ``codebook`` is given: the codebook
+    (the DEFAULT since r14) derives ceil(count /
+    SEMDEDUP_VECS_PER_CELL) cells — the corpus-proportional sizing that
+    keeps the pair fan-out per row flat at any scale (measured
+    exponent 0.46 vs 0.78 with fixed cells, SCALE.md §7); pass an int
+    to opt into a fixed geometry (the value gates pin n_cells via
+    ``codebook``, under which ``n_cells`` is ignored: the codebook
     already fixes the cell count)."""
     from obadiah_spark.pipelines.similarity import (
         IVF_CELLS, IVF_ITERS, IVF_STRIDE, IVF_TRAIN_MAX, IVF_TRAIN_STRIDE,
@@ -532,23 +537,33 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
                   .filter(F.col("_n") <= max_cell_size).drop("_n"))
         paired = v.join(census, "cell")
     # replicate-and-bucket the within-cell self-join: keyed on cell
-    # alone, post-shuffle parallelism is AT MOST n_cells (16 default) —
-    # a 1000-executor cluster would idle.  Bucketing the b side by
-    # pmod(b_id, R) and exploding the a side into all R buckets keys
-    # the join on (cell, bucket) instead — n_cells × R partitions, the
-    # standard salt for a low-cardinality-key join.  Every (a, b) pair
-    # still meets exactly once (in b's bucket), so the pair SET — and
-    # every downstream value — is unchanged; R is physical only.
+    # alone, post-shuffle parallelism is AT MOST n_cells — a
+    # 1000-executor cluster would idle.  A two-sided ⌈√R⌉×⌈√R⌉ grid
+    # buckets BOTH sides — the a side at its own residue pmod(a_id, s)
+    # crossed with every b residue, the b side symmetrically — so the
+    # join keys on (cell, abk, bbk): n_cells × s² ≥ n_cells × R
+    # partitions, the same salt parallelism as the one-sided form.
+    # Every (a, b) pair still meets exactly once (at the two vectors'
+    # own residues), so the pair SET — and every downstream value — is
+    # unchanged; the grid is physical only.  vs the one-sided salt
+    # (a exploded into all R buckets), each side now replicates its
+    # embedding payload only s = ⌈√R⌉ times, cutting salt shuffle
+    # bytes from (R+1)·|v| to 2⌈√R⌉·|v| — at cluster R (50-100) that
+    # is the difference between the vector payload dominating the
+    # shuffle and not (A/B in SCALE.md §7 r14).
     r = max(1, (2 * emb.sparkSession.sparkContext.defaultParallelism
                 + n_cells - 1) // n_cells)
+    s = math.isqrt(r - 1) + 1 if r > 1 else 1  # ceil(sqrt(r))
+    grid = F.array(*[F.lit(i) for i in range(s)])
     a = paired.select("cell", F.col("vec_id").alias("a_id"),
                       F.col("embedding").alias("a_emb"),
-                      F.explode(F.array(
-                          *[F.lit(i) for i in range(r)])).alias("bkt"))
+                      F.pmod(F.col("vec_id"), F.lit(s)).alias("abk"),
+                      F.explode(grid).alias("bbk"))
     b = paired.select("cell", F.col("vec_id").alias("b_id"),
                       F.col("embedding").alias("b_emb"),
-                      F.pmod(F.col("vec_id"), F.lit(r)).alias("bkt"))
-    pairs = (a.join(b, ["cell", "bkt"])
+                      F.explode(grid).alias("abk"),
+                      F.pmod(F.col("vec_id"), F.lit(s)).alias("bbk"))
+    pairs = (a.join(b, ["cell", "abk", "bbk"])
              .filter(F.col("a_id") < F.col("b_id"))
              .select("b_id", "a_id", _cosine("a_emb", "b_emb").alias("cos")))
     w = W.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))

@@ -503,20 +503,25 @@ def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
     w_doc = W.partitionBy("doc_id").orderBy("pos")
     g = tok.withColumn("g", F.concat_ws(
         " ", "w", *[F.lead("w", i).over(w_doc) for i in range(1, n)]))
-    # census + covered-join run on xxhash64(g), not the raw n-gram text
-    # (VERDICT r12 what's-wrong #3): the two corpus-wide shuffles carry
-    # 8 bytes per position instead of ~50-100 B of concatenated words —
-    # identical semantics at 64-bit collision odds (a collision would
-    # need two distinct grams in one corpus sharing a hash; at 10¹²
-    # grams the birthday bound is ~3·10⁻²), and the output schema never
-    # carried ``g``, so gate values are untouched.
+    # census + covered-join run on a 128-bit gram hash (two xxhash64
+    # seeds), not the raw n-gram text (VERDICT r12 what's-wrong #3):
+    # the two corpus-wide shuffles carry 16 bytes per position instead
+    # of ~50-100 B of concatenated words.  128 bits, not 64 (ADVICE
+    # r13 #2): the 64-bit birthday bound gives ~2.7·10⁴ EXPECTED
+    # collisions at 10¹² grams (n²/2^65 — the ~3·10⁻² figure only
+    # holds at ~10⁹ grams), each silently inflating a gram count past
+    # min_count; at 128 bits the expectation is ~10⁻¹⁵ at the same
+    # scale, so "identical semantics to the raw-text oracle" holds at
+    # the claimed corpus size.  The output schema never carried ``g``,
+    # so gate values are untouched.
     g = (g.withColumn("nn", F.lead("w", n - 1).over(w_doc))
          .filter(F.col("nn").isNotNull())
-         .select("doc_id", "pos", F.xxhash64("g").alias("gh")))
-    dup_g = (g.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
-             .filter(F.col("cnt") >= min_count).select("gh"))
+         .select("doc_id", "pos", F.xxhash64("g").alias("gh"),
+                 F.xxhash64(F.lit(1), F.col("g")).alias("gh2")))
+    dup_g = (g.groupBy("gh", "gh2").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= min_count).select("gh", "gh2"))
     covered = (
-        g.join(dup_g, "gh")
+        g.join(dup_g, ["gh", "gh2"])
         .select("doc_id",
                 F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1))
                  .alias("pos"))

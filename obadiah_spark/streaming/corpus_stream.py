@@ -182,16 +182,26 @@ def run_corpus_clean_stream(spark, src_path: str, schema: str,
     (at 100 TB the audit projection alone is 10⁸–10¹⁰ rows).
     ``sink_path`` defaults to a ``_sink`` sibling of the checkpoint —
     the pairing a restart needs anyway, since the checkpoint's replay
-    position and the appended output advance together.  ``sink_table``
-    optionally registers a temp view READING BACK the parquet (the
-    gate harness consumes that view; the view is a scan, not a
-    driver-side row list).  Returns the sink path."""
+    position and the appended output advance together.  The write is
+    IDEMPOTENT per micro-batch (ADVICE r13 #1): each batch OVERWRITES
+    its own batch-scoped subdir, and Structured Streaming replays a
+    retried or restart-recovered batch under the SAME ``batch_id``, so
+    a partial write or a post-crash replay lands on the identical
+    subdir instead of appending duplicate rows — effectively
+    exactly-once end-to-end, matching the checkpoint pairing the
+    docstring promises.  ``sink_table`` optionally registers a temp
+    view READING BACK the parquet (the gate harness consumes that
+    view; the view is a scan, not a driver-side row list).  Returns
+    the sink path."""
+    import os
+
     if sink_path is None:
         sink_path = checkpoint.rstrip("/") + "_sink"
 
-    def handle(batch_df, _batch_id: int) -> None:
+    def handle(batch_df, batch_id: int) -> None:
         (quality_scrub(batch_df, dup_n=dup_n)
-         .write.mode("append").parquet(sink_path))
+         .write.mode("overwrite")
+         .parquet(os.path.join(sink_path, f"batch-{batch_id:09d}")))
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -202,10 +212,15 @@ def run_corpus_clean_stream(spark, src_path: str, schema: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     if sink_table is not None:
-        try:
-            out = spark.read.schema(_SINK_SCHEMA).parquet(sink_path)
-            out.first()  # force the scan so a missing dir surfaces here
-        except Exception:
+        if os.path.isdir(sink_path):
+            # batch-NNN subdirs are not hive partitions, so the read
+            # needs the recursive lookup; any real read failure
+            # (corrupt footer, permissions) propagates to the caller
+            # instead of masquerading as an empty source (ADVICE r13 #3)
+            out = (spark.read.schema(_SINK_SCHEMA)
+                   .option("recursiveFileLookup", "true")
+                   .parquet(sink_path))
+        else:
             # an empty source never fired the handler — empty typed view
             out = spark.createDataFrame([], _SINK_SCHEMA)
         out.createOrReplaceTempView(sink_table)

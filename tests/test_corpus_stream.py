@@ -94,10 +94,51 @@ def test_sink_is_distributed_parquet(spark, tmp_path):
     sink = run_corpus_clean_stream(
         spark, str(src), "doc_id long, text string",
         str(tmp_path / "ckpt"), "cc_sink_view")
-    assert any(f.endswith(".parquet") for f in os.listdir(sink)), sink
+    # batch-scoped subdirs (idempotent per-batch overwrite, ADVICE r13
+    # #1), each holding executor-written parquet parts
+    batches = [d for d in os.listdir(sink) if d.startswith("batch-")]
+    assert batches, os.listdir(sink)
+    assert all(any(f.endswith(".parquet")
+                   for f in os.listdir(os.path.join(sink, d)))
+               for d in batches), sink
     via_view = {tuple(r) for r in spark.table("cc_sink_view").collect()}
-    via_path = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    via_path = {tuple(r) for r in
+                (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(sink).collect())}
     assert via_view == via_path and via_view, (via_view, via_path)
+
+
+def test_sink_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r13 #1: a micro-batch replayed under the same batch_id
+    (retry after a partial write, or a restart against the same
+    checkpoint replaying the last uncommitted batch) OVERWRITES its own
+    batch-scoped subdir, so the sink holds no duplicate rows.  Simulate
+    the replay by re-running the stream over the same source with a
+    FRESH checkpoint against the SAME sink — every batch_id recurs, and
+    the row set must be unchanged."""
+    from obadiah_spark.streaming.corpus_stream import run_corpus_clean_stream
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "slowly toward the old market where it buys some very fresh "
+            "fish for its hungry friend before going back home to rest "
+            "quietly under the warm blanket near the open fire with "
+            "plenty of hot tea while reading stories about distant "
+            "mountains and quiet rivers that flow gently through green "
+            "valleys every single morning")
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame([(1, good)], columns=["doc_id", "text"]).to_parquet(
+        src / "000.parquet")
+    sink = run_corpus_clean_stream(
+        spark, str(src), "doc_id long, text string",
+        str(tmp_path / "ckpt_a"), "cc_idem_view", sink_path=str(
+            tmp_path / "sink"))
+    once = sorted(tuple(r) for r in spark.table("cc_idem_view").collect())
+    run_corpus_clean_stream(
+        spark, str(src), "doc_id long, text string",
+        str(tmp_path / "ckpt_b"), "cc_idem_view", sink_path=sink)
+    twice = sorted(tuple(r) for r in spark.table("cc_idem_view").collect())
+    assert once == twice and once
 
 
 def test_event_ttl_requires_time_col():

@@ -22,10 +22,14 @@ FABRIC_THRESHOLD = 0.3
 
 def test_semdedup_duckdb_differential(spark, sf_dir, duck):
     from obadiah_spark.pipelines.dedup import semdedup, semdedup_oracle_sql
+    from obadiah_spark.pipelines.similarity import IVF_CELLS
     from obadiah_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    got = semdedup(emb, threshold=FABRIC_THRESHOLD).toPandas()
+    # n_cells pinned: the SQL oracle replays a fixed IVF_CELLS k-means
+    # (the default is the corpus-proportional "auto" since r14)
+    got = semdedup(emb, threshold=FABRIC_THRESHOLD,
+                   n_cells=IVF_CELLS).toPandas()
     want = duck.execute(semdedup_oracle_sql(
         threshold=FABRIC_THRESHOLD)).df()
     assert canonicalize(got).equals(canonicalize(want))
@@ -94,12 +98,14 @@ def test_semdedup_offline_codebook_path(spark, sf_dir):
     """codebook= (train_ivf_codebook output) skips in-query training
     and reproduces the in-query result exactly."""
     from obadiah_spark.pipelines.dedup import semdedup
-    from obadiah_spark.pipelines.similarity import train_ivf_codebook
+    from obadiah_spark.pipelines.similarity import (IVF_CELLS,
+                                                    train_ivf_codebook)
     from obadiah_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cb = train_ivf_codebook(emb)
-    a = semdedup(emb, threshold=FABRIC_THRESHOLD).toPandas()
+    cb = train_ivf_codebook(emb)  # IVF_CELLS geometry
+    a = semdedup(emb, threshold=FABRIC_THRESHOLD,
+                 n_cells=IVF_CELLS).toPandas()
     b = semdedup(emb, threshold=FABRIC_THRESHOLD,
                  codebook=cb).toPandas()
     assert canonicalize(a).equals(canonicalize(b))
@@ -129,3 +135,19 @@ def test_auto_cells_rule(spark, sf_dir):
     cells = (semdedup(big, threshold=FABRIC_THRESHOLD, n_cells="auto")
              .select("cell").distinct().count())
     assert cells == max(1, -(-(5 * n) // 1000))
+
+
+def test_auto_cells_is_the_default(spark, sf_dir):
+    """The DEFAULT path (no n_cells, no codebook) resolves to the
+    corpus-proportional "auto" rule, not a fixed cell count — the
+    measured production sizing (exponent 0.46 vs 0.78 fixed, SCALE.md
+    §7) must not be opt-in (VERDICT r13 #2)."""
+    from obadiah_spark.pipelines.dedup import SEMDEDUP_VECS_PER_CELL, semdedup
+    from obadiah_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = semdedup(emb, threshold=FABRIC_THRESHOLD)
+    assert (out.select("cell").distinct().count()
+            == max(1, -(-n // SEMDEDUP_VECS_PER_CELL)))
+    assert out.count() == n
