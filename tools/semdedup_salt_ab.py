@@ -59,6 +59,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "true")  # REST stage metrics
         # both variants must take the shuffle path (at 100 TB neither
         # side is broadcastable), or the byte comparison is vacuous
@@ -124,19 +126,28 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "shuffle_write_bytes": _shuffle_write_bytes(spark) - before}
 
-    res_a = run(one_sided())
-    res_b = run(two_sided())
-    print(json.dumps({
-        "sf_base": sf_dir, "factor": factor, "forced_r": r,
-        "s": math.isqrt(r - 1) + 1 if r > 1 else 1,
-        "n_vectors": paired.count(),
-        "one_sided": res_a, "two_sided": res_b,
-        "values_bit_identical": (res_a["pairs"] == res_b["pairs"]
-                                 and res_a["checksum"] == res_b["checksum"]),
-        "shuffle_bytes_ratio": round(
+    # SALT_AB_VARIANT=one|two runs a single variant — used to show the
+    # heap asymmetry (the one-sided salt OOMs a small-heap worker at
+    # cluster R where the two-sided grid completes: compressed shuffle
+    # FILES hide much of the replication — identical copies compress —
+    # but the deserialized in-memory payload does not)
+    pick = os.environ.get("SALT_AB_VARIANT", "both")
+    out: dict = {"sf_base": sf_dir, "factor": factor, "forced_r": r,
+                 "s": math.isqrt(r - 1) + 1 if r > 1 else 1,
+                 "n_vectors": paired.count()}
+    if pick in ("one", "both"):
+        out["one_sided"] = run(one_sided())
+    if pick in ("two", "both"):
+        out["two_sided"] = run(two_sided())
+    if pick == "both":
+        res_a, res_b = out["one_sided"], out["two_sided"]
+        out["values_bit_identical"] = (
+            res_a["pairs"] == res_b["pairs"]
+            and res_a["checksum"] == res_b["checksum"])
+        out["shuffle_bytes_ratio"] = round(
             res_b["shuffle_write_bytes"]
-            / max(res_a["shuffle_write_bytes"], 1), 4),
-    }))
+            / max(res_a["shuffle_write_bytes"], 1), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
