@@ -2299,6 +2299,64 @@ def _pq_shuffle_sequences(spark, sf_dir):
         pack_sequences(_docs(spark, sf_dir), n_shards=PACK_SHARDS))
 
 
+def _pq_match_fill_union(spark, sf_dir):
+    """r15 capacity merge (2→1): the one-shot I5 matcher and its
+    chunked scheduled-lifecycle replay as one variant-tagged gate —
+    the same link set discipline as the order_book/ckpt union.  The
+    one-shot leg pads the incremental leg's ``matcher`` provenance
+    column with its real constant ('exact' — the one-shot path IS the
+    exact matcher), the wav/adpcm padding precedent; each branch keeps
+    its exact oracle with the same pad."""
+    from pyspark.sql import functions as F
+
+    a = _q_match_fill_exact(spark, sf_dir).withColumn(
+        "matcher", F.lit("exact"))
+    b = _q_match_incremental(spark, sf_dir)
+    return _variant_union(("oneshot", a), ("incremental", b))
+
+
+def _pq_match_fill_union_oracle(full: dict) -> str:
+    a = (f"SELECT *, 'exact' AS matcher FROM (\n"
+         f"{full['match_fill_exact']}\n) mfe")
+    return _variant_union_oracle(oneshot=a,
+                                 incremental=full["match_incremental"])
+
+
+# DSIR gate fabric: the target corpus is a deterministic 30% hash
+# sample of the documents table (reproducible on both engines from the
+# shared sample_u convention; a strict subset, so target members'
+# bigrams visibly shift the bucket model — tests/test_dsir.py pins the
+# inside>outside mean-weight separation)
+DSIR_TARGET_FRACTION = 0.3
+DSIR_TARGET_SALT = "dsir_target"
+
+
+def _pq_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023) — hashed-bigram
+    target-vs-raw importance weights in whole-bit surprisal, then the
+    deterministic exp-weight hash race (accept ∝ 2^weight_bits).  The
+    output pins the weights AND the accepted row set: (doc_id,
+    n_grams, weight_bits, sample_u)."""
+    from obadiah_spark.pipelines.dsir import dsir_sample
+    from obadiah_spark.pipelines.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = hash_sample(docs, DSIR_TARGET_FRACTION,
+                         salt=DSIR_TARGET_SALT).select("doc_id", "text")
+    return dsir_sample(docs, target)
+
+
+def _pq_dsir_sample_oracle() -> str:
+    from obadiah_spark.pipelines.dsir import dsir_sample_oracle_sql
+    from obadiah_spark.pipelines.sampling import _threshold, sample_u_sql
+
+    target_sql = (
+        f"SELECT doc_id, text FROM documents "
+        f"WHERE {sample_u_sql('doc_id', DSIR_TARGET_SALT)} "
+        f"< {_threshold(DSIR_TARGET_FRACTION)}")
+    return dsir_sample_oracle_sql(target_sql)
+
+
 def pending_queries() -> dict:
     """The staged r15 gates — same contract as queries(), invisible to
     the driver until moved there inside r15's first-50 window.  All
@@ -2309,12 +2367,14 @@ def pending_queries() -> dict:
     r15 window math — SOLVED: the 50 r14-window keys rotate to the
     tail and the 50 r13-green tail keys expire into r15's window; the
     minhash_pairs union retires 3 of them (minhash_lsh,
-    minhash_lsh_incremental, dedup_stream) and the lsh_recall union
-    retires 2 (ann_lsh_recall, embedding_dedup_lsh_recall) → 45
-    remaining + 2 unions + 3 standalones (shuffle_sequences,
-    ann_ivfpq_trained, stratified_sample) = exactly 50.  Further slack
-    if ever needed: ann_ivfpq_trained can union with ann_ivfpq (same
-    schema); the 7-key level3-repair schema family (cleanse_order,
+    minhash_lsh_incremental, dedup_stream), the lsh_recall union
+    retires 2 (ann_lsh_recall, embedding_dedup_lsh_recall), and the
+    match_fill_exact union retires 2 (match_fill_exact,
+    match_incremental) → 43 remaining + 3 unions + 4 standalones
+    (shuffle_sequences, ann_ivfpq_trained, stratified_sample,
+    dsir_sample — NEW r14) = exactly 50.  Further slack if ever
+    needed: ann_ivfpq_trained can union with ann_ivfpq (same schema);
+    the 7-key level3-repair schema family (cleanse_order,
     fix_aggressor_order, reveal_episodes, insert_era, csv_roundtrip,
     merge_crossed_books, merge_episodes) all share one output schema
     and can union in pairs."""
@@ -2322,8 +2382,10 @@ def pending_queries() -> dict:
         "shuffle_sequences": _pq_shuffle_sequences,
         "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
         "stratified_sample": _pq_stratified_sample,
+        "dsir_sample": _pq_dsir_sample,
         "lsh_recall": _pq_lsh_recall_union,
         "minhash_pairs": _pq_minhash_pairs_union,
+        "match_fill_exact": _pq_match_fill_union,
     }
 
 
@@ -2343,12 +2405,14 @@ def pending_oracle_sql() -> dict[str, str]:
         "ann_ivfpq_trained": ann_ivfpq_oracle(train_pq=True),
         "stratified_sample": stratified_sample_oracle_sql(
             _MIX_FRACTIONS, "source"),
+        "dsir_sample": _pq_dsir_sample_oracle(),
         "lsh_recall": _pq_lsh_recall_union_oracle(full),
         # the union oracles compose the registered members' exact SQL
         "minhash_pairs": _variant_union_oracle(
             batch=full["minhash_lsh"],
             incremental=full["minhash_lsh_incremental"],
             stream=full["dedup_stream"]),
+        "match_fill_exact": _pq_match_fill_union_oracle(full),
     }
 
 

@@ -36,13 +36,20 @@ SAMPLE_BITS = 60
 _SCALE = 1 << SAMPLE_BITS
 
 
-def sample_key(key_col: str, salt: str) -> Column:
-    """The 60-bit sampling hash as a bigint column (``0 <= u < 2^60``)."""
+def sample_key_expr(key: Column, salt: str) -> Column:
+    """The 60-bit sampling hash over an arbitrary key EXPRESSION
+    (``0 <= u < 2^60``) — one definition shared by the row samplers
+    below and by consumers hashing derived keys (dsir's n-gram
+    buckets), so the md5/60-bit convention cannot fork."""
     return F.conv(
         F.substring(
-            F.md5(F.concat_ws("#", F.lit(salt),
-                              F.col(key_col).cast("string"))), 1, 15),
+            F.md5(F.concat_ws("#", F.lit(salt), key.cast("string"))), 1, 15),
         16, 10).cast("bigint")
+
+
+def sample_key(key_col: str, salt: str) -> Column:
+    """The 60-bit sampling hash as a bigint column (``0 <= u < 2^60``)."""
+    return sample_key_expr(F.col(key_col), salt)
 
 
 def _threshold(fraction: float) -> int:

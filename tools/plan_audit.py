@@ -74,6 +74,12 @@ ALLOWED_BNLJ = {
         "one ONE-ROW broadcast crossJoin per curve variant: the corpus "
         "min/max stats frame every bucket expression scales against "
         "(sources/layout.py zorder_keys) — bounded by construction",
+    "dsir_sample":
+        "ONE-ROW broadcast crossJoins only: the raw/target gram totals "
+        "(surprisal denominators, the bigram_rarity shape) and the "
+        "corpus max-weight shift the accept race normalizes against — "
+        "all bounded by construction; the bucket-weight join itself is "
+        "an equi-join on bkt",
 }
 
 

@@ -546,6 +546,16 @@ def probe_staged(spark, emb_path: str, docs_path: str, work: str,
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     timed("ivfpq_query_k5", lambda: ann_ivfpq_query(spark, idx, q).count())
 
+    # DSIR (staged r15): two bucket censuses + a broadcast weight join
+    # + one doc-keyed agg + the pure-map accept race — expected ~linear
+    from obadiah_spark.pipelines.dsir import dsir_sample
+    from obadiah_spark.pipelines.sampling import hash_sample
+
+    d2 = docs.select("doc_id", "text")
+    timed("dsir_sample", lambda: dsir_sample(
+        d2, hash_sample(d2, 0.3, salt="dsir_target")
+        .select("doc_id", "text")).count())
+
     # production defaults: the corpus-count auto-shard rule sizes the
     # fold groups, so per-task memory stays flat as the corpus grows
     timed("render_sequences", lambda: render_sequences(docs)
