@@ -2357,6 +2357,44 @@ def _pq_dsir_sample_oracle() -> str:
     return dsir_sample_oracle_sql(target_sql)
 
 
+# ---- r16 capacity merges (staged a round early — the r16 window is
+# the 50 r14-window keys expiring with ZERO free slots, so the repair
+# family's shared level3 schema is the only room; these three 2→1
+# unions retire 6 members and free 3 slots for whatever r16 ships) ----
+
+
+def _pq_cleanse_union(spark, sf_dir):
+    """r16 capacity merge (2→1): the two Q5 staging-repair passes that
+    rewrite event order — pga_cleanse's event-order normalization and
+    the aggressor-creation-order fix — as one variant-tagged gate over
+    the shared level3 output schema; each branch keeps its exact
+    oracle."""
+    return _variant_union(
+        ("cleanse", _q_cleanse_order(spark, sf_dir)),
+        ("aggressor", _q_fix_aggressor(spark, sf_dir)),
+    )
+
+
+def _pq_reveal_era_union(spark, sf_dir):
+    """r16 capacity merge (2→1): reveal_episodes' episode recovery and
+    insert_level3_era's era split — both full-log level3 rewrites —
+    as one variant-tagged gate; each branch keeps its exact oracle."""
+    return _variant_union(
+        ("reveal", _q_reveal_episodes(spark, sf_dir)),
+        ("era", _q_insert_era(spark, sf_dir)),
+    )
+
+
+def _pq_merge_repairs_union(spark, sf_dir):
+    """r16 capacity merge (2→1): the two merge-class repairs —
+    merge_crossed_books and merge_episodes — as one variant-tagged
+    gate; each branch keeps its exact oracle."""
+    return _variant_union(
+        ("crossed", _q_merge_crossed_books(spark, sf_dir)),
+        ("episodes", _q_merge_episodes(spark, sf_dir)),
+    )
+
+
 def pending_queries() -> dict:
     """The staged r15 gates — same contract as queries(), invisible to
     the driver until moved there inside r15's first-50 window.  All
@@ -2372,13 +2410,19 @@ def pending_queries() -> dict:
     match_fill_exact union retires 2 (match_fill_exact,
     match_incremental) → 43 remaining + 3 unions + 4 standalones
     (shuffle_sequences, ann_ivfpq_trained, stratified_sample,
-    dsir_sample — NEW r14) = exactly 50.  Further slack if ever
-    needed: ann_ivfpq_trained can union with ann_ivfpq (same schema);
-    the 7-key level3-repair schema family (cleanse_order,
-    fix_aggressor_order, reveal_episodes, insert_era, csv_roundtrip,
-    merge_crossed_books, merge_episodes) all share one output schema
-    and can union in pairs."""
+    dsir_sample — NEW r14) = exactly 50.
+
+    r16 math — PRE-SOLVED a round early: the r16 window is the 50
+    r14-window keys expiring with zero free slots, so the three staged
+    repair-family unions below (cleanse_order ∪ fix_aggressor_order,
+    reveal_episodes ∪ insert_era, merge_crossed_books ∪
+    merge_episodes — all share the level3 output schema) retire 6
+    members → 44 remaining + 3 unions = 47, leaving **3 free slots**
+    for whatever r16 ships.  Further slack if ever needed:
+    ann_ivfpq_trained can union with ann_ivfpq (same schema);
+    csv_roundtrip shares the repair family's schema too."""
     return {
+        # r15 queue (register next round, exactly fills the window)
         "shuffle_sequences": _pq_shuffle_sequences,
         "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
         "stratified_sample": _pq_stratified_sample,
@@ -2386,6 +2430,10 @@ def pending_queries() -> dict:
         "lsh_recall": _pq_lsh_recall_union,
         "minhash_pairs": _pq_minhash_pairs_union,
         "match_fill_exact": _pq_match_fill_union,
+        # r16 reserve (capacity merges; register in r16's window)
+        "cleanse_order": _pq_cleanse_union,
+        "reveal_episodes": _pq_reveal_era_union,
+        "merge_crossed_books": _pq_merge_repairs_union,
     }
 
 
@@ -2413,6 +2461,15 @@ def pending_oracle_sql() -> dict[str, str]:
             incremental=full["minhash_lsh_incremental"],
             stream=full["dedup_stream"]),
         "match_fill_exact": _pq_match_fill_union_oracle(full),
+        # r16 reserve: the level3-repair schema family in pairs
+        "cleanse_order": _variant_union_oracle(
+            cleanse=full["cleanse_order"],
+            aggressor=full["fix_aggressor_order"]),
+        "reveal_episodes": _variant_union_oracle(
+            reveal=full["reveal_episodes"], era=full["insert_era"]),
+        "merge_crossed_books": _variant_union_oracle(
+            crossed=full["merge_crossed_books"],
+            episodes=full["merge_episodes"]),
     }
 
 
