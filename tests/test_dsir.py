@@ -96,6 +96,24 @@ def test_acceptance_is_weight_monotone(spark):
     assert rates.iloc[2] > rates.iloc[0]
 
 
+def test_empty_target_degrades_to_uniform(spark):
+    """An EMPTY target corpus carries no information: every weight
+    collapses to the neutral 0 (the NULL target total nulls the bucket
+    weights; the per-doc coalesce restores 0), and the race reduces to
+    plain hash_sample at base_fraction — graceful, not a crash."""
+    from obadiah_spark.pipelines.dsir import dsir_sample, dsir_weights
+
+    docs = spark.table("documents").select("doc_id", "text")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    w = dsir_weights(docs, empty).toPandas()
+    assert len(w) == docs.count()
+    assert (w.weight_bits == 0).all()
+    n = dsir_sample(docs, empty).count()
+    # uniform at base_fraction=0.5: a binomial(500, .5) stays well
+    # inside [150, 350]
+    assert 150 < n < 350
+
+
 def test_short_docs_carry_neutral_weight(spark):
     """Documents with fewer than two words have no bigram: n_grams=0,
     weight_bits=0 (the empty product), still present in the output."""
