@@ -2363,6 +2363,20 @@ def _pq_dsir_sample_oracle() -> str:
 # unions retire 6 members and free 3 slots for whatever r16 ships) ----
 
 
+def _pq_drop_boilerplate(spark, sf_dir):
+    """CCNet-style cross-document boilerplate line removal (NEW r14,
+    r16 candidate — fills one of the three slots the repair unions
+    free).  The fabric ships whitespace-flattened, so the gate pins
+    the word-window segmentation (line_words=12): the planted
+    duplicate documents share every aligned window, giving the census
+    real rows; the newline mode is pinned by
+    tests/test_boilerplate.py's fixture differential."""
+    from obadiah_spark.pipelines.docquality import drop_boilerplate
+
+    return drop_boilerplate(_docs(spark, sf_dir).select("doc_id", "text"),
+                            line_words=12)
+
+
 def _pq_cleanse_union(spark, sf_dir):
     """r16 capacity merge (2→1): the two Q5 staging-repair passes that
     rewrite event order — pga_cleanse's event-order normalization and
@@ -2417,8 +2431,9 @@ def pending_queries() -> dict:
     repair-family unions below (cleanse_order ∪ fix_aggressor_order,
     reveal_episodes ∪ insert_era, merge_crossed_books ∪
     merge_episodes — all share the level3 output schema) retire 6
-    members → 44 remaining + 3 unions = 47, leaving **3 free slots**
-    for whatever r16 ships.  Further slack if ever needed:
+    members → 44 remaining + 3 unions = 47, leaving **3 free slots**;
+    the staged drop_boilerplate standalone takes one (→ 48), leaving
+    2 for whatever else r16 ships.  Further slack if ever needed:
     ann_ivfpq_trained can union with ann_ivfpq (same schema);
     csv_roundtrip shares the repair family's schema too."""
     return {
@@ -2430,15 +2445,18 @@ def pending_queries() -> dict:
         "lsh_recall": _pq_lsh_recall_union,
         "minhash_pairs": _pq_minhash_pairs_union,
         "match_fill_exact": _pq_match_fill_union,
-        # r16 reserve (capacity merges; register in r16's window)
+        # r16 reserve (capacity merges + the new-operator candidate
+        # for one of the three slots they free)
         "cleanse_order": _pq_cleanse_union,
         "reveal_episodes": _pq_reveal_era_union,
         "merge_crossed_books": _pq_merge_repairs_union,
+        "drop_boilerplate": _pq_drop_boilerplate,
     }
 
 
 def pending_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for pending_queries(), keyed identically."""
+    from obadiah_spark.pipelines import docquality
     from obadiah_spark.pipelines.packing import (
         PACK_SHARDS,
         shuffle_sequences_oracle_sql,
@@ -2470,6 +2488,8 @@ def pending_oracle_sql() -> dict[str, str]:
         "merge_crossed_books": _variant_union_oracle(
             crossed=full["merge_crossed_books"],
             episodes=full["merge_episodes"]),
+        "drop_boilerplate": docquality.drop_boilerplate_oracle_sql(
+            line_words=12),
     }
 
 

@@ -596,6 +596,137 @@ FROM m GROUP BY doc_id
 """
 
 
+BOILERPLATE_MIN_DF = 2
+BOILERPLATE_LINE_WORDS = 12
+
+
+def drop_boilerplate(docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF,
+                     line_words: int | None = None,
+                     tok: DataFrame | None = None) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal (Wenzek et al.
+    2020 §4.1 — the paragraph-dedup pass every web pipeline runs before
+    quality filtering; RefinedWeb/Dolma inherit it): a LINE occurring
+    in at least ``min_df`` DISTINCT documents is boilerplate (nav
+    menus, cookie banners, footers), and every document is rebuilt
+    from its kept lines.
+
+    ``line_words=None`` splits on newlines — the shape web corpora
+    ship in; an int segments each document into fixed ``line_words``
+    word windows instead (for corpora stored whitespace-flattened,
+    like the driver fabric — the planted duplicate documents then
+    share every aligned window).  Output: one row per document —
+    ``(doc_id, n_lines, dropped_lines, clean_md5, clean_len)`` with
+    ``clean_md5``/``clean_len`` over the newline-rejoined kept lines
+    (the dup_spans normalized-rewrite precedent; an all-boilerplate
+    document coalesces to the empty string on both engines).
+
+    Scale shape (the dup_spans discipline): the line census and the
+    membership join run on a 128-bit line hash (two xxhash64 seeds —
+    16 B per line crossing the shuffle instead of whole paragraphs),
+    census = one hash-keyed groupBy with a distinct-doc count, rebuild
+    = one doc-keyed aggregation.  Nothing is all-pairs."""
+    if line_words is None:
+        lines = (docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n"))
+             .alias("line_no", "line"))
+            .withColumn("line", F.trim("line"))
+            .filter(F.length("line") > 0))
+    else:
+        if tok is None:
+            tok = _words(docs.select("doc_id", "text"))
+        lines = (tok.withColumn(
+            "line_no", (F.col("pos") / F.lit(line_words))
+            .cast("long"))
+            .groupBy("doc_id", "line_no")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"]), " ").alias("line")))
+    hashed = lines.select(
+        "doc_id", "line_no", "line",
+        F.xxhash64("line").alias("lh"),
+        F.xxhash64(F.lit(1), F.col("line")).alias("lh2"))
+    census = (hashed.groupBy("lh", "lh2")
+              .agg(F.countDistinct("doc_id").alias("df"))
+              .filter(F.col("df") >= min_df).select("lh", "lh2"))
+    marked = (hashed.join(census.withColumn("bp", F.lit(True)),
+                          ["lh", "lh2"], "left")
+              .withColumn("bp", F.coalesce("bp", F.lit(False))))
+    kept = F.when(~F.col("bp"), F.struct("line_no", "line"))
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).alias("dropped_lines"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)),
+                        lambda s: s["line"]), "\n").alias("clean"))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                    F.coalesce("dropped_lines", F.lit(0))
+                    .alias("dropped_lines"),
+                    F.md5(F.coalesce("clean", F.lit("")))
+                    .alias("clean_md5"),
+                    F.length(F.coalesce("clean", F.lit("")))
+                    .alias("clean_len")))
+
+
+def drop_boilerplate_oracle_sql(min_df: int = BOILERPLATE_MIN_DF,
+                                line_words: int | None = None,
+                                table: str = "documents") -> str:
+    """DuckDB replica — same segmentation, census rule, and rewrite
+    (census on the raw line text: DuckDB has no xxhash64, and hashing
+    is a Spark-side shuffle-width optimization, value-invariant absent
+    collisions — the dup_spans precedent)."""
+    if line_words is None:
+        seg = f"""
+    SELECT doc_id, line_no, line FROM (
+        SELECT doc_id,
+               trim(unnest(string_split(text, chr(10)))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) - 1
+                 AS line_no
+        FROM {table}
+    ) raw WHERE length(line) > 0"""
+    else:
+        seg = f"""
+    SELECT doc_id, CAST(pos // {line_words} AS BIGINT) AS line_no,
+           string_agg(w, ' ' ORDER BY pos) AS line
+    FROM (
+        SELECT doc_id, u.w, u.pos FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
+                   generate_subscripts(
+                       string_split_regex(text, '{WS_CLASS}'), 1) - 1
+                     AS pos
+            FROM {table}
+        ) u WHERE length(u.w) > 0
+    ) tok GROUP BY doc_id, pos // {line_words}"""
+    return f"""
+WITH lines AS ({seg}
+), census AS (
+    SELECT line FROM lines GROUP BY line
+    HAVING count(DISTINCT doc_id) >= {min_df}
+), marked AS (
+    SELECT l.doc_id, l.line_no, l.line,
+           c.line IS NOT NULL AS bp
+    FROM lines l LEFT JOIN census c ON l.line = c.line
+), agg AS (
+    SELECT doc_id,
+           count(*) AS n_lines,
+           sum(CASE WHEN bp THEN 1 ELSE 0 END) AS dropped_lines,
+           COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                    FILTER (WHERE NOT bp), '') AS clean
+    FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.dropped_lines, 0) AS BIGINT) AS dropped_lines,
+       md5(COALESCE(a.clean, '')) AS clean_md5,
+       CAST(length(COALESCE(a.clean, '')) AS INT) AS clean_len
+FROM {table} d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
                    bench_mod: int = 20, decontam_n: int = 4,
                    dup_n: int = DUP_NGRAM_N,

@@ -556,6 +556,17 @@ def probe_staged(spark, emb_path: str, docs_path: str, work: str,
         d2, hash_sample(d2, 0.3, salt="dsir_target")
         .select("doc_id", "text")).count())
 
+    # boilerplate removal (staged r16): hashed line census + membership
+    # join + doc-keyed rebuild — the dup_spans shuffle shape
+    from obadiah_spark.pipelines.docquality import drop_boilerplate
+
+    # agg over the rewrite columns, NOT count(): the output's left
+    # join from docs is 1:1, so count() lets Catalyst prune the whole
+    # census subtree and times nothing
+    timed("drop_boilerplate", lambda: drop_boilerplate(
+        d2, line_words=12).agg(
+            F.max("clean_md5"), F.sum("dropped_lines")).collect() and 1)
+
     # production defaults: the corpus-count auto-shard rule sizes the
     # fold groups, so per-task memory stays flat as the corpus grows
     timed("render_sequences", lambda: render_sequences(docs)
