@@ -2377,6 +2377,25 @@ def _pq_drop_boilerplate(spark, sf_dir):
                             line_words=12)
 
 
+def _pq_cluster_sample(spark, sf_dir):
+    """Cluster-balanced subsampling (NEW r14, r16 candidate): keep the
+    per_cell=20 lowest-hash vectors of every IVF cell — topic
+    balancing composed from the verified IVF assignment and the shared
+    60-bit hash.  Reuses the session's trained coarse codebook like
+    ann_ivfpq/semdedup."""
+    from obadiah_spark.pipelines.sampling import cluster_balanced_sample
+    from obadiah_spark.pipelines.similarity import train_ivf_codebook
+
+    _load(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(
+            spark.table("embeddings"))
+    return cluster_balanced_sample(spark.table("embeddings"), 20,
+                                   codebook=cb)
+
+
 def _pq_cleanse_union(spark, sf_dir):
     """r16 capacity merge (2→1): the two Q5 staging-repair passes that
     rewrite event order — pga_cleanse's event-order normalization and
@@ -2432,8 +2451,9 @@ def pending_queries() -> dict:
     reveal_episodes ∪ insert_era, merge_crossed_books ∪
     merge_episodes — all share the level3 output schema) retire 6
     members → 44 remaining + 3 unions = 47, leaving **3 free slots**;
-    the staged drop_boilerplate standalone takes one (→ 48), leaving
-    2 for whatever else r16 ships.  Further slack if ever needed:
+    the staged drop_boilerplate and cluster_sample standalones take
+    two (→ 49), leaving 1 for whatever else r16 ships.  Further slack
+    if ever needed:
     ann_ivfpq_trained can union with ann_ivfpq (same schema);
     csv_roundtrip shares the repair family's schema too."""
     return {
@@ -2451,12 +2471,14 @@ def pending_queries() -> dict:
         "reveal_episodes": _pq_reveal_era_union,
         "merge_crossed_books": _pq_merge_repairs_union,
         "drop_boilerplate": _pq_drop_boilerplate,
+        "cluster_sample": _pq_cluster_sample,
     }
 
 
 def pending_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for pending_queries(), keyed identically."""
     from obadiah_spark.pipelines import docquality
+    from obadiah_spark.pipelines import sampling as sampling_mod
     from obadiah_spark.pipelines.packing import (
         PACK_SHARDS,
         shuffle_sequences_oracle_sql,
@@ -2490,6 +2512,7 @@ def pending_oracle_sql() -> dict[str, str]:
             episodes=full["merge_episodes"]),
         "drop_boilerplate": docquality.drop_boilerplate_oracle_sql(
             line_words=12),
+        "cluster_sample": sampling_mod.cluster_balanced_sample_oracle_sql(20),
     }
 
 

@@ -80,6 +80,11 @@ ALLOWED_BNLJ = {
         "corpus max-weight shift the accept race normalizes against — "
         "all bounded by construction; the bucket-weight join itself is "
         "an equi-join on bkt",
+    "cluster_sample":
+        "the IVF coarse-quantization crossJoin against the broadcast "
+        "n_cells-row codebook (_rank_cells — the same O(n x n_cells) "
+        "scoring pass the allowed ANN gates run), bounded by the "
+        "codebook size",
 }
 
 

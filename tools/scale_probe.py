@@ -567,6 +567,13 @@ def probe_staged(spark, emb_path: str, docs_path: str, work: str,
         d2, line_words=12).agg(
             F.max("clean_md5"), F.sum("dropped_lines")).collect() and 1)
 
+    # cluster-balanced subsampling (staged r16): broadcast codebook
+    # scoring + ONE cell-partitioned window; reuses the probe codebook
+    from obadiah_spark.pipelines.sampling import cluster_balanced_sample
+
+    timed("cluster_sample", lambda: cluster_balanced_sample(
+        emb, 20, codebook=cbd["cb"]).count())
+
     # production defaults: the corpus-count auto-shard rule sizes the
     # fold groups, so per-task memory stays flat as the corpus grows
     timed("render_sequences", lambda: render_sequences(docs)
