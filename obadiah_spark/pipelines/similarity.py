@@ -1018,7 +1018,8 @@ def write_ivfpq_index(emb: DataFrame, path: str,
                       train_max: int = IVF_TRAIN_MAX, m: int = PQ_M,
                       ksub: int = PQ_KSUB, dim: int = PQ_DIM,
                       train_pq: bool = True,
-                      train_emb: DataFrame | None = None) -> None:
+                      train_emb: DataFrame | None = None,
+                      codebook: DataFrame | None = None) -> None:
     """Build the full IVF-PQ index at ``path``: ``codebook/`` (n_cells
     rows), ``subcodebook/`` (m × ksub rows, Lloyd-trained by default),
     and ``vectors/`` — one row per vector with its raw embedding (for
@@ -1033,14 +1034,26 @@ def write_ivfpq_index(emb: DataFrame, path: str,
     those frozen codebooks.  An index built over a subset with
     ``train_emb`` = the full set and then appended up to the full set
     is row-identical to a single-shot full build (pytest-pinned via
-    ``_encode_vectors`` being the one shared encode pass)."""
+    ``_encode_vectors`` being the one shared encode pass).
+
+    ``codebook`` skips the in-build coarse training and persists the
+    given frame as the index's ``codebook/`` instead — for sessions
+    that already trained one (the gate runners share a per-session
+    codebook across semdedup / ann_ivfpq / the index gates; Lloyd is
+    deterministic, so a codebook trained with the same knobs over the
+    same corpus is row-identical to what the build would derive)."""
     import os
 
     spark = emb.sparkSession
     tr = emb if train_emb is None else train_emb
-    cb = train_ivf_codebook(tr, os.path.join(path, "codebook"),
-                            n_cells, stride, iters, train_stride,
-                            train_max)
+    if codebook is not None:
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(path, "codebook"))
+        cb = spark.read.parquet(os.path.join(path, "codebook"))
+    else:
+        cb = train_ivf_codebook(tr, os.path.join(path, "codebook"),
+                                n_cells, stride, iters, train_stride,
+                                train_max)
     subcb = (pq_train_subcodebooks(tr, iters, stride, m, ksub, dim,
                                    train_stride, train_max)
              if train_pq else pq_subcodebooks(tr, stride, m, ksub, dim))

@@ -139,3 +139,23 @@ def test_append_in_chunks_equals_one_append(spark, sf_dir, tmp_path):
                          os.path.join(p, "vectors"))
                      .select("vec_id", "cell", "codes").collect()})
     assert rows[0] == rows[1]
+
+
+def test_prebuilt_codebook_build_is_identical(spark, sf_dir, tmp_path):
+    """write_ivfpq_index(codebook=) skips the in-build coarse training
+    and produces a byte-identical index: Lloyd is deterministic, so a
+    session-trained codebook over the same corpus/knobs IS the one the
+    build would derive (the gate runners share one per session)."""
+    from obadiah_spark.pipelines.similarity import (train_ivf_codebook,
+                                                    write_ivfpq_index)
+
+    emb = _emb(spark, sf_dir)
+    a, b = str(tmp_path / "idx_a"), str(tmp_path / "idx_b")
+    write_ivfpq_index(emb, a, train_pq=False)
+    write_ivfpq_index(emb, b, train_pq=False,
+                      codebook=train_ivf_codebook(emb))
+    for part in ("codebook", "subcodebook", "vectors"):
+        pa = spark.read.parquet(os.path.join(a, part))
+        pb = spark.read.parquet(os.path.join(b, part))
+        assert pa.exceptAll(pb).count() == 0
+        assert pb.exceptAll(pa).count() == 0
