@@ -600,31 +600,12 @@ BOILERPLATE_MIN_DF = 2
 BOILERPLATE_LINE_WORDS = 12
 
 
-def drop_boilerplate(docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF,
-                     line_words: int | None = None,
-                     tok: DataFrame | None = None) -> DataFrame:
-    """CCNet-style cross-document boilerplate removal (Wenzek et al.
-    2020 §4.1 — the paragraph-dedup pass every web pipeline runs before
-    quality filtering; RefinedWeb/Dolma inherit it): a LINE occurring
-    in at least ``min_df`` DISTINCT documents is boilerplate (nav
-    menus, cookie banners, footers), and every document is rebuilt
-    from its kept lines.
-
-    ``line_words=None`` splits on newlines — the shape web corpora
-    ship in; an int segments each document into fixed ``line_words``
-    word windows instead (for corpora stored whitespace-flattened,
-    like the driver fabric — the planted duplicate documents then
-    share every aligned window).  Output: one row per document —
-    ``(doc_id, n_lines, dropped_lines, clean_md5, clean_len)`` with
-    ``clean_md5``/``clean_len`` over the newline-rejoined kept lines
-    (the dup_spans normalized-rewrite precedent; an all-boilerplate
-    document coalesces to the empty string on both engines).
-
-    Scale shape (the dup_spans discipline): the line census and the
-    membership join run on a 128-bit line hash (two xxhash64 seeds —
-    16 B per line crossing the shuffle instead of whole paragraphs),
-    census = one hash-keyed groupBy with a distinct-doc count, rebuild
-    = one doc-keyed aggregation.  Nothing is all-pairs."""
+def _boilerplate_marked(docs: DataFrame, min_df: int,
+                        line_words: int | None,
+                        tok: DataFrame | None) -> DataFrame:
+    """(doc_id, line_no, line, bp) — every non-empty line with its
+    boilerplate verdict; the shared core of :func:`drop_boilerplate`
+    and :func:`boilerplate_rewrite`."""
     if line_words is None:
         lines = (docs.select(
             "doc_id",
@@ -650,9 +631,56 @@ def drop_boilerplate(docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF,
     census = (hashed.groupBy("lh", "lh2")
               .agg(F.countDistinct("doc_id").alias("df"))
               .filter(F.col("df") >= min_df).select("lh", "lh2"))
-    marked = (hashed.join(census.withColumn("bp", F.lit(True)),
-                          ["lh", "lh2"], "left")
-              .withColumn("bp", F.coalesce("bp", F.lit(False))))
+    return (hashed.join(census.withColumn("bp", F.lit(True)),
+                        ["lh", "lh2"], "left")
+            .withColumn("bp", F.coalesce("bp", F.lit(False)))
+            .select("doc_id", "line_no", "line", "bp"))
+
+
+def boilerplate_rewrite(docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF,
+                        line_words: int | None = None,
+                        tok: DataFrame | None = None) -> DataFrame:
+    """(doc_id, text) — each document rebuilt from its kept lines (the
+    composition form :func:`corpus_prepare` consumes; an
+    all-boilerplate or empty document carries the empty string, which
+    the downstream quality stage then drops on its word bounds)."""
+    marked = _boilerplate_marked(docs, min_df, line_words, tok)
+    kept = F.when(~F.col("bp"), F.struct("line_no", "line"))
+    agg = marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)),
+                        lambda s: s["line"]), "\n").alias("text"))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text", F.lit("")).alias("text")))
+
+
+def drop_boilerplate(docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF,
+                     line_words: int | None = None,
+                     tok: DataFrame | None = None) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal (Wenzek et al.
+    2020 §4.1 — the paragraph-dedup pass every web pipeline runs before
+    quality filtering; RefinedWeb/Dolma inherit it): a LINE occurring
+    in at least ``min_df`` DISTINCT documents is boilerplate (nav
+    menus, cookie banners, footers), and every document is rebuilt
+    from its kept lines.
+
+    ``line_words=None`` splits on newlines — the shape web corpora
+    ship in; an int segments each document into fixed ``line_words``
+    word windows instead (for corpora stored whitespace-flattened,
+    like the driver fabric — the planted duplicate documents then
+    share every aligned window).  Output: one row per document —
+    ``(doc_id, n_lines, dropped_lines, clean_md5, clean_len)`` with
+    ``clean_md5``/``clean_len`` over the newline-rejoined kept lines
+    (the dup_spans normalized-rewrite precedent; an all-boilerplate
+    document coalesces to the empty string on both engines).
+
+    Scale shape (the dup_spans discipline): the line census and the
+    membership join run on a 128-bit line hash (two xxhash64 seeds —
+    16 B per line crossing the shuffle instead of whole paragraphs),
+    census = one hash-keyed groupBy with a distinct-doc count, rebuild
+    = one doc-keyed aggregation.  Nothing is all-pairs."""
+    marked = _boilerplate_marked(docs, min_df, line_words, tok)
     kept = F.when(~F.col("bp"), F.struct("line_no", "line"))
     agg = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -669,6 +697,53 @@ def drop_boilerplate(docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF,
                     .alias("clean_md5"),
                     F.length(F.coalesce("clean", F.lit("")))
                     .alias("clean_len")))
+
+
+def _boilerplate_rewrite_sql(src: str, min_df: int,
+                             line_words: int | None) -> str:
+    """DuckDB replica of :func:`boilerplate_rewrite` over ``src`` —
+    yields (doc_id, text) with the kept-lines rejoined text; shared by
+    the standalone oracle and corpus_prepare's optional stage."""
+    if line_words is None:
+        seg = f"""
+        SELECT doc_id, line_no, line FROM (
+            SELECT doc_id,
+                   trim(unnest(string_split(text, chr(10)))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) - 1
+                     AS line_no
+            FROM {src}
+        ) raw WHERE length(line) > 0"""
+    else:
+        seg = f"""
+        SELECT doc_id, CAST(pos // {line_words} AS BIGINT) AS line_no,
+               string_agg(w, ' ' ORDER BY pos) AS line
+        FROM (
+            SELECT doc_id, u.w, u.pos FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
+                       generate_subscripts(
+                           string_split_regex(text, '{WS_CLASS}'), 1) - 1
+                         AS pos
+                FROM {src}
+            ) u WHERE length(u.w) > 0
+        ) tok GROUP BY doc_id, pos // {line_words}"""
+    return f"""
+    SELECT d.doc_id, COALESCE(a.text, '') AS text FROM {src} d
+    LEFT JOIN (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_no)
+                   FILTER (WHERE NOT bp) AS text
+        FROM (
+            SELECT l.doc_id, l.line_no, l.line,
+                   c.line IS NOT NULL AS bp
+            FROM ({seg}
+            ) l LEFT JOIN (
+                SELECT line FROM ({seg}
+                ) cl GROUP BY line
+                HAVING count(DISTINCT doc_id) >= {min_df}
+            ) c ON l.line = c.line
+        ) m GROUP BY doc_id
+    ) a ON d.doc_id = a.doc_id"""
 
 
 def drop_boilerplate_oracle_sql(min_df: int = BOILERPLATE_MIN_DF,
@@ -733,7 +808,9 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
                    budget: int | None = None,
                    n_shards: int | None = None,
                    sample_fraction: float | None = None,
-                   sample_salt: str = "mix") -> DataFrame:
+                   sample_salt: str = "mix",
+                   boilerplate_min_df: int | None = None,
+                   boilerplate_line_words: int | None = None) -> DataFrame:
     """The COMPLETE training-data preparation pass, raw documents →
     packed training sequences: exact dedup ∘ Gopher quality ∘ benchmark
     decontamination ∘ PII scrub ∘ next-fit sequence packing — every
@@ -754,6 +831,15 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
     down-sampling a mixing recipe applies per source, placed BEFORE the
     regex pass so dropped docs never pay it.  None disables the stage.
 
+    ``boilerplate_min_df`` inserts :func:`boilerplate_rewrite` as the
+    FIRST training-side stage (the CCNet order: strip cross-document
+    boilerplate lines before dedup/quality see the text, so shared
+    footers neither fingerprint two different articles apart nor pad
+    their quality signals); the benchmark side stays raw — decontam
+    tests the text training will actually consume against the
+    benchmark as published.  None disables the stage (the gate
+    default).
+
     Scan discipline (corpus_clean precedent): the projected corpus and
     the token frame are localCheckpoint'd once; dedup/gopher/decontam/
     scrub all read executor-local blocks.  The scrub output is
@@ -773,6 +859,12 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
         bench, train = d.filter(pm == 0), d.filter(pm != 0)
     else:
         train = d
+    if boilerplate_min_df is not None:
+        # one extra checkpoint when the stage is on: the rewritten
+        # text feeds tok, dedup, gopher, decontam, and the scrub join
+        train = boilerplate_rewrite(
+            train, boilerplate_min_df,
+            boilerplate_line_words).localCheckpoint()
     tok = _words(train).localCheckpoint()
     surv = (
         exact_dedup(train).select("doc_id", "is_duplicate")
@@ -819,11 +911,17 @@ def corpus_prepare_oracle_sql(bench_mod: int = 20, decontam_n: int = 4,
                               budget: int | None = None,
                               n_shards: int | None = None,
                               sample_fraction: float | None = None,
-                              sample_salt: str = "mix") -> str:
+                              sample_salt: str = "mix",
+                              boilerplate_min_df: int | None = None,
+                              boilerplate_line_words: int | None = None
+                              ) -> str:
     """DuckDB replica of the full composition: each stage is the exact
     oracle its standalone gate carries (the gopher SQL runs as a
     subquery over the ``train`` CTE), with the pack recursion walking
-    the scrubbed survivors in doc_id order."""
+    the scrubbed survivors in doc_id order.  ``boilerplate_min_df``
+    mirrors the operator's optional first stage: the ``train`` CTE
+    becomes the kept-lines rewrite and decontam's gram source reads
+    bench raw ∪ train rewritten."""
     from obadiah_spark.pipelines.packing import PACK_BUDGET, PACK_SHARDS
 
     budget = PACK_BUDGET if budget is None else budget
@@ -832,13 +930,33 @@ def corpus_prepare_oracle_sql(bench_mod: int = 20, decontam_n: int = 4,
     m = bench_mod
     em, ip, ph = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
     gopher = gopher_quality_oracle_sql(dup_n, table="train")
-    return f"""
+    if boilerplate_min_df is None:
+        dgram_src = "split"
+        head = f"""
 WITH RECURSIVE split AS (
     SELECT doc_id, ((doc_id % {m}) + {m}) % {m} = 0 AS is_bench, text
     FROM documents
 ), train AS (
     SELECT doc_id, text FROM split WHERE NOT is_bench
-), dd AS (
+), dd AS ("""
+    else:
+        # decontam reads bench raw ∪ train REWRITTEN — the text
+        # training will actually consume (mirrors the operator)
+        dgram_src = ("(SELECT doc_id, is_bench, text FROM split "
+                     "WHERE is_bench UNION ALL "
+                     "SELECT doc_id, FALSE AS is_bench, text "
+                     "FROM train) dsrc")
+        head = f"""
+WITH RECURSIVE split AS (
+    SELECT doc_id, ((doc_id % {m}) + {m}) % {m} = 0 AS is_bench, text
+    FROM documents
+), raw_train AS (
+    SELECT doc_id, text FROM split WHERE NOT is_bench
+), train AS (
+{_boilerplate_rewrite_sql("raw_train", boilerplate_min_df,
+                          boilerplate_line_words)}
+), dd AS ("""
+    return head + f"""
     SELECT doc_id,
            doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
     FROM (
@@ -852,7 +970,7 @@ WITH RECURSIVE split AS (
     SELECT doc_id, is_bench,
            list_filter(string_split_regex(text, '{WS_CLASS}'),
                        w -> length(w) > 0) AS ws
-    FROM split
+    FROM {dgram_src}
 ), dpos AS (
     SELECT doc_id, is_bench, ws,
            unnest(generate_series(1, greatest(len(ws) - {n} + 1, 0))) AS i

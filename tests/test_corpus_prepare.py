@@ -115,6 +115,32 @@ def test_prepare_mixing_stage(spark, sf_dir, duck):
     assert canonicalize(mixed).equals(canonicalize(want))
 
 
+def test_prepare_boilerplate_stage(spark, sf_dir, duck):
+    """boilerplate_min_df inserts the CCNet rewrite as the FIRST
+    training-side stage: the planted duplicate docs lose their shared
+    word windows before dedup/quality run, decontam reads bench raw ∪
+    train rewritten, and the chained oracle reproduces the packed row
+    set exactly.  The default path stays byte-identical SQL (the
+    registered gate's hash cannot move)."""
+    from obadiah_spark.pipelines.docquality import (
+        corpus_prepare, corpus_prepare_oracle_sql)
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = corpus_prepare(docs, n_shards=PACK_SHARDS).toPandas()
+    bp = corpus_prepare(docs, boilerplate_min_df=2,
+                        boilerplate_line_words=12,
+                        n_shards=PACK_SHARDS).toPandas()
+    want = duck.execute(corpus_prepare_oracle_sql(
+        boilerplate_min_df=2, boilerplate_line_words=12)).df()
+    assert canonicalize(bp).equals(canonicalize(want))
+    # the stage did something: some md5s differ from the raw run's
+    merged = bp.merge(full, on="doc_id", suffixes=("_bp", "_raw"))
+    assert len(merged) > 0
+    assert (merged.redacted_md5_bp != merged.redacted_md5_raw).any()
+
+
 def test_render_sequences_materializes_the_artifact(spark, sf_dir, duck):
     """render_sequences: the per-sequence artifact (member count, token
     total, byte-exact content md5) hash-matches the recursive pack
