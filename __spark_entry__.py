@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -52,6 +52,51 @@ def _gate_tmpdir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+def _write_one_chunk(df: DataFrame, work: str, src: str, idx: int,
+                     mtime: float) -> None:
+    """Write one replay chunk file EXECUTOR-side (coalesce(1) parquet,
+    renamed to its slot) with a pinned mtime — file streams replay in
+    mtime order; same-ms ties reorder micro-batches, so the stamps are
+    strictly increasing."""
+    import os
+
+    out = os.path.join(work, f"_chunk{idx}")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+    p = os.path.join(src, f"{idx:03d}.parquet")
+    os.replace(os.path.join(out, part), p)
+    os.utime(p, (mtime, mtime))
+
+
+def _write_replay_chunks(df: DataFrame, order_cols: list[str], work: str,
+                         chunks: int = 3, subdir: str = "src") -> str:
+    """Author a streaming gate's mtime-ordered replay files without a
+    driver collect (VERDICT r14 cosmetic #3): rows ranked on
+    ``order_cols`` split into ceil(n/chunks)-row files via
+    executor-side writes.  The single-partition rank window is the
+    global replay order the gate contract needs, bounded to the gate
+    fabric (≤ tens of thousands of rows — operator inputs never pass
+    through here)."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    n = df.count()
+    per = (n + chunks - 1) // chunks
+    ranked = df.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(*order_cols)))
+    src = os.path.join(work, subdir)
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i in range(chunks):
+        chunk = (ranked.filter((F.col("_rn") > i * per)
+                               & (F.col("_rn") <= (i + 1) * per))
+                 .drop("_rn").sortWithinPartitions(*order_cols))
+        _write_one_chunk(chunk, work, src, i, now + 10 * i)
+    return src
 
 
 # keyed by the live session object, not id() (see _CKPT_SILVER note)
@@ -280,33 +325,14 @@ def _q_dedup_stream(spark, sf_dir):
     (signature arithmetic, state carry across micro-batches, and the
     pair fan-out). First streaming-replay gate in the registry."""
     import os
-    import time
     import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from obadiah_spark.streaming.dedup_stream import minhash_lsh_stream
 
-    docs = sorted(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .select("doc_id", "text").collect())
     work = _gate_tmpdir("dedup_stream_gate_")
-    src = os.path.join(work, "docs")
-    os.makedirs(src)
-    per = (len(docs) + 2) // 3
-    now = time.time()
-    for i in range(3):
-        chunk = docs[i * per:(i + 1) * per]
-        tbl = pa.table({
-            "doc_id": pa.array([r.doc_id for r in chunk], pa.int64()),
-            "text": pa.array([r.text for r in chunk], pa.string()),
-        })
-        p = os.path.join(src, f"{i:03d}.parquet")
-        pq.write_table(tbl, p)
-        # file streams replay in mtime order; same-ms ties reorder
-        # micro-batches (verify-skill gotcha) — pin strictly increasing
-        os.utime(p, (now + 10 * i, now + 10 * i))
+    src = _write_replay_chunks(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text"), ["doc_id"], work, subdir="docs")
     # one file per trigger = ONE input partition per micro-batch; the
     # signature stage is the compute (md5 per shingle x seed), so spread
     # it — a per-batch shuffle of a few thousand short rows is noise
@@ -339,43 +365,27 @@ def _q_sessionize_stream(spark, sf_dir):
     import time
     import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
     from obadiah_spark.streaming.sessionize_stream import (
         EVENTS_IN_SCHEMA, sessionize_stream)
 
     _load(spark, sf_dir)
-    rows = sorted(
-        ((int(r.ts_us), int(r.event_id), int(r.user_id),
-          None if r.value is None else float(r.value))
-         for r in spark.table("events").select(
-             "event_id", F.unix_micros("ts").alias("ts_us"),
-             "user_id", "value").collect()))
-    users = sorted({r[2] for r in rows})
-    last = rows[-1][0]
-    chunks = 3
-    per = (len(rows) + chunks - 1) // chunks
-    parts = [rows[i * per:(i + 1) * per] for i in range(chunks)]
-    # flush sentinels (event_id < 0) in a final batch, one per user,
-    # timestamped past every event so they close the open sessions
-    parts.append([(last + 1, -1 - u, u, 0.0) for u in users])
+    ev = spark.table("events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        F.col("value").cast("double").alias("value"))
     work = _gate_tmpdir("sess_stream_gate_")
-    src = os.path.join(work, "events")
-    os.makedirs(src)
-    now = time.time()
-    for i, part in enumerate(parts):
-        tbl = pa.table({
-            "event_id": pa.array([r[1] for r in part], pa.int64()),
-            "ts_us": pa.array([r[0] for r in part], pa.int64()),
-            "user_id": pa.array([r[2] for r in part], pa.int64()),
-            "value": pa.array([r[3] for r in part], pa.float64()),
-        })
-        p = os.path.join(src, f"{i:03d}.parquet")
-        pq.write_table(tbl, p)
-        # strictly increasing mtimes pin micro-batch replay order
-        os.utime(p, (now + 10 * i, now + 10 * i))
+    src = _write_replay_chunks(ev, ["ts_us", "event_id"], work,
+                               subdir="events")
+    # flush sentinels (event_id < 0) in a final batch, one per user,
+    # timestamped past every event so they close the open sessions;
+    # the one-row max side broadcasts (bounded NLJ, the dsir pattern)
+    sentinels = (
+        ev.select("user_id").distinct()
+        .crossJoin(ev.agg(F.max("ts_us").alias("_last")))
+        .select((-1 - F.col("user_id")).alias("event_id"),
+                (F.col("_last") + 1).alias("ts_us"), "user_id",
+                F.lit(0.0).alias("value"))
+        .coalesce(1).sortWithinPartitions("user_id"))
+    _write_one_chunk(sentinels, work, src, 3, time.time() + 30)
     stream = (spark.readStream.schema(EVENTS_IN_SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = f"sess_stream_{uuid.uuid4().hex[:8]}"
@@ -399,34 +409,16 @@ def _q_embedding_dedup_stream(spark, sf_dir):
     and cosines from the md5-seeded plane weights, exactly like the
     batch ann_lsh_pairs gate."""
     import os
-    import time
     import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from obadiah_spark.streaming.dedup_stream import embedding_dedup_stream
 
-    rows = sorted(
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in spark.read.parquet(
-            os.path.join(sf_dir, "embeddings.parquet")).collect())
     work = _gate_tmpdir("emb_stream_gate_")
-    src = os.path.join(work, "emb")
-    os.makedirs(src)
-    per = (len(rows) + 2) // 3
-    now = time.time()
-    for i in range(3):
-        chunk = rows[i * per:(i + 1) * per]
-        tbl = pa.table({
-            "vec_id": pa.array([r[0] for r in chunk], pa.int64()),
-            # float32 elements: the source table's physical type
-            "embedding": pa.array([r[1] for r in chunk],
-                                  pa.list_(pa.float32())),
-        })
-        p = os.path.join(src, f"{i:03d}.parquet")
-        pq.write_table(tbl, p)
-        os.utime(p, (now + 10 * i, now + 10 * i))
+    # float32 embedding elements survive verbatim: the chunk writer
+    # re-writes the source table's own physical type
+    src = _write_replay_chunks(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding"), ["vec_id"], work, subdir="emb")
     stream = (spark.readStream.schema("vec_id long, embedding array<float>")
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = f"emb_stream_{uuid.uuid4().hex[:8]}"
@@ -461,33 +453,14 @@ def _q_corpus_clean_stream(spark, sf_dir):
     covers the fingerprint state carry, the eviction-free dedup, and
     the composed scrub byte-exactly."""
     import os
-    import time
     import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from obadiah_spark.streaming.corpus_stream import run_corpus_clean_stream
 
-    docs = sorted(
-        (int(r.doc_id), r.text)
-        for r in spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet"))
-        .select("doc_id", "text").collect())
     work = _gate_tmpdir("cc_stream_gate_")
-    src = os.path.join(work, "docs")
-    os.makedirs(src)
-    per = (len(docs) + 2) // 3
-    now = time.time()
-    for i in range(3):
-        chunk = docs[i * per:(i + 1) * per]
-        tbl = pa.table({
-            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
-            "text": pa.array([r[1] for r in chunk], pa.string()),
-        })
-        p = os.path.join(src, f"{i:03d}.parquet")
-        pq.write_table(tbl, p)
-        os.utime(p, (now + 10 * i, now + 10 * i))
+    src = _write_replay_chunks(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text"), ["doc_id"], work, subdir="docs")
     name = f"cc_stream_{uuid.uuid4().hex[:8]}"
     run_corpus_clean_stream(spark, src, "doc_id long, text string",
                             os.path.join(work, "ckpt"), name)
@@ -1876,31 +1849,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (0) NEW r14 gates (never had a driver row — must sit inside
-        #    the window): the four staged standalones the r13 queue
-        #    pre-verified (VERDICT r13 #1), in its value order. ---------
+        # -- (0) NEW r15 gates (never had a driver row — must sit inside
+        #    the window): the three staged standalones the r14 queue
+        #    pre-verified (VERDICT r14 #1 fixed the fourth —
+        #    ann_ivfpq_trained registers as a union leg below). --------
+        "shuffle_sequences": _pq_shuffle_sequences,
+        "stratified_sample": _pq_stratified_sample,
+        "dsir_sample": _pq_dsir_sample,
+        # -- (0b) r15 capacity merges (staged + pre-verified in r14):
+        #    ann_ivfpq absorbs the Lloyd-trained-subcodebook variant
+        #    (NEW leg; retires the old standalone ann_ivfpq key),
+        #    lsh_recall fuses the two one-row recall bounds (retired:
+        #    ann_lsh_recall from the tail, embedding_dedup_lsh_recall
+        #    from the r14 window), minhash_pairs fuses the three
+        #    (doc_a, doc_b) MinHash gates (retired: minhash_lsh,
+        #    minhash_lsh_incremental, dedup_stream), match_fill_exact
+        #    absorbs its chunked scheduled-lifecycle replay (retired:
+        #    match_incremental).  Values changed (variant tag + union),
+        #    so each re-verifies in-window; every branch keeps its
+        #    retired key's exact oracle.  Net: 7 retired TAIL keys →
+        #    4 union slots = the window math below. -------------------
+        "ann_ivfpq": _pq_ann_ivfpq_union,
+        "lsh_recall": _pq_lsh_recall_union,
+        "minhash_pairs": _pq_minhash_pairs_union,
+        "match_fill_exact": _pq_match_fill_union,
+        # -- (1) rotated out of r14's 50 (last driver row: r13) — the
+        #    43 surviving tail keys fill the window so no entry's
+        #    driver row ages past two rounds.  Window math (corrected
+        #    per VERDICT r14 #1): 50 expiring − 7 retired tail members
+        #    (embedding_dedup_lsh_recall retires from the r14 WINDOW,
+        #    not the tail) + 4 unions + 3 new = exactly 50. -----------
+        "corpus_prepare": _q_corpus_prepare,
+        "near_dup_verify": _q_near_dup_verify,
+        "bpe_encode": _q_bpe_encode,
+        "chunk_documents": _q_chunk_documents,
+        "layout_keys": _q_layout_keys,  # zorder + hilbert union
+        "get_depth": _q_get_depth_merged,
+        "get_spread": _q_get_spread_merged,
+        "epsilon_draws": _q_epsilon_draws_merged,
+        "gopher_quality": _q_gopher_quality,
+        "pii_scrub": _q_pii_scrub,
+        "data_overview": _q_data_overview,
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_pairs": _q_ann_lsh,
+        "embedding_dedup": _q_embedding_dedup,
+        "export_events": _q_export,
+        "book_by_episode": _q_book_by_episode,
+        "depth_resample": _q_depth_resample,
+        "move_audit": _q_move_audit,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
+        "capture_raw_book": _q_capture_raw_book,
+        "episode_framing": _q_episode_framing,
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "inferred_trades": _q_inferred_trades,
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "chain_audit": _q_chain_audit,
+        "trading_strategy_rho": _q_trading_strategy_rho,
+        "lang_id_ngram": _q_lang_id_ngram,
+        "tokenize_regex": _q_tokenize_regex,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "match_sequential": _q_match_sequential,
+        "match_sweep": _q_match_sweep,
+        "multimodal_features": _q_multimodal,
+        # ---- slot 51+: r14 driver-green (CORRECTNESS_r14 rows), values
+        #      unchanged this round — they rotate back into the window
+        #      in r16 (embedding_dedup_lsh_recall alone retired into
+        #      the lsh_recall union above, so 49 keys expire there).
+        #      r16 math — PRE-SOLVED: the three staged repair-family
+        #      unions retire 6 of them → 43 remaining + 3 unions +
+        #      2 standalones (drop_boilerplate, cluster_sample) = 48,
+        #      two slots free (pending_queries() docstring). ----------
         "semdedup": _q_semdedup,
         "render_sequences": _q_render_sequences,
         "pack_stream": _q_pack_stream,
         "ann_ivfpq_query": _q_ann_ivfpq_query,
-        # -- (0b) r14 capacity merges (staged + pre-verified in r13):
-        #    order_book absorbs the checkpoint-seeded probe (retired:
-        #    order_book_ckpt), corpus_clean absorbs its streaming
-        #    replay (retired: corpus_clean_stream), wav_roundtrip
-        #    absorbs the NEW adpcm leg padded to the wav schema, spread
-        #    absorbs its period-boundary sampling overload (retired:
-        #    spread_periods).  Values changed (variant tag + union), so
-        #    each re-verifies in-window; every branch keeps its retired
-        #    key's exact oracle.  Net: 7 retired keys -> 4 union slots
-        #    = the window math below. --------------------------------
         "order_book": _q_order_book_union,
         "corpus_clean": _q_corpus_clean_union,
         "wav_roundtrip": _q_wav_adpcm_union,
         "spread": _q_spread_union,
-        # -- (1) rotated out of r13's 50 (last driver row: r12) — this
-        #    42-entry tail fills the window so no entry's driver row
-        #    ages past two rounds.  Window math: 49 expiring − 7
-        #    retired members + 4 unions + 4 new = exactly 50. ----------
         "sessionize_stream": _q_sessionize_stream,
         "embedding_dedup_stream": _q_embedding_dedup_stream,
         "dup_spans": _q_dup_spans,
@@ -1927,7 +1964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_events": _q_move_events,
         "move_trades": _q_move_trades,
         "staging_summary": _q_staging_summary,
-        "embedding_dedup_lsh_recall": _q_embedding_dedup_lsh_recall,
         "fix_chain_integrity": _q_fix_chain_integrity,
         "depth_change": _q_depth_change,
         "get_trades": _q_get_trades,
@@ -1943,66 +1979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
-        # ---- slot 51+: r13 driver-green (CORRECTNESS_r13 rows), values
-        #      unchanged this round — they rotate back into the window
-        #      in r15.  r15 window math — SOLVED (staged + pre-verified
-        #      in pending_queries()/pending_oracle_sql() below): these
-        #      50 keys expire together; the minhash_pairs union retires
-        #      3 of them (minhash_lsh, minhash_lsh_incremental,
-        #      dedup_stream) and the lsh_recall union retires 2
-        #      (ann_lsh_recall, embedding_dedup_lsh_recall) → 45
-        #      remaining + 2 unions + 3 standalones (shuffle_sequences,
-        #      ann_ivfpq_trained, stratified_sample) = exactly 50. -----
-        "corpus_prepare": _q_corpus_prepare,
-        "minhash_lsh_incremental": _q_minhash_lsh_incremental,
-        "near_dup_verify": _q_near_dup_verify,
-        "bpe_encode": _q_bpe_encode,
-        "chunk_documents": _q_chunk_documents,
-        "layout_keys": _q_layout_keys,  # zorder + hilbert union
-        "get_depth": _q_get_depth_merged,
-        "get_spread": _q_get_spread_merged,
-        "epsilon_draws": _q_epsilon_draws_merged,
-        "dedup_stream": _q_dedup_stream,
-        "gopher_quality": _q_gopher_quality,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "pii_scrub": _q_pii_scrub,
-        "data_overview": _q_data_overview,
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q_q3,
-        "q5_revenue_by_nation": _q_q5,
-        "topk_orders_per_customer": _q_topk,
-        "sessionize_events": _q_sessionize,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
-        "text_stats": _q_text_stats,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "embedding_dedup": _q_embedding_dedup,
-        "export_events": _q_export,
-        "book_by_episode": _q_book_by_episode,
-        "depth_resample": _q_depth_resample,
-        "move_audit": _q_move_audit,
-        "bs_capture_orders": _q_bs_capture_orders,
-        "capture_trades": _q_capture_trades,
-        "capture_raw_book": _q_capture_raw_book,
-        "episode_framing": _q_episode_framing,
-        "match_fill_exact": _q_match_fill_exact,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "inferred_trades": _q_inferred_trades,
-        "match_audit": _q_match_audit,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "chain_audit": _q_chain_audit,
-        "trading_strategy_rho": _q_trading_strategy_rho,
-        "lang_id_ngram": _q_lang_id_ngram,
-        "tokenize_regex": _q_tokenize_regex,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "match_sequential": _q_match_sequential,
-        "match_sweep": _q_match_sweep,
-        "multimodal_features": _q_multimodal,
-        "match_incremental": _q_match_incremental,
     }
 
 
@@ -2070,34 +2046,15 @@ def _q_pack_stream(spark, sf_dir):
     oracle is the batch pack recursion (tests/test_pack_stream.py
     differential)."""
     import os
-    import time
     import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from obadiah_spark.pipelines.packing import PACK_SHARDS
     from obadiah_spark.streaming.pack_stream import pack_stream
 
-    docs = sorted(
-        (int(r.doc_id), r.text)
-        for r in _docs(spark, sf_dir).select("doc_id", "text").collect())
     work = _gate_tmpdir("pack_stream_gate_")
-    src = os.path.join(work, "docs")
-    os.makedirs(src)
-    per = (len(docs) + 2) // 3
-    now = time.time()
-    for i in range(3):
-        chunk = docs[i * per:(i + 1) * per]
-        tbl = pa.table({
-            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
-            "text": pa.array([r[1] for r in chunk], pa.string()),
-        })
-        p = os.path.join(src, f"{i:03d}.parquet")
-        pq.write_table(tbl, p)
-        # strictly increasing mtimes pin micro-batch replay order
-        # (file streams replay in mtime order; same-ms ties reorder)
-        os.utime(p, (now + 10 * i, now + 10 * i))
+    src = _write_replay_chunks(
+        _docs(spark, sf_dir).select("doc_id", "text"), ["doc_id"],
+        work, subdir="docs")
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = f"pack_stream_{uuid.uuid4().hex[:8]}"
@@ -2247,11 +2204,14 @@ def _pq_lsh_recall_union(spark, sf_dir):
     return _variant_union(("search", a), ("dedup", b))
 
 
-def _pq_lsh_recall_union_oracle(full: dict) -> str:
+def _pq_lsh_recall_union_oracle() -> str:
+    from obadiah_spark.pipelines import dedup
+    from obadiah_spark.pipelines.similarity import ann_lsh_recall_oracle
+
     a = (f"SELECT metric, n_strong AS n_pairs, recall_ge_0_5 FROM (\n"
-         f"{full['ann_lsh_recall']}\n)")
+         f"{ann_lsh_recall_oracle()}\n)")
     b = (f"SELECT metric, n_exact_dups AS n_pairs, recall_ge_0_5 FROM (\n"
-         f"{full['embedding_dedup_lsh_recall']}\n)")
+         f"{dedup.embedding_dedup_lsh_recall_oracle()}\n)")
     return _variant_union_oracle(search=a, dedup=b)
 
 
@@ -2278,8 +2238,8 @@ def _pq_ann_ivfpq_trained(spark, sf_dir):
     of write_ivfpq_index, now value-pinnable: ann_ivfpq_oracle(
     train_pq=True) replays the per-subspace training as a CTE chain
     (same fold-ordered means / argmin tiebreaks as the coarse codebook
-    chain).  r15 candidate; same output schema as ann_ivfpq, so it can
-    union with it at registration."""
+    chain).  Registers as the ``trained`` leg of the ann_ivfpq union
+    (same output schema as the base gate)."""
     from obadiah_spark.pipelines.similarity import (
         ann_ivfpq, pq_train_subcodebooks, train_ivf_codebook)
 
@@ -2292,6 +2252,28 @@ def _pq_ann_ivfpq_trained(spark, sf_dir):
     emb = spark.table("embeddings")
     return ann_ivfpq(emb, codebook=cb,
                      subcodebook=pq_train_subcodebooks(emb))
+
+
+def _pq_ann_ivfpq_union(spark, sf_dir):
+    """r15 capacity merge (2→1): the structured-quantizer ANN gate's two
+    sub-codebook modes — the fixed 4×4-bit grid (base, the retired
+    ann_ivfpq tail key) and Lloyd-trained sub-codebooks (the
+    write_ivfpq_index production default) — as one variant-tagged gate.
+    VERDICT r14 #1: ann_ivfpq is a tail key with the identical output
+    schema, so this union frees the window slot the staged plan was
+    over-subscribed by; each branch keeps its exact oracle."""
+    return _variant_union(
+        ("base", _q_ann_ivfpq(spark, sf_dir)),
+        ("trained", _pq_ann_ivfpq_trained(spark, sf_dir)),
+    )
+
+
+def _pq_ann_ivfpq_union_oracle() -> str:
+    from obadiah_spark.pipelines.similarity import ann_ivfpq_oracle
+
+    return _variant_union_oracle(
+        base=ann_ivfpq_oracle(),
+        trained=ann_ivfpq_oracle(train_pq=True))
 
 
 def _pq_shuffle_sequences(spark, sf_dir):
@@ -2324,11 +2306,24 @@ def _pq_match_fill_union(spark, sf_dir):
     return _variant_union(("oneshot", a), ("incremental", b))
 
 
-def _pq_match_fill_union_oracle(full: dict) -> str:
-    a = (f"SELECT *, 'exact' AS matcher FROM (\n"
-         f"{full['match_fill_exact']}\n) mfe")
-    return _variant_union_oracle(oneshot=a,
-                                 incremental=full["match_incremental"])
+def _pq_match_fill_union_oracle() -> str:
+    from obadiah_spark.operators.matching import match_fill_exact_oracle_sql
+    from obadiah_spark.synth import level3_matches_cte
+
+    one_shot = level3_matches_cte(match_fill_exact_oracle_sql())
+    a = f"SELECT *, 'exact' AS matcher FROM (\n{one_shot}\n) mfe"
+    return _variant_union_oracle(
+        oneshot=a,
+        incremental=level3_matches_cte(_match_incremental_oracle()))
+
+
+def _pq_minhash_pairs_union_oracle() -> str:
+    from obadiah_spark.pipelines import dedup
+
+    return _variant_union_oracle(
+        batch=dedup.MINHASH_LSH_ORACLE,
+        incremental=dedup.minhash_incremental_oracle_sql(new_mod=2),
+        stream=dedup.minhash_lsh_oracle(max_bucket_size=10_000))
 
 
 # DSIR gate fabric: the target corpus is a deterministic 30% hash
@@ -2386,6 +2381,37 @@ def _pq_drop_boilerplate(spark, sf_dir):
                             line_words=12)
 
 
+def _pq_exact_substr(spark, sf_dir):
+    """ExactSubstr span-granularity removal (NEW r15, r16 candidate —
+    takes the last free slot the recomputed window math leaves):
+    dup_spans' duplicated-gram coverage merged into MAXIMAL contiguous
+    spans per document (interval union over duplicated starts), with
+    only spans ≥ min_span=16 tokens removed — Lee et al. 2022 §3's
+    long-verbatim-duplication rule, under which short incidental
+    repeats survive (45/500 fabric docs keep a removal at this
+    geometry; 300+ differ from the remove-everything base mode, so the
+    gate pins the islands chain, not a rerun of dup_spans).  Same
+    output schema as dup_spans — union slack for a future capacity
+    merge."""
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir), min_span=16)
+
+
+def _pq_ppl_buckets(spark, sf_dir):
+    """CCNet §4.2 per-language perplexity bucketing (NEW r15, r16
+    candidate — takes one of the two free slots the recomputed window
+    math leaves): head/middle/tail thirds by the integer milli-bit
+    bigram-surprisal CDF within each lang_id_ngram language.  The
+    boundaries are value-based over the (lang, score) CENSUS — no
+    per-document window, so a dominant language costs a combinable agg
+    plus a broadcast join, not a single-task sort (the 100 TB English
+    problem)."""
+    from obadiah_spark.pipelines.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
 def _pq_cluster_sample(spark, sf_dir):
     """Cluster-balanced subsampling (NEW r14, r16 candidate): keep the
     per_cell=20 lowest-hash vectors of every IVF cell — topic
@@ -2438,49 +2464,35 @@ def _pq_merge_repairs_union(spark, sf_dir):
 
 
 def pending_queries() -> dict:
-    """The staged r15 gates — same contract as queries(), invisible to
-    the driver until moved there inside r15's first-50 window.  All
-    five were staged and pre-verified in r13 (`verify_local --pending`)
-    and the r14 registration (this round) moved its own eight keys out
-    of this queue, leaving exactly the r15 window plan.
+    """The staged r16 gates — same contract as queries(), invisible to
+    the driver until moved there inside r16's first-50 window.  All
+    were staged and pre-verified in r14 (`verify_local --pending`); the
+    r15 registration (this round) moved its own seven keys out of this
+    queue, leaving exactly the r16 window plan.
 
-    r15 window math — SOLVED: the 50 r14-window keys rotate to the
-    tail and the 50 r13-green tail keys expire into r15's window; the
-    minhash_pairs union retires 3 of them (minhash_lsh,
-    minhash_lsh_incremental, dedup_stream), the lsh_recall union
-    retires 2 (ann_lsh_recall, embedding_dedup_lsh_recall), and the
-    match_fill_exact union retires 2 (match_fill_exact,
-    match_incremental) → 43 remaining + 3 unions + 4 standalones
-    (shuffle_sequences, ann_ivfpq_trained, stratified_sample,
-    dsir_sample — NEW r14) = exactly 50.
-
-    r16 math — PRE-SOLVED a round early: the r16 window is the 50
-    r14-window keys expiring with zero free slots, so the three staged
+    r16 window math — PRE-SOLVED (recomputed per VERDICT r14 #1): the
+    r16 window is the 50 r14-window keys, of which
+    embedding_dedup_lsh_recall already retired at r15 registration
+    (absorbed by the lsh_recall union) → 49 expiring; the three staged
     repair-family unions below (cleanse_order ∪ fix_aggressor_order,
     reveal_episodes ∪ insert_era, merge_crossed_books ∪
     merge_episodes — all share the level3 output schema) retire 6
-    members → 44 remaining + 3 unions = 47, leaving **3 free slots**;
-    the staged drop_boilerplate and cluster_sample standalones take
-    two (→ 49), leaving 1 for whatever else r16 ships.  Further slack
-    if ever needed:
-    ann_ivfpq_trained can union with ann_ivfpq (same schema);
-    csv_roundtrip shares the repair family's schema too."""
+    members → 43 remaining + 3 unions = 46, leaving **4 free slots**;
+    the staged drop_boilerplate, cluster_sample, ppl_buckets and
+    exact_substr standalones take all four (→ exactly 50).  Slack if
+    r16 needs a slot after all: exact_substr shares dup_spans' output
+    schema (union candidate), and csv_roundtrip shares the repair
+    family's level3 schema."""
     return {
-        # r15 queue (register next round, exactly fills the window)
-        "shuffle_sequences": _pq_shuffle_sequences,
-        "ann_ivfpq_trained": _pq_ann_ivfpq_trained,
-        "stratified_sample": _pq_stratified_sample,
-        "dsir_sample": _pq_dsir_sample,
-        "lsh_recall": _pq_lsh_recall_union,
-        "minhash_pairs": _pq_minhash_pairs_union,
-        "match_fill_exact": _pq_match_fill_union,
-        # r16 reserve (capacity merges + the new-operator candidate
-        # for one of the three slots they free)
+        # r16 queue (capacity merges + the four staged standalones;
+        # window exactly full)
         "cleanse_order": _pq_cleanse_union,
         "reveal_episodes": _pq_reveal_era_union,
         "merge_crossed_books": _pq_merge_repairs_union,
         "drop_boilerplate": _pq_drop_boilerplate,
         "cluster_sample": _pq_cluster_sample,
+        "ppl_buckets": _pq_ppl_buckets,
+        "exact_substr": _pq_exact_substr,
     }
 
 
@@ -2488,29 +2500,11 @@ def pending_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for pending_queries(), keyed identically."""
     from obadiah_spark.pipelines import docquality
     from obadiah_spark.pipelines import sampling as sampling_mod
-    from obadiah_spark.pipelines.packing import (
-        PACK_SHARDS,
-        shuffle_sequences_oracle_sql,
-    )
-    from obadiah_spark.pipelines.sampling import stratified_sample_oracle_sql
-    from obadiah_spark.pipelines.similarity import ann_ivfpq_oracle
+    from obadiah_spark.pipelines import text as text_mod
 
     full = oracle_sql()
     return {
-        "shuffle_sequences": shuffle_sequences_oracle_sql(
-            n_shards=PACK_SHARDS),
-        "ann_ivfpq_trained": ann_ivfpq_oracle(train_pq=True),
-        "stratified_sample": stratified_sample_oracle_sql(
-            _MIX_FRACTIONS, "source"),
-        "dsir_sample": _pq_dsir_sample_oracle(),
-        "lsh_recall": _pq_lsh_recall_union_oracle(full),
-        # the union oracles compose the registered members' exact SQL
-        "minhash_pairs": _variant_union_oracle(
-            batch=full["minhash_lsh"],
-            incremental=full["minhash_lsh_incremental"],
-            stream=full["dedup_stream"]),
-        "match_fill_exact": _pq_match_fill_union_oracle(full),
-        # r16 reserve: the level3-repair schema family in pairs
+        # r16 queue: the level3-repair schema family in pairs
         "cleanse_order": _variant_union_oracle(
             cleanse=full["cleanse_order"],
             aggressor=full["fix_aggressor_order"]),
@@ -2522,6 +2516,8 @@ def pending_oracle_sql() -> dict[str, str]:
         "drop_boilerplate": docquality.drop_boilerplate_oracle_sql(
             line_words=12),
         "cluster_sample": sampling_mod.cluster_balanced_sample_oracle_sql(20),
+        "ppl_buckets": text_mod.perplexity_buckets_oracle_sql(),
+        "exact_substr": docquality.dup_spans_oracle_sql(min_span=16),
     }
 
 
@@ -2651,10 +2647,16 @@ def oracle_sql() -> dict[str, str]:
         # NEW r13: the full composition — every stage the exact SQL its
         # standalone gate carries, composed
         "corpus_prepare": docquality.corpus_prepare_oracle_sql(),
-        # NEW r13: full-corpus LSH pair set restricted to new-sided
-        # pairs (index = pmod(doc_id, 2) == 0 fabric split)
-        "minhash_lsh_incremental": dedup.minhash_incremental_oracle_sql(
-            new_mod=2),
+        # NEW r15: deterministic global corpus shuffle of the packed
+        # sequences (pmod buckets + per-out-shard windows, no global sort)
+        "shuffle_sequences": packing.shuffle_sequences_oracle_sql(
+            n_shards=packing.PACK_SHARDS),
+        # NEW r15: per-stratum data mixing, 20 distinct fractions
+        "stratified_sample": sampling.stratified_sample_oracle_sql(
+            _MIX_FRACTIONS, "source"),
+        # NEW r15: DSIR importance resampling (bucket censuses + the
+        # tempered exp-weight hash race, replayed as a CTE chain)
+        "dsir_sample": _pq_dsir_sample_oracle(),
         # NEW r13: LSH candidates verified by normalized Levenshtein;
         # both engines restrict hydration to ASCII docs (codepoint ==
         # byte edit domain — see near_dup_verify docstring)
@@ -2712,10 +2714,9 @@ def oracle_sql() -> dict[str, str]:
         "summary": level3_matches_cte(SUMMARY_ORACLE_BODY),
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "ngram_jaccard": dedup.ngram_jaccard_oracle(),
-        "minhash_lsh": dedup.MINHASH_LSH_ORACLE,
-        # streaming replay == batch pair set when no bucket exceeds the
-        # cap (differential-tested); same oracle, gate-matching cap
-        "dedup_stream": dedup.minhash_lsh_oracle(max_bucket_size=10_000),
+        # merged r15 (3→1): batch + persisted-index incremental +
+        # streaming replay, each branch its retired key's exact oracle
+        "minhash_pairs": _pq_minhash_pairs_union_oracle(),
         "simhash": dedup.SIMHASH_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "gopher_quality": docquality.gopher_quality_oracle_sql(),
@@ -2729,7 +2730,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": resize_images_oracle(),
         "ann_bruteforce": ann_bruteforce_oracle(),
         "ann_ivf": ann_ivf_oracle(),
-        "ann_ivfpq": ann_ivfpq_oracle(),
+        # merged r15 (2→1): fixed 4×4-bit grid + Lloyd-trained
+        # sub-codebooks (ann_ivfpq_oracle(train_pq=True) CTE chain)
+        "ann_ivfpq": _pq_ann_ivfpq_union_oracle(),
         # NEW r14: appended index ≡ single-shot full build (the append
         # runs the exact _encode_vectors pass the build ran), so the
         # index-backed query gate reuses the in-memory operator's SQL
@@ -2744,9 +2747,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_stream": ann_lsh_pairs_oracle_sql(
             64, min_cosine=0.45, tables=dedup.DEDUP_TABLES,
             planes=dedup.DEDUP_PLANES),
-        "ann_lsh_recall": ann_lsh_recall_oracle(),
+        # merged r15 (2→1): search recall + dedup-sweep recall, count
+        # column unified to n_pairs on both engines
+        "lsh_recall": _pq_lsh_recall_union_oracle(),
         "embedding_dedup": dedup.embedding_dedup_oracle(),
-        "embedding_dedup_lsh_recall": dedup.embedding_dedup_lsh_recall_oracle(),
         "multimodal_features": MULTIMODAL_ORACLE,
         "codec_roundtrip": CODEC_ROUNDTRIP_ORACLE,
         "jpeg_roundtrip": JPEG_ROUNDTRIP_ORACLE,
@@ -2809,8 +2813,9 @@ def oracle_sql() -> dict[str, str]:
         "order_book_takers": level3_cte(invalid_takers_oracle_sql()),
         "chain_audit": level3_cte(CHAIN_AUDIT_ORACLE_BODY),
         "match_audit": level3_matches_cte(MATCH_AUDIT_ORACLE_BODY),
-        "match_fill_exact": level3_matches_cte(match_fill_exact_oracle_sql()),
-        "match_incremental": level3_matches_cte(_match_incremental_oracle()),
+        # merged r15 (2→1): one-shot I5 matcher (padded matcher='exact')
+        # + chunked scheduled-lifecycle replay
+        "match_fill_exact": _pq_match_fill_union_oracle(),
         "inferred_trades": level3_cte(inferred_trades_oracle_sql()),
         "match_sequential": level3_cte(_match_sequential_oracle(
             inferred_trades_oracle_sql(), match_sequential_oracle_sql())),

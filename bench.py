@@ -64,6 +64,19 @@ def _spin_probe(n: int = 15_000_000) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _gc_ms(spark) -> int:
+    """Cumulative JVM GC time (ms) across all collectors — per-line
+    deltas separate 'this query allocates hard' from 'this query
+    inherited a predecessor's heap pressure' (VERDICT r14 #2, the
+    sessionize_stream in-bench outlier)."""
+    beans = (spark.sparkContext._jvm.java.lang.management
+             .ManagementFactory.getGarbageCollectorMXBeans())
+    total, it = 0, beans.iterator()
+    while it.hasNext():
+        total += it.next().getCollectionTime()
+    return int(total)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sink", choices=("collect", "parquet"),
@@ -171,6 +184,8 @@ def main() -> None:
         if only is not None and name not in only:
             continue
         fn = qs[name]
+        gc0 = _gc_ms(spark)
+        streams0 = len(spark.streams.active)
         t0 = time.perf_counter()
         n = materialize(name, fn(spark, sf_dir))
         first_pass[name] = round(time.perf_counter() - t0, 3)
@@ -180,7 +195,8 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s (first {first_pass[name]:.3f}s) "
-              f"rows={n}", file=sys.stderr)
+              f"rows={n} gc_ms=+{_gc_ms(spark) - gc0} "
+              f"streams_at_start={streams0}", file=sys.stderr)
 
     if args.probe_out:
         # variance-subprocess mode: dump the second-pass numbers and stop

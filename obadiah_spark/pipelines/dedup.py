@@ -518,7 +518,14 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
     if n_cells == "auto":
         n_cells = (max(1, -(-emb.count() // SEMDEDUP_VECS_PER_CELL))
                    if codebook is None else None)
-    n_cells = IVF_CELLS if n_cells is None else n_cells
+    if n_cells is None:
+        # with a supplied codebook the REAL cell count drives the salt
+        # grid sizing below (ADVICE r14 #3: falling back to IVF_CELLS
+        # oversized the r/s grid for auto-sized codebooks — physical
+        # payload replication only, values unaffected); the codebook is
+        # a localCheckpoint'd/materialized n_cells-row frame, so the
+        # count is a tiny-scan, not a recompute
+        n_cells = codebook.count() if codebook is not None else IVF_CELLS
     stride = IVF_STRIDE if stride is None else stride
     iters = IVF_ITERS if iters is None else iters
     train_stride = IVF_TRAIN_STRIDE if train_stride is None else train_stride

@@ -487,7 +487,8 @@ DUP_SPAN_MIN_COUNT = 2
 
 def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
               min_count: int = DUP_SPAN_MIN_COUNT,
-              tok: DataFrame | None = None) -> DataFrame:
+              tok: DataFrame | None = None,
+              min_span: int | None = None) -> DataFrame:
     """Per-document corpus-wide duplicate-span accounting + rewrite.
 
     Returns one row per doc_id (documents with at least one token):
@@ -497,7 +498,25 @@ def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
     ExactSubstr-style rewrite, hashed so the driver gate covers the
     byte-exact removal, not just the counts).  Overlapping duplicated
     windows count each position once.  ``tok`` — a pre-materialized
-    ``_words`` frame, same contract as :func:`gopher_quality`."""
+    ``_words`` frame, same contract as :func:`gopher_quality`.
+
+    ``min_span`` (NEW r15, default ``None`` = remove every covered
+    position, the historical behavior with a byte-identical plan):
+    the span-granularity ExactSubstr rule of Lee et al. 2022 §3 —
+    duplicated-gram intervals are merged into MAXIMAL contiguous
+    covered spans per document (interval union: a run of duplicated
+    n-gram starts whose coverage never breaks), and only spans of at
+    least ``min_span`` tokens are removed, so short incidental repeats
+    (a common phrase, a shared date line) survive and only long
+    verbatim duplications — the memorization hazard the paper targets
+    — are cut.  Deviation from the paper kept from the base mode:
+    every copy of a qualifying span is removed, not all-but-one (the
+    canonical-copy choice needs an ordering oracle the corpus doesn't
+    carry; rewrite consumers dedup documents separately).  The merge
+    is one doc-keyed running-max window over duplicated START
+    positions only (a small fraction of the corpus), and the spans
+    explode to exactly the removed positions — disjoint by
+    construction, so no DISTINCT shuffle."""
     if tok is None:
         tok = _words(docs)
     w_doc = W.partitionBy("doc_id").orderBy("pos")
@@ -520,14 +539,39 @@ def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
                  F.xxhash64(F.lit(1), F.col("g")).alias("gh2")))
     dup_g = (g.groupBy("gh", "gh2").agg(F.count(F.lit(1)).alias("cnt"))
              .filter(F.col("cnt") >= min_count).select("gh", "gh2"))
-    covered = (
-        g.join(dup_g, ["gh", "gh2"])
-        .select("doc_id",
-                F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1))
-                 .alias("pos"))
-        .distinct()
-        .withColumn("dup", F.lit(True))
-    )
+    starts = g.join(dup_g, ["gh", "gh2"]).select("doc_id", "pos")
+    if min_span is None:
+        covered = (
+            starts
+            .select("doc_id",
+                    F.explode(F.sequence(F.col("pos"),
+                                         F.col("pos") + n - 1))
+                     .alias("pos"))
+            .distinct()
+            .withColumn("dup", F.lit(True))
+        )
+    else:
+        # interval union over duplicated-gram starts: a start opens a
+        # new maximal span iff it begins past the running coverage end
+        # (+1 keeps token-adjacent intervals as ONE contiguous region)
+        w_s = W.partitionBy("doc_id").orderBy("pos")
+        prev_end = F.max(F.col("pos") + n - 1).over(
+            w_s.rowsBetween(W.unboundedPreceding, -1))
+        flagged = starts.withColumn(
+            "new_span",
+            F.when(prev_end.isNull()
+                   | (F.col("pos") > prev_end + 1), 1).otherwise(0))
+        isl = flagged.withColumn(
+            "span_id", F.sum("new_span").over(
+                w_s.rowsBetween(W.unboundedPreceding, 0)))
+        spans = (isl.groupBy("doc_id", "span_id")
+                 .agg(F.min("pos").alias("s"),
+                      F.max(F.col("pos") + n - 1).alias("e"))
+                 .filter(F.col("e") - F.col("s") + 1 >= min_span))
+        covered = (spans
+                   .select("doc_id",
+                           F.explode(F.sequence("s", "e")).alias("pos"))
+                   .withColumn("dup", F.lit(True)))
     marked = (tok.join(covered, ["doc_id", "pos"], "left")
               .withColumn("dup", F.coalesce("dup", F.lit(False))))
     kept = F.when(~F.col("dup"), F.struct("pos", "w"))
@@ -549,14 +593,50 @@ def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
 
 
 def dup_spans_oracle_sql(n: int = DUP_SPAN_N,
-                         min_count: int = DUP_SPAN_MIN_COUNT) -> str:
+                         min_count: int = DUP_SPAN_MIN_COUNT,
+                         min_span: int | None = None) -> str:
     """DuckDB replica — same tokenization, same coverage rule, same
     rewrite (string_agg skips the removed tokens exactly like the
     collect_list of kept structs; an all-duplicated doc coalesces to the
-    empty string on both engines)."""
+    empty string on both engines).  ``min_span`` mirrors the operator's
+    span-granularity mode: default ``None`` emits the historical SQL
+    byte-identically; an int swaps the covered CTE for the interval-
+    union islands chain (two window layers split across CTEs — DuckDB
+    cannot nest window calls)."""
     leads = " || ' ' || ".join(
         f"lead(w, {i}) OVER dw" for i in range(1, n))
     ofs_list = ", ".join(str(i) for i in range(n))
+    if min_span is None:
+        covered = f"""covered AS (
+    SELECT DISTINCT s.doc_id, s.pos + t.ofs AS pos
+    FROM (SELECT g2.doc_id, g2.pos FROM g2 JOIN dupg USING (g)) s,
+         unnest([{ofs_list}]) AS t(ofs)
+)"""
+    else:
+        covered = f"""starts AS (
+    SELECT g2.doc_id, g2.pos FROM g2 JOIN dupg USING (g)
+), flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN max(pos + {n - 1}) OVER pw IS NULL
+                  OR pos > max(pos + {n - 1}) OVER pw + 1
+                THEN 1 ELSE 0 END AS new_span
+    FROM starts
+    WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+    SELECT doc_id, pos,
+           sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS span_id
+    FROM flagged
+), spans AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + {n - 1} AS e
+    FROM isl GROUP BY doc_id, span_id
+    HAVING max(pos) + {n - 1} - min(pos) + 1 >= {min_span}
+), covered AS (
+    SELECT sp.doc_id, u.pos
+    FROM spans sp, unnest(range(sp.s, sp.e + 1)) AS u(pos)
+)"""
     return f"""
 WITH tok AS (
     SELECT doc_id, u.w, u.pos FROM (
@@ -574,11 +654,7 @@ WITH tok AS (
     SELECT doc_id, pos, g FROM gn WHERE nn IS NOT NULL
 ), dupg AS (
     SELECT g FROM g2 GROUP BY g HAVING count(*) >= {min_count}
-), covered AS (
-    SELECT DISTINCT s.doc_id, s.pos + t.ofs AS pos
-    FROM (SELECT g2.doc_id, g2.pos FROM g2 JOIN dupg USING (g)) s,
-         unnest([{ofs_list}]) AS t(ofs)
-), m AS (
+), {covered}, m AS (
     SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS dup
     FROM tok t
     LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos

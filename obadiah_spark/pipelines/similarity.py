@@ -1041,12 +1041,34 @@ def write_ivfpq_index(emb: DataFrame, path: str,
     that already trained one (the gate runners share a per-session
     codebook across semdedup / ann_ivfpq / the index gates; Lloyd is
     deterministic, so a codebook trained with the same knobs over the
-    same corpus is row-identical to what the build would derive)."""
+    same corpus is row-identical to what the build would derive).
+    When ``codebook`` is given, the coarse-training knobs (``n_cells``,
+    ``stride``, ``iters``, ``train_stride``, ``train_max``) are IGNORED
+    for the coarse stage — the frame is the codebook; the build asserts
+    its schema and that its cell count is ≤ ``n_cells`` (Lloyd drops
+    empty cells, so a trained codebook may hold fewer rows than asked —
+    but never more) so a cached frame trained under LARGER knobs (e.g.
+    semdedup's corpus-proportional auto sizing) cannot silently fork
+    the persisted index from what the arguments claim (ADVICE r14
+    #4)."""
     import os
 
     spark = emb.sparkSession
     tr = emb if train_emb is None else train_emb
     if codebook is not None:
+        got_cols = set(codebook.columns)
+        if not {"cell", "c_emb"} <= got_cols:
+            raise ValueError(
+                f"codebook must be a (cell, c_emb) frame from "
+                f"train_ivf_codebook, got columns {sorted(got_cols)}")
+        got_cells = codebook.count()
+        if got_cells > n_cells:
+            raise ValueError(
+                f"supplied codebook has {got_cells} cells but the build "
+                f"was asked for n_cells={n_cells}: the persisted index "
+                f"would not match its arguments — pass the codebook's "
+                f"real cell count (training knobs are otherwise ignored "
+                f"when codebook= is given)")
         codebook.write.mode("overwrite").parquet(
             os.path.join(path, "codebook"))
         cb = spark.read.parquet(os.path.join(path, "codebook"))

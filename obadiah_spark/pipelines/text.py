@@ -410,3 +410,96 @@ SELECT doc_id,
        CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_bits
 FROM scored GROUP BY doc_id
 """
+
+
+# ------------------------------------- perplexity buckets (CCNet) --------
+# CCNet §4.2 (Wenzek et al. 2020, "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data") splits each language's
+# documents into head/middle/tail thirds by language-model perplexity;
+# training pipelines then keep the head (or head+middle) per language.
+# Re-expressed with the repo's integer-exact discipline: the perplexity
+# surrogate is the corpus-self bigram surprisal (bigram_rarity above —
+# the CCNet/RedPajama signal in whole bits), per-milli-bigram integer
+# scaled, and the language is lang_id_ngram's trigram-displacement
+# prediction.
+#
+# Scale shape — the part that matters at 100 TB: a naive per-language
+# NTILE is a window over DOCUMENTS partitioned by language, and a
+# dominant language (most of the web is English) serializes onto one
+# task. Instead the thirds come from the CDF over the (lang, score)
+# CENSUS: one map-side-combinable groupBy to count docs per distinct
+# score, a window over the census rows only (≤ langs × distinct scores
+# — thousands, not billions; scores are integer milli-bits so the
+# domain is bounded), and a broadcast join back. Ties share a score,
+# hence a bucket — boundaries are value-based, not rank-based, so the
+# result is deterministic cross-engine with no per-doc ordering.
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """One row per document with ≥ 1 bigram: ``doc_id, lang,
+    n_bigrams, rarity_bits, ppl_milli, bucket`` where ``ppl_milli`` =
+    (rarity_bits × 1000) div n_bigrams (integer milli-bits per bigram)
+    and ``bucket`` ∈ head/middle/tail by the per-language score CDF
+    (head = lowest surprisal = most fluent, CCNet's keep side).
+    Documents under two words carry no bigram signal and are dropped,
+    as in CCNet's length prefilter."""
+    from obadiah_spark.pipelines.langid import lang_id_ngram
+
+    lang = lang_id_ngram(docs).select(
+        "doc_id", F.col("lang_pred").alias("lang"))
+    rar = bigram_rarity(docs).select("doc_id", "n_bigrams", "rarity_bits")
+    j = (lang.join(rar, "doc_id")
+         .withColumn("ppl_milli", F.expr(
+             "(rarity_bits * 1000) div n_bigrams")))
+    census = (j.groupBy("lang", "ppl_milli")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w_lang = Window.partitionBy("lang")
+    w_cum = (w_lang.orderBy("ppl_milli")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = census.select(
+        "lang", "ppl_milli",
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(w_lang).alias("n_lang"))
+    bucket = (F.when(F.col("cum_before") * 3 < F.col("n_lang"), "head")
+              .when(F.col("cum_before") * 3 < 2 * F.col("n_lang"),
+                    "middle")
+              .otherwise("tail"))
+    return (j.join(F.broadcast(cum.withColumn("bucket", bucket)
+                               .drop("cum_before", "n_lang")),
+                   ["lang", "ppl_milli"])
+            .select("doc_id", "lang", "n_bigrams", "rarity_bits",
+                    "ppl_milli", "bucket"))
+
+
+def perplexity_buckets_oracle_sql() -> str:
+    """DuckDB replica: the lang_id and bigram-surprisal oracles
+    composed verbatim, then the same census CDF (integer arithmetic
+    end-to-end: `//` div, ×3 threshold compare — no float crosses the
+    bucket boundary on either engine)."""
+    from obadiah_spark.pipelines.langid import lang_id_ngram_oracle_sql
+
+    return f"""
+WITH lang_pred AS (
+{lang_id_ngram_oracle_sql()}
+), rar AS (
+{bigram_rarity_oracle_sql()}
+), j AS (
+    SELECT l.doc_id, l.lang_pred AS lang,
+           r.n_bigrams, r.rarity_bits,
+           (r.rarity_bits * 1000) // r.n_bigrams AS ppl_milli
+    FROM lang_pred l JOIN rar r USING (doc_id)
+), census AS (
+    SELECT lang, ppl_milli, count(*) AS n FROM j GROUP BY lang, ppl_milli
+), cum AS (
+    SELECT lang, ppl_milli,
+           coalesce(sum(n) OVER (PARTITION BY lang ORDER BY ppl_milli
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before,
+           sum(n) OVER (PARTITION BY lang) AS n_lang
+    FROM census
+)
+SELECT j.doc_id, j.lang, j.n_bigrams, j.rarity_bits, j.ppl_milli,
+       CASE WHEN cum.cum_before * 3 < cum.n_lang THEN 'head'
+            WHEN cum.cum_before * 3 < 2 * cum.n_lang THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN cum USING (lang, ppl_milli)
+"""

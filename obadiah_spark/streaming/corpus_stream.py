@@ -165,6 +165,76 @@ def quality_scrub(survivors: DataFrame, dup_n: int | None = None,
 _SINK_SCHEMA = ("doc_id long, n_words long, redacted_md5 string, "
                 "redacted_len int")
 
+# sink-layout marker (ADVICE r14 #2): batch-NNN subdirs per micro-batch.
+# Its presence lets a resume distinguish this layout from the pre-r14
+# flat appended parquet, which recursiveFileLookup would double-count.
+_SINK_LAYOUT_MARKER = "_obadiah_sink_layout_batch_subdirs"
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop API — works on any
+    configured scheme (file://, hdfs://, s3a://), unlike os.path probes
+    which silently report remote paths as absent (ADVICE r14 #1)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _max_committed_batch(spark, checkpoint: str) -> int:
+    """Highest batch id the checkpoint has COMMITTED (-1 when none):
+    the `commits/` dir holds one file per completed micro-batch, so any
+    sink subdir numbered above this came from a different (longer)
+    run."""
+    fs, p = _hadoop_fs(spark, checkpoint.rstrip("/") + "/commits")
+    if not fs.exists(p):
+        return -1
+    ids = [int(s.getPath().getName()) for s in fs.listStatus(p)
+           if s.getPath().getName().isdigit()]
+    return max(ids, default=-1)
+
+
+def _check_sink_layout(spark, sink_path: str) -> None:
+    """Fail fast on a sink layout a resume would silently misread
+    (ADVICE r14 #2): flat parquet files from the pre-batch-subdir code,
+    which the recursiveFileLookup read-back would double-count next to
+    batch-subdir rows.  (A reused sink's STALE higher-numbered subdirs
+    are the post-run :func:`_check_no_stale_batches` guard — a rerun
+    over the same source legitimately revisits the same batch ids and
+    overwrites them idempotently, so it is not an error here.)"""
+    fs, p = _hadoop_fs(spark, sink_path)
+    if not fs.exists(p):
+        return
+    flat = [s.getPath().getName() for s in fs.listStatus(p)
+            if not s.isDirectory()
+            and s.getPath().getName().endswith(".parquet")]
+    if flat:
+        raise ValueError(
+            f"sink {sink_path!r} holds flat parquet files ({flat[:3]}…) "
+            f"from the pre-batch-subdir layout; reading it alongside "
+            f"batch-NNN subdirs would double-count rows — move or "
+            f"delete the old sink (marker file {_SINK_LAYOUT_MARKER} "
+            f"identifies the new layout)")
+
+
+def _check_no_stale_batches(spark, sink_path: str, checkpoint: str) -> None:
+    """Post-run guard: every batch subdir must be ≤ the checkpoint's
+    last committed batch, else the read-back would include rows from a
+    longer prior run this checkpoint never produced."""
+    fs, p = _hadoop_fs(spark, sink_path)
+    if not fs.exists(p):
+        return
+    last = _max_committed_batch(spark, checkpoint)
+    stale = [n for n in
+             (s.getPath().getName() for s in fs.listStatus(p))
+             if n.startswith("batch-") and int(n[len("batch-"):]) > last]
+    if stale:
+        raise ValueError(
+            f"sink {sink_path!r} holds batch subdirs beyond the "
+            f"checkpoint's last committed batch {last} ({stale[:3]}…): "
+            f"stale output from a longer prior run — delete them or "
+            f"restore the matching checkpoint")
+
 
 def run_corpus_clean_stream(spark, src_path: str, schema: str,
                             checkpoint: str, sink_table: str | None = None,
@@ -193,15 +263,14 @@ def run_corpus_clean_stream(spark, src_path: str, schema: str,
     view READING BACK the parquet (the gate harness consumes that
     view; the view is a scan, not a driver-side row list).  Returns
     the sink path."""
-    import os
-
     if sink_path is None:
         sink_path = checkpoint.rstrip("/") + "_sink"
+    _check_sink_layout(spark, sink_path)
 
     def handle(batch_df, batch_id: int) -> None:
         (quality_scrub(batch_df, dup_n=dup_n)
          .write.mode("overwrite")
-         .parquet(os.path.join(sink_path, f"batch-{batch_id:09d}")))
+         .parquet(sink_path.rstrip("/") + f"/batch-{batch_id:09d}"))
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -211,8 +280,20 @@ def run_corpus_clean_stream(spark, src_path: str, schema: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    fs, p = _hadoop_fs(spark, sink_path)
+    if fs.exists(p):
+        # stamp the layout so a resume under OLD code (or a human
+        # inspecting the sink) can identify the batch-subdir scheme
+        marker = fs.create(
+            spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                sink_path.rstrip("/") + "/" + _SINK_LAYOUT_MARKER), True)
+        marker.close()
+    _check_no_stale_batches(spark, sink_path, checkpoint)
     if sink_table is not None:
-        if os.path.isdir(sink_path):
+        # existence probed via the Hadoop FS API (ADVICE r14 #1:
+        # os.path.isdir reports any hdfs://s3a:// sink as absent,
+        # silently masking written data behind an empty view)
+        if fs.exists(p):
             # batch-NNN subdirs are not hive partitions, so the read
             # needs the recursive lookup; any real read failure
             # (corrupt footer, permissions) propagates to the caller

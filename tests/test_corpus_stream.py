@@ -146,3 +146,67 @@ def test_event_ttl_requires_time_col():
 
     with pytest.raises(ValueError, match="event_time_col"):
         dedup_first_seen_stream(None, state_timeout="1 hour")
+
+
+def test_flat_layout_sink_fails_fast(spark, tmp_path):
+    """ADVICE r14 #2: a sink written by the pre-batch-subdir code (flat
+    appended parquet at the top level) is rejected before the stream
+    starts — resuming over it would double-count the flat rows next to
+    batch-subdir rows under recursiveFileLookup."""
+    from obadiah_spark.streaming.corpus_stream import run_corpus_clean_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame([(1, "a doc")], columns=["doc_id", "text"]).to_parquet(
+        src / "000.parquet")
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    # simulate the OLD layout: a flat appended part file
+    pd.DataFrame([(9, 1, "x", 1)],
+                 columns=["doc_id", "n_words", "redacted_md5",
+                          "redacted_len"]).to_parquet(
+        sink / "part-00000-old.snappy.parquet")
+    with pytest.raises(ValueError, match="flat parquet"):
+        run_corpus_clean_stream(
+            spark, str(src), "doc_id long, text string",
+            str(tmp_path / "ckpt"), "cc_flat_view", sink_path=str(sink))
+
+
+def test_stale_batch_subdirs_fail_fast(spark, tmp_path):
+    """ADVICE r14 #2: batch subdirs numbered beyond the checkpoint's
+    last committed batch (a reused sink from a LONGER prior run) are
+    detected after the stream instead of silently read back."""
+    from obadiah_spark.streaming.corpus_stream import run_corpus_clean_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame([(1, "a doc")], columns=["doc_id", "text"]).to_parquet(
+        src / "000.parquet")
+    sink = tmp_path / "sink"
+    stale = sink / "batch-000000099"
+    stale.mkdir(parents=True)
+    pd.DataFrame([(9, 1, "x", 1)],
+                 columns=["doc_id", "n_words", "redacted_md5",
+                          "redacted_len"]).to_parquet(
+        stale / "part-00000.parquet")
+    with pytest.raises(ValueError, match="stale"):
+        run_corpus_clean_stream(
+            spark, str(src), "doc_id long, text string",
+            str(tmp_path / "ckpt"), "cc_stale_view", sink_path=str(sink))
+
+
+def test_sink_carries_layout_marker(spark, tmp_path):
+    """The batch-subdir sink is stamped with the layout marker so a
+    resume (or a human) can identify the scheme without guessing from
+    directory names."""
+    from obadiah_spark.streaming.corpus_stream import (
+        _SINK_LAYOUT_MARKER, run_corpus_clean_stream)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame([(1, "a doc")], columns=["doc_id", "text"]).to_parquet(
+        src / "000.parquet")
+    sink = run_corpus_clean_stream(
+        spark, str(src), "doc_id long, text string",
+        str(tmp_path / "ckpt"), "cc_marker_view")
+    assert _SINK_LAYOUT_MARKER in os.listdir(sink)

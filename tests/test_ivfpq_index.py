@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 
@@ -159,3 +161,25 @@ def test_prebuilt_codebook_build_is_identical(spark, sf_dir, tmp_path):
         pb = spark.read.parquet(os.path.join(b, part))
         assert pa.exceptAll(pb).count() == 0
         assert pb.exceptAll(pa).count() == 0
+
+
+def test_supplied_codebook_is_validated(spark, sf_dir, tmp_path):
+    """ADVICE r14 #4: a supplied codebook with MORE cells than the
+    build's n_cells argument (a cached frame trained under larger
+    knobs, e.g. semdedup's corpus-proportional auto sizing) is
+    rejected instead of silently forking the persisted index from what
+    the arguments claim; a wrong-shaped frame is rejected on schema.
+    (Fewer cells is legal: Lloyd drops empty cells, so a trained
+    codebook may legitimately hold fewer rows than it was asked.)"""
+    from obadiah_spark.pipelines.similarity import (train_ivf_codebook,
+                                                    write_ivfpq_index)
+
+    emb = _emb(spark, sf_dir)
+    cb = train_ivf_codebook(emb)  # default 16 asked; > 2 survive
+    assert cb.count() > 2
+    with pytest.raises(ValueError, match="cells"):
+        write_ivfpq_index(emb, str(tmp_path / "idx"), train_pq=False,
+                          n_cells=2, codebook=cb)
+    with pytest.raises(ValueError, match="cell, c_emb"):
+        write_ivfpq_index(emb, str(tmp_path / "idx"), train_pq=False,
+                          codebook=emb.select("vec_id"))

@@ -34,11 +34,8 @@ sys.path.insert(0, REPO)
 
 # the exact-side ground truths are all-pairs BY DESIGN (bounded by max_id /
 # corpus size); everything else must join with keys
-ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
+ALLOWED_CROSS = {"ann_bruteforce", "ngram_jaccard",
                  "embedding_dedup",
-                 # recall metric re-derives the bounded exact side (the
-                 # same crossJoin embedding_dedup itself is allowed)
-                 "embedding_dedup_lsh_recall",
                  # IVF coarse quantization: every vector ranked against the
                  # broadcast n_cells(=16)-row codebook — O(n x n_cells),
                  # not all-pairs; candidate generation is a cell equi-join
@@ -50,9 +47,11 @@ ALLOWED_CROSS = {"ann_bruteforce", "ann_lsh_recall", "ngram_jaccard",
                  "ann_ivfpq",
                  # staged pending gates with the identical bounded IVF
                  # patterns: coarse/sub-codebook broadcasts only; the
-                 # pair/candidate joins are (cell, bucket) equi-joins
-                 "semdedup", "ann_ivfpq_query", "ann_ivfpq_trained",
-                 # the union of the two recall bounds inherits both
+                 # pair/candidate joins are (cell, bucket) equi-joins;
+                 # ann_ivfpq is the base+Lloyd-trained union since r15
+                 "semdedup", "ann_ivfpq_query",
+                 # the union of the two recall bounds (ann_lsh_recall +
+                 # embedding_dedup_lsh_recall, retired r15) inherits both
                  # members' documented bounded exact sides
                  "lsh_recall"}
 
@@ -67,6 +66,11 @@ ALLOWED_BNLJ = {
     "bigram_rarity":
         "the corpus bigram total is a ONE-ROW broadcast crossJoin "
         "(surprisal denominator) — bounded by construction",
+    "ppl_buckets":
+        "the bigram_rarity ONE-ROW total crossJoin, appearing twice "
+        "because the scored frame feeds both the census and the "
+        "join-back — bounded by construction; the census join-back "
+        "itself is an equi-key BroadcastHashJoin",
     "quality_classifier":
         "two ONE-ROW broadcast crossJoins: the class token totals and "
         "the class prior — bounded by construction",

@@ -574,6 +574,21 @@ def probe_staged(spark, emb_path: str, docs_path: str, work: str,
     timed("cluster_sample", lambda: cluster_balanced_sample(
         emb, 20, codebook=cbd["cb"]).count())
 
+    # perplexity buckets (staged r16): lang-id + bigram surprisal +
+    # census CDF + broadcast join-back; agg over COMPUTED columns (the
+    # probe-timing lesson) so no subtree prunes away
+    from obadiah_spark.pipelines.text import perplexity_buckets
+
+    timed("ppl_buckets", lambda: perplexity_buckets(d2).agg(
+        F.sum("ppl_milli"), F.sum(F.length("bucket"))).collect() and 1)
+
+    # ExactSubstr span mode (staged r16): dup_spans' census/join shape
+    # + one doc-keyed running-max window over duplicated STARTS only
+    from obadiah_spark.pipelines.docquality import dup_spans
+
+    timed("exact_substr", lambda: dup_spans(d2, min_span=16).agg(
+        F.max("clean_md5"), F.sum("dup_words")).collect() and 1)
+
     # production defaults: the corpus-count auto-shard rule sizes the
     # fold groups, so per-task memory stays flat as the corpus grows
     timed("render_sequences", lambda: render_sequences(docs)
