@@ -886,7 +886,8 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
                    sample_fraction: float | None = None,
                    sample_salt: str = "mix",
                    boilerplate_min_df: int | None = None,
-                   boilerplate_line_words: int | None = None) -> DataFrame:
+                   boilerplate_line_words: int | None = None,
+                   ppl_keep: tuple[str, ...] | None = None) -> DataFrame:
     """The COMPLETE training-data preparation pass, raw documents →
     packed training sequences: exact dedup ∘ Gopher quality ∘ benchmark
     decontamination ∘ PII scrub ∘ next-fit sequence packing — every
@@ -915,6 +916,18 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
     tests the text training will actually consume against the
     benchmark as published.  None disables the stage (the gate
     default).
+
+    ``ppl_keep`` inserts the CCNet §4.2 selection (the purpose the
+    per-language perplexity split exists for): buckets come from
+    :func:`~obadiah_spark.pipelines.text.perplexity_buckets` over the
+    full train corpus (post-boilerplate, pre-filter — the CDF must see
+    the whole language population, not the survivors of unrelated
+    filters), and only documents whose bucket is in ``ppl_keep``
+    survive — CCNet trains on ``("head", "middle")``.  Documents with
+    no bigram signal (under two words) drop when the stage is on,
+    mirroring CCNet's length prefilter; conjunctive with the other
+    filters, so its position in the AND-chain is value-irrelevant.
+    None disables the stage (the gate default).
 
     Scan discipline (corpus_clean precedent): the projected corpus and
     the token frame are localCheckpoint'd once; dedup/gopher/decontam/
@@ -952,6 +965,13 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
                 & ~F.col("contaminated"))
         .select("doc_id")
     )
+    if ppl_keep is not None:
+        from obadiah_spark.pipelines.text import perplexity_buckets
+
+        buckets = perplexity_buckets(train).select("doc_id", "bucket")
+        surv = (surv.join(buckets, "doc_id")
+                .filter(F.col("bucket").isin(*ppl_keep))
+                .select("doc_id"))
     if sample_fraction is not None:
         from obadiah_spark.pipelines.sampling import hash_sample
 
@@ -969,6 +989,26 @@ def corpus_prepare(docs: DataFrame, bench: DataFrame | None = None,
     return packed.join(
         scrub.select("doc_id", F.md5("redacted").alias("redacted_md5")),
         "doc_id")
+
+
+def _ppl_cte(ppl_keep: tuple[str, ...] | None) -> str:
+    """Optional pplb CTE member replica of the CCNet selection stage:
+    the full perplexity_buckets oracle over the train CTE as a nested
+    WITH (DuckDB allows a WITH inside a CTE body).  Empty when the
+    stage is off, so the default-path SQL stays byte-identical."""
+    if ppl_keep is None:
+        return ""
+    from obadiah_spark.pipelines.text import perplexity_buckets_oracle_sql
+
+    return f"pplb AS (\n{perplexity_buckets_oracle_sql('train')}\n), "
+
+
+def _ppl_clause(ppl_keep: tuple[str, ...] | None) -> str:
+    if ppl_keep is None:
+        return ""
+    kept = ", ".join(f"'{b}'" for b in ppl_keep)
+    return (f"\n      AND dd.doc_id IN (SELECT doc_id FROM pplb "
+            f"WHERE bucket IN ({kept}))")
 
 
 def _mix_clause(sample_fraction: float | None, salt: str) -> str:
@@ -989,7 +1029,8 @@ def corpus_prepare_oracle_sql(bench_mod: int = 20, decontam_n: int = 4,
                               sample_fraction: float | None = None,
                               sample_salt: str = "mix",
                               boilerplate_min_df: int | None = None,
-                              boilerplate_line_words: int | None = None
+                              boilerplate_line_words: int | None = None,
+                              ppl_keep: tuple[str, ...] | None = None
                               ) -> str:
     """DuckDB replica of the full composition: each stage is the exact
     oracle its standalone gate carries (the gopher SQL runs as a
@@ -997,7 +1038,10 @@ def corpus_prepare_oracle_sql(bench_mod: int = 20, decontam_n: int = 4,
     the scrubbed survivors in doc_id order.  ``boilerplate_min_df``
     mirrors the operator's optional first stage: the ``train`` CTE
     becomes the kept-lines rewrite and decontam's gram source reads
-    bench raw ∪ train rewritten."""
+    bench raw ∪ train rewritten.  ``ppl_keep`` mirrors the CCNet
+    selection stage: the perplexity_buckets chain runs over the train
+    CTE (nested WITH inside the pplb member) and surv additionally
+    requires membership in a kept bucket."""
     from obadiah_spark.pipelines.packing import PACK_BUDGET, PACK_SHARDS
 
     budget = PACK_BUDGET if budget is None else budget
@@ -1061,11 +1105,11 @@ WITH RECURSIVE split AS (
     SELECT g.doc_id, TRUE AS contaminated
     FROM dgrams g JOIN dbench b USING (g)
     WHERE NOT g.is_bench GROUP BY g.doc_id
-), surv AS (
+), {_ppl_cte(ppl_keep)}surv AS (
     SELECT dd.doc_id
     FROM dd JOIN gq USING (doc_id) LEFT JOIN dc USING (doc_id)
     WHERE NOT dd.is_duplicate AND gq.keep
-      AND NOT coalesce(dc.contaminated, FALSE){_mix_clause(sample_fraction, sample_salt)}
+      AND NOT coalesce(dc.contaminated, FALSE){_ppl_clause(ppl_keep)}{_mix_clause(sample_fraction, sample_salt)}
 ), scrub AS (
     SELECT t.doc_id,
            regexp_replace(regexp_replace(regexp_replace(t.text,

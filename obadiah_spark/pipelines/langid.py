@@ -176,9 +176,11 @@ def _profile_values_sql() -> str:
     return rows
 
 
-def lang_id_ngram_oracle_sql() -> str:
+def lang_id_ngram_oracle_sql(table: str = "documents") -> str:
     """DuckDB replica: identical rankings, identical arithmetic, the SAME
-    literal profile rows."""
+    literal profile rows.  ``table`` lets compositions (corpus_prepare's
+    CCNet perplexity stage) run the chain over a CTE instead of the raw
+    documents view."""
     langs = ", ".join("('%s')" % l for l in LANGS)
     return f"""
 WITH prof(lang, tri, prank) AS (
@@ -188,7 +190,7 @@ WITH prof(lang, tri, prank) AS (
 ), t AS (
     SELECT doc_id,
            substring(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g'))), 1, {PREFIX_CAP}) AS t
-    FROM documents
+    FROM {table}
 ), tri AS (
     SELECT doc_id, substring(t, pos, 3) AS tri
     FROM t, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(pos)

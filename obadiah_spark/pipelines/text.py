@@ -377,7 +377,7 @@ def bigram_rarity(docs: DataFrame) -> DataFrame:
                 .alias("mean_bits")))
 
 
-def bigram_rarity_oracle_sql() -> str:
+def bigram_rarity_oracle_sql(table: str = "documents") -> str:
     from obadiah_spark.pipelines.docquality import WS_CLASS
 
     return f"""
@@ -386,7 +386,7 @@ WITH tok AS (
         SELECT doc_id,
                unnest(string_split_regex(text, '{WS_CLASS}')) AS w,
                generate_subscripts(string_split_regex(text, '{WS_CLASS}'), 1) - 1 AS pos
-        FROM documents
+        FROM {table}
     ) u WHERE length(u.w) > 0
 ), bi AS (
     SELECT doc_id,
@@ -470,7 +470,7 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
                     "ppl_milli", "bucket"))
 
 
-def perplexity_buckets_oracle_sql() -> str:
+def perplexity_buckets_oracle_sql(table: str = "documents") -> str:
     """DuckDB replica: the lang_id and bigram-surprisal oracles
     composed verbatim, then the same census CDF (integer arithmetic
     end-to-end: `//` div, ×3 threshold compare — no float crosses the
@@ -479,9 +479,9 @@ def perplexity_buckets_oracle_sql() -> str:
 
     return f"""
 WITH lang_pred AS (
-{lang_id_ngram_oracle_sql()}
+{lang_id_ngram_oracle_sql(table)}
 ), rar AS (
-{bigram_rarity_oracle_sql()}
+{bigram_rarity_oracle_sql(table)}
 ), j AS (
     SELECT l.doc_id, l.lang_pred AS lang,
            r.n_bigrams, r.rarity_bits,

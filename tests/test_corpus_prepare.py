@@ -154,3 +154,35 @@ def test_render_sequences_materializes_the_artifact(spark, sf_dir, duck):
     want = duck.execute(render_sequences_oracle_sql()).df()
     assert canonicalize(got).equals(canonicalize(want))
     assert (got.n_docs > 1).any()     # real multi-doc sequences
+
+
+def test_prepare_ppl_keep_stage(spark, sf_dir, duck):
+    """ppl_keep inserts the CCNet §4.2 selection: buckets from
+    perplexity_buckets over the FULL train corpus, survivors must sit
+    in a kept bucket; the chained oracle (nested-WITH pplb CTE over
+    the train CTE) reproduces the packed row set exactly, and the
+    default path stays byte-identical SQL (the registered gate's hash
+    cannot move)."""
+    from obadiah_spark.pipelines.docquality import (
+        corpus_prepare, corpus_prepare_oracle_sql)
+    from obadiah_spark.pipelines.packing import PACK_SHARDS
+    from obadiah_spark.pipelines.text import perplexity_buckets
+    from obadiah_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = corpus_prepare(docs, n_shards=PACK_SHARDS).toPandas()
+    hm = corpus_prepare(docs, ppl_keep=("head", "middle"),
+                        n_shards=PACK_SHARDS).toPandas()
+    want = duck.execute(corpus_prepare_oracle_sql(
+        ppl_keep=("head", "middle"))).df()
+    assert canonicalize(hm).equals(canonicalize(want))
+    # the stage is a real strict filter at this fabric, and every
+    # survivor's bucket is head or middle over the train split
+    assert 0 < len(set(hm.doc_id)) < len(set(full.doc_id))
+    import pyspark.sql.functions as F
+
+    train = docs.filter(F.pmod("doc_id", F.lit(20)) != 0)
+    buckets = {r.doc_id: r.bucket
+               for r in perplexity_buckets(train).collect()}
+    assert all(buckets.get(d) in ("head", "middle")
+               for d in set(hm.doc_id))
