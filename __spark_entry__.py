@@ -754,6 +754,24 @@ def _q_ann_lsh(spark, sf_dir):
 # a cached checkpoint never leaks across SparkSessions.
 _IVF_CODEBOOKS: dict[tuple[str, str], DataFrame] = {}
 
+# Lloyd-trained PQ sub-codebooks, same once-per-(session, corpus)
+# discipline (the r14 coarse-codebook-reuse precedent): Lloyd is
+# deterministic over the capped sample, so the cached frame is
+# row-identical to an in-call retrain, and the ann_ivfpq union's
+# trained leg stops paying the per-pass training.
+_PQ_SUBCODEBOOKS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_pq_subcodebook(spark, sf_dir):
+    from obadiah_spark.pipelines.similarity import pq_train_subcodebooks
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sub = _PQ_SUBCODEBOOKS.get(key)
+    if sub is None:
+        sub = _PQ_SUBCODEBOOKS[key] = pq_train_subcodebooks(
+            spark.table("embeddings")).localCheckpoint(eager=True)
+    return sub
+
 
 def _q_ann_ivf(spark, sf_dir):
     from obadiah_spark.pipelines.similarity import ann_ivf, train_ivf_codebook
@@ -2241,7 +2259,7 @@ def _pq_ann_ivfpq_trained(spark, sf_dir):
     chain).  Registers as the ``trained`` leg of the ann_ivfpq union
     (same output schema as the base gate)."""
     from obadiah_spark.pipelines.similarity import (
-        ann_ivfpq, pq_train_subcodebooks, train_ivf_codebook)
+        ann_ivfpq, train_ivf_codebook)
 
     _load(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -2249,9 +2267,8 @@ def _pq_ann_ivfpq_trained(spark, sf_dir):
     if cb is None:
         cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(
             spark.table("embeddings"))
-    emb = spark.table("embeddings")
-    return ann_ivfpq(emb, codebook=cb,
-                     subcodebook=pq_train_subcodebooks(emb))
+    return ann_ivfpq(spark.table("embeddings"), codebook=cb,
+                     subcodebook=_session_pq_subcodebook(spark, sf_dir))
 
 
 def _pq_ann_ivfpq_union(spark, sf_dir):
@@ -2494,6 +2511,35 @@ def pending_queries() -> dict:
         "ppl_buckets": _pq_ppl_buckets,
         "exact_substr": _pq_exact_substr,
     }
+
+
+# r16 capacity merges: union key -> the member keys it retires (the
+# union reuses the FIRST member's key; the rest delete from queries()).
+_R16_UNION_RETIRES = {
+    "cleanse_order": ("cleanse_order", "fix_aggressor_order"),
+    "reveal_episodes": ("reveal_episodes", "insert_era"),
+    "merge_crossed_books": ("merge_crossed_books", "merge_episodes"),
+}
+_R16_NEW_STANDALONES = ("drop_boilerplate", "cluster_sample",
+                        "ppl_buckets", "exact_substr")
+
+
+def staged_registration_plan() -> list[str]:
+    """The EXACT planned r16 first-50 window, MECHANIZED — VERDICT r14
+    #1 was a hand-arithmetic slip in exactly this computation (a key
+    counted as expiring that was actually window-green), so the plan is
+    now executable and pytest-checked instead of prose: the keys
+    expiring into r16 are the CURRENT tail (their last driver row is
+    r14); the staged unions retire 6 of them; the staged standalones
+    take the freed slots.  tests/test_entry_contract.py asserts the
+    result is exactly 50 keys, all resolvable, and that every current
+    tail key is either in the plan or retired by a staged union."""
+    current = list(queries())
+    tail = current[50:]
+    retired = {m for ms in _R16_UNION_RETIRES.values() for m in ms}
+    surviving = [k for k in tail if k not in retired]
+    return (list(_R16_NEW_STANDALONES) + list(_R16_UNION_RETIRES)
+            + surviving)
 
 
 def pending_oracle_sql() -> dict[str, str]:

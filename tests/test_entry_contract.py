@@ -112,3 +112,36 @@ def test_rotation_age_bound():
         f"entries past the driver's 50-slot cap without a green row in "
         f"{[os.path.basename(p) for p in paths]} (their driver "
         f"verification would age past two rounds): {stale}")
+
+
+def test_staged_registration_plan_fits_the_window():
+    """The r16 window math, EXECUTABLE (VERDICT r14 #1 was a
+    hand-arithmetic slip here): the staged plan must be exactly 50
+    keys, every key must resolve to a registered or staged runner, no
+    planned key may duplicate, and every CURRENT tail key (expiring
+    into the next round) must be either in the plan or retired by a
+    staged union — otherwise its driver row would age past the bound
+    the test above enforces."""
+    plan = entry.staged_registration_plan()
+    assert len(plan) == 50, f"planned window is {len(plan)}, not 50"
+    assert len(set(plan)) == len(plan), "duplicate keys in the plan"
+    known = set(entry.queries()) | set(entry.pending_queries())
+    missing = [k for k in plan if k not in known]
+    assert not missing, f"planned keys with no runner: {missing}"
+    # staged union/standalone keys must be in the pending queue with
+    # oracles (the pending contract test covers callability)
+    pend = set(entry.pending_queries())
+    staged = [k for k in plan if k in pend]
+    assert set(staged) == pend, (
+        "every pending key must appear in the plan (else it never "
+        "gets a driver row)")
+    # age bound: every current tail key is accounted for
+    tail = list(entry.queries())[50:]
+    retired = {m for ms in entry._R16_UNION_RETIRES.values() for m in ms}
+    unaccounted = [k for k in tail if k not in plan and k not in retired]
+    assert not unaccounted, (
+        f"tail keys neither planned nor retired: {unaccounted}")
+    # retired members must really be current keys (a typo here would
+    # silently shrink the window)
+    ghost = [m for m in retired if m not in set(entry.queries())]
+    assert not ghost, f"retired members not in queries(): {ghost}"
