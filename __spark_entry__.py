@@ -1944,10 +1944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      unchanged this round — they rotate back into the window
         #      in r16 (embedding_dedup_lsh_recall alone retired into
         #      the lsh_recall union above, so 49 keys expire there).
-        #      r16 math — PRE-SOLVED: the three staged repair-family
-        #      unions retire 6 of them → 43 remaining + 3 unions +
-        #      2 standalones (drop_boilerplate, cluster_sample) = 48,
-        #      two slots free (pending_queries() docstring). ----------
+        #      r16 math — MECHANIZED: staged_registration_plan()
+        #      computes the exact planned window (42 surviving + 4
+        #      unions + 4 standalones = 50) and the entry-contract
+        #      test pins it; see pending_queries(). ------------------
         "semdedup": _q_semdedup,
         "render_sequences": _q_render_sequences,
         "pack_stream": _q_pack_stream,
@@ -2398,21 +2398,66 @@ def _pq_drop_boilerplate(spark, sf_dir):
                             line_words=12)
 
 
-def _pq_exact_substr(spark, sf_dir):
-    """ExactSubstr span-granularity removal (NEW r15, r16 candidate —
-    takes the last free slot the recomputed window math leaves):
-    dup_spans' duplicated-gram coverage merged into MAXIMAL contiguous
-    spans per document (interval union over duplicated starts), with
-    only spans ≥ min_span=16 tokens removed — Lee et al. 2022 §3's
-    long-verbatim-duplication rule, under which short incidental
-    repeats survive (45/500 fabric docs keep a removal at this
-    geometry; 300+ differ from the remove-everything base mode, so the
-    gate pins the islands chain, not a rerun of dup_spans).  Same
-    output schema as dup_spans — union slack for a future capacity
-    merge."""
+def _pq_dup_spans_union(spark, sf_dir):
+    """r16 capacity merge (2→1): dup_spans' historical remove-every-
+    covered-position mode and the NEW r15 ExactSubstr span-granularity
+    mode (min_span=16 — only maximal merged spans ≥ 16 tokens removed,
+    Lee et al. 2022 §3's long-verbatim-duplication rule, under which
+    short incidental repeats survive: 45/500 fabric docs keep a
+    removal at this geometry and 300+ differ from base mode, so the
+    leg pins the islands chain, not a rerun) as one variant-tagged
+    gate over the identical output schema.  Retiring the dup_spans
+    tail key frees the slot that lets ann_ingest_stream register in
+    r16 instead of waiting a round; each leg keeps its exact oracle
+    geometry."""
     from obadiah_spark.pipelines.docquality import dup_spans
 
-    return dup_spans(_docs(spark, sf_dir), min_span=16)
+    return _variant_union(
+        ("all", _q_dup_spans(spark, sf_dir)),
+        ("minspan", dup_spans(_docs(spark, sf_dir).select("doc_id",
+                                                          "text"),
+                              min_span=16)),
+    )
+
+
+def _pq_ann_ingest_stream(spark, sf_dir):
+    """Streaming IVF-PQ index maintenance (NEW r15, r16 candidate):
+    the embeddings table replayed as a 3-micro-batch vector stream
+    through ``run_ann_index_ingest`` — each batch PQ-encodes under
+    frozen session codebooks and lands in idempotent
+    ingest_batch/cell partitions — then the standard index query over
+    the streamed layout.  Because every batch runs the exact
+    _encode_vectors pass the batch build runs, the streamed index is
+    row-identical to a single-shot build (pytest-pinned), so the
+    oracle is ann_ivfpq_oracle() VERBATIM: the hash covers the
+    streaming driver, the idempotent partition layout, and the
+    pruned query over it."""
+    import os
+
+    from obadiah_spark.pipelines.similarity import (ann_ivfpq_query,
+                                                    pq_subcodebooks,
+                                                    train_ivf_codebook)
+    from obadiah_spark.streaming.ann_ingest import run_ann_index_ingest
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _IVF_CODEBOOKS.get(key)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(emb)
+    work = _gate_tmpdir("ann_ingest_gate_")
+    src = _write_replay_chunks(emb.select("vec_id", "embedding"),
+                               ["vec_id"], work, subdir="vecs")
+    idx = os.path.join(work, "index")
+    # seeded sub-codebooks: the ann_ivfpq oracle's geometry (the
+    # Lloyd-trained default would fork the ADC ordering from the SQL)
+    run_ann_index_ingest(
+        spark, src, "vec_id long, embedding array<float>",
+        os.path.join(work, "ckpt"), idx,
+        codebook=cb, subcodebook=pq_subcodebooks(emb))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return ann_ivfpq_query(spark, idx, q)
 
 
 def _pq_ppl_buckets(spark, sf_dir):
@@ -2494,22 +2539,27 @@ def pending_queries() -> dict:
     repair-family unions below (cleanse_order ∪ fix_aggressor_order,
     reveal_episodes ∪ insert_era, merge_crossed_books ∪
     merge_episodes — all share the level3 output schema) retire 6
-    members → 43 remaining + 3 unions = 46, leaving **4 free slots**;
-    the staged drop_boilerplate, cluster_sample, ppl_buckets and
-    exact_substr standalones take all four (→ exactly 50).  Slack if
-    r16 needs a slot after all: exact_substr shares dup_spans' output
-    schema (union candidate), and csv_roundtrip shares the repair
-    family's level3 schema."""
+    members → 43 remaining + 3 unions = 46; the dup_spans union (base
+    mode ∪ the NEW ExactSubstr min_span mode — identical schema)
+    retires a 7th tail member → 42 remaining + 4 unions = 46, and the
+    four staged standalones (drop_boilerplate, cluster_sample,
+    ppl_buckets, ann_ingest_stream) fill it to exactly 50.  The whole
+    computation is executable: staged_registration_plan() +
+    tests/test_entry_contract.py::
+    test_staged_registration_plan_fits_the_window.  Slack if r16 needs
+    a slot after all: csv_roundtrip shares the repair family's level3
+    schema."""
     return {
-        # r16 queue (capacity merges + the four staged standalones;
-        # window exactly full)
+        # r16 queue (4 capacity merges + 4 staged standalones;
+        # window exactly full — the plan helper pins it)
         "cleanse_order": _pq_cleanse_union,
         "reveal_episodes": _pq_reveal_era_union,
         "merge_crossed_books": _pq_merge_repairs_union,
+        "dup_spans": _pq_dup_spans_union,
         "drop_boilerplate": _pq_drop_boilerplate,
         "cluster_sample": _pq_cluster_sample,
         "ppl_buckets": _pq_ppl_buckets,
-        "exact_substr": _pq_exact_substr,
+        "ann_ingest_stream": _pq_ann_ingest_stream,
     }
 
 
@@ -2519,9 +2569,11 @@ _R16_UNION_RETIRES = {
     "cleanse_order": ("cleanse_order", "fix_aggressor_order"),
     "reveal_episodes": ("reveal_episodes", "insert_era"),
     "merge_crossed_books": ("merge_crossed_books", "merge_episodes"),
+    # base mode ∪ the NEW ExactSubstr min_span mode, identical schema
+    "dup_spans": ("dup_spans",),
 }
 _R16_NEW_STANDALONES = ("drop_boilerplate", "cluster_sample",
-                        "ppl_buckets", "exact_substr")
+                        "ppl_buckets", "ann_ingest_stream")
 
 
 def staged_registration_plan() -> list[str]:
@@ -2547,6 +2599,7 @@ def pending_oracle_sql() -> dict[str, str]:
     from obadiah_spark.pipelines import docquality
     from obadiah_spark.pipelines import sampling as sampling_mod
     from obadiah_spark.pipelines import text as text_mod
+    from obadiah_spark.pipelines.similarity import ann_ivfpq_oracle
 
     full = oracle_sql()
     return {
@@ -2563,7 +2616,12 @@ def pending_oracle_sql() -> dict[str, str]:
             line_words=12),
         "cluster_sample": sampling_mod.cluster_balanced_sample_oracle_sql(20),
         "ppl_buckets": text_mod.perplexity_buckets_oracle_sql(),
-        "exact_substr": docquality.dup_spans_oracle_sql(min_span=16),
+        "dup_spans": _variant_union_oracle(
+            all=docquality.dup_spans_oracle_sql(),
+            minspan=docquality.dup_spans_oracle_sql(min_span=16)),
+        # streamed index ≡ single-shot build (shared _encode_vectors
+        # pass; pytest-pinned), so the query oracle is verbatim
+        "ann_ingest_stream": ann_ivfpq_oracle(),
     }
 
 

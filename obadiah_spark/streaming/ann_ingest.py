@@ -1,0 +1,146 @@
+"""Streaming IVF-PQ index maintenance — similarity search ON INGEST.
+
+At 100 TB the vector corpus is not loaded once; it arrives. The batch
+half of this story already exists: ``write_ivfpq_index`` builds the
+persisted cell-partitioned index and ``append_ivfpq_index`` grows it
+without retraining (codebooks FROZEN — the standard IVF discipline
+where retraining is a deliberate offline event, never an ingest side
+effect).  This module is the Structured-Streaming driver for the same
+contract: a vector stream flows through ``foreachBatch`` and each
+micro-batch runs the exact ``_encode_vectors`` pass the batch build
+runs, under codebooks written ONCE before the stream starts — so a
+streamed index is row-identical to a single-shot batch build over the
+same corpus (the differential ``tests/test_ann_ingest.py`` pins, the
+same property ``append_ivfpq_index`` already carries in batch form).
+
+Idempotence (the corpus_stream sink precedent, ADVICE r13 #1 family):
+each micro-batch writes its encoded rows with ``partitionBy
+("ingest_batch", "cell")`` in dynamic-partition-overwrite mode, so a
+batch retried after a partial write — or replayed after a restart
+against the same checkpoint, which reuses the SAME ``batch_id`` —
+OVERWRITES its own ``ingest_batch=N`` partitions instead of appending
+duplicates: effectively exactly-once end-to-end.
+
+Query compatibility: ``ann_ivfpq_query`` reads ``<index>/vectors``
+with partition discovery and joins probes on ``cell``; the extra
+``ingest_batch`` partition level changes neither the join nor the
+pruning (Spark prunes on any partition column, so a probed query
+still reads only the ``cell=K`` leaf directories across batches).
+
+Reference parity note: the reference's capture loop persists an
+ever-growing raw stream and derives silver tables incrementally
+(db/obanalytics_schema.sql checkpoint tables); this operator is the
+same persist-incrementally discipline applied to the ANN index family
+instead of the order-book family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from obadiah_spark.pipelines.similarity import (IVF_CELLS, IVF_ITERS,
+                                                IVF_STRIDE, IVF_TRAIN_MAX,
+                                                IVF_TRAIN_STRIDE, PQ_DIM,
+                                                PQ_KSUB, PQ_M,
+                                                _encode_vectors,
+                                                pq_subcodebooks,
+                                                pq_train_subcodebooks,
+                                                train_ivf_codebook)
+
+
+def prepare_index_codebooks(spark, index_path: str,
+                            train_emb: DataFrame | None = None,
+                            codebook: DataFrame | None = None,
+                            subcodebook: DataFrame | None = None,
+                            n_cells: int = IVF_CELLS,
+                            stride: int = IVF_STRIDE,
+                            iters: int = IVF_ITERS,
+                            train_stride: int = IVF_TRAIN_STRIDE,
+                            train_max: int = IVF_TRAIN_MAX,
+                            m: int = PQ_M, ksub: int = PQ_KSUB,
+                            dim: int = PQ_DIM,
+                            train_pq: bool = True):
+    """Write (or reuse) the index's frozen ``codebook/`` and
+    ``subcodebook/`` and return them as DataFrames.
+
+    Resume rule: when both directories already exist they are REUSED
+    verbatim and every training argument is ignored — a restarted
+    ingest must encode under the same books as the rows already in the
+    index, or old and new rows silently live in different quantization
+    spaces.  On first run the books come from the supplied frames (the
+    production path: trained offline on a sample) or are trained here
+    from ``train_emb``."""
+    cb_path = os.path.join(index_path, "codebook")
+    sub_path = os.path.join(index_path, "subcodebook")
+    try:
+        cb = spark.read.parquet(cb_path)
+        subcb = spark.read.parquet(sub_path)
+        return cb, subcb
+    except Exception:
+        pass
+    if codebook is None:
+        if train_emb is None:
+            raise ValueError(
+                "first ingest into a fresh index needs either codebook= "
+                "frames or train_emb= to train them from (the frozen-"
+                "codebook discipline: books never derive from the stream)")
+        codebook = train_ivf_codebook(train_emb, n_cells=n_cells,
+                                      stride=stride, iters=iters,
+                                      train_stride=train_stride,
+                                      train_max=train_max)
+    codebook.write.mode("overwrite").parquet(cb_path)
+    if subcodebook is None:
+        if train_emb is None:
+            raise ValueError("subcodebook= or train_emb= required")
+        subcodebook = (pq_train_subcodebooks(train_emb, iters, stride, m,
+                                             ksub, dim, train_stride,
+                                             train_max)
+                       if train_pq
+                       else pq_subcodebooks(train_emb, stride, m, ksub,
+                                            dim))
+    subcodebook.write.mode("overwrite").parquet(sub_path)
+    return (spark.read.parquet(cb_path), spark.read.parquet(sub_path))
+
+
+def run_ann_index_ingest(spark, src_path: str, schema: str,
+                         checkpoint: str, index_path: str,
+                         train_emb: DataFrame | None = None,
+                         codebook: DataFrame | None = None,
+                         subcodebook: DataFrame | None = None,
+                         m: int = PQ_M, ksub: int = PQ_KSUB,
+                         dim: int = PQ_DIM, train_pq: bool = True,
+                         max_files_per_trigger: int = 1) -> str:
+    """Drive a vector file-stream into a persisted IVF-PQ index.
+
+    ``src_path`` replays parquet files of ``(vec_id, embedding)`` rows
+    (``schema``); each micro-batch assigns cells and PQ-encodes under
+    the frozen books and lands in
+    ``<index>/vectors/ingest_batch=N/cell=K/`` via an idempotent
+    dynamic-partition overwrite.  Returns ``index_path``; query with
+    :func:`~obadiah_spark.pipelines.similarity.ann_ivfpq_query`."""
+    cb, subcb = prepare_index_codebooks(
+        spark, index_path, train_emb=train_emb, codebook=codebook,
+        subcodebook=subcodebook, m=m, ksub=ksub, dim=dim,
+        train_pq=train_pq)
+    vectors_path = os.path.join(index_path, "vectors")
+
+    def handle(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (_encode_vectors(batch_df, cb, subcb, m, dim)
+         .withColumn("ingest_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch", "cell")
+         .parquet(vectors_path))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(src_path))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return index_path

@@ -48,8 +48,10 @@ ALLOWED_CROSS = {"ann_bruteforce", "ngram_jaccard",
                  # staged pending gates with the identical bounded IVF
                  # patterns: coarse/sub-codebook broadcasts only; the
                  # pair/candidate joins are (cell, bucket) equi-joins;
-                 # ann_ivfpq is the base+Lloyd-trained union since r15
-                 "semdedup", "ann_ivfpq_query",
+                 # ann_ivfpq is the base+Lloyd-trained union since r15;
+                 # ann_ingest_stream queries the streamed index through
+                 # the same ann_ivfpq_query plan
+                 "semdedup", "ann_ivfpq_query", "ann_ingest_stream",
                  # the union of the two recall bounds (ann_lsh_recall +
                  # embedding_dedup_lsh_recall, retired r15) inherits both
                  # members' documented bounded exact sides
