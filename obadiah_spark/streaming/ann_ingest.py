@@ -72,14 +72,27 @@ def prepare_index_codebooks(spark, index_path: str,
     spaces.  On first run the books come from the supplied frames (the
     production path: trained offline on a sample) or are trained here
     from ``train_emb``."""
+    from obadiah_spark.streaming.corpus_stream import _hadoop_fs
+
     cb_path = os.path.join(index_path, "codebook")
     sub_path = os.path.join(index_path, "subcodebook")
-    try:
-        cb = spark.read.parquet(cb_path)
-        subcb = spark.read.parquet(sub_path)
-        return cb, subcb
-    except Exception:
-        pass
+    # existence probed explicitly (Hadoop FS API — works on any
+    # configured scheme); a present-but-unreadable book then FAILS the
+    # read instead of silently retraining over the index, which would
+    # fork the quantization space from the resident rows (the
+    # error-masking trap ADVICE r13 #3 closed for the corpus sink)
+    fs, cb_p = _hadoop_fs(spark, cb_path)
+    _, sub_p = _hadoop_fs(spark, sub_path)
+    cb_exists, sub_exists = fs.exists(cb_p), fs.exists(sub_p)
+    if cb_exists != sub_exists:
+        raise ValueError(
+            f"index {index_path!r} holds only one of codebook/"
+            f"subcodebook — a partial prior initialization; delete the "
+            f"surviving half (or restore the missing one) before "
+            f"ingesting")
+    if cb_exists:
+        return (spark.read.parquet(cb_path),
+                spark.read.parquet(sub_path))
     if codebook is None:
         if train_emb is None:
             raise ValueError(

@@ -126,3 +126,19 @@ def test_fresh_index_requires_books_or_training(spark, tmp_path):
 
     with pytest.raises(ValueError, match="frozen-"):
         prepare_index_codebooks(spark, str(tmp_path / "empty_idx"))
+
+
+def test_partial_book_initialization_fails_fast(spark, sf_dir, tmp_path):
+    """An index holding only one of codebook/subcodebook (a crashed
+    prior initialization) is rejected instead of silently retrained —
+    retraining would fork the quantization space from any resident
+    rows; and a present-but-unreadable book must raise the read error,
+    not fall through to training."""
+    from obadiah_spark.pipelines.similarity import train_ivf_codebook
+    from obadiah_spark.streaming.ann_ingest import prepare_index_codebooks
+
+    emb = _emb(spark, sf_dir)
+    idx = tmp_path / "half_idx"
+    train_ivf_codebook(emb, str(idx / "codebook"))
+    with pytest.raises(ValueError, match="partial prior"):
+        prepare_index_codebooks(spark, str(idx), train_emb=emb)
