@@ -84,10 +84,14 @@ def _write_replay_chunks(df: DataFrame, order_cols: list[str], work: str,
 
     from pyspark.sql import Window
 
-    n = df.count()
-    per = (n + chunks - 1) // chunks
+    # rank ONCE, checkpoint, then filter per chunk — without the
+    # checkpoint each chunk write (and the count) re-runs the full
+    # scan + single-partition sort, 4 jobs where one suffices
     ranked = df.withColumn(
-        "_rn", F.row_number().over(Window.orderBy(*order_cols)))
+        "_rn", F.row_number().over(Window.orderBy(*order_cols))
+    ).localCheckpoint()
+    n = ranked.count()
+    per = (n + chunks - 1) // chunks
     src = os.path.join(work, subdir)
     os.makedirs(src, exist_ok=True)
     now = time.time()
@@ -2410,13 +2414,16 @@ def _pq_dup_spans_union(spark, sf_dir):
     tail key frees the slot that lets ann_ingest_stream register in
     r16 instead of waiting a round; each leg keeps its exact oracle
     geometry."""
-    from obadiah_spark.pipelines.docquality import dup_spans
+    from obadiah_spark.pipelines.docquality import _words, dup_spans
 
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # ONE tokenization pass shared by both legs (dup_spans' tok=
+    # contract, the gopher_quality sharing precedent) — the union must
+    # not double the gate's most expensive stage
+    tok = _words(d).localCheckpoint()
     return _variant_union(
-        ("all", _q_dup_spans(spark, sf_dir)),
-        ("minspan", dup_spans(_docs(spark, sf_dir).select("doc_id",
-                                                          "text"),
-                              min_span=16)),
+        ("all", dup_spans(d, tok=tok)),
+        ("minspan", dup_spans(d, tok=tok, min_span=16)),
     )
 
 

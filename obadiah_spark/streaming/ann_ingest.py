@@ -93,28 +93,81 @@ def prepare_index_codebooks(spark, index_path: str,
     if cb_exists:
         return (spark.read.parquet(cb_path),
                 spark.read.parquet(sub_path))
-    if codebook is None:
-        if train_emb is None:
+
+    # fresh index: validate BEFORE any write — a half-written index
+    # (codebook persisted, then the subcodebook argument check fails)
+    # would manufacture the partial-initialization state the guard
+    # above permanently rejects
+    if train_emb is None and (codebook is None or subcodebook is None):
+        raise ValueError(
+            "first ingest into a fresh index needs either BOTH "
+            "codebook= and subcodebook= frames or train_emb= to train "
+            "the missing ones from (the frozen-codebook discipline: "
+            "books never derive from the stream)")
+    if codebook is not None:
+        got_cols = set(codebook.columns)
+        if not {"cell", "c_emb"} <= got_cols:
             raise ValueError(
-                "first ingest into a fresh index needs either codebook= "
-                "frames or train_emb= to train them from (the frozen-"
-                "codebook discipline: books never derive from the stream)")
+                f"codebook must be a (cell, c_emb) frame from "
+                f"train_ivf_codebook, got columns {sorted(got_cols)}")
+        got_cells = codebook.count()
+        if got_cells > n_cells:
+            raise ValueError(
+                f"supplied codebook has {got_cells} cells but the index "
+                f"was asked for n_cells={n_cells}: the persisted books "
+                f"would not match the arguments (write_ivfpq_index's "
+                f"ADVICE r14 #4 check, applied to the streaming path)")
+    if subcodebook is not None:
+        got_cols = set(subcodebook.columns)
+        if not {"m", "j", "sc"} <= got_cols:
+            raise ValueError(
+                f"subcodebook must be an (m, j, sc) frame from "
+                f"pq_subcodebooks/pq_train_subcodebooks, got columns "
+                f"{sorted(got_cols)}")
+
+    if codebook is None:
         codebook = train_ivf_codebook(train_emb, n_cells=n_cells,
                                       stride=stride, iters=iters,
                                       train_stride=train_stride,
                                       train_max=train_max)
-    codebook.write.mode("overwrite").parquet(cb_path)
     if subcodebook is None:
-        if train_emb is None:
-            raise ValueError("subcodebook= or train_emb= required")
         subcodebook = (pq_train_subcodebooks(train_emb, iters, stride, m,
                                              ksub, dim, train_stride,
                                              train_max)
                        if train_pq
                        else pq_subcodebooks(train_emb, stride, m, ksub,
                                             dim))
+    codebook.write.mode("overwrite").parquet(cb_path)
     subcodebook.write.mode("overwrite").parquet(sub_path)
     return (spark.read.parquet(cb_path), spark.read.parquet(sub_path))
+
+
+def _check_no_stale_ingest_batches(spark, vectors_path: str,
+                                   checkpoint: str) -> None:
+    """Post-run guard (the corpus_stream stale-batch discipline): every
+    ``ingest_batch=N`` partition must be ≤ the checkpoint's last
+    committed batch.  A reused index with a FRESH or re-batched
+    checkpoint replays fewer/larger batches, overwrites the low batch
+    ids and silently KEEPS the higher ones from the longer prior run —
+    duplicated vectors that inflate every ADC sum downstream."""
+    from obadiah_spark.streaming.corpus_stream import (_hadoop_fs,
+                                                       _max_committed_batch)
+
+    fs, p = _hadoop_fs(spark, vectors_path)
+    if not fs.exists(p):
+        return
+    last = _max_committed_batch(spark, checkpoint)
+    stale = [n for n in
+             (s.getPath().getName() for s in fs.listStatus(p))
+             if n.startswith("ingest_batch=")
+             and int(n[len("ingest_batch="):]) > last]
+    if stale:
+        raise ValueError(
+            f"index vectors at {vectors_path!r} hold partitions beyond "
+            f"the checkpoint's last committed batch {last} "
+            f"({stale[:3]}…): stale output from a longer prior run "
+            f"whose rows would duplicate vectors in every query — "
+            f"delete them or restore the matching checkpoint")
 
 
 def run_ann_index_ingest(spark, src_path: str, schema: str,
@@ -156,4 +209,5 @@ def run_ann_index_ingest(spark, src_path: str, schema: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    _check_no_stale_ingest_batches(spark, vectors_path, checkpoint)
     return index_path

@@ -142,3 +142,55 @@ def test_partial_book_initialization_fails_fast(spark, sf_dir, tmp_path):
     train_ivf_codebook(emb, str(idx / "codebook"))
     with pytest.raises(ValueError, match="partial prior"):
         prepare_index_codebooks(spark, str(idx), train_emb=emb)
+
+
+def test_stale_ingest_batches_fail_fast(spark, sf_dir, tmp_path):
+    """A reused index whose vectors hold ingest_batch partitions beyond
+    the checkpoint's last committed batch (a re-batched or pruned-
+    source rerun) is detected instead of silently double-counting the
+    stale rows in every query."""
+    from obadiah_spark.pipelines.similarity import (pq_subcodebooks,
+                                                    train_ivf_codebook)
+    from obadiah_spark.streaming.ann_ingest import run_ann_index_ingest
+
+    emb = _emb(spark, sf_dir)
+    src = _stream_src(spark, emb, tmp_path)
+    idx = str(tmp_path / "idx")
+    cb, sub = train_ivf_codebook(emb), pq_subcodebooks(emb)
+    # run 1: 3 files at 1 file/trigger -> ingest_batch={0,1,2}
+    run_ann_index_ingest(
+        spark, src, "vec_id long, embedding array<float>",
+        str(tmp_path / "ckpt1"), idx, codebook=cb, subcodebook=sub)
+    # run 2: same source, FRESH checkpoint, all files in ONE trigger ->
+    # only ingest_batch=0 commits; 1 and 2 are stale survivors
+    with pytest.raises(ValueError, match="stale"):
+        run_ann_index_ingest(
+            spark, src, "vec_id long, embedding array<float>",
+            str(tmp_path / "ckpt2"), idx, max_files_per_trigger=3)
+
+
+def test_unvalidated_books_are_rejected_before_write(spark, sf_dir,
+                                                     tmp_path):
+    """Finding-closure triple: a wrong-shaped codebook, an oversized
+    codebook, and a missing-subcodebook call must all fail BEFORE
+    anything is written — the index dir stays absent, so no partial
+    state survives the error."""
+    import os
+
+    from obadiah_spark.pipelines.similarity import train_ivf_codebook
+    from obadiah_spark.streaming.ann_ingest import prepare_index_codebooks
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="cell, c_emb"):
+        prepare_index_codebooks(spark, idx, codebook=emb.select("vec_id"),
+                                subcodebook=emb.select("vec_id"))
+    with pytest.raises(ValueError, match="n_cells=2"):
+        prepare_index_codebooks(spark, idx,
+                                codebook=train_ivf_codebook(emb),
+                                subcodebook=emb.select("vec_id"),
+                                n_cells=2)
+    with pytest.raises(ValueError, match="BOTH"):
+        prepare_index_codebooks(spark, idx,
+                                codebook=train_ivf_codebook(emb))
+    assert not os.path.exists(idx)
