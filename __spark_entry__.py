@@ -71,14 +71,16 @@ def _write_one_chunk(df: DataFrame, work: str, src: str, idx: int,
 
 
 def _write_replay_chunks(df: DataFrame, order_cols: list[str], work: str,
-                         chunks: int = 3, subdir: str = "src") -> str:
+                         chunks: int = 3, subdir: str = "src"
+                         ) -> tuple[str, int]:
     """Author a streaming gate's mtime-ordered replay files without a
     driver collect (VERDICT r14 cosmetic #3): rows ranked on
     ``order_cols`` split into ceil(n/chunks)-row files via
     executor-side writes.  The single-partition rank window is the
     global replay order the gate contract needs, bounded to the gate
     fabric (≤ tens of thousands of rows — operator inputs never pass
-    through here)."""
+    through here).  Returns ``(src_dir, n_rows)`` — the row count sizes
+    the stream's state partitions (streaming/scale.py, r15)."""
     import os
     import time
 
@@ -100,7 +102,7 @@ def _write_replay_chunks(df: DataFrame, order_cols: list[str], work: str,
                                & (F.col("_rn") <= (i + 1) * per))
                  .drop("_rn").sortWithinPartitions(*order_cols))
         _write_one_chunk(chunk, work, src, i, now + 10 * i)
-    return src
+    return src, n
 
 
 # keyed by the live session object, not id() (see _CKPT_SILVER note)
@@ -331,10 +333,13 @@ def _q_dedup_stream(spark, sf_dir):
     import os
     import uuid
 
+    from obadiah_spark.pipelines.dedup import LSH_BANDS
     from obadiah_spark.streaming.dedup_stream import minhash_lsh_stream
+    from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
+                                               stream_shuffle_partitions)
 
     work = _gate_tmpdir("dedup_stream_gate_")
-    src = _write_replay_chunks(
+    src, n = _write_replay_chunks(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select("doc_id", "text"), ["doc_id"], work, subdir="docs")
     # one file per trigger = ONE input partition per micro-batch; the
@@ -344,11 +349,18 @@ def _q_dedup_stream(spark, sf_dir):
               .option("maxFilesPerTrigger", 1).parquet(src)
               .repartition(spark.sparkContext.defaultParallelism))
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (minhash_lsh_stream(stream, max_bucket_size=10_000)
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # state volume = LSH_BANDS rows per doc; the keyspace is nearly as
+    # large (band buckets are mostly singletons), so the sizing is
+    # GROUP-bound (streaming/scale.py) — measured A/B at sf0.1: 1
+    # partition 30 s vs 20 partitions ≈ the pinned-32 15.5 s
+    with scoped_shuffle_partitions(
+            spark, stream_shuffle_partitions(spark, n * LSH_BANDS,
+                                             n_groups=n * LSH_BANDS)):
+        q = (minhash_lsh_stream(stream, max_bucket_size=10_000)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name).select("doc_a", "doc_b").distinct()
 
 
@@ -377,8 +389,8 @@ def _q_sessionize_stream(spark, sf_dir):
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
         F.col("value").cast("double").alias("value"))
     work = _gate_tmpdir("sess_stream_gate_")
-    src = _write_replay_chunks(ev, ["ts_us", "event_id"], work,
-                               subdir="events")
+    src, n = _write_replay_chunks(ev, ["ts_us", "event_id"], work,
+                                  subdir="events")
     # flush sentinels (event_id < 0) in a final batch, one per user,
     # timestamped past every event so they close the open sessions;
     # the one-row max side broadcasts (bounded NLJ, the dsir pattern)
@@ -393,11 +405,16 @@ def _q_sessionize_stream(spark, sf_dir):
     stream = (spark.readStream.schema(EVENTS_IN_SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = f"sess_stream_{uuid.uuid4().hex[:8]}"
-    q = (sessionize_stream(stream, gap_minutes=30)
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
+                                               stream_shuffle_partitions)
+
+    with scoped_shuffle_partitions(
+            spark, stream_shuffle_partitions(spark, n)):
+        q = (sessionize_stream(stream, gap_minutes=30)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -415,23 +432,37 @@ def _q_embedding_dedup_stream(spark, sf_dir):
     import os
     import uuid
 
+    from obadiah_spark.pipelines.dedup import DEDUP_TABLES
     from obadiah_spark.streaming.dedup_stream import embedding_dedup_stream
+    from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
+                                               stream_shuffle_partitions)
 
     work = _gate_tmpdir("emb_stream_gate_")
     # float32 embedding elements survive verbatim: the chunk writer
     # re-writes the source table's own physical type
-    src = _write_replay_chunks(
+    src, n = _write_replay_chunks(
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .select("vec_id", "embedding"), ["vec_id"], work, subdir="emb")
     stream = (spark.readStream.schema("vec_id long, embedding array<float>")
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = f"emb_stream_{uuid.uuid4().hex[:8]}"
-    q = (embedding_dedup_stream(stream, min_cosine=0.45,
-                                max_bucket_size=10_000)
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # state volume = one sig row per (vector, table); density 2000 (not
+    # the 50k scalar-fold default): each arriving row exact-scores
+    # against its bucket residents in Python (O(bucket)·dim per row,
+    # ~100× a scalar fold's per-row cost), so per-partition compute
+    # dominates the partition fixed cost ~25× sooner — measured A/B at
+    # sf0.1: 2 partitions 17.9 s vs 32 partitions 7.6 s (4-rep min);
+    # the sign-LSH keyspace is also row-sized (mostly tiny buckets)
+    with scoped_shuffle_partitions(
+            spark, stream_shuffle_partitions(spark, n * DEDUP_TABLES,
+                                             n_groups=n * DEDUP_TABLES,
+                                             rows_per_partition=2000)):
+        q = (embedding_dedup_stream(stream, min_cosine=0.45,
+                                    max_bucket_size=10_000)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     # a pair colliding in several tables emits once per table with the
     # same deterministic cosine — collapse like the batch distinct
     return spark.table(name).select("vec_a", "vec_b", "cosine").distinct()
@@ -460,14 +491,19 @@ def _q_corpus_clean_stream(spark, sf_dir):
     import uuid
 
     from obadiah_spark.streaming.corpus_stream import run_corpus_clean_stream
+    from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
+                                               stream_shuffle_partitions)
 
     work = _gate_tmpdir("cc_stream_gate_")
-    src = _write_replay_chunks(
+    src, n = _write_replay_chunks(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select("doc_id", "text"), ["doc_id"], work, subdir="docs")
     name = f"cc_stream_{uuid.uuid4().hex[:8]}"
-    run_corpus_clean_stream(spark, src, "doc_id long, text string",
-                            os.path.join(work, "ckpt"), name)
+    # keyspace = one fingerprint per (mostly unique) document
+    with scoped_shuffle_partitions(
+            spark, stream_shuffle_partitions(spark, n, n_groups=n)):
+        run_corpus_clean_stream(spark, src, "doc_id long, text string",
+                                os.path.join(work, "ckpt"), name)
     return spark.table(name)
 
 
@@ -2072,19 +2108,23 @@ def _q_pack_stream(spark, sf_dir):
 
     from obadiah_spark.pipelines.packing import PACK_SHARDS
     from obadiah_spark.streaming.pack_stream import pack_stream
+    from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
+                                               stream_shuffle_partitions)
 
     work = _gate_tmpdir("pack_stream_gate_")
-    src = _write_replay_chunks(
+    src, n = _write_replay_chunks(
         _docs(spark, sf_dir).select("doc_id", "text"), ["doc_id"],
         work, subdir="docs")
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = f"pack_stream_{uuid.uuid4().hex[:8]}"
-    q = (pack_stream(stream, n_shards=PACK_SHARDS)
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with scoped_shuffle_partitions(
+            spark, stream_shuffle_partitions(spark, n)):
+        q = (pack_stream(stream, n_shards=PACK_SHARDS)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -2453,8 +2493,8 @@ def _pq_ann_ingest_stream(spark, sf_dir):
     if cb is None:
         cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(emb)
     work = _gate_tmpdir("ann_ingest_gate_")
-    src = _write_replay_chunks(emb.select("vec_id", "embedding"),
-                               ["vec_id"], work, subdir="vecs")
+    src, _n = _write_replay_chunks(emb.select("vec_id", "embedding"),
+                                   ["vec_id"], work, subdir="vecs")
     idx = os.path.join(work, "index")
     # seeded sub-codebooks: the ann_ivfpq oracle's geometry (the
     # Lloyd-trained default would fork the ADC ordering from the SQL)

@@ -24,6 +24,8 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 
 q = e.queries()[key]
+import os
+print("partitions_env:", os.environ.get("OBADIAH_STREAM_SHUFFLE_PARTITIONS","derived"))
 for i in range(reps):
     t0 = time.time()
     n = q(spark, sf).count()
