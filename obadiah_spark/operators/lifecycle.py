@@ -146,11 +146,18 @@ def incremental_match_step(l3: DataFrame, trades: DataFrame,
     d_us = max_delay_s * 1_000_000
     l_us = lookback_s * 1_000_000
     ext_lo, ext_hi = lo_us - l_us - d_us, hi_us + l_us + d_us
+    # materialize both chunk windows once (eager=False: first consumer
+    # triggers it): I5 and I6 each reference the event/trade windows in
+    # several subtrees (joins + windows), and without the cut every
+    # subtree re-scans the full cached l3/trades and re-applies the
+    # filter — ~6 full-input scan waves per chunk of pure overhead
+    # (guide §2.4: share one materialization instead of re-deriving)
     t_ext = trades.filter(_between_us("trade_microtimestamp",
-                                      ext_lo - 1, ext_hi))
+                                      ext_lo - 1, ext_hi)
+                          ).localCheckpoint(eager=False)
     # events matter within [trade, trade + max_delay] of an extended trade
     l3_ext = l3.filter(_between_us("microtimestamp", ext_lo - 1,
-                                   ext_hi + d_us))
+                                   ext_hi + d_us)).localCheckpoint(eager=False)
     # i5_all feeds both the keep-filter and the residual anti-join — cut
     # lineage so the I5 joins and dedup windows evaluate once, not twice
     i5_all = match_price_and_fill_exact(
