@@ -1183,6 +1183,24 @@ def _variant_union_oracle(**variants: str) -> str:
         for name, sql in variants.items())
 
 
+def _overlap_legs(*thunks):
+    """Construct union-gate legs CONCURRENTLY (optimization guide §2.6,
+    r15): legs whose construction performs eager Spark work — streaming
+    replays, persisted-index writes, chunked lifecycle loops — otherwise
+    serialize end-to-end before the union ever materializes, leaving the
+    cluster idle through each leg's stragglers.  Spark schedules
+    concurrent jobs from driver threads FIFO, which is exactly the
+    back-fill behavior wanted.  Purely lazy legs gain nothing (their
+    independent stages already overlap inside the collect job) — use
+    this only when ≥2 legs carry eager construction work.  Returns the
+    results in thunk order; exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _q_depth_summary(spark, sf_dir):
     """D5 + its p_frequency / p_start_time overloads (get_schema.sql:278)
     as ONE parameterized gate: base = full-history bps bucketing fold;
@@ -2242,11 +2260,25 @@ def _pq_minhash_pairs_union(spark, sf_dir):
     """r15 capacity merge (3→1): the three (doc_a, doc_b) MinHash-LSH
     candidate-pair gates — batch, persisted-index incremental, and the
     streaming-replay form — as one variant-tagged gate; each branch
-    keeps its exact oracle."""
+    keeps its exact oracle.
+
+    The incremental leg (eager index write + census) and the stream leg
+    (eager 3-trigger replay) construct CONCURRENTLY (_overlap_legs,
+    guide §2.6) — serialized they idle the cluster through each other's
+    stragglers/trigger gaps.  The batch leg stays inline: it is lazy
+    (its jobs run in the union's collect).  Value-neutral: the legs
+    share no state, and the stream leg's scoped shuffle-partition conf
+    resolves to the session value at gate scale while the incremental
+    leg's batch stages are AQE-coalesced under either setting."""
+    _docs(spark, sf_dir)  # register views once before the leg threads
+    inc, stream = _overlap_legs(
+        lambda: _q_minhash_lsh_incremental(spark, sf_dir),
+        lambda: _q_dedup_stream(spark, sf_dir),
+    )
     return _variant_union(
         ("batch", _q_minhash_lsh(spark, sf_dir)),
-        ("incremental", _q_minhash_lsh_incremental(spark, sf_dir)),
-        ("stream", _q_dedup_stream(spark, sf_dir)),
+        ("incremental", inc),
+        ("stream", stream),
     )
 
 

@@ -683,7 +683,7 @@ def connected_components(vertices: DataFrame,
         )
         prop = (
             labels.join(msgs, "doc_id", "left")
-            .select("doc_id",
+            .select("doc_id", F.col("label").alias("old_label"),
                     F.least(F.col("label"),
                             F.coalesce("nbr_min", "label")).alias("label"))
         )
@@ -710,19 +710,19 @@ def connected_components(vertices: DataFrame,
                               F.col("label").alias("l_label"))
             new = (
                 prop.join(hop, prop.label == hop.l_key, "left")
-                .select("doc_id",
+                .select("doc_id", "old_label",
                         F.coalesce("l_label", "label").alias("label"))
             )
         else:
             new = prop
         new = new.localCheckpoint(eager=True)
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label")).count()
-        )
+        # convergence check on the just-materialized frame: old_label rode
+        # along through the round, so `changed` is a filter-count over the
+        # checkpoint — the old form re-joined `new` against `labels` on
+        # doc_id, one whole extra shuffle join per round (r15, guide §2.4)
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
         changed_hist.append(changed)
-        labels = new
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     else:  # pragma: no cover - 2^CC_MAX_ROUNDS vertices cannot exist

@@ -211,8 +211,18 @@ def winnow_pairs(docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
     inlines the k-gram-hash array into the sliding-min lambda, re-deriving
     the whole array per window position — O(|text|²) md5 evaluations per
     doc (measured: hangs at 50 docs). The pair path explodes to rows
-    anyway, so the per-doc window shuffle is the natural shape."""
-    s = _winnow_fp_rows(docs)
+    anyway, so the per-doc window shuffle is the natural shape.
+
+    The fingerprint frame is materialized once (lazy localCheckpoint —
+    the first consumer computes it): it feeds the frequency census AND
+    both self-join sides, and with the census broadcast back only the
+    census's exchange is reusable — the join sides would otherwise
+    re-derive the posexplode + md5 + sliding-min subtree from the raw
+    corpus (optimization guide §3.3: materialise a multiply-consumed
+    intermediate to truncate repeated subtrees). Fingerprint rows are
+    ~50 B — orders of magnitude narrower than the corpus they summarize,
+    the same storage class as the dup_spans gram census."""
+    s = _winnow_fp_rows(docs).localCheckpoint(eager=False)
     keep = (s.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") <= max_bucket).select("fp"))
     # BOTH sides filter through keep: hot fps are by definition the most
