@@ -32,10 +32,27 @@ TR_START, TR_END = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
 HORIZON = "2024-02-01 00:00:00"
 
 
+# last sf_dir whose base tables are registered on a session (keyed by
+# the LIVE session object — see the _CKPT_SILVER note).  Re-registering
+# the same 10 parquet views costs ~1.2 s per call (10 × read-plan build
+# + view analysis over py4j), and EVERY gate runner calls _load — across
+# a 100-query two-pass bench that is minutes of pure re-registration
+# (optimization guide §1.2: don't compute things you throw away).  Views
+# are only ever (re)created here and in synth.register_level3, and
+# DataFrames bind their plans at creation time, so skipping an identical
+# re-registration is invisible to every consumer; a DIFFERENT sf_dir on
+# the same session still reloads (the driver's entry()→queries() flow
+# switches sf dirs mid-session).
+_LOADED_SF: dict[SparkSession, str] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str) -> None:
     from obadiah_spark.session import load_tables
 
+    if _LOADED_SF.get(spark) == sf_dir:
+        return
     load_tables(spark, sf_dir)
+    _LOADED_SF[spark] = sf_dir
 
 
 def _gate_tmpdir(prefix: str) -> str:
