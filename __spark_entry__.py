@@ -425,8 +425,17 @@ def _q_sessionize_stream(spark, sf_dir):
     from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
                                                stream_shuffle_partitions)
 
+    # density 3000, not the 50k scalar default: the session fold does
+    # per-row Python work (gap test + cents rounding + state append) at
+    # pandas-loop cost, so per-partition compute dominates the ~30 ms
+    # partition fixed cost from a few thousand rows — measured A/B at
+    # sf0.1 (3-rep fresh sessions): derived-2 partitions 17.1-21.0 s vs
+    # 32 partitions 8.3-13.3 s; the r15 sizing commit's 50k default
+    # starved the fold of cores (the embedding gate's rationale, same
+    # fix)
     with scoped_shuffle_partitions(
-            spark, stream_shuffle_partitions(spark, n)):
+            spark, stream_shuffle_partitions(spark, n,
+                                             rows_per_partition=3000)):
         q = (sessionize_stream(stream, gap_minutes=30)
              .writeStream.format("memory").queryName(name)
              .option("checkpointLocation", os.path.join(work, "ckpt"))
