@@ -170,9 +170,17 @@ def _ckpt_silver(spark: SparkSession, sf_dir: str) -> str:
         # write-ONCE lifecycle across processes, not just per session: the
         # build is skipped when an on-disk table matches the current inputs
         # AND the derivation code. The fingerprint is the newest mtime of
-        # the source parquet plus the synth/fold module mtimes — either
-        # regenerated testdata or a derivation change forces a rebuild, so
-        # a stale table can never satisfy the gate.
+        # the source parquet plus a CONTENT hash of the synth/fold
+        # modules — either regenerated testdata or a derivation change
+        # forces a rebuild, so a stale table can never satisfy the gate.
+        # (Code was fingerprinted by mtime through r14; a checkout that
+        # rewrites unchanged files — same bytes, new mtimes — then forced
+        # a spurious full cold rebuild, ~35 s vs the ~7 s warm read-back
+        # at sf0.1.  Hashing the bytes keeps the exact invalidation
+        # semantics while surviving mtime churn; guide §1.2, don't
+        # recompute what nothing invalidated.)
+        import hashlib
+
         import obadiah_spark.fold as _fold
         import obadiah_spark.synth as _synth
 
@@ -182,9 +190,15 @@ def _ckpt_silver(spark: SparkSession, sf_dir: str) -> str:
                             for f in os.listdir(p)), default=0.0)
             except OSError:
                 return 0.0
+
+        def _code_hash(*mods) -> str:
+            h = hashlib.md5()
+            for m in mods:
+                with open(m.__file__, "rb") as fh:
+                    h.update(fh.read())
+            return h.hexdigest()
         fp = {"src": _mt(sf_dir), "freq": CKPT_FREQ_S,
-              "code": max(os.path.getmtime(_synth.__file__),
-                          os.path.getmtime(_fold.__file__))}
+              "code": _code_hash(_synth, _fold)}
         meta_file = os.path.join(path, "_build_meta.json")
         try:
             with open(meta_file) as fh:
