@@ -292,7 +292,14 @@ def register_level3(spark, sf_dir: str | None = None):
         events.createOrReplaceTempView("events")
     l3 = spark.sql(LEVEL3_BODY_SQL)
     l3.createOrReplaceTempView("level3")
-    m = spark.sql(MATCHES_BODY_SQL)
+    # matches is session-cached like level3 (__spark_entry__._l3): it is
+    # consumed by every matching/trading gate, and each reference
+    # otherwise re-runs the fill-extraction windows over the level3
+    # cache (~0.4 s per consumer at sf0.1).  16k rows at gate scale —
+    # the cache is a plan-matched InMemoryRelation for the temp view's
+    # consumers, materialized by its first action (r15, guide §5
+    # "persist when reused and recompute is the expensive side").
+    m = spark.sql(MATCHES_BODY_SQL).cache()
     m.createOrReplaceTempView("matches")
     spark.sql(PAIRS_SQL).createOrReplaceTempView("pairs")
     spark.sql(EXCHANGES_SQL).createOrReplaceTempView("exchanges")
