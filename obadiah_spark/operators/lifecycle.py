@@ -146,12 +146,19 @@ def incremental_match_step(l3: DataFrame, trades: DataFrame,
     d_us = max_delay_s * 1_000_000
     l_us = lookback_s * 1_000_000
     ext_lo, ext_hi = lo_us - l_us - d_us, hi_us + l_us + d_us
-    # materialize both chunk windows once (eager=False: first consumer
-    # triggers it): I5 and I6 each reference the event/trade windows in
-    # several subtrees (joins + windows), and without the cut every
-    # subtree re-scans the full cached l3/trades and re-applies the
-    # filter — ~6 full-input scan waves per chunk of pure overhead
-    # (guide §2.4: share one materialization instead of re-deriving)
+    # materialize both chunk windows once: I5 and I6 each reference the
+    # event/trade windows in several subtrees (joins + windows), and
+    # without the cut every subtree re-scans the full cached l3/trades
+    # and re-applies the filter — ~6 full-input scan waves per chunk of
+    # pure overhead (guide §2.4: share one materialization instead of
+    # re-deriving). LAZY on purpose (r16 A/B): flipping these three to
+    # eager — the fix for the winnow_pairs concurrent-materialization
+    # race — was tried and measured SLOWER here (warm union 7.5-7.9 s
+    # lazy vs 10.5-10.7 s eager at sf0.1): the chunk loop already runs
+    # up to 4 chunks from driver threads, and three eager barriers per
+    # chunk serialize each thread's pipeline without buying overlap,
+    # while the cross-job duplication race is confined to one chunk's
+    # broadcast builds and rarely fires.
     t_ext = trades.filter(_between_us("trade_microtimestamp",
                                       ext_lo - 1, ext_hi)
                           ).localCheckpoint(eager=False)

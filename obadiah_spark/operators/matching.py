@@ -205,7 +205,11 @@ def match_sum_of_fills(l3: DataFrame, trades: DataFrame,
     # whole-set aggregate, and the final member join) — without a lineage
     # cut each reference re-derives the whole 4-window set-id pipeline
     # with its own shuffle (~24 window stages of pure overhead, measured
-    # 3 s fixed cost on an 8-trade input). Materialize it once.
+    # 3 s fixed cost on an 8-trade input). Materialize it once. Lazy on
+    # purpose (r16 A/B): eager — the winnow_pairs concurrent-
+    # materialization fix — measured marginally SLOWER here (warm 3.1-3.5
+    # vs 2.6-2.9 s at sf0.1): the extra barrier job costs more than the
+    # rarely-firing broadcast-build race on this frame.
     mem = t.select(*pk, "price", "origination", "set_size", "pos", "fill",
                    F.col("trade_microtimestamp").alias("ts"),
                    "exchange_trade_id", "cum_fill").localCheckpoint(eager=False)

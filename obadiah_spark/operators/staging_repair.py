@@ -240,6 +240,8 @@ def reveal_episodes(l3: DataFrame, trades: DataFrame) -> DataFrame:
         .agg(F.min("episode_ts").alias("m_new"))
         .filter(F.col("m_new") != F.col("m_old"))
         # two consumers (event rewrite + pointer follow): materialize once
+        # (lazy: the eager flip — the winnow_pairs race fix — A/B'd equal
+        # to marginally slower here, r16)
         .localCheckpoint(eager=False)
     )
     tagged = l3.join(
@@ -595,6 +597,7 @@ def fix_aggressor_creation_order(l3: DataFrame, trades: DataFrame) -> DataFrame:
         .filter(F.col("m_new") != F.col("m_old"))
         # two consumers (event rewrite + pointer follow): materialize once
         # instead of re-deriving the whole trade-join subtree per branch
+        # (lazy: the eager flip A/B'd equal to marginally slower here, r16)
         .localCheckpoint(eager=False)
     )
     tagged = l3.join(

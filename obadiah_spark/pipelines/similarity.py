@@ -325,10 +325,15 @@ def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
     if iters > 0:
         # the loop references `cents` twice per iteration (assignment +
         # empty-cell fallback); checkpoint the tiny frame so the plan does
-        # not double per iteration
-        sample = sample.localCheckpoint(eager=False)
+        # not double per iteration. EAGER (r16): `cents` is consumed by a
+        # broadcast-exchange job AND the main job — a lazy checkpoint is
+        # materialized by both when they launch concurrently under AQE,
+        # re-running the subtree twice (the winnow_pairs race, measured
+        # 2x executor CPU); the frames are tiny, so the eager job is
+        # milliseconds
+        sample = sample.localCheckpoint(eager=True)
     for _ in range(iters):
-        cents = cents.localCheckpoint(eager=False)
+        cents = cents.localCheckpoint(eager=True)
         assigned = (
             _rank_cells(sample, cents, "vec_id", "s_emb")
             .filter(F.col("cr") == 1).select("vec_id", "cell")
@@ -641,10 +646,12 @@ def pq_train_subcodebooks(emb: DataFrame, iters: int = IVF_ITERS,
     )
     sv = _subvectors(sample, "vec_id", "emb", m, dim)
     if iters > 0:
-        # referenced twice per iteration (assignment + mean recompute)
-        sv = sv.localCheckpoint(eager=False)
+        # referenced twice per iteration (assignment + mean recompute);
+        # eager for the same concurrent-consumer race reason as
+        # ivf_centroids (the broadcast build of `cb` is its own job)
+        sv = sv.localCheckpoint(eager=True)
     for _ in range(iters):
-        cb = cb.localCheckpoint(eager=False)
+        cb = cb.localCheckpoint(eager=True)
         scored = sv.join(F.broadcast(cb), "m").select(
             "vec_id", "m", "j", _l2sq("sv", "sc").alias("d"))
         w = W.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("j"))

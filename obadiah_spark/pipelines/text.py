@@ -213,16 +213,26 @@ def winnow_pairs(docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
     doc (measured: hangs at 50 docs). The pair path explodes to rows
     anyway, so the per-doc window shuffle is the natural shape.
 
-    The fingerprint frame is materialized once (lazy localCheckpoint —
-    the first consumer computes it): it feeds the frequency census AND
-    both self-join sides, and with the census broadcast back only the
-    census's exchange is reusable — the join sides would otherwise
-    re-derive the posexplode + md5 + sliding-min subtree from the raw
-    corpus (optimization guide §3.3: materialise a multiply-consumed
-    intermediate to truncate repeated subtrees). Fingerprint rows are
-    ~50 B — orders of magnitude narrower than the corpus they summarize,
-    the same storage class as the dup_spans gram census."""
-    s = _winnow_fp_rows(docs).localCheckpoint(eager=False)
+    The fingerprint frame is materialized once (EAGER localCheckpoint):
+    it feeds the frequency census AND both self-join sides, and with the
+    census broadcast back only the census's exchange is reusable — the
+    join sides would otherwise re-derive the posexplode + md5 +
+    sliding-min subtree from the raw corpus (optimization guide §3.3:
+    materialise a multiply-consumed intermediate to truncate repeated
+    subtrees). Fingerprint rows are ~50 B — orders of magnitude narrower
+    than the corpus they summarize, the same storage class as the
+    dup_spans gram census.
+
+    Eager, not lazy (r16): a lazily-checkpointed frame consumed by TWO
+    CONCURRENT jobs is materialized by BOTH — the broadcast-exchange job
+    (the census side) and the main collect job launch in parallel under
+    AQE, and whichever tasks start before the other job's blocks land
+    recompute the whole fingerprint pipeline. Measured at sf0.1: the
+    duplicated race doubles the pass's executor CPU (69 s → 128 s) and
+    its wall time 3-4× at random (~1 in 3 passes: 3.0-4.8 s vs
+    11.5-16.7 s) — the round-15/16 "in-bench inflation" on this gate.
+    The eager job pins the materialization before any consumer plans."""
+    s = _winnow_fp_rows(docs).localCheckpoint(eager=True)
     keep = (s.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") <= max_bucket).select("fp"))
     # BOTH sides filter through keep: hot fps are by definition the most
