@@ -1965,87 +1965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, code unchanged) rotates back in next round; every entry must
     get a driver row at least once every two rounds."""
     return {
-        # -- (0) NEW r15 gates (never had a driver row — must sit inside
-        #    the window): the three staged standalones the r14 queue
-        #    pre-verified (VERDICT r14 #1 fixed the fourth —
-        #    ann_ivfpq_trained registers as a union leg below). --------
-        "shuffle_sequences": _pq_shuffle_sequences,
-        "stratified_sample": _pq_stratified_sample,
-        "dsir_sample": _pq_dsir_sample,
-        # -- (0b) r15 capacity merges (staged + pre-verified in r14):
-        #    ann_ivfpq absorbs the Lloyd-trained-subcodebook variant
-        #    (NEW leg; retires the old standalone ann_ivfpq key),
-        #    lsh_recall fuses the two one-row recall bounds (retired:
-        #    ann_lsh_recall from the tail, embedding_dedup_lsh_recall
-        #    from the r14 window), minhash_pairs fuses the three
-        #    (doc_a, doc_b) MinHash gates (retired: minhash_lsh,
-        #    minhash_lsh_incremental, dedup_stream), match_fill_exact
-        #    absorbs its chunked scheduled-lifecycle replay (retired:
-        #    match_incremental).  Values changed (variant tag + union),
-        #    so each re-verifies in-window; every branch keeps its
-        #    retired key's exact oracle.  Net: 7 retired TAIL keys →
-        #    4 union slots = the window math below. -------------------
-        "ann_ivfpq": _pq_ann_ivfpq_union,
-        "lsh_recall": _pq_lsh_recall_union,
-        "minhash_pairs": _pq_minhash_pairs_union,
-        "match_fill_exact": _pq_match_fill_union,
-        # -- (1) rotated out of r14's 50 (last driver row: r13) — the
-        #    43 surviving tail keys fill the window so no entry's
-        #    driver row ages past two rounds.  Window math (corrected
-        #    per VERDICT r14 #1): 50 expiring − 7 retired tail members
-        #    (embedding_dedup_lsh_recall retires from the r14 WINDOW,
-        #    not the tail) + 4 unions + 3 new = exactly 50. -----------
-        "corpus_prepare": _q_corpus_prepare,
-        "near_dup_verify": _q_near_dup_verify,
-        "bpe_encode": _q_bpe_encode,
-        "chunk_documents": _q_chunk_documents,
-        "layout_keys": _q_layout_keys,  # zorder + hilbert union
-        "get_depth": _q_get_depth_merged,
-        "get_spread": _q_get_spread_merged,
-        "epsilon_draws": _q_epsilon_draws_merged,
-        "gopher_quality": _q_gopher_quality,
-        "pii_scrub": _q_pii_scrub,
-        "data_overview": _q_data_overview,
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q_q3,
-        "q5_revenue_by_nation": _q_q5,
-        "topk_orders_per_customer": _q_topk,
-        "sessionize_events": _q_sessionize,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
-        "text_stats": _q_text_stats,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh_pairs": _q_ann_lsh,
-        "embedding_dedup": _q_embedding_dedup,
-        "export_events": _q_export,
-        "book_by_episode": _q_book_by_episode,
-        "depth_resample": _q_depth_resample,
-        "move_audit": _q_move_audit,
-        "bs_capture_orders": _q_bs_capture_orders,
-        "capture_trades": _q_capture_trades,
-        "capture_raw_book": _q_capture_raw_book,
-        "episode_framing": _q_episode_framing,
-        "match_sum_of_fills": _q_match_sum_of_fills,
-        "inferred_trades": _q_inferred_trades,
-        "match_audit": _q_match_audit,
-        "repair_missing_fill": _q_repair_missing_fill,
-        "chain_audit": _q_chain_audit,
-        "trading_strategy_rho": _q_trading_strategy_rho,
-        "lang_id_ngram": _q_lang_id_ngram,
-        "tokenize_regex": _q_tokenize_regex,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "match_sequential": _q_match_sequential,
-        "match_sweep": _q_match_sweep,
-        "multimodal_features": _q_multimodal,
-        # ---- slot 51+: r14 driver-green (CORRECTNESS_r14 rows), values
-        #      unchanged this round — they rotate back into the window
-        #      in r16 (embedding_dedup_lsh_recall alone retired into
-        #      the lsh_recall union above, so 49 keys expire there).
-        #      r16 math — MECHANIZED: staged_registration_plan()
-        #      computes the exact planned window (42 surviving + 4
-        #      unions + 4 standalones = 50) and the entry-contract
-        #      test pins it; see pending_queries(). ------------------
+        # -- (1) r16 WINDOW: the 49 keys whose last driver row is r14
+        #    (they rotated out of r15's 50 — the whole r15 tail rotates
+        #    back in, VERDICT r15 #8), in the r15 tail order.  r16 is
+        #    the final OPTIMIZATION round: no registrations, no
+        #    retirements — the window is pure rotation. ---------------
         "semdedup": _q_semdedup,
         "render_sequences": _q_render_sequences,
         "pack_stream": _q_pack_stream,
@@ -2095,6 +2019,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossed_books": _q_crossed_books,
         "order_book_takers": _q_order_book_takers,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
+        # -- (2) slot 50: match_sweep pulled forward from the r15 window
+        #    — its cell loop is restructured by this round's biggest
+        #    optimization, so it re-verifies in-window even though its
+        #    r15 row would satisfy the age bound. ---------------------
+        "match_sweep": _q_match_sweep,
+        # ---- slot 51+: r15 driver-green (CORRECTNESS_r15 rows, 50/50),
+        #      values unchanged this round — they rotate back into the
+        #      window next round.  The r16 BUILD-round registration the
+        #      staged queue was sized for did not happen (r16 ran as
+        #      the final optimization round); pending_queries() stays
+        #      registration-ready for any future build round. ---------
+        "shuffle_sequences": _pq_shuffle_sequences,
+        "stratified_sample": _pq_stratified_sample,
+        "dsir_sample": _pq_dsir_sample,
+        "ann_ivfpq": _pq_ann_ivfpq_union,
+        "lsh_recall": _pq_lsh_recall_union,
+        "minhash_pairs": _pq_minhash_pairs_union,
+        "match_fill_exact": _pq_match_fill_union,
+        "corpus_prepare": _q_corpus_prepare,
+        "near_dup_verify": _q_near_dup_verify,
+        "bpe_encode": _q_bpe_encode,
+        "chunk_documents": _q_chunk_documents,
+        "layout_keys": _q_layout_keys,  # zorder + hilbert union
+        "get_depth": _q_get_depth_merged,
+        "get_spread": _q_get_spread_merged,
+        "epsilon_draws": _q_epsilon_draws_merged,
+        "gopher_quality": _q_gopher_quality,
+        "pii_scrub": _q_pii_scrub,
+        "data_overview": _q_data_overview,
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_revenue_by_nation": _q_q5,
+        "topk_orders_per_customer": _q_topk,
+        "sessionize_events": _q_sessionize,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_pairs": _q_ann_lsh,
+        "embedding_dedup": _q_embedding_dedup,
+        "export_events": _q_export,
+        "book_by_episode": _q_book_by_episode,
+        "depth_resample": _q_depth_resample,
+        "move_audit": _q_move_audit,
+        "bs_capture_orders": _q_bs_capture_orders,
+        "capture_trades": _q_capture_trades,
+        "capture_raw_book": _q_capture_raw_book,
+        "episode_framing": _q_episode_framing,
+        "match_sum_of_fills": _q_match_sum_of_fills,
+        "inferred_trades": _q_inferred_trades,
+        "match_audit": _q_match_audit,
+        "repair_missing_fill": _q_repair_missing_fill,
+        "chain_audit": _q_chain_audit,
+        "trading_strategy_rho": _q_trading_strategy_rho,
+        "lang_id_ngram": _q_lang_id_ngram,
+        "tokenize_regex": _q_tokenize_regex,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "match_sequential": _q_match_sequential,
+        "multimodal_features": _q_multimodal,
     }
 
 
@@ -2696,15 +2680,24 @@ _R16_NEW_STANDALONES = ("drop_boilerplate", "cluster_sample",
 
 
 def staged_registration_plan() -> list[str]:
-    """The EXACT planned r16 first-50 window, MECHANIZED — VERDICT r14
-    #1 was a hand-arithmetic slip in exactly this computation (a key
-    counted as expiring that was actually window-green), so the plan is
-    now executable and pytest-checked instead of prose: the keys
-    expiring into r16 are the CURRENT tail (their last driver row is
-    r14); the staged unions retire 6 of them; the staged standalones
-    take the freed slots.  tests/test_entry_contract.py asserts the
-    result is exactly 50 keys, all resolvable, and that every current
-    tail key is either in the plan or retired by a staged union."""
+    """The planned first-50 window for the NEXT build round, MECHANIZED —
+    VERDICT r14 #1 was a hand-arithmetic slip in exactly this
+    computation, so the plan is executable and pytest-checked instead of
+    prose: the expiring keys are the CURRENT tail; the staged unions
+    retire their members; the staged standalones take freed slots.
+
+    HISTORY: the plan was sized to fit r16's window exactly (the r15
+    tail contained all 7 union-retired members → 42 surviving + 4
+    unions + 4 standalones = 50).  r16 ran as the FINAL optimization
+    round — registration is feature work, out of its scope — so the r16
+    window is pure rotation (the 49 r14-verified keys + match_sweep)
+    and this plan now describes a hypothetical future build round whose
+    expiring set is the r15-window keys, none of which the staged
+    unions retire: the plan exceeds one 50-slot window and such a round
+    would stage part of it.  tests/test_entry_contract.py keeps the
+    structural invariants (resolvable, duplicate-free, every pending
+    key planned, every tail key planned-or-retired, retired members
+    real)."""
     current = list(queries())
     tail = current[50:]
     retired = {m for ms in _R16_UNION_RETIRES.values() for m in ms}
