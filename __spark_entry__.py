@@ -439,17 +439,24 @@ def _q_sessionize_stream(spark, sf_dir):
     from obadiah_spark.streaming.scale import (scoped_shuffle_partitions,
                                                stream_shuffle_partitions)
 
-    # density 3000, not the 50k scalar default: the session fold does
-    # per-row Python work (gap test + cents rounding + state append) at
-    # pandas-loop cost, so per-partition compute dominates the ~30 ms
-    # partition fixed cost from a few thousand rows — measured A/B at
-    # sf0.1 (3-rep fresh sessions): derived-2 partitions 17.1-21.0 s vs
-    # 32 partitions 8.3-13.3 s; the r15 sizing commit's 50k default
-    # starved the fold of cores (the embedding gate's rationale, same
-    # fix)
+    # sized per TRIGGER (r16): the partition fixed cost (task launch +
+    # state-store open/commit) is paid per micro-batch, so the density
+    # rule sees the per-trigger volume (n_triggers=3 data chunks; the
+    # sentinel batch is trivial) — sizing from the whole replay derived
+    # the 32-core cap and anti-scaled with cores (r15 driver: c8/c32 =
+    # 0.29; 32 cores paid 4x the per-trigger fixed cost of 8 cores for
+    # the same rows). Density 4200 rows/partition-trigger is the
+    # measured break-even for this per-row Python fold (gap test +
+    # cents rounding + state append): the r16 A/B at sf0.1 on local[32]
+    # (3-rep fresh sessions, warm passes) read 8 partitions 6.2-6.6 s,
+    # 12 -> 7.0-8.0 s, 16 -> 6.6-7.9 s, 32 -> 7.9-10.2 s; the derived
+    # count (8 at gate scale) is now core-count-independent — cores
+    # only cap, never attract (r15's 50k scalar default had starved
+    # the fold at 2 partitions: 17.1-21.0 s)
     with scoped_shuffle_partitions(
             spark, stream_shuffle_partitions(spark, n,
-                                             rows_per_partition=3000)):
+                                             rows_per_partition=4200,
+                                             n_triggers=3)):
         q = (sessionize_stream(stream, gap_minutes=30)
              .writeStream.format("memory").queryName(name)
              .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -2291,13 +2298,22 @@ def _pq_minhash_pairs_union(spark, sf_dir):
     guide §2.6) — serialized they idle the cluster through each other's
     stragglers/trigger gaps.  The batch leg stays inline: it is lazy
     (its jobs run in the union's collect).  Value-neutral: the legs
-    share no state, and the stream leg's scoped shuffle-partition conf
-    resolves to the session value at gate scale while the incremental
-    leg's batch stages are AQE-coalesced under either setting."""
+    share no state.
+
+    The stream leg runs on ``spark.newSession()`` (r16, VERDICT r15 #3):
+    same SparkContext, ISOLATED SQL conf — its scoped
+    ``spark.sql.shuffle.partitions`` mutation can no longer re-partition
+    the incremental leg's batch stages mid-planning on the shared
+    session (safe at today's gate scale only because the derived count
+    happened to equal the session value; a different SF or density
+    would silently change the concurrent leg).  The leg reads parquet
+    paths directly (no temp views) and its memory-sink read-back binds
+    to the child session, so the frame unions cleanly with the parent's
+    legs over the shared context."""
     _docs(spark, sf_dir)  # register views once before the leg threads
     inc, stream = _overlap_legs(
         lambda: _q_minhash_lsh_incremental(spark, sf_dir),
-        lambda: _q_dedup_stream(spark, sf_dir),
+        lambda: _q_dedup_stream(spark.newSession(), sf_dir),
     )
     return _variant_union(
         ("batch", _q_minhash_lsh(spark, sf_dir)),

@@ -61,11 +61,25 @@ STREAM_GROUPS_PER_PARTITION = 1_000
 def stream_shuffle_partitions(spark, n_rows: int,
                               n_groups: int | None = None,
                               rows_per_partition: int | None = None,
-                              groups_per_partition: int | None = None) -> int:
+                              groups_per_partition: int | None = None,
+                              n_triggers: int = 1) -> int:
     """Partition count for a stateful stream expected to carry ``n_rows``
     over ``n_groups`` state keys (total replay volume, or peak
     rows-per-trigger × a safety factor — either way the count scales
-    with DATA, not with the machine)."""
+    with DATA, not with the machine).
+
+    ``n_triggers`` (r16): the per-partition FIXED cost (task launch +
+    state-store open/commit) is paid PER MICRO-BATCH, so for a bounded
+    replay of ``n_triggers`` micro-batches the density rules must see
+    the per-trigger volume, not the whole replay — sizing from the
+    total volume inflated the fixed-cost-bound folds to the core-count
+    cap, which made 32 cores pay 4× the per-trigger fixed cost of 8
+    cores for the same data (the r15 driver's anti-scaling block:
+    sessionize_stream c8/c32 = 0.29).  Pass the replay's micro-batch
+    count (a live deployment sizes from peak rows-per-trigger directly
+    and leaves the default 1).  Compute-heavy folds whose per-row work
+    dwarfs the fixed cost (the embedding rescorer) should still size
+    from total volume — parallelism is what bounds THEIR wall clock."""
     env = os.environ.get("OBADIAH_STREAM_SHUFFLE_PARTITIONS")
     if env:
         return max(1, int(env))
@@ -77,11 +91,21 @@ def stream_shuffle_partitions(spark, n_rows: int,
         groups_per_partition = int(os.environ.get(
             "OBADIAH_STREAM_GROUPS_PER_PARTITION",
             str(STREAM_GROUPS_PER_PARTITION)))
-    want = -(-int(n_rows) // rows_per_partition)
+    n_triggers = max(1, int(n_triggers))
+    rows_per_trigger = -(-int(n_rows) // n_triggers)
+    want = -(-rows_per_trigger // rows_per_partition)
     if n_groups:
-        want = max(want, -(-int(n_groups) // groups_per_partition))
+        groups_per_trigger = -(-int(n_groups) // n_triggers)
+        want = max(want, -(-groups_per_trigger // groups_per_partition))
     cap = spark.sparkContext.defaultParallelism
     return max(1, min(cap, want))
+
+
+# sessions with an active scope (ADVICE r15: two overlapping scopes on
+# ONE session would interleave save/restore and could leave a tiny
+# partition count active session-wide for every later gate; concurrent
+# legs must isolate on spark.newSession() instead — _overlap_legs sites)
+_ACTIVE_SCOPES: set[int] = set()
 
 
 @contextmanager
@@ -90,11 +114,21 @@ def scoped_shuffle_partitions(spark, n_partitions: int):
 
     Must enclose BOTH ``start()`` and ``awaitTermination()`` — the conf
     is read at micro-batch planning time, and the state-store layout is
-    frozen from it at the checkpoint's first batch."""
+    frozen from it at the checkpoint's first batch.  At most one scope
+    may be active per session (asserted): a concurrent leg that needs
+    its own scope must run on ``spark.newSession()`` (isolated conf,
+    shared context)."""
+    sid = id(spark)
+    if sid in _ACTIVE_SCOPES:
+        raise RuntimeError(
+            "scoped_shuffle_partitions: a scope is already active on this "
+            "session; run the concurrent leg on spark.newSession()")
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
+    _ACTIVE_SCOPES.add(sid)
     spark.conf.set(key, str(int(n_partitions)))
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        _ACTIVE_SCOPES.discard(sid)
