@@ -540,22 +540,43 @@ def bitstamp_match_sweep(l3: DataFrame, trades: DataFrame,
                     F.broadcast(cl2),
                     ["pair_id", "era", "n_microtimestamp", "n_order_id",
                      "n_event_no"], "left_anti")
-            # eager checkpoint: the cell's result seeds the next cell's
-            # broadcast claimed-state, which would otherwise re-derive it
-            # per consumer (measured slower lazy: the broadcast build
-            # forces evaluation anyway, without the reuse)
-            # (lazy proposed on tiny offsets was ALSO tried in r13 and
-            # reverted: re-evaluating the anti-join chain twice per cell
-            # took the warm grid 26.0 -> 62.8 s — the eager default wins
-            # on every cell shape, confirming the knob docstring's A/B)
+            # ACCUMULATED state, one flat leaf (r16): the loop used to
+            # checkpoint each cell's result separately and union the
+            # leaves, so by cell k the threaded state was a union of k
+            # leaves and the claims chain 2k projections — and every
+            # cell's CONSTRUCTION (py4j + analysis of the growing plan)
+            # cost ~0.4-0.9 s of pure driver time, the gate's real floor
+            # (profiled: 19.9 s pass = 10.4 s of jobs + ~9 s of driver
+            # gaps; per-cell build dominated both checkpoint job and
+            # count). Re-checkpointing the ACCUMULATED union instead
+            # keeps every cell's plan flat (one leaf + three anti-joins)
+            # for the cost of re-writing <= a few thousand tiny rows per
+            # cell. Same rows, same exclusion state — claimed_events
+            # distributes over union, and the count short-circuit reads
+            # the cumulative total directly. (Eager, as before: the next
+            # cell's broadcast builds would otherwise each re-derive the
+            # state — measured slower lazy in r13, 26.0 -> 62.8 s.)
+            # checkpoint_proposed=False (r16 re-A/B under the flat-state
+            # regime): the per-cell proposed checkpoint job now costs
+            # more than evaluating the narrow filter over the
+            # checkpointed candidate leaf twice — alternating-arm A/B at
+            # sf0.1: lazy 12.9-14.7 s vs eager 14.3-16.8 s per pass (the
+            # r9/r13 A/Bs that favored eager predate the hoisted
+            # candidate checkpoint and the flat accumulated state).
             m = (
-                match_resolve(cand, tol)
+                match_resolve(cand, tol, checkpoint_proposed=False)
                 .withColumn("tolerance", F.lit(float(tol)))
                 .withColumn("sweep_offset", F.lit(off))
-                .localCheckpoint(eager=True)
             )
-            n_matched += m.count()  # free: materialized by the checkpoint
-            out = m if out is None else out.unionByName(m)
+            # coalesce(1): the accumulated state is bounded by the
+            # matched trades and is BROADCAST into every later cell's
+            # anti-joins anyway (it must fit in memory by design), so one
+            # partition keeps each cell's checkpoint/count/broadcast jobs
+            # single-task instead of concatenating every prior cell's
+            # shuffle partitions (A/B: 14.3-15.9 s vs 16.2-17.4 s warm)
+            out = (m if out is None else out.unionByName(m)
+                   ).coalesce(1).localCheckpoint(eager=True)
+            n_matched = out.count()  # free: materialized by the checkpoint
             if n_matchable is not None and n_matched >= n_matchable:
                 break
     if out is None:  # every offset infeasible — a correctly-typed empty
