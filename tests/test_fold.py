@@ -311,3 +311,60 @@ def test_range_fold_edges(spark, level3):
                            F.max("microtimestamp")).first()
     assert str(got[0]) == mid and str(got[1]) == mid
     assert snap_only.count() > 0
+
+
+def test_queues_incremental_buckets_equal_fresh_rescan(spark, level3):
+    """r16: _QueuesFolder carries tick-bucket sums incrementally across
+    episodes (delta-update on unchanged opposite best, per-side rebuild on
+    a best move) instead of re-scanning every level per episode.  The
+    incremental state must equal a fresh per-episode rescan bit-for-bit —
+    guaranteed by the fabric's exact-quarter volumes (dyadic floats, no
+    rounding in any add/sub order) and pinned here against a brute-force
+    reference folder over the full level3 fabric (every path exercised:
+    best moves, side emptying, level returning to exactly zero)."""
+    import math
+
+    from obadiah_spark.fold import EpisodeFolder, stream_fold
+    from obadiah_spark.operators.resample import _EPS, queues
+
+    tick, max_ticks = 0.05, 10
+
+    class _FreshRescan(EpisodeFolder):
+        OUT_COLS = ("pair_id", "microtimestamp", "side", "tick_idx",
+                    "volume")
+
+        def on_episode(self, ts) -> None:
+            if not self.changed_levels():
+                return
+            bb = self.book.best("b")[0]
+            ba = self.book.best("s")[0]
+            buckets: dict = {}
+            for (side, price), q in self.book.levels.items():
+                if side == "b":
+                    if ba is None:
+                        continue
+                    idx = math.ceil((ba - price) / tick - _EPS)
+                else:
+                    if bb is None:
+                        continue
+                    idx = math.ceil((price - bb) / tick - _EPS)
+                if 1 <= idx <= max_ticks:
+                    k = (side, idx)
+                    buckets[k] = buckets.get(k, 0.0) + q
+            out = self.out
+            for (side, idx), vol in sorted(buckets.items()):
+                out["pair_id"].append(self.pair_id)
+                out["microtimestamp"].append(ts)
+                out["side"].append(side)
+                out["tick_idx"].append(idx)
+                out["volume"].append(vol)
+
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state"]
+    schema = ("pair_id int, microtimestamp timestamp, side string, "
+              "tick_idx bigint, volume double")
+    fresh = stream_fold(level3.select(*cols), _FreshRescan,
+                        schema).toPandas()
+    incr = queues(level3, period_s=None).toPandas()
+    assert len(fresh) > 0
+    assert not compare("queues incremental-vs-rescan", incr, fresh)
