@@ -772,32 +772,95 @@ def depth_summary_fold(l3, bps_step: int = 25, max_bps_level: int = 500, r0: int
     scale = 10 ** r0
 
     class _DepthSummaryFolder(EpisodeFolder):
+        """Incremental bucket state (r16, the queues-fold pattern): the
+        bps buckets are carried across episodes — a side whose own best
+        is unchanged delta-updates only that episode's changed levels;
+        a best move rebuilds just that side (the move is itself a level
+        change, so rebuilds ride the rare path).  Bit-identical: level
+        volumes are sums of the fabric's exact-quarter amounts (dyadic
+        floats — add/sub never rounds in any order), the bucket key
+        (adj, lvl) is a pure function of (side, price, best) recomputed
+        with the identical op sequence, and a bucket reaching exactly
+        0.0 drops out like a fresh scan's absence.  Emission contract
+        unchanged: every level-changing episode emits the full sorted
+        snapshot."""
+
         OUT_COLS = ("pair_id", "microtimestamp", "side", "price",
                     "volume", "bps_level")
 
-        def on_episode(self, ts) -> None:
-            if not self.changed_levels():
-                return
-            best_bid = self.book.best("b")[0]
-            best_ask = self.book.best("s")[0]
-            buckets: dict = {}
-            for (side, price), q in self.book.levels.items():
-                if side == "s":
-                    if best_ask is None:
-                        continue
-                    lvl = math.ceil((price - best_ask) / best_ask / bps_step * 10000) * bps_step
-                    adj = math.floor(best_ask * (1 + lvl / 10000) * scale + 0.5) / scale
-                else:
-                    if best_bid is None:
-                        continue
-                    lvl = math.ceil((best_bid - price) / best_bid / bps_step * 10000) * bps_step
-                    adj = math.floor(best_bid * (1 - lvl / 10000) * scale + 0.5) / scale
-                if lvl > max_bps_level:
+        def __init__(self, meta) -> None:
+            super().__init__(meta)
+            self._bb = None   # best bid the bid buckets were built against
+            self._ba = None   # best ask the ask buckets were built against
+            self._buckets: dict = {}
+
+        @staticmethod
+        def _key(side: str, price: float, best_bid, best_ask):
+            if side == "s":
+                if best_ask is None:
+                    return None
+                lvl = math.ceil((price - best_ask) / best_ask / bps_step
+                                * 10000) * bps_step
+                adj = math.floor(best_ask * (1 + lvl / 10000) * scale
+                                 + 0.5) / scale
+            else:
+                if best_bid is None:
+                    return None
+                lvl = math.ceil((best_bid - price) / best_bid / bps_step
+                                * 10000) * bps_step
+                adj = math.floor(best_bid * (1 - lvl / 10000) * scale
+                                 + 0.5) / scale
+            if lvl > max_bps_level:
+                return None
+            return (side, adj, lvl)
+
+        def _rebuild_side(self, side: str, bb, ba) -> None:
+            b = self._buckets
+            for k in [k for k in b if k[0] == side]:
+                del b[k]
+            key_ = self._key
+            for (s, price), q in self.book.levels.items():
+                if s != side:
                     continue
-                k = (side, adj, lvl)
-                buckets[k] = buckets.get(k, 0.0) + q
+                k = key_(s, price, bb, ba)
+                if k is not None:
+                    b[k] = b.get(k, 0.0) + q
+
+        def _apply(self, changed) -> None:
+            bb = self.book.best("b")[0]
+            ba = self.book.best("s")[0]
+            b = self._buckets
+            key_ = self._key
+            for side in ("b", "s"):
+                best_now = bb if side == "b" else ba
+                best_was = self._bb if side == "b" else self._ba
+                if best_now != best_was:
+                    self._rebuild_side(side, bb, ba)
+                    continue
+                for (s, price), vol, prev in changed:
+                    if s != side:
+                        continue
+                    k = key_(s, price, bb, ba)
+                    if k is None:
+                        continue
+                    q = b.get(k, 0.0) + (vol - prev)
+                    if q == 0.0:
+                        b.pop(k, None)
+                    else:
+                        b[k] = q
+            self._bb, self._ba = bb, ba
+
+        def on_seed(self) -> None:
+            # absorb the seeded book into the bucket state, no emission
+            self._apply(self.changed_levels())
+
+        def on_episode(self, ts) -> None:
+            changed = self.changed_levels()
+            if not changed:
+                return
+            self._apply(changed)
             out = self.out
-            for (side, adj, lvl), vol in sorted(buckets.items()):
+            for (side, adj, lvl), vol in sorted(self._buckets.items()):
                 out["pair_id"].append(self.pair_id)
                 out["microtimestamp"].append(ts)
                 out["side"].append("ask" if side == "s" else "bid")

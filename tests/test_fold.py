@@ -368,3 +368,64 @@ def test_queues_incremental_buckets_equal_fresh_rescan(spark, level3):
     incr = queues(level3, period_s=None).toPandas()
     assert len(fresh) > 0
     assert not compare("queues incremental-vs-rescan", incr, fresh)
+
+
+def test_depth_summary_incremental_buckets_equal_fresh_rescan(spark, level3):
+    """r16: _DepthSummaryFolder carries bps-bucket sums incrementally
+    (same pattern and exactness argument as the queues folder; here the
+    bucket key depends on the SAME side's best).  Pinned against a
+    brute-force per-episode rescan over the full level3 fabric."""
+    import math
+
+    from obadiah_spark.fold import EpisodeFolder, stream_fold
+    from obadiah_spark.operators.depth import depth_summary_fold
+
+    bps_step, max_bps_level, scale = 25, 500, 100
+
+    class _FreshRescan(EpisodeFolder):
+        OUT_COLS = ("pair_id", "microtimestamp", "side", "price",
+                    "volume", "bps_level")
+
+        def on_episode(self, ts) -> None:
+            if not self.changed_levels():
+                return
+            best_bid = self.book.best("b")[0]
+            best_ask = self.book.best("s")[0]
+            buckets: dict = {}
+            for (side, price), q in self.book.levels.items():
+                if side == "s":
+                    if best_ask is None:
+                        continue
+                    lvl = math.ceil((price - best_ask) / best_ask
+                                    / bps_step * 10000) * bps_step
+                    adj = math.floor(best_ask * (1 + lvl / 10000) * scale
+                                     + 0.5) / scale
+                else:
+                    if best_bid is None:
+                        continue
+                    lvl = math.ceil((best_bid - price) / best_bid
+                                    / bps_step * 10000) * bps_step
+                    adj = math.floor(best_bid * (1 - lvl / 10000) * scale
+                                     + 0.5) / scale
+                if lvl > max_bps_level:
+                    continue
+                k = (side, adj, lvl)
+                buckets[k] = buckets.get(k, 0.0) + q
+            out = self.out
+            for (side, adj, lvl), vol in sorted(buckets.items()):
+                out["pair_id"].append(self.pair_id)
+                out["microtimestamp"].append(ts)
+                out["side"].append("ask" if side == "s" else "bid")
+                out["price"].append(adj)
+                out["volume"].append(vol)
+                out["bps_level"].append(lvl)
+
+    cols = ["pair_id", "exchange_id", "era", "microtimestamp", "order_id",
+            "event_no", "side", "price", "amount", "chain_state"]
+    schema = ("pair_id int, microtimestamp timestamp, side string, "
+              "price double, volume double, bps_level bigint")
+    fresh = stream_fold(level3.select(*cols), _FreshRescan,
+                        schema).toPandas()
+    incr = depth_summary_fold(level3, period_s=None).toPandas()
+    assert len(fresh) > 0
+    assert not compare("depth_summary incremental-vs-rescan", incr, fresh)
