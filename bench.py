@@ -209,18 +209,19 @@ def main() -> None:
     # ±0.9 s session-state noise documented in SCALE.md §5. The isolated
     # number is still the second consecutive run — steady-state, minus the
     # 70-query session's GC/cache residue.
+    # r15 measurement fix, made branch-symmetric in r16 (ADVICE r15):
+    # stop the main session unconditionally once timing ends, BEFORE the
+    # variance block — two rounds of records carried probe readings taken
+    # with the 100-query session still resident (its executor threads, GC
+    # and page cache skewed the "isolated" numbers by up to 4x: r15 run,
+    # minhash_pairs probe 44.4 s vs 11-12 s truly fresh), and with the
+    # stop inside the variance branch the no-variance path exited with a
+    # live session while the default path did not. Every timed query is
+    # already done here; only JSON emission follows.
+    spark.stop()
     variance: dict[str, dict[str, float]] = {}
     if not args.no_variance and only is None:
         import subprocess
-
-        # r15 measurement fix: stop the main session BEFORE the probes.
-        # Two rounds of records carried probe readings taken with the
-        # 100-query session still resident — its executor threads, GC
-        # and page cache skewed the "isolated" numbers by up to 4x
-        # (r15 run: minhash_pairs probe 44.4 s vs 11-12 s truly fresh).
-        # Every timed query is already done here, so the core metric is
-        # untouched; only the probe subprocesses get a quiet machine.
-        spark.stop()
         slowest = sorted(first_pass, key=lambda k: -timings[k])[:5]
         # WATCHLIST: lines close to the 2x-of-anchor allowance get an
         # isolated probe every round regardless of rank, so a breach on a
