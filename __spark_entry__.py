@@ -92,20 +92,29 @@ def _write_replay_chunks(df: DataFrame, order_cols: list[str], work: str,
                          ) -> tuple[str, int]:
     """Author a streaming gate's mtime-ordered replay files without a
     driver collect (VERDICT r14 cosmetic #3): rows ranked on
-    ``order_cols`` split into ceil(n/chunks)-row files via
-    executor-side writes.  The single-partition rank window is the
-    global replay order the gate contract needs, bounded to the gate
-    fabric (≤ tens of thousands of rows — operator inputs never pass
-    through here).  Returns ``(src_dir, n_rows)`` — the row count sizes
-    the stream's state partitions (streaming/scale.py, r15)."""
+    ``order_cols`` split into ceil(n/chunks)-row files.  The
+    single-partition rank window is the global replay order the gate
+    contract needs, bounded to the gate fabric (≤ tens of thousands of
+    rows — operator inputs never pass through here).  Returns
+    ``(src_dir, n_rows)`` — the row count sizes the stream's state
+    partitions (streaming/scale.py, r15).
+
+    All chunks are written by ONE partitioned write job (r16): the old
+    per-chunk filter+coalesce(1) writes ran 1 job per chunk (plus their
+    plan/py4j construction), ~1.0-1.4 s of warm authoring per gate pass
+    paid by all five streaming gates twice per bench.  Repartitioning
+    by the chunk key puts every chunk's rows in one task, so
+    ``partitionBy`` emits exactly one file per chunk, internally sorted
+    by ``order_cols`` (same bytes-per-file as the old path); the files
+    are then renamed into the replay slots with the same strictly
+    increasing pinned mtimes.  Warm authoring 1.0-1.4 s → ~0.5 s."""
     import os
     import time
 
     from pyspark.sql import Window
 
-    # rank ONCE, checkpoint, then filter per chunk — without the
-    # checkpoint each chunk write (and the count) re-runs the full
-    # scan + single-partition sort, 4 jobs where one suffices
+    # rank ONCE, checkpoint, then split — without the checkpoint the
+    # write (and the count) re-runs the full scan + single-partition sort
     ranked = df.withColumn(
         "_rn", F.row_number().over(Window.orderBy(*order_cols))
     ).localCheckpoint()
@@ -114,11 +123,26 @@ def _write_replay_chunks(df: DataFrame, order_cols: list[str], work: str,
     src = os.path.join(work, subdir)
     os.makedirs(src, exist_ok=True)
     now = time.time()
+    out = os.path.join(work, f"_{subdir}_chunks")
+    (ranked.withColumn("_chunk", ((F.col("_rn") - 1) / per).cast("int"))
+     .drop("_rn")
+     .repartition(chunks, "_chunk")
+     .sortWithinPartitions("_chunk", *order_cols)
+     .write.partitionBy("_chunk").mode("overwrite").parquet(out))
     for i in range(chunks):
-        chunk = (ranked.filter((F.col("_rn") > i * per)
-                               & (F.col("_rn") <= (i + 1) * per))
-                 .drop("_rn").sortWithinPartitions(*order_cols))
-        _write_one_chunk(chunk, work, src, i, now + 10 * i)
+        d = os.path.join(out, f"_chunk={i}")
+        p = os.path.join(src, f"{i:03d}.parquet")
+        if not os.path.isdir(d):
+            # n < chunks leaves tail chunks empty: the hash write emits
+            # no dir for an absent value — write the empty file the old
+            # way so the replay still sees its micro-batch slot
+            _write_one_chunk(
+                ranked.limit(0).drop("_rn"), work, src, i, now + 10 * i)
+            continue
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"chunk {i}: {parts}"  # one task per value
+        os.replace(os.path.join(d, parts[0]), p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
     return src, n
 
 
